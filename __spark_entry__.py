@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)`` — flagship query (fact-fact join + broadcast dim +
+  top-N) on /root/testdata/sf0.001.
+- ``queries()`` — every implemented operator from SURVEY.md §2 plus the
+  training-data operators, as (spark, sf_dir) -> DataFrame callables.
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query.  Queries built on
+  seeded-xxhash64 algorithms (MinHash/SimHash LSH, IVF probing) are
+  deliberately absent here → rows-only checks; their recall against the
+  exact oracle-backed variants is asserted in tests/.
 """
 
 from __future__ import annotations
@@ -13,26 +16,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from chewdata_spark.queries import all_oracles, all_queries
+from chewdata_spark.queries.relational import q3_shipping_priority
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return all_oracles()

@@ -1,0 +1,108 @@
+"""Text analysis operators for corpus curation (all built-in functions).
+
+Language ID, quality scoring, token counting, fingerprinting — each is
+a narrow projection (no shuffle, no UDF) so at 100 TB it pipelines with
+the scan and filter pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lists for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "los"],
+    "fr": ["le", "les", "des"],
+    "de": ["der", "und", "die"],
+}
+
+# BPE-ish pre-tokenizer: words / numbers / single punctuation.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document surface statistics."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    n_spaces = n_tokens - 1
+    avg_token_len = F.round((n_chars - n_spaces).cast("double") / n_tokens, 6)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-marker language heuristic.
+
+    Scores each language by marker-token hits; highest count wins
+    (deterministic tie-break by language code), 'und' when nothing hits.
+    """
+    toks = _tokens(F.col(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = None
+    best_score = None
+    for lang, score in scores.items():
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    pred = F.when(best_score > 0, best).otherwise(F.lit("und"))
+    return df.select(F.col(id_col).alias("doc_id"), pred.alias("lang_pred"))
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite 0-1 quality score from surface heuristics.
+
+    Components: reasonable length, low punctuation density, lexical
+    diversity.  Weights are arbitrary but fixed — the shape (a narrow
+    all-builtin projection) is the point.
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    len_score = F.least(n_chars.cast("double") / 200.0, F.lit(1.0))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))
+    punct_penalty = F.least(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)) * 5.0, F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)).cast("double") / F.greatest(n_tokens, F.lit(1))
+    score = F.round(0.4 * len_score + 0.3 * (1 - punct_penalty) + 0.3 * diversity, 6)
+    return df.select(F.col(id_col).alias("doc_id"), score.alias("quality"))
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace and BPE-ish regex token counts per document."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_tokens(t)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0)).alias("re_tokens"),
+    )
+
+
+def content_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set — robust to token shuffling, used for fuzzy-exact dedup."""
+    toks = F.array_sort(F.array_distinct(_tokens(F.col(text_col))))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.array_join(toks, " ")).alias("fingerprint"),
+    )

@@ -1,0 +1,34 @@
+"""Query registry: every implemented operator exposed as a named query.
+
+Each submodule defines ``QUERIES: dict[name, (spark, sf_dir) -> DataFrame]``
+and ``ORACLES: dict[name, sql]`` (DuckDB-runnable ANSI SQL producing the
+same rows/columns).  Names without an oracle entry are genuinely
+non-SQL-expressible (randomized LSH bucketing etc.) and get a
+rows-only check from the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    from chewdata_spark.queries import chewdata_ops, dedup_queries, relational, similarity_queries, text_queries
+
+    out: dict[str, QueryFn] = {}
+    for mod in (relational, chewdata_ops, dedup_queries, similarity_queries, text_queries):
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    from chewdata_spark.queries import chewdata_ops, dedup_queries, relational, similarity_queries, text_queries
+
+    out: dict[str, str] = {}
+    for mod in (relational, chewdata_ops, dedup_queries, similarity_queries, text_queries):
+        out.update(mod.ORACLES)
+    return out

@@ -1,0 +1,109 @@
+"""Dedup operators as verifiable queries over `documents`.
+
+MinHash/SimHash use seeded xxhash64 permutations (not reproducible in
+ANSI SQL) → rows-only checks; exact-hash and exact n-gram Jaccard have
+full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from chewdata_spark.operators import dedup
+from chewdata_spark.tables import load_table
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", ["text"])
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive (bag-of-words) fingerprint dedup groups."""
+    from chewdata_spark.operators.text import content_fingerprint
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = content_fingerprint(docs, "doc_id", "text")
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+DEDUP_FINGERPRINT_SQL = """
+SELECT md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+# Trigram shingles: i-th shingle = words[i..i+2] joined by space; short
+# docs (<3 words) collapse to one whole-text shingle, mirroring
+# _word_shingles' greatest(size-2, 1).
+NGRAM_JACCARD_SQL = """
+WITH d AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+    FROM d
+), e AS (
+    SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           COUNT(*) AS inter
+    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       ROUND(inter * 1.0 / (n_a + n_b - inter), 6) AS jaccard
+FROM inter
+WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms) + LSH(16 bands) candidate pairs, verified to
+    Jaccard ≥ 0.5.  Rows-only check (seeded xxhash64 not in ANSI SQL);
+    the recall vs. `dedup_ngram_jaccard` is asserted in tests/."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_perm=64, shingle_size=3)
+    return dedup.minhash_candidate_pairs(sigs, num_perm=64, bands=16, jaccard_threshold=0.5)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 near-dup candidates (hamming ≤ 6, 8 bands).  Rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dedup.simhash64(docs, "doc_id", "text")
+    return dedup.simhash_candidate_pairs(fps, bands=8, max_hamming=6)
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_fingerprint": dedup_fingerprint,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
+    "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+}

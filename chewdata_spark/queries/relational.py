@@ -1,0 +1,403 @@
+"""Relational core: joins, aggregations, windows, set ops, sort/limit.
+
+The reference engine has no first-class relational algebra (SURVEY §2.8)
+— it delegates to pushdown backends (Postgres SQL, S3 Select, Mongo
+filters).  Our engine exposes these through native Spark DataFrame ops
+so Catalyst plans them: broadcast joins for dimension tables, partial
+aggregation map-side, AQE skew handling at scale.
+
+Scale notes (100 TB):
+- ``region``/``nation`` are always broadcast (constant size).
+- Fact-fact joins (orders x lineitem) shuffle on the join key — the key
+  is the natural partition key, so a bucketed layout on l_orderkey /
+  o_orderkey removes the shuffle entirely; AQE handles skew otherwise.
+- All aggregates use built-in functions → whole-stage codegen; doubles
+  in final outputs are rounded so results are stable across summation
+  orders (Spark's partial aggregation order differs run to run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chewdata_spark.tables import load_table
+
+
+# --- TPC-H Q1 style pricing summary -----------------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-heavy aggregation: predicate pushdown + map-side partial agg.
+
+    Reference parity: chewdata can only express this by pushing SQL to
+    Postgres (src/connector/psql.rs:406-409); here it is a native plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- TPC-H Q3 style: fact-fact join + top-N ---------------------------------
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem with top-N.
+
+    customer is broadcast (small side); orders⋈lineitem shuffles on
+    orderkey.  The limit is pushed through a TakeOrderedAndProject so
+    only N rows reach the driver.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- TPC-H Q5 style: star join through broadcast dims -----------------------
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation where customer and supplier share the nation.
+
+    region/nation are broadcast; the only shuffles are the two fact
+    joins (orders⋈customer on custkey, lineitem⋈supplier on suppkey) —
+    exactly the plan a 1000-executor run wants.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, r_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+
+# --- Window function: top orders per customer --------------------------------
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number() over (partition by custkey order by totalprice desc)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+) t
+WHERE rn <= 3
+"""
+
+
+# --- Aggregation + HAVING -----------------------------------------------------
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.round(F.max("o_totalprice"), 2).alias("max_order"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+CUSTOMER_STATS_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_spent,
+       ROUND(MAX(o_totalprice), 2) AS max_order
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 3
+"""
+
+
+# --- Set operations -----------------------------------------------------------
+def churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with 1997 orders EXCEPT customers with 1998 orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return y97.distinct().subtract(y98.distinct()).select(F.col("o_custkey").alias("custkey"))
+
+
+CHURNED_SQL = """
+SELECT DISTINCT o_custkey AS custkey
+FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+EXCEPT
+SELECT DISTINCT o_custkey AS custkey
+FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998
+"""
+
+
+# --- Semi / anti joins (the validator "exists in referential" idiom) ---------
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join ≡ the reference's referential-existence validation
+    (src/step/validator.rs:66 `filter(attribute=..., value=input.code)`)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- Broadcast referential lookup (chewdata `referentials`) ------------------
+def referential_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference materializes named sub-readers into an in-memory map
+    injected into templates (src/step/referential.rs:16-126).  Spark-first:
+    a broadcast hash join — same semantics, executor-side, no collect."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+REFERENTIAL_SQL = """
+SELECT n_name AS nation, r_name AS region, COUNT(*) AS n_customers,
+       ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+
+# --- Sort + limit -------------------------------------------------------------
+def top_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+TOP_VALUE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+# --- Event-time rollup (batch shape of the streaming tumbling window) --------
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+# --- JSON extraction (chewdata entry_path / nested access) -------------------
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference drills into JSON via RFC6901 pointers (entry_path,
+    src/document/json.rs).  Spark: get_json_object on the JSON column."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- Sessionization (gaps-and-islands; streaming variant in streaming/) ------
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user via lag + running sum — the batch
+    equivalent of session_window() in Structured Streaming."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+    with_sess = ev.withColumn(
+        "session_id", F.sum(F.when(gap, 1).otherwise(0)).over(w)
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+), s AS (
+    SELECT user_id, ts, value,
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, ROUND(SUM(value), 2) AS session_value
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "top_orders_per_customer": top_orders_per_customer,
+    "customer_order_stats": customer_order_stats,
+    "churned_customers": churned_customers,
+    "customers_with_open_orders": customers_with_open_orders,
+    "customers_without_orders": customers_without_orders,
+    "referential_lookup": referential_lookup,
+    "top_value_orders": top_value_orders,
+    "events_hourly_rollup": events_hourly_rollup,
+    "events_props_extract": events_props_extract,
+    "sessionize_events": sessionize_events,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "top_orders_per_customer": TOP_ORDERS_SQL,
+    "customer_order_stats": CUSTOMER_STATS_SQL,
+    "churned_customers": CHURNED_SQL,
+    "customers_with_open_orders": SEMI_SQL,
+    "customers_without_orders": ANTI_SQL,
+    "referential_lookup": REFERENTIAL_SQL,
+    "top_value_orders": TOP_VALUE_SQL,
+    "events_hourly_rollup": EVENTS_HOURLY_SQL,
+    "events_props_extract": EVENTS_PROPS_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+}

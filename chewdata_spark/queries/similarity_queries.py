@@ -1,0 +1,92 @@
+"""Similarity-search operators as verifiable queries over `embeddings`."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chewdata_spark.operators import similarity
+from chewdata_spark.tables import load_table
+
+N_QUERY_VECS = 5
+TOPK = 10
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k for the first 5 vectors as queries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.cosine_topk(emb, queries, k=TOPK)
+
+
+COSINE_TOPK_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+    FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+), scored AS (
+    SELECT qid, e.vec_id,
+           ROUND({_COS.format(a='qvec', b='e.embedding::DOUBLE[]')}, 6) AS sim
+    FROM q, embeddings e
+    WHERE e.vec_id <> qid
+), ranked AS (
+    SELECT qid, vec_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT qid, vec_id, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine ≥ 0.4 — the brute-force verification path.
+
+    Implemented as blocked pairs within IVF clusters at scale; here we
+    use the exact quadratic form so the DuckDB oracle can mirror it."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("vec")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(similarity.cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.4)
+    )
+
+
+NEAR_DUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_COS.format(a='a.v', b='b.v')}, 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND({_COS.format(a='a.v', b='b.v')}, 6) >= 0.4
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (probe 4 of ~n/50 clusters).  Rows-only
+    check (approximation is algorithm-specific); recall vs. the exact
+    `cosine_topk` is asserted in tests/."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.ivf_topk(emb, queries, k=TOPK, centroid_stride=50, nprobe=4)
+
+
+QUERIES = {
+    "cosine_topk": cosine_topk,
+    "embedding_near_dup": embedding_near_dup,
+    "ann_ivf_topk": ann_ivf_topk,
+}
+
+ORACLES = {
+    "cosine_topk": COSINE_TOPK_SQL,
+    "embedding_near_dup": NEAR_DUP_SQL,
+}

@@ -1,0 +1,122 @@
+"""Text-analysis operators as verifiable queries over `documents`.
+
+DuckDB type notes: len()/length() return BIGINT there but INT in Spark
+— oracles cast to INT so schemas line up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from chewdata_spark.operators import text
+from chewdata_spark.tables import load_table
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+TEXT_STATS_SQL = """
+WITH d AS (
+    SELECT doc_id, text,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS INT) AS n_punct
+    FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(len(toks) AS INT) AS n_tokens,
+       ROUND(CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks), 6) AS avg_token_len,
+       ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       CAST(len(list_distinct(toks)) AS INT) AS n_unique_tokens
+FROM d
+"""
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_intersect(toks, {arr}))"
+
+
+def _language_id_sql() -> str:
+    langs = sorted(text.LANG_MARKERS.items())
+    scores = ", ".join(f"{_lang_score_sql(m)} AS s_{code}" for code, m in langs)
+    # fold in module order: later languages win only on strictly greater score
+    best, best_score = f"'{langs[0][0]}'", f"s_{langs[0][0]}"
+    for code, _ in langs[1:]:
+        best = f"CASE WHEN s_{code} > {best_score} THEN '{code}' ELSE {best} END"
+        best_score = f"CASE WHEN s_{code} > {best_score} THEN s_{code} ELSE {best_score} END"
+    return f"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), s AS (
+    SELECT doc_id, {scores} FROM d
+)
+SELECT doc_id, CASE WHEN {best_score} > 0 THEN {best} ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+QUALITY_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct
+    FROM documents
+)
+SELECT doc_id,
+       ROUND(0.4 * least(CAST(n_chars AS DOUBLE) / 200.0, 1.0)
+           + 0.3 * (1 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0))
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)), 6) AS quality
+FROM d
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{text.TOKEN_PATTERN}')) AS INT) AS re_tokens
+FROM documents
+"""
+
+
+def content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.content_fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "language_id": language_id,
+    "quality_score": quality_score,
+    "token_counts": token_counts,
+    "content_fingerprint": content_fingerprint,
+}
+
+ORACLES = {
+    "text_stats": TEXT_STATS_SQL,
+    "language_id": _language_id_sql(),
+    "quality_score": QUALITY_SQL,
+    "token_counts": TOKEN_COUNTS_SQL,
+    "content_fingerprint": FINGERPRINT_SQL,
+}

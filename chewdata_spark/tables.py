@@ -1,0 +1,57 @@
+"""Test-data table loading helpers.
+
+The driver provides TPC-H-ish parquet tables plus ``events`` /
+``documents`` / ``embeddings`` at ``/root/testdata/sf*/``.  All loads
+are plain ``spark.read.parquet`` so Catalyst gets predicate pushdown,
+column pruning and partition-sized splits for free.
+
+``DIM_TABLES`` are the small dimension tables an engine should
+broadcast in joins at any scale factor — at 100 TB, region/nation stay
+tiny and customer/supplier/part grow sub-linearly vs. the fact tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Always safe to broadcast regardless of scale factor.
+DIM_TABLES = ("region", "nation")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet timestamp[ns], which Spark refuses by default.
+        # Read nanos as long and truncate to micros (matching DuckDB's
+        # ns→us conversion).  `div` keeps it in integer math — double
+        # division would lose precision above 2^53 ns.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
