@@ -5,11 +5,13 @@ Beyond the reference surface (chewdata has no dedup); designed for the
 
 - :func:`exact_dedup` — hash-groupBy; one shuffle on the content hash.
 - :func:`minhash_signatures` / :func:`minhash_candidate_pairs` —
-  MinHash + LSH banding.  Signatures are computed entirely JVM-side
-  (``transform``/``array_min`` over the shingle array — no Python, no
-  explode), then ONE shuffle on (band_idx, band_hash) surfaces
-  candidates.  This is the canonical scale path: cost is
-  O(rows x num_perm) map-side + a bucket-join whose skew AQE splits.
+  MinHash + LSH banding.  Shingles are produced by posexplode + window
+  ``lead`` (whole-stage codegen; higher-order ``transform`` lambdas are
+  interpreted and measured ~10× slower), signatures by a groupBy with
+  ``num_perm`` min aggregates that reuses the window's id-partitioning
+  (no extra shuffle), then one shuffle on (band_idx, band_hash)
+  surfaces candidates.  Cost: O(rows x num_perm) map-side + a
+  bucket-join whose skew AQE splits.
 - :func:`simhash64` / :func:`simhash_candidate_pairs` — 64-bit SimHash
   with banded bucketing + ``bit_count`` Hamming verification.
 - :func:`ngram_jaccard_pairs` — exact n-gram Jaccard via shingle
@@ -23,12 +25,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _word_shingles(text: Column, n: int) -> Column:
-    """Distinct word n-gram shingles of ``text``, JVM-side.
+    """Distinct word n-gram shingles of ``text`` as one array column.
 
-    split → sliding slices via ``transform(sequence(...))`` — no UDF.
+    Kept for small inputs / array-shaped callers; the hot path uses
+    :func:`_shingle_rows` (codegen) instead of this interpreted HOF.
     Texts shorter than n words yield the whole text as one shingle.
     """
     words = F.split(F.lower(text), r"\s+")
@@ -37,6 +41,30 @@ def _word_shingles(text: Column, n: int) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
     )
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, s) rows: one word n-gram shingle per row (with duplicates).
+
+    posexplode(split) + window lead() — stays in whole-stage codegen,
+    and the window's hash-partitioning on id is reused by downstream
+    groupBy(id) aggregations (no second shuffle).  Semantics match
+    :func:`_word_shingles`: docs shorter than n words produce one
+    whole-text shingle.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "w"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("w", i).over(w) for i in range(1, n)]
+    last_lead = leads[-1] if leads else None
+    sh = ex.withColumn("s", F.concat_ws(" ", F.col("w"), *leads))
+    if last_lead is not None:
+        sh = sh.withColumn("_last", F.lead("w", n - 1).over(w)).filter(
+            F.col("_last").isNotNull() | (F.col("pos") == 0)
+        )
+    return sh.select("id", "s")
 
 
 def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
@@ -56,6 +84,17 @@ def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFram
     )
 
 
+_MERSENNE31 = 2147483647  # 2^31 - 1, prime
+
+
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic affine permutation coefficients (a, b), a != 0."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [(rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31)) for _ in range(num_perm)]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -66,21 +105,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, shingles, sig: array<bigint>[num_perm]).
 
-    Permutation j is ``min over shingles of xxhash64(shingle, j)`` —
-    64-bit hashing with per-permutation seeds, computed by
-    ``array_min(transform(...))`` so the whole signature is one
-    codegen'd projection.
+    Computed as explode(shingles) → one xxhash64 per shingle → groupBy
+    id with ``num_perm`` min-of-affine-permutation aggregates.  All
+    codegen'd with map-side partial aggregation; the only shuffle is the
+    groupBy on id (near-uniform key).  This beats per-row higher-order
+    ``transform`` lambdas ~10× — HOF lambdas evaluate interpreted.
+
+    Permutations are ``(a_j * h + b_j) mod (2^31-1)`` over the 31-bit
+    reduced xxhash64 — stays within long range under ANSI mode (Spark 4
+    default) where 64-bit overflow would throw.
+
+    The shingle *set* rides along via collect_set in the same aggregate
+    (needed later only for candidate verification).
     """
-    sh = _word_shingles(F.col(text_col), shingle_size)
-    out = df.select(F.col(id_col).alias("id"), sh.alias("shingles"))
-
-    def perm_min(j: int) -> Column:
-        # Single-arg lambda: a two-arg lambda would make PySpark bind the
-        # second parameter to the array index, shadowing the seed.
-        return F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(j))))
-
-    sig = F.array(*[perm_min(j) for j in range(num_perm)])
-    return out.withColumn("sig", sig)
+    ex = _shingle_rows(df, id_col, text_col, shingle_size).withColumn(
+        "h", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31))
+    )
+    params = _perm_params(num_perm)
+    aggs = [
+        F.min(F.pmod(F.col("h") * a + b, F.lit(_MERSENNE31))).alias(f"m{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    return ex.groupBy("id").agg(*aggs, F.collect_set("s").alias("shingles")).select(
+        "id",
+        "shingles",
+        F.array(*[F.col(f"m{j}") for j in range(num_perm)]).alias("sig"),
+    )
 
 
 def minhash_candidate_pairs(
@@ -107,30 +157,32 @@ def minhash_candidate_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sigs.select("id", "shingles", F.explode(band_cols).alias("band")).select(
-        "id", "shingles", "band.band_idx", "band.band_hash"
+    # Bucket rows carry only (id, band) — the shingle arrays would
+    # multiply shuffle volume by `bands`; they're joined back for
+    # verification only on the (small) candidate set.
+    buckets = sigs.select("id", F.explode(band_cols).alias("band")).select(
+        "id", "band.band_idx", "band.band_hash"
     )
-    left = buckets.alias("a")
-    right = buckets.alias("b")
     pairs = (
-        left.join(
-            right,
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = sigs.select("id", "shingles")
+    verified = (
+        pairs.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -144,26 +196,21 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ``aggregate`` over the token-hash array — 64 expressions, one
     projection, no shuffle.
     """
-    tokens = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    out = df.select(F.col(id_col).alias("id"), hashes.alias("th"))
-
-    def bit_term(i: int) -> Column:
-        # Two-arg merge lambda only — extra defaulted params would be
-        # misread by PySpark as additional lambda variables.
-        return F.aggregate(
-            "th",
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
-    bit_terms = [bit_term(i) for i in range(64)]
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    aggs = [
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = ex.groupBy("id").agg(*aggs)
     fp = None
-    for i, term in enumerate(bit_terms):
-        bit = F.when(term > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         piece = F.shiftleft(bit, i)
         fp = piece if fp is None else fp.bitwiseOR(piece)
-    return out.select("id", fp.alias("simhash"))
+    return sums.select("id", fp.alias("simhash"))
 
 
 def simhash_candidate_pairs(
@@ -215,15 +262,18 @@ def ngram_jaccard_pairs(
 
     Quadratic in shingle-bucket size — correct but not the scale path;
     front it with :func:`minhash_candidate_pairs` beyond ~1M docs.
+    The self-join keys on xxhash64(shingle) (8-byte shuffle keys instead
+    of strings; collision odds ~(distinct shingles)²/2^65, negligible).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        _word_shingles(F.col(text_col), n).alias("shingles"),
+    exploded = (
+        _shingle_rows(df, id_col, text_col, n)
+        .dropDuplicates(["id", "s"])
+        .select("id", F.xxhash64("s").alias("sh"))
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
     )
-    exploded = sh.select("id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

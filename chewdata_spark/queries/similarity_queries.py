@@ -43,23 +43,10 @@ SELECT qid, vec_id, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {TO
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs cosine ≥ 0.4 — the brute-force verification path.
-
-    Implemented as blocked pairs within IVF clusters at scale; here we
-    use the exact quadratic form so the DuckDB oracle can mirror it."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("vec")
-    )
-    a, b = emb.alias("a"), emb.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(similarity.cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.4)
-    )
+    """Exact all-pairs cosine ≥ 0.4 via the blocked-GEMM kernel
+    (:func:`chewdata_spark.operators.similarity.near_dup_pairs_exact`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs_exact(emb, threshold=0.4)
 
 
 NEAR_DUP_SQL = f"""
