@@ -1,0 +1,238 @@
+"""Config → DataFrame-plan compiler.
+
+The reference executes a JSON/HJSON/YAML array of steps as concurrent
+async tasks linked by bounded channels (src/lib.rs:46-98).  Here the
+same config *compiles* to a lazy DataFrame chain — channels disappear,
+Catalyst plans the whole pipeline (pushdown through every step), and
+one action per terminal writer executes it.
+
+Supported steps (reference src/step/mod.rs:27-54):
+
+- ``reader``    {connector:{type:local|in_memory, path|data}, document:{type:...}, name, data_type}
+- ``transformer`` {actions:[{field, pattern, type}], referentials:{alias: reader-config}, data_type}
+- ``validator`` {rules:{name:{pattern, message}}, error_separator, data_type}
+- ``writer``    {connector:{type:local, path}, document:{type:...}, data_type}
+- ``generator`` {record_limit}
+- ``eraser``    {connector:{path}} — compiles to overwrite mode on the
+  matching writer (Spark's idempotent-output equivalent of truncate)
+
+Semantics preserved from the reference:
+
+- **data_type routing**: each step transforms only its ok/err stream
+  and passes the other through unchanged (union after).
+- **Mustache paths**: ``dir/file_{{ field }}.json`` on a writer becomes
+  ``partitionBy(field)`` — the distributed equivalent of the per-record
+  path re-render + flush (src/step/writer.rs:156-200).
+- **Referentials**: named sub-readers (src/step/referential.rs) become
+  broadcast joins when a transformer action uses the lookup idiom
+  ``{{ alias | filter(attribute='k', value=input.x) | first | map(attribute='v') }}``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chewdata_spark.operators.errors import err_stream, ok_stream, with_error_col
+from chewdata_spark.operators.generator import generate
+from chewdata_spark.operators.transformer import Action, apply_actions
+from chewdata_spark.operators.validator import DEFAULT_SEPARATOR, Rule, apply_rules
+from chewdata_spark.sources.documents import read_document, write_document
+
+_MUSTACHE_PATH = re.compile(r"\{\{\s*([\w.]+)\s*\}\}")
+
+_LOOKUP = re.compile(
+    r"^\s*(\w+)\s*\|\s*filter\s*\(\s*attribute\s*=\s*'([\w.]+)'\s*,\s*value\s*=\s*input\.([\w.]+)\s*\)"
+    r"\s*\|\s*first\s*\|\s*map\s*\(\s*attribute\s*=\s*'([\w.]+)'\s*\)\s*$"
+)
+
+
+@dataclass
+class WriteResult:
+    path: str
+    fmt: str
+    rows_df: DataFrame
+
+
+@dataclass
+class Pipeline:
+    """Compile and run a chewdata-style step list on Spark."""
+
+    steps: list[dict[str, Any]]
+    spark: SparkSession | None = None
+    _erased_paths: set[str] = field(default_factory=set)
+
+    @classmethod
+    def from_json(cls, config: str, spark: SparkSession | None = None) -> "Pipeline":
+        return cls(json.loads(config), spark)
+
+    # -- compilation ---------------------------------------------------------
+
+    def dataframe(self) -> DataFrame:
+        """Compile the chain and return the final DataFrame (no writes)."""
+        df, _ = self._compile(execute_writes=False)
+        return df
+
+    def run(self) -> tuple[DataFrame, list[WriteResult]]:
+        """Compile and execute: every writer saves; returns (final df, writes)."""
+        return self._compile(execute_writes=True)
+
+    def _compile(self, *, execute_writes: bool) -> tuple[DataFrame, list[WriteResult]]:
+        spark = self.spark or SparkSession.active()
+        df: DataFrame | None = None
+        has_err = False  # becomes True once a step can emit err records
+        writes: list[WriteResult] = []
+        self._erased_paths = {
+            s["connector"]["path"]
+            for s in self.steps
+            if s.get("type") == "eraser" and s.get("connector", {}).get("path")
+        }
+        for step in self.steps:
+            kind = step.get("type")
+            if kind == "reader":
+                df = self._read(spark, step)
+            elif kind == "generator":
+                n = int(step.get("record_limit", step.get("size", 1)))
+                df = generate(spark, n) if df is None else df
+            elif kind == "eraser":
+                continue  # folded into writer mode
+            elif kind in ("transformer", "validator", "writer"):
+                if df is None:
+                    raise ValueError(f"step {kind!r} has no upstream data")
+                data_type = step.get("data_type", "ok")
+                if not has_err and data_type == "ok":
+                    # no upstream step can emit err records — skip the
+                    # split/union entirely (keeps plans narrow and lets
+                    # remove-actions actually drop columns)
+                    if kind == "transformer":
+                        df = self._transform(spark, step, df)
+                    elif kind == "validator":
+                        df = self._validate(step, df)
+                        has_err = True
+                    else:
+                        writes.append(self._write(step, df, execute=execute_writes))
+                    continue
+                df = with_error_col(df)
+                mine = ok_stream(df) if data_type == "ok" else err_stream(df)
+                other = err_stream(df) if data_type == "ok" else ok_stream(df)
+                if kind == "transformer":
+                    mine = self._transform(spark, step, mine)
+                elif kind == "validator":
+                    mine = self._validate(step, mine)
+                    has_err = True
+                else:
+                    writes.append(self._write(step, mine, execute=execute_writes))
+                df = mine.unionByName(other, allowMissingColumns=True)
+            elif kind is None:
+                raise ValueError(f"step missing 'type': {step}")
+            else:
+                raise ValueError(f"unsupported step type {kind!r}")
+        if df is None:
+            raise ValueError("pipeline produced no data (no reader/generator)")
+        return df, writes
+
+    # -- steps ---------------------------------------------------------------
+
+    def _read(self, spark: SparkSession, step: dict) -> DataFrame:
+        conn = step.get("connector", {})
+        doc = step.get("document", {})
+        ctype = conn.get("type", "local")
+        if ctype == "in_memory":
+            data = conn.get("data", conn.get("memory", "[]"))
+            records = json.loads(data) if isinstance(data, str) else data
+            if isinstance(records, dict):
+                records = [records]
+            jl = spark.sparkContext.parallelize([json.dumps(r) for r in records])
+            return spark.read.json(jl)
+        if ctype == "local":
+            return read_document(
+                spark,
+                conn["path"],
+                doc.get("type", _guess_format(conn["path"])),
+                entry_path=doc.get("entry_path"),
+                options=doc.get("options"),
+                resolve_types=bool(doc.get("resolve_types", False)),
+            )
+        raise ValueError(
+            f"unsupported connector type {ctype!r} (local/in_memory compile natively; "
+            "curl → chewdata_spark.sources.http, psql → spark.read.jdbc)"
+        )
+
+    def _transform(self, spark: SparkSession, step: dict, df: DataFrame) -> DataFrame:
+        refs = {
+            alias: self._read(spark, cfg)
+            for alias, cfg in (step.get("referentials") or {}).items()
+        }
+        actions: list[Action | dict] = []
+        for a in step.get("actions", []):
+            pattern = a.get("pattern")
+            hole = _single_hole(pattern) if pattern else None
+            m = _LOOKUP.match(hole) if hole else None
+            if m and m.group(1) in refs:
+                df = _lookup_join(df, refs[m.group(1)], a["field"], m)
+                continue
+            actions.append(
+                Action(a["field"], pattern, a.get("type", a.get("action", "merge")))
+            )
+        return apply_actions(df, actions) if actions else df
+
+    def _validate(self, step: dict, df: DataFrame) -> DataFrame:
+        rules = [
+            Rule(name, cfg["pattern"], cfg.get("message"))
+            for name, cfg in (step.get("rules") or {}).items()
+        ]
+        sep = step.get("error_separator", DEFAULT_SEPARATOR)
+        return apply_rules(df, rules, error_separator=sep)
+
+    def _write(self, step: dict, df: DataFrame, *, execute: bool) -> WriteResult:
+        conn = step.get("connector", {})
+        doc = step.get("document", {})
+        raw_path = conn["path"]
+        fmt = doc.get("type", _guess_format(raw_path))
+        partition_cols = _MUSTACHE_PATH.findall(raw_path)
+        path = _MUSTACHE_PATH.sub("", raw_path)
+        # strip the file-name component: Spark writes directories
+        path = re.sub(r"[^/]*\{\{.*$", "", raw_path) if partition_cols else raw_path
+        path = _MUSTACHE_PATH.sub("", path).rstrip("_-")
+        mode = "overwrite" if raw_path in self._erased_paths or path in self._erased_paths else "append"
+        out = df.drop("_error") if "_error" in df.columns and _all_null_errors_ok(step) else df
+        if execute:
+            write_document(
+                out,
+                path,
+                fmt,
+                mode=mode,
+                partition_by=partition_cols or None,
+                options=doc.get("options"),
+            )
+        return WriteResult(path, fmt, out)
+
+
+def _guess_format(path: str) -> str:
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else "json"
+    return {"yml": "yaml", "ndjson": "jsonl", "txt": "text"}.get(ext, ext)
+
+
+def _single_hole(pattern: str) -> str | None:
+    m = re.fullmatch(r"\s*\{\{(.+?)\}\}\s*", pattern, re.S)
+    return m.group(1) if m else None
+
+
+def _lookup_join(df: DataFrame, ref: DataFrame, out_field: str, m: re.Match) -> DataFrame:
+    """Compile the referential lookup idiom to a broadcast left join."""
+    _, ref_key, input_key, ref_value = m.groups()
+    ref_small = (
+        ref.select(F.col(ref_key).alias("__k"), F.col(ref_value).alias("__v"))
+        .dropDuplicates(["__k"])
+    )
+    joined = df.join(F.broadcast(ref_small), df[input_key] == F.col("__k"), "left")
+    return joined.withColumn(out_field, F.col("__v")).drop("__k", "__v")
+
+
+def _all_null_errors_ok(step: dict) -> bool:
+    return step.get("data_type", "ok") == "ok"

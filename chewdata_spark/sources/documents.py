@@ -1,0 +1,311 @@
+"""Format codecs (reference `Document` trait, src/document/mod.rs:174-214).
+
+Every format the reference reads/writes, mapped Spark-first:
+
+| format  | read                          | write                        |
+|---------|-------------------------------|------------------------------|
+| json    | spark.read.json multiLine     | df.write.json (array option) |
+| jsonl   | spark.read.json (NDJSON)      | df.write.json                |
+| csv     | spark.read.csv full dialect   | df.write.csv                 |
+| parquet | native                        | native (+writer options)     |
+| xml     | native Spark 4 XML source     | native                       |
+| yaml    | binaryFile → PyYAML → json DS | per-record docs → text sink  |
+| toml    | binaryFile → tomllib → json DS| per-record tables → text sink|
+| text    | spark.read.text (wholetext)   | df.write.text                |
+| byte    | binaryFile                    | —                            |
+
+YAML/TOML have no JVM source; they are config-scale formats — parsing
+happens in Arrow-batched Python over distributed `binaryFile` rows, so
+even a directory of thousands of files parallelizes.
+
+Also here: ``entry_path`` drill-in (RFC6901 pointers, reference
+src/document/json.rs:139) and ``resolve_value_types`` — the reference's
+``Value::resolve`` semantics (string → long/double/bool when the whole
+column coerces cleanly), used by CSV-without-inference and XML reads.
+"""
+
+from __future__ import annotations
+
+import json as _json
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+READ_FORMATS = ("json", "jsonl", "csv", "parquet", "xml", "yaml", "toml", "text", "byte")
+WRITE_FORMATS = ("json", "jsonl", "csv", "parquet", "xml", "yaml", "toml", "text")
+
+CSV_READ_DEFAULTS = {
+    "header": "true",
+    "sep": ",",
+    "quote": '"',
+    "escape": '"',
+    "multiLine": "true",  # reference CSV supports embedded newlines in quotes
+    "mode": "PERMISSIVE",
+}
+
+
+def _concatenated_json_to_lines(batches):
+    """Parse whitespace-separated concatenated JSON values per file."""
+    import pandas as pd
+
+    dec = _json.JSONDecoder()
+    for pdf in batches:
+        out = []
+        for content in pdf["content"]:
+            text = bytes(content).decode("utf-8")
+            i, n = 0, len(text)
+            while i < n:
+                while i < n and text[i].isspace():
+                    i += 1
+                if i >= n:
+                    break
+                obj, i = dec.raw_decode(text, i)
+                out.append(_json.dumps(obj, ensure_ascii=False))
+        yield pd.DataFrame({"json": out})
+
+
+def _parse_documents_to_json_lines(fmt: str):
+    """Return a mapInPandas fn: (path, content) rows → JSON-line strings."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                raw = bytes(content)
+                if fmt == "yaml":
+                    import yaml
+
+                    docs = [d for d in yaml.safe_load_all(raw.decode("utf-8")) if d is not None]
+                else:  # toml
+                    import tomllib
+
+                    data = tomllib.loads(raw.decode("utf-8"))
+                    # array-of-tables under a single key unwraps to records
+                    if (
+                        len(data) == 1
+                        and isinstance(next(iter(data.values())), list)
+                        and all(isinstance(x, dict) for x in next(iter(data.values())))
+                    ):
+                        docs = next(iter(data.values()))
+                    else:
+                        docs = [data]
+                for d in docs:
+                    # default=str: PyYAML eagerly types ISO dates
+                    out.append(_json.dumps(d, ensure_ascii=False, default=str))
+            yield pd.DataFrame({"json": out})
+
+    return gen
+
+
+def read_document(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    *,
+    entry_path: str | None = None,
+    resolve_types: bool = False,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read `path` (file/dir/glob — Spark expands globs natively, the
+    reference's wildcard paginator src/connector/paginator/local/wildcard.rs)."""
+    options = dict(options or {})
+    if fmt == "json":
+        # line-mode first: it handles NDJSON directories (our own writes)
+        # and single-line arrays; a pretty-printed array file shows up as
+        # one _corrupt_record column → re-read as whole-file JSON.
+        # (The reverse order would silently read only the first record
+        # of each NDJSON part file.)
+        df = spark.read.options(**options).json(path)
+        if df.columns == ["_corrupt_record"]:
+            df = spark.read.options(multiLine=True, **options).json(path)
+    elif fmt == "jsonl":
+        df = spark.read.options(**options).json(path)
+        if df.columns == ["_corrupt_record"]:
+            # the reference writes "pretty" JSONL — concatenated
+            # multi-line objects (src/document/jsonl.rs `is_pretty`);
+            # stream-parse them Arrow-batched per file
+            files = spark.read.format("binaryFile").load(path).select("content")
+            jl = files.mapInPandas(_concatenated_json_to_lines, "json string")
+            df = spark.read.json(jl.rdd.map(lambda r: r.json))
+    elif fmt == "csv":
+        opts = {**CSV_READ_DEFAULTS, "inferSchema": "true", **options}
+        df = spark.read.options(**opts).csv(path)
+    elif fmt == "parquet":
+        df = spark.read.options(**options).parquet(path)
+    elif fmt == "xml":
+        opts = {"rowTag": "item", "attributePrefix": "@", "valueTag": "$", **options}
+        df = spark.read.format("xml").options(**opts).load(path)
+        # reference xml2json exposes attributes as plain keys in golden
+        # tests; strip the attribute prefix
+        renames = {c: c.lstrip("@") for c in df.columns if c.startswith("@")}
+        df = df.withColumnsRenamed(renames)
+        if resolve_types is False:
+            resolve_types = True  # XML attributes are untyped strings
+    elif fmt in ("yaml", "toml"):
+        files = spark.read.format("binaryFile").load(path).select("content")
+        jl = files.mapInPandas(_parse_documents_to_json_lines(fmt), "json string")
+        df = spark.read.json(jl.rdd.map(lambda r: r.json))
+    elif fmt == "text":
+        df = spark.read.options(wholetext=True, **options).text(path)
+    elif fmt == "byte":
+        df = spark.read.format("binaryFile").options(**options).load(path)
+    else:
+        raise ValueError(f"unknown read format {fmt!r}; expected {READ_FORMATS}")
+    if entry_path:
+        df = apply_entry_path(df, entry_path)
+    if resolve_types:
+        df = resolve_value_types(df)
+    return df
+
+
+def write_document(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Write as `fmt`.  Spark writes directories of part files — the
+    scale-correct layout; the reference's single-file append/header
+    splicing (src/step/writer.rs:205-242) is a single-node concern."""
+    options = dict(options or {})
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt in ("json", "jsonl"):
+        writer.options(**options).json(path)
+    elif fmt == "csv":
+        writer.options(header=True, **options).csv(path)
+    elif fmt == "parquet":
+        writer.options(**options).parquet(path)
+    elif fmt == "xml":
+        opts = {"rowTag": "item", "rootTag": "root", **options}
+        writer.format("xml").options(**opts).save(path)
+    elif fmt == "yaml":
+        rendered = df.mapInPandas(_render_yaml, "doc string")
+        rendered.write.mode(mode).text(path)
+    elif fmt == "toml":
+        rendered = df.mapInPandas(_render_toml, "doc string")
+        rendered.write.mode(mode).text(path)
+    elif fmt == "text":
+        writer.options(**options).text(path)
+    else:
+        raise ValueError(f"unknown write format {fmt!r}; expected {WRITE_FORMATS}")
+
+
+def _render_yaml(batches):
+    import pandas as pd
+    import yaml
+
+    for pdf in batches:
+        docs = [
+            "---\n" + yaml.safe_dump(rec, allow_unicode=True, sort_keys=False).rstrip("\n")
+            for rec in pdf.to_dict(orient="records")
+        ]
+        yield pd.DataFrame({"doc": docs})
+
+
+def _toml_value(v: Any) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ", ".join(_toml_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(f'"{k}" = {_toml_value(x)}' for k, x in v.items()) + "}"
+    s = str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    return f'"{s}"'
+
+
+def _render_toml(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        docs = []
+        for rec in pdf.to_dict(orient="records"):
+            lines = ["[[row]]"]
+            for k, v in rec.items():
+                if v is None:
+                    continue
+                lines.append(f'"{k}" = {_toml_value(v)}')
+            docs.append("\n".join(lines))
+        yield pd.DataFrame({"doc": docs})
+
+
+def apply_entry_path(df: DataFrame, entry_path: str) -> DataFrame:
+    """RFC6901-ish drill-in: ``/data/*/items`` — object key = getField,
+    ``*`` = explode, integer = array element (reference entry_path,
+    src/document/json.rs:139, src/document/mod.rs:206-209).
+
+    A final array result is exploded to records; a final struct result
+    is unwrapped to top-level columns.
+    """
+    col: Column | None = None
+    for seg in (s for s in entry_path.split("/") if s):
+        if seg == "*":
+            src = col if col is not None else _sole_array(df)
+            df = df.select(F.explode(src).alias("_w"))
+            col = F.col("_w")
+        elif seg.isdigit():
+            src = col if col is not None else _sole_array(df)
+            df = df.select(F.element_at(src, int(seg) + 1).alias("_w"))
+            col = F.col("_w")
+        else:
+            col = F.col(seg) if col is None else col.getField(seg)
+    if col is not None:
+        df = df.select(col.alias("_w"))
+        if df.schema["_w"].dataType.typeName() == "array":
+            df = df.select(F.explode("_w").alias("_w"))
+        if df.schema["_w"].dataType.typeName() == "struct":
+            df = df.select("_w.*")
+    return df
+
+
+def _sole_array(df: DataFrame) -> Column:
+    arrays = [f.name for f in df.schema.fields if f.dataType.typeName() == "array"]
+    if len(arrays) != 1:
+        raise ValueError(f"cannot infer array column for '*' among {df.columns}")
+    return F.col(arrays[0])
+
+
+def resolve_value_types(df: DataFrame) -> DataFrame:
+    """The reference's ``Value::resolve`` re-typing (src/updater/tera.rs:182):
+    a string column becomes long/double/bool if every non-null value
+    coerces.  One aggregate pass decides; casts are then applied
+    declaratively (no data collected beyond the 3 counters per column).
+    """
+    str_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "string"]
+    if not str_cols:
+        return df
+    aggs = []
+    for c in str_cols:
+        col = F.col(c)
+        nn = col.isNotNull()
+        aggs.extend(
+            [
+                F.sum(F.when(nn & col.try_cast("bigint").isNull(), 1).otherwise(0)).alias(f"{c}!long"),
+                F.sum(F.when(nn & col.try_cast("double").isNull(), 1).otherwise(0)).alias(f"{c}!double"),
+                F.sum(F.when(nn & col.try_cast("boolean").isNull(), 1).otherwise(0)).alias(f"{c}!bool"),
+                F.sum(F.when(nn, 1).otherwise(0)).alias(f"{c}!n"),
+            ]
+        )
+    stats = df.agg(*aggs).collect()[0].asDict()
+    casts = {}
+    for c in str_cols:
+        if not stats[f"{c}!n"]:
+            continue
+        if stats[f"{c}!long"] == 0:
+            casts[c] = "bigint"
+        elif stats[f"{c}!double"] == 0:
+            casts[c] = "double"
+        elif stats[f"{c}!bool"] == 0:
+            casts[c] = "boolean"
+    if casts:
+        df = df.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})
+    return df

@@ -1,0 +1,74 @@
+"""Golden format tests, mirroring the reference's tests/reader.rs:31-100 —
+every format of the same logical record reads back equal to its JSON twin
+— and writer round-trips (tests/writer.rs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from chewdata_spark.sources.documents import read_document, write_document
+
+DATA = "/root/reference/data"
+FORMATS = ["json", "jsonl", "csv", "xml", "yaml", "toml"]
+EXT = {"json": "json", "jsonl": "jsonl", "csv": "csv", "xml": "xml", "yaml": "yml", "toml": "toml"}
+
+
+def canon_rows(df):
+    def canon(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return str(v).lower()
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    cols = sorted(df.columns)
+    return sorted(tuple(canon(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("fixture", ["one_line", "multi_lines"])
+@pytest.mark.parametrize("fmt", [f for f in FORMATS if f != "json"])
+def test_format_reads_equal_json_twin(spark, fmt, fixture):
+    golden = read_document(spark, f"{DATA}/{fixture}.json", "json")
+    if fmt == "xml":
+        # XML spec §3.3.3 normalizes attribute-value newlines to spaces;
+        # the reference's quick-xml keeps them (nonconforming).  Our
+        # conforming parser therefore sees "Long val to test".
+        from pyspark.sql import functions as F
+
+        golden = golden.withColumn("long-string", F.regexp_replace("long-string", r"\n", " "))
+    df = read_document(spark, f"{DATA}/{fixture}.{EXT[fmt]}", fmt)
+    assert sorted(df.columns) == sorted(golden.columns)
+    assert canon_rows(df) == canon_rows(golden)
+
+
+def test_headerless_csv_positional(spark):
+    df = read_document(
+        spark,
+        f"{DATA}/multi_lines-without_header.csv",
+        "csv",
+        options={"header": "false"},
+    )
+    assert df.columns == [f"_c{i}" for i in range(14)]
+    assert df.count() == 3
+
+
+@pytest.mark.parametrize("fmt", ["json", "jsonl", "csv", "parquet", "xml", "yaml", "toml"])
+def test_write_round_trip(spark, tmp_path, fmt):
+    golden = read_document(spark, f"{DATA}/multi_lines.json", "json")
+    out = str(tmp_path / f"out_{fmt}")
+    write_document(golden, out, fmt)
+    back = read_document(spark, out, fmt, resolve_types=(fmt in ("csv", "xml")))
+    assert sorted(back.columns) == sorted(golden.columns)
+    assert canon_rows(back) == canon_rows(golden)
+
+
+def test_entry_path_drill_in(spark, tmp_path):
+    p = tmp_path / "nested.json"
+    p.write_text('{"data": {"results": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]}}')
+    df = read_document(spark, str(p), "json", entry_path="/data/results")
+    assert sorted(df.columns) == ["a", "b"]
+    assert df.count() == 2
+    df2 = read_document(spark, str(p), "json", entry_path="/data/results/0")
+    assert [tuple(r) for r in df2.select("a", "b").collect()] == [(1, "x")]

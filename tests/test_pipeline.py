@@ -1,0 +1,145 @@
+"""End-to-end pipeline configs (reference README examples + tests/transformer.rs)."""
+
+from __future__ import annotations
+
+import json
+
+from chewdata_spark.pipeline import Pipeline
+from chewdata_spark.sources.documents import read_document
+
+from tests.test_documents import canon_rows
+
+DATA = "/root/reference/data"
+
+
+def test_csv_to_json_conversion(spark, tmp_path):
+    """README's canonical `csv → json` example."""
+    out = str(tmp_path / "out_json")
+    pipe = Pipeline(
+        [
+            {"type": "reader", "connector": {"type": "local", "path": f"{DATA}/multi_lines.csv"}, "document": {"type": "csv"}},
+            {"type": "writer", "connector": {"type": "local", "path": out}, "document": {"type": "json"}},
+        ],
+        spark,
+    )
+    df, writes = pipe.run()
+    assert len(writes) == 1
+    back = read_document(spark, out, "json")
+    golden = read_document(spark, f"{DATA}/multi_lines.json", "json")
+    assert canon_rows(back) == canon_rows(golden)
+
+
+def test_transform_with_referential_lookup(spark):
+    """The `transform-mapping` idiom: replace a code via a referential
+    (reference src/step/referential.rs + tests/transformer.rs)."""
+    pipe = Pipeline(
+        [
+            {"type": "reader", "connector": {"type": "local", "path": f"{DATA}/multi_lines.json"}, "document": {"type": "json"}},
+            {
+                "type": "transformer",
+                "referentials": {
+                    "mapping_ref": {"connector": {"type": "local", "path": f"{DATA}/mapping.json"}, "document": {"type": "json"}}
+                },
+                "actions": [
+                    {
+                        "field": "mapped",
+                        "pattern": "{{ mapping_ref | filter(attribute='mapping_code', value=input.code) | first | map(attribute='mapping_value') }}",
+                    }
+                ],
+            },
+        ],
+        spark,
+    )
+    df = pipe.dataframe()
+    vals = {(r.code, r.mapped) for r in df.select("code", "mapped").collect()}
+    assert vals == {
+        ("value_to_map", "value mapped"),
+        ("value_to_map_2", "value mapped 2"),
+        ("value_to_map_3", "value mapped 3"),
+    }
+
+
+def test_transformer_actions_and_remove(spark):
+    pipe = Pipeline(
+        [
+            {"type": "reader", "connector": {"type": "local", "path": f"{DATA}/one_line.json"}, "document": {"type": "json"}},
+            {
+                "type": "transformer",
+                "actions": [
+                    {"field": "number_x10", "pattern": "{{ input.number * 10 }}"},
+                    {"field": "greeting", "pattern": "hello {{ input.string | upper }}"},
+                    {"field": "sorted_list", "pattern": "{{ input.list_to_sort | split(pat=',') | reverse | join(sep='-') }}"},
+                    {"field": "remove_field", "type": "remove"},
+                ],
+            },
+        ],
+        spark,
+    )
+    row = pipe.dataframe().collect()[0]
+    assert row.number_x10 == 100
+    assert row.greeting == "hello VALUE TO TEST"
+    assert row.sorted_list == "C-B-A"
+    assert "remove_field" not in row.asDict()
+
+
+def test_validator_splits_ok_err(spark, tmp_path):
+    ok_out = str(tmp_path / "ok")
+    err_out = str(tmp_path / "err")
+    pipe = Pipeline(
+        [
+            {"type": "reader", "connector": {"type": "local", "path": f"{DATA}/multi_lines.json"}, "document": {"type": "json"}},
+            {
+                "type": "validator",
+                "rules": {"small_number": {"pattern": "{{ input.number <= 20 }}", "message": "number too big"}},
+            },
+            {"type": "writer", "connector": {"type": "local", "path": ok_out}, "document": {"type": "jsonl"}, "data_type": "ok"},
+            {"type": "writer", "connector": {"type": "local", "path": err_out}, "document": {"type": "jsonl"}, "data_type": "err"},
+        ],
+        spark,
+    )
+    df, writes = pipe.run()
+    ok_back = read_document(spark, ok_out, "jsonl")
+    err_back = read_document(spark, err_out, "jsonl")
+    assert ok_back.count() == 2  # numbers 10, 20
+    assert err_back.count() == 1  # number 30
+    assert err_back.collect()[0]["_error"] == "number too big"
+
+
+def test_generator_pipeline(spark):
+    pipe = Pipeline(
+        [
+            {"type": "generator", "record_limit": 25},
+            {"type": "transformer", "actions": [{"field": "double_id", "pattern": "{{ input.id * 2 }}"}]},
+        ],
+        spark,
+    )
+    df = pipe.dataframe()
+    assert df.count() == 25
+    assert df.agg({"double_id": "max"}).collect()[0][0] == 48
+
+
+def test_in_memory_connector(spark):
+    pipe = Pipeline(
+        [
+            {"type": "reader", "connector": {"type": "in_memory", "data": json.dumps([{"a": 1}, {"a": 2}])}},
+            {"type": "transformer", "actions": [{"field": "b", "pattern": "{{ input.a + 1 }}"}]},
+        ],
+        spark,
+    )
+    assert [r.b for r in pipe.dataframe().orderBy("a").collect()] == [2, 3]
+
+
+def test_mustache_path_partitioned_write(spark, tmp_path):
+    out = str(tmp_path / "parts") + "/"
+    pipe = Pipeline(
+        [
+            {"type": "reader", "connector": {"type": "local", "path": f"{DATA}/multi_lines.json"}, "document": {"type": "json"}},
+            {"type": "writer", "connector": {"type": "local", "path": out + "file_{{ number }}.json"}, "document": {"type": "json"}},
+        ],
+        spark,
+    )
+    pipe.run()
+    import os
+
+    parts = sorted(d for d in os.listdir(out.rstrip("/")) if d.startswith("number="))
+    assert parts == ["number=10", "number=20", "number=30"]
