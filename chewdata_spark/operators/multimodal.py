@@ -1,0 +1,150 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design for 100 TB multimodal corpora:
+
+- Content is an opaque ``binary`` column (never parsed JVM-side); typed
+  metadata (mime, dims, duration) travels in a sibling struct so
+  filters/pruning work on metadata without touching bytes.
+- Decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages: bytes cross to Python once per batch, heavy
+  libs (PIL/ffmpeg/librosa) are imported lazily per executor.
+- This container has no media libraries, so the *decode kernels* are
+  STUBS: ``decode_image`` raises ``NotImplementedError`` unless PIL is
+  importable, and the deterministic-fake variants (``fake_*``) derive
+  features from the bytes' hash — schema, batching, partitioning and
+  UDF signatures are real and tested; swap the kernel body in
+  production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = "content binary, meta struct<mime: string, width: int, height: int, duration_ms: int>"
+
+
+def attach_metadata(df: DataFrame, content_col: str, mime: str) -> DataFrame:
+    """Wrap a binary column with the typed metadata struct (unknown dims
+    until decode).  Metadata-only predicates then prune without reading
+    bytes (parquet column pruning)."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+
+
+def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Decode image bytes → (id-preserving columns..., width, height).
+
+    Real kernel requires PIL; raises NotImplementedError without it.
+    """
+    cols = [f.name for f in df.schema.fields]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += ", width int, height int"
+
+    def gen(batches):
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "image decode requires PIL; use fake_decode_image for plumbing tests"
+            ) from e
+        import io
+
+        import pandas as pd
+
+        for pdf in batches:
+            dims = [Image.open(io.BytesIO(b)).size for b in pdf[content_col]]
+            pdf = pdf.copy()
+            pdf["width"] = [d[0] for d in dims]
+            pdf["height"] = [d[1] for d in dims]
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def fake_decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Deterministic stand-in decode: dims derived from sha256(bytes).
+
+    Exercises the identical plan shape (schema widening, Arrow batch
+    transfer, partition preservation) as :func:`decode_image`.
+    """
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += ", width int, height int"
+
+    def gen(batches):
+        for pdf in batches:
+            h = [hashlib.sha256(bytes(b)).digest() for b in pdf[content_col]]
+            pdf = pdf.copy()
+            pdf["width"] = [16 + d[0] % 1024 for d in h]
+            pdf["height"] = [16 + d[1] % 1024 for d in h]
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def fake_extract_features(
+    df: DataFrame, content_col: str = "content", *, dim: int = 64
+) -> DataFrame:
+    """Deterministic fake embedding (unit-norm float32[dim] from the
+    content hash) — the plumbing for a real vision/audio encoder.
+    Output feeds directly into the similarity operators."""
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += ", features array<float>"
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for b in pdf[content_col]:
+                seed = int.from_bytes(hashlib.sha256(bytes(b)).digest()[:8], "big")
+                rng = np.random.default_rng(seed)
+                v = rng.standard_normal(dim).astype(np.float32)
+                feats.append((v / np.linalg.norm(v)).tolist())
+            pdf = pdf.copy()
+            pdf["features"] = feats
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def fake_frame_sample(
+    df: DataFrame, content_col: str = "content", *, every_n_bytes: int = 1024, max_frames: int = 8
+) -> DataFrame:
+    """Deterministic fake frame sampler: one "frame" (byte chunk) per
+    stride — the explode-shaped plumbing of real video frame sampling
+    (one row per frame, frame_idx column)."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name != content_col
+    )
+    out_schema += ", frame_idx int, frame binary"
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {c: [] for c in pdf.columns if c != content_col}
+            idxs, frames = [], []
+            for _, row in pdf.iterrows():
+                blob = bytes(row[content_col])
+                n = min(max_frames, max(1, len(blob) // every_n_bytes))
+                for i in range(n):
+                    for c in rows:
+                        rows[c].append(row[c])
+                    idxs.append(i)
+                    frames.append(blob[i * every_n_bytes : (i + 1) * every_n_bytes])
+            import pandas as pd
+
+            out = pd.DataFrame(rows)
+            out["frame_idx"] = idxs
+            out["frame"] = frames
+            yield out
+
+    return df.mapInPandas(gen, out_schema)

@@ -16,19 +16,28 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-def all_queries() -> dict[str, QueryFn]:
-    from chewdata_spark.queries import chewdata_ops, dedup_queries, relational, similarity_queries, text_queries
+def _modules():
+    from chewdata_spark.queries import (
+        analytics,
+        chewdata_ops,
+        dedup_queries,
+        relational,
+        similarity_queries,
+        text_queries,
+    )
 
+    return (relational, chewdata_ops, dedup_queries, similarity_queries, text_queries, analytics)
+
+
+def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
-    for mod in (relational, chewdata_ops, dedup_queries, similarity_queries, text_queries):
+    for mod in _modules():
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from chewdata_spark.queries import chewdata_ops, dedup_queries, relational, similarity_queries, text_queries
-
     out: dict[str, str] = {}
-    for mod in (relational, chewdata_ops, dedup_queries, similarity_queries, text_queries):
+    for mod in _modules():
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,212 @@
+"""Advanced analytics: grouping sets, pivot, percentiles, sketches, stats.
+
+Beyond the reference surface (it has no aggregation operators at all —
+SURVEY §2.8); these are table-stakes for an analytics engine and all
+ride native Catalyst aggregation (partial agg map-side, AQE-coalesced
+shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chewdata_spark.tables import load_table
+
+
+# --- ROLLUP with grouping indicator ------------------------------------------
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- CUBE --------------------------------------------------------------------
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(AVG(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- PIVOT (conditional aggregation) -----------------------------------------
+PIVOT_STATUSES = ["F", "O", "P"]
+
+
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", PIVOT_STATUSES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, PIVOT_STATUSES)
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS F,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS O,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS P
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --- Exact percentiles (linear interpolation) --------------------------------
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.element_at(pct, 1), 4).alias("p25"),
+            F.round(F.element_at(pct, 2), 4).alias("p50"),
+            F.round(F.element_at(pct, 3), 4).alias("p75"),
+        )
+    )
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- Exact + approximate distinct counting -----------------------------------
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch counting — the at-scale replacement for exact
+    distinct (no full shuffle of the key space).  Rows-only check:
+    sketch internals are engine-specific; tests assert <5% relative
+    error vs. the exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+# --- Correlation / covariance -------------------------------------------------
+def qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+        )
+    )
+
+
+CORR_SQL = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+       ROUND(stddev_samp(l_extendedprice), 4) AS stddev_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- Running / moving window aggregates --------------------------------------
+def running_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative + 7-day moving average of daily order totals."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_ma = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "day_total",
+        F.round(F.sum("day_total").over(w_cum), 2).alias("cum_total"),
+        F.round(F.avg("day_total").over(w_ma), 4).alias("ma7"),
+    )
+
+
+RUNNING_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           ROUND(SUM(o_totalprice), 2) AS day_total
+    FROM orders GROUP BY 1
+)
+SELECT day, day_total,
+       ROUND(SUM(day_total) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_total,
+       ROUND(AVG(day_total) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM daily
+"""
+
+
+QUERIES = {
+    "rollup_revenue": rollup_revenue,
+    "cube_order_stats": cube_order_stats,
+    "pivot_order_status": pivot_order_status,
+    "price_percentiles": price_percentiles,
+    "distinct_users_by_type": distinct_users_by_type,
+    "approx_distinct_users": approx_distinct_users,
+    "qty_price_correlation": qty_price_correlation,
+    "running_daily_revenue": running_daily_revenue,
+}
+
+ORACLES = {
+    "rollup_revenue": ROLLUP_SQL,
+    "cube_order_stats": CUBE_SQL,
+    "pivot_order_status": PIVOT_SQL,
+    "price_percentiles": PERCENTILES_SQL,
+    "distinct_users_by_type": DISTINCT_USERS_SQL,
+    "qty_price_correlation": CORR_SQL,
+    "running_daily_revenue": RUNNING_SQL,
+}

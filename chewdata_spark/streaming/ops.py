@@ -1,0 +1,140 @@
+"""Structured Streaming operators.
+
+The reference's "streams" are async record channels between steps
+(src/lib.rs:85-89) with no event-time semantics.  Our engine exposes
+real unbounded processing: file-source streams, watermarked tumbling /
+sliding / session windows, and foreachBatch sinks — the micro-batch
+trigger replaces the reference's bounded-channel backpressure.
+
+Scale notes: state-store size is bounded by the watermark horizon;
+session windows use Spark's native session_window (merging state per
+key); sinks go through foreachBatch so any batch writer (including the
+pipeline's write_document) works unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_stream_directory(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType | str,
+    *,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """File-source stream: new files under `path` become micro-batches
+    (the streaming analogue of the reader step's wildcard paginator)."""
+    reader = spark.readStream.schema(schema).options(**(options or {}))
+    if fmt in ("json", "jsonl"):
+        return reader.json(path)
+    if fmt == "csv":
+        return reader.options(header=True).csv(path)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "text":
+        return reader.text(path)
+    raise ValueError(f"unsupported stream format {fmt!r}")
+
+
+def tumbling_window_agg(
+    stream: DataFrame,
+    ts_col: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (late data beyond the
+    watermark is dropped; state is evicted past the horizon)."""
+    aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    grouped = stream.withWatermark(ts_col, watermark).groupBy(
+        F.window(ts_col, window).alias("win"), *(keys or [])
+    )
+    return (
+        grouped.agg(*aggs)
+        .withColumn("window_start", F.col("win.start"))
+        .withColumn("window_end", F.col("win.end"))
+        .drop("win")
+    )
+
+
+def sliding_window_agg(
+    stream: DataFrame,
+    ts_col: str,
+    *,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    grouped = stream.withWatermark(ts_col, watermark).groupBy(
+        F.window(ts_col, window, slide).alias("win"), *(keys or [])
+    )
+    return grouped.agg(*aggs).withColumn("window_start", F.col("win.start")).withColumn(
+        "window_end", F.col("win.end")
+    ).drop("win")
+
+
+def session_window_agg(
+    stream: DataFrame,
+    ts_col: str,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Native session windows (gap-based merging state) — the streaming
+    equivalent of the batch gaps-and-islands `sessionize_events`."""
+    aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    grouped = stream.withWatermark(ts_col, watermark).groupBy(
+        F.session_window(ts_col, gap).alias("sess"), *(keys or [])
+    )
+    return grouped.agg(*aggs).withColumn("session_start", F.col("sess.start")).withColumn(
+        "session_end", F.col("sess.end")
+    ).drop("sess")
+
+
+def run_to_memory(stream: DataFrame, name: str, *, output_mode: str = "append") -> DataFrame:
+    """Run the stream to completion over currently-available data
+    (Trigger.AvailableNow) into an in-memory table; returns the result
+    as a batch DataFrame.  Used by tests and interactive inspection."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.table(name)
+
+
+def run_foreach_batch(
+    stream: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    *,
+    checkpoint: str,
+    output_mode: str = "update",
+) -> None:
+    """foreachBatch sink: every micro-batch is handed to a plain batch
+    function (e.g. ``write_document`` / JDBC upsert) — the reference's
+    writer-step buffering (src/step/writer.rs:205-242) maps here."""
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,90 @@
+"""Structured Streaming vs batch equivalence over the events table."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from chewdata_spark.streaming.ops import (
+    read_stream_directory,
+    run_foreach_batch,
+    run_to_memory,
+    session_window_agg,
+    tumbling_window_agg,
+)
+from chewdata_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """events as a parquet directory the file source can watch."""
+    d = tmp_path_factory.mktemp("events_stream")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(str(d / "in"))
+    return str(d / "in")
+
+
+def test_tumbling_window_matches_batch(spark, sf_dir, events_stream_dir):
+    batch = load_table(spark, sf_dir, "events")
+    stream = read_stream_directory(spark, events_stream_dir, "parquet", batch.schema)
+    res = run_to_memory(
+        tumbling_window_agg(
+            stream, "ts", window="1 hour", keys=["event_type"],
+            aggs=[F.count(F.lit(1)).alias("n_events")],
+        ),
+        "tumbling_test",
+        output_mode="complete",  # append would withhold windows newer than the watermark
+    )
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    got = {(r.window_start, r.event_type): r.n_events for r in res.collect()}
+    want = {(r.window_start, r.event_type): r.n_events for r in expected.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_session_window_matches_batch_sessionize(spark, sf_dir, events_stream_dir):
+    """session_window(gap=30m) must produce the same number of sessions
+    per user as the batch gaps-and-islands sessionize query."""
+    from chewdata_spark.queries.relational import sessionize_events
+
+    batch_sessions = (
+        sessionize_events(spark, sf_dir).groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+    stream = read_stream_directory(
+        spark, events_stream_dir, "parquet", load_table(spark, sf_dir, "events").schema
+    )
+    res = run_to_memory(
+        session_window_agg(stream, "ts", gap="30 minutes", keys=["user_id"]),
+        "session_test",
+        output_mode="complete",  # update/append withhold or reject session windows
+    )
+    got = (
+        res.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+    g = {r.user_id: (r.n_sessions, r.n_events) for r in got.collect()}
+    w = {r.user_id: (r.n_sessions, r.n_events) for r in batch_sessions.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_foreach_batch_sink(spark, sf_dir, events_stream_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_stream_directory(
+        spark, events_stream_dir, "parquet", load_table(spark, sf_dir, "events").schema
+    )
+
+    def write_batch(df, epoch_id):
+        df.write.mode("append").parquet(out)
+
+    run_foreach_batch(stream.filter(F.col("event_type") == "error"), write_batch, checkpoint=ckpt)
+    written = spark.read.parquet(out)
+    expected = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error").count()
+    assert written.count() == expected > 0
+    shutil.rmtree(ckpt, ignore_errors=True)
