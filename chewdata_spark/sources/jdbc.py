@@ -1,0 +1,130 @@
+"""JDBC (PostgreSQL) connector mapping.
+
+The reference's psql connector (src/connector/psql.rs:64-656) executes
+mustache-templated SQL with typed bind parameters
+(``query_sanitized``, psql.rs:128-255).  Spark-side, the same surface is
+``spark.read.jdbc`` with a rendered query — so the custom piece is the
+template renderer: safe literal substitution with the reference's
+``IS NULL`` rewrite, plus partitioned-read planning (the offset
+paginator, src/connector/paginator/psql/offset.rs, maps to Spark's
+partitionColumn/lowerBound/upperBound/numPartitions).
+
+No database runs in CI — the renderer and partition planning are pure
+functions with unit tests; the read/write wrappers are thin
+``spark.read.jdbc`` calls.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+_HOLE = re.compile(r"\{\{\s*([\w.]+)\s*\}\}")
+# `"col" = {{ param }}` — rewritten to IS NULL when the param is None
+_EQ_NULL = re.compile(r'("[^"]+"|\w+)\s*(=|!=|<>)\s*\{\{\s*([\w.]+)\s*\}\}')
+
+
+def sql_literal(v: Any) -> str:
+    """Render a python value as a safe SQL literal (the typed-bind
+    equivalent of psql.rs:418-454)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def render_query(template: str, params: dict[str, Any]) -> str:
+    """Mustache query → executable SQL (reference query_sanitized).
+
+    ``WHERE "a" = {{ a }}`` with ``a=None`` becomes ``"a" IS NULL``
+    (psql.rs IS NULL rewrite); all other holes render as escaped
+    literals; ``{{ collection }}``-style identifiers pass through bare
+    when the value is marked with :class:`Identifier`.
+    """
+
+    def eq_repl(m: re.Match) -> str:
+        col, op, name = m.groups()
+        if name in params and params[name] is None:
+            return f"{col} IS {'NOT ' if op in ('!=', '<>') else ''}NULL"
+        return m.group(0)
+
+    out = _EQ_NULL.sub(eq_repl, template)
+
+    def hole_repl(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in params:
+            raise KeyError(f"missing query parameter {name!r}")
+        v = params[name]
+        if isinstance(v, Identifier):
+            return v.name
+        return sql_literal(v)
+
+    return _HOLE.sub(hole_repl, out)
+
+
+class Identifier(str):
+    """Marks a parameter as a bare identifier (table/column name)."""
+
+    @property
+    def name(self) -> str:
+        if not re.fullmatch(r"[A-Za-z_][\w.]*", self):
+            raise ValueError(f"invalid SQL identifier: {self!r}")
+        return str(self)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    *,
+    query: str | None = None,
+    table: str | None = None,
+    params: dict[str, Any] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Partitioned JDBC read (reference default `SELECT * FROM {{collection}}`
+    + offset paginator ≡ partitionColumn bounds)."""
+    reader = spark.read.format("jdbc").option("url", url)
+    if query:
+        reader = reader.option("query", render_query(query, params or {}))
+    elif table:
+        reader = reader.option("dbtable", table)
+    else:
+        raise ValueError("either query or table is required")
+    if partition_column:
+        if table is None:
+            raise ValueError("partitioned reads require table=, not query=")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """INSERT-per-batch write (reference psql.rs:548-597; upserts need
+    MERGE on the target — document and delegate to foreachBatch+SQL)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
