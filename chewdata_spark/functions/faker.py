@@ -127,3 +127,146 @@ def fake_password(seed: Column, min_len: int = 8, max_len: int = 16) -> Column:
 def uuid_v4() -> Column:
     """Random UUID (reference: function/string.rs:27-42)."""
     return F.expr("uuid()")
+
+
+# --- word/sentence/paragraph generators --------------------------------------
+WORDS = [
+    "lorem", "ipsum", "dolor", "amet", "consectetur", "adipiscing", "elit",
+    "tempor", "incididunt", "labore", "magna", "aliqua", "veniam", "nostrud",
+    "ullamco", "laboris", "aliquip", "commodo", "duis", "aute",
+]
+COMPANIES = ["Acme Corp", "Globex", "Initech", "Umbrella", "Stark Industries", "Wayne Ent"]
+INDUSTRIES = ["Software", "Finance", "Healthcare", "Retail", "Energy", "Transport"]
+PROFESSIONS = ["Developer", "Accountant", "Physician", "Merchant", "Technician"]
+CURRENCIES = [("US Dollar", "USD", "$"), ("Euro", "EUR", "€"), ("Yen", "JPY", "¥"),
+              ("Pound", "GBP", "£"), ("Franc", "CHF", "Fr")]
+STREETS = ["Main St", "Oak Ave", "Maple Dr", "Cedar Ln", "Pine Rd", "Elm Blvd"]
+STATES = [("California", "CA"), ("Texas", "TX"), ("New York", "NY"), ("Ohio", "OH")]
+TIMEZONES = ["UTC", "America/New_York", "Europe/Paris", "Asia/Tokyo", "Australia/Sydney"]
+USER_AGENTS = [
+    "Mozilla/5.0 (X11; Linux x86_64) Gecko/20100101 Firefox/115.0",
+    "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 Chrome/120.0",
+    "Mozilla/5.0 (Macintosh) AppleWebKit/605.1.15 Safari/605.1.15",
+]
+
+
+def fake_words(seed: Column, n: int = 3) -> Column:
+    return F.concat_ws(" ", *[pick(seed, WORDS, 20 + i) for i in range(n)])
+
+
+def fake_sentences(seed: Column, n: int = 2) -> Column:
+    parts = [
+        F.concat(F.initcap(fake_words(seed + i * 7, 5)), F.lit("."))
+        for i in range(n)
+    ]
+    return F.concat_ws(" ", *parts)
+
+
+def fake_paragraphs(seed: Column, n: int = 1) -> Column:
+    return F.concat_ws("\n\n", *[fake_sentences(seed + i * 31, 4) for i in range(n)])
+
+
+def fake_company(seed: Column) -> Column:
+    return pick(seed, COMPANIES, 40)
+
+
+def fake_industry(seed: Column) -> Column:
+    return pick(seed, INDUSTRIES, 41)
+
+
+def fake_profession(seed: Column) -> Column:
+    return pick(seed, PROFESSIONS, 42)
+
+
+def fake_currency_name(seed: Column) -> Column:
+    return pick(seed, [c[0] for c in CURRENCIES], 43)
+
+
+def fake_currency_code(seed: Column) -> Column:
+    return pick(seed, [c[1] for c in CURRENCIES], 43)
+
+
+def fake_currency_symbol(seed: Column) -> Column:
+    return pick(seed, [c[2] for c in CURRENCIES], 43)
+
+
+def fake_street_name(seed: Column) -> Column:
+    return F.concat((_idx(seed, 44, 9899) + 100).cast("string"), F.lit(" "), pick(seed, STREETS, 45))
+
+
+def fake_state_name(seed: Column) -> Column:
+    return pick(seed, [s[0] for s in STATES], 46)
+
+
+def fake_state_code(seed: Column) -> Column:
+    return pick(seed, [s[1] for s in STATES], 46)
+
+
+def fake_zipcode(seed: Column) -> Column:
+    return F.lpad(_idx(seed, 47, 100000).cast("string"), 5, "0")
+
+
+def fake_postcode(seed: Column) -> Column:
+    return fake_zipcode(seed)
+
+
+def fake_timezone(seed: Column) -> Column:
+    return pick(seed, TIMEZONES, 48)
+
+
+def fake_user_agent(seed: Column) -> Column:
+    return pick(seed, USER_AGENTS, 49)
+
+
+def fake_mac_address(seed: Column) -> Column:
+    parts = [F.lpad(F.hex(_idx(seed, 50 + i, 256)), 2, "0") for i in range(6)]
+    return F.lower(F.concat_ws(":", *parts))
+
+
+def fake_ipv6(seed: Column) -> Column:
+    parts = [F.lpad(F.hex(_idx(seed, 60 + i, 65536)), 4, "0") for i in range(8)]
+    return F.lower(F.concat_ws(":", *parts))
+
+
+def fake_credit_card(seed: Column) -> Column:
+    """16-digit number with a valid Luhn check digit."""
+    d15 = F.lpad(_idx(seed, 70, 10**9).cast("string"), 9, "0")
+    prefix = F.concat(F.lit("424242"), d15)  # 15 digits total
+
+    def luhn_sum(col: Column) -> Column:
+        # digits right-to-left, doubling every second one
+        total = F.lit(0)
+        for i in range(15):
+            d = F.substring(col, 15 - i, 1).cast("int")
+            if i % 2 == 0:  # rightmost payload digit gets doubled
+                dd = d * 2
+                d = F.when(dd > 9, dd - 9).otherwise(dd)
+            total = total + d
+        return total
+
+    check = F.pmod(10 - F.pmod(luhn_sum(prefix), F.lit(10)), F.lit(10))
+    return F.concat(prefix, check.cast("string"))
+
+
+def fake_barcode(seed: Column) -> Column:
+    return F.lpad(_idx(seed, 80, 10**12).cast("string"), 13, "0")
+
+
+def fake_job_seniority(seed: Column) -> Column:
+    return pick(seed, ["Junior", "Mid", "Senior", "Staff", "Principal"], 81)
+
+
+def fake_job_field(seed: Column) -> Column:
+    return pick(seed, ["Engineering", "Sales", "Marketing", "Support", "Ops"], 82)
+
+
+def fake_job_position(seed: Column) -> Column:
+    return F.concat_ws(" ", fake_job_seniority(seed), fake_job_field(seed))
+
+
+def fake_country_name(seed: Column) -> Column:
+    return pick(seed, ["United States", "France", "Germany", "Japan", "Brazil", "India"], 83)
+
+
+def fake_title(seed: Column) -> Column:
+    return pick(seed, ["Mr", "Ms", "Dr", "Prof"], 84)

@@ -190,7 +190,53 @@ FROM daily
 """
 
 
+# --- As-of join ---------------------------------------------------------------
+def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event matched to the user's latest order at-or-before the
+    event (as-of join via union + carry-forward window; one shuffle)."""
+    from chewdata_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("matched_order"),
+        F.col("o_totalprice").alias("matched_total"),
+        F.col("matched_ts").alias("matched_date"),
+    )
+
+
+ASOF_SQL = """
+WITH ranked AS (
+    SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice, o.o_orderdate,
+           ROW_NUMBER() OVER (PARTITION BY e.event_id
+                              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+    FROM events e
+    JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT e.event_id, e.user_id,
+       r.o_orderkey AS matched_order,
+       r.o_totalprice AS matched_total,
+       r.o_orderdate AS matched_date
+FROM events e
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (event_id)
+"""
+
+
 QUERIES = {
+    "events_asof_orders": events_asof_orders,
     "rollup_revenue": rollup_revenue,
     "cube_order_stats": cube_order_stats,
     "pivot_order_status": pivot_order_status,
@@ -202,6 +248,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_asof_orders": ASOF_SQL,
     "rollup_revenue": ROLLUP_SQL,
     "cube_order_stats": CUBE_SQL,
     "pivot_order_status": PIVOT_SQL,
