@@ -98,7 +98,13 @@ class Pipeline:
                 df = self._read(spark, step)
             elif kind == "generator":
                 n = int(step.get("record_limit", step.get("size", 1)))
-                df = generate(spark, n) if df is None else df
+                if df is None:
+                    df = generate(spark, n)
+                else:
+                    # duplication mode: each upstream record N times
+                    from chewdata_spark.operators.generator import duplicate
+
+                    df = duplicate(df, n)
             elif kind == "eraser":
                 continue  # folded into writer mode
             elif kind in ("transformer", "validator", "writer"):

@@ -47,6 +47,22 @@ from pyspark.sql.types import (
 )
 
 
+def jwt_hs256(claims: dict, secret: str) -> str:
+    """Minimal HS256 JWT signer (reference jwt authenticator,
+    src/connector/authenticator/jwt.rs:79-475; HS256 path, stdlib only)."""
+    import hashlib
+    import hmac
+
+    def b64url(b: bytes) -> str:
+        return base64.urlsafe_b64encode(b).rstrip(b"=").decode()
+
+    header = b64url(json.dumps({"alg": "HS256", "typ": "JWT"}).encode())
+    payload = b64url(json.dumps(claims, separators=(",", ":")).encode())
+    signing = f"{header}.{payload}".encode()
+    sig = b64url(hmac.new(secret.encode(), signing, hashlib.sha256).digest())
+    return f"{header}.{payload}.{sig}"
+
+
 def _build_headers(options: dict) -> dict[str, str]:
     headers = dict(json.loads(options.get("headers", "{}")))
     user = options.get("auth_basic_user")
@@ -56,6 +72,10 @@ def _build_headers(options: dict) -> dict[str, str]:
     token = options.get("auth_bearer_token")
     if token is not None:
         headers["Authorization"] = f"Bearer {token}"
+    secret = options.get("auth_jwt_secret")
+    if secret is not None:
+        claims = json.loads(options.get("auth_jwt_claims", "{}"))
+        headers["Authorization"] = "Bearer " + jwt_hs256(claims, secret)
     return headers
 
 
@@ -111,6 +131,27 @@ def _infer_type(v):
     return StringType()
 
 
+def _discover_count(options: dict) -> int:
+    """Total-count discovery (reference counters, src/connector/counter/):
+    ``count_from = "header:X-Total-Count"`` probes response headers;
+    ``count_from = "body:/total"`` fetches once and reads a pointer."""
+    spec = options["count_from"]
+    kind, _, arg = spec.partition(":")
+    url = _render_url(options["url"], int(options.get("skip", "0")), int(options.get("limit", "100")))
+    req = urllib.request.Request(
+        url,
+        method="HEAD" if kind == "header" else "GET",
+        headers=_build_headers(options),
+    )
+    with urllib.request.urlopen(req, timeout=float(options.get("timeout_sec", "30"))) as resp:
+        if kind == "header":
+            v = resp.headers.get(arg)
+            if v is None:
+                raise ValueError(f"count header {arg!r} absent")
+            return int(v)
+        return int(_entry_scalar(json.loads(resp.read()), arg))
+
+
 class _PagePartition(InputPartition):
     def __init__(self, skip: int | None, limit: int | None):
         self.skip = skip
@@ -125,11 +166,13 @@ class HttpReader(DataSourceReader):
     def partitions(self):
         opts = self.options
         mode = opts.get("paginator", "none")
-        if mode == "offset" and "count" in opts:
+        count = opts.get("count")
+        if mode == "offset" and count is None and "count_from" in opts:
+            count = _discover_count(opts)
+        if mode == "offset" and count is not None:
             limit = int(opts.get("limit", "100"))
             skip0 = int(opts.get("skip", "0"))
-            count = int(opts["count"])
-            pages = max(1, math.ceil((count - skip0) / limit))
+            pages = max(1, math.ceil((int(count) - skip0) / limit))
             return [_PagePartition(skip0 + i * limit, limit) for i in range(pages)]
         # unknown count / cursor / single fetch → one sequential partition
         return [_PagePartition(None, None)]
@@ -189,6 +232,22 @@ def _entry_scalar(payload, pointer: str):
             return None
         node = node[int(seg)] if isinstance(node, list) else node.get(seg)
     return node
+
+
+def register_http_source(spark) -> None:
+    """Register the source robustly: the DataSource class is shipped to
+    Python workers via cloudpickle, which serializes it *by reference*
+    (module path) — breaking when the application wasn't launched from
+    a directory where ``chewdata_spark`` is importable.  Registering the
+    module for by-value pickling makes the source self-contained."""
+    try:
+        from pyspark import cloudpickle
+        import chewdata_spark.sources.http as _self
+
+        cloudpickle.register_pickle_by_value(_self)
+    except Exception:
+        pass  # fall back to by-reference pickling (module on PYTHONPATH)
+    spark.dataSource.register(HttpDataSource)
 
 
 class HttpDataSource(DataSource):

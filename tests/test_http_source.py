@@ -9,7 +9,7 @@ from urllib.parse import parse_qs, urlparse
 
 import pytest
 
-from chewdata_spark.sources.http import HttpDataSource
+from chewdata_spark.sources.http import register_http_source
 
 RECORDS = [{"id": i, "name": f"item_{i}", "price": i * 1.5} for i in range(100)]
 
@@ -41,12 +41,18 @@ class Handler(BaseHTTPRequestHandler):
         else:  # /items?skip=&limit=
             skip = int(q.get("skip", ["0"])[0])
             limit = int(q.get("limit", ["100"])[0])
-            body = {"results": RECORDS[skip : skip + limit]}
+            body = {"results": RECORDS[skip : skip + limit], "total": len(RECORDS)}
         data = json.dumps(body).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
+        self.send_header("X-Total-Count", str(len(RECORDS)))
         self.end_headers()
         self.wfile.write(data)
+
+    def do_HEAD(self):
+        self.send_response(200)
+        self.send_header("X-Total-Count", str(len(RECORDS)))
+        self.end_headers()
 
 
 @pytest.fixture(scope="module")
@@ -60,7 +66,7 @@ def server():
 
 @pytest.fixture(scope="module", autouse=True)
 def register(spark):
-    spark.dataSource.register(HttpDataSource)
+    register_http_source(spark)
 
 
 def test_offset_pagination_parallel(spark, server):
@@ -141,3 +147,53 @@ def test_retry_recovers_from_transient_errors(spark, server):
         .load()
     )
     assert df.count() == 100
+
+
+def test_count_discovery_from_body(spark, server):
+    """Reference body counter (counter/curl/body.rs): total from a field
+    enables the parallel page fan-out without an explicit count."""
+    df = (
+        spark.read.format("http")
+        .option("url", f"{server}/items?skip={{{{ paginator.skip }}}}&limit={{{{ paginator.limit }}}}")
+        .option("paginator", "offset")
+        .option("limit", "30")
+        .option("count_from", "body:/total")
+        .option("entry_path", "/results")
+        .schema("id bigint")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # ceil(100/30)
+    assert df.count() == 100
+
+
+def test_count_discovery_from_header(spark, server):
+    """Reference header counter (counter/curl/header.rs): HEAD probe."""
+    df = (
+        spark.read.format("http")
+        .option("url", f"{server}/items?skip={{{{ paginator.skip }}}}&limit={{{{ paginator.limit }}}}")
+        .option("paginator", "offset")
+        .option("limit", "25")
+        .option("count_from", "header:X-Total-Count")
+        .option("entry_path", "/results")
+        .schema("id bigint")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 100
+
+
+def test_jwt_hs256_header():
+    import base64 as b64
+    import hashlib
+    import hmac
+    import json as J
+
+    from chewdata_spark.sources.http import jwt_hs256
+
+    tok = jwt_hs256({"sub": "svc", "scope": "read"}, "topsecret")
+    h, p, s = tok.split(".")
+    pad = lambda x: x + "=" * (-len(x) % 4)
+    assert J.loads(b64.urlsafe_b64decode(pad(h))) == {"alg": "HS256", "typ": "JWT"}
+    assert J.loads(b64.urlsafe_b64decode(pad(p)))["sub"] == "svc"
+    expect = hmac.new(b"topsecret", f"{h}.{p}".encode(), hashlib.sha256).digest()
+    assert b64.urlsafe_b64decode(pad(s)) == expect

@@ -1,0 +1,59 @@
+"""Skew/salting equivalence + bucketed shuffle-free join plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chewdata_spark.operators.skew import (
+    bucketed_join,
+    salted_join,
+    salted_sum_count,
+    write_bucketed,
+)
+from chewdata_spark.plans.inspection import exchange_count
+from chewdata_spark.tables import load_table
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_sum_count(
+        li, ["l_returnflag"], {"qty": "sum:l_quantity", "n": "count:*", "mx": "max:l_extendedprice"}
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("n"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    s = {r.l_returnflag: (round(r.qty, 6), r.n, r.mx) for r in salted.collect()}
+    p = {r.l_returnflag: (round(r.qty, 6), r.n, r.mx) for r in plain.collect()}
+    assert s == p
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    salted = salted_join(li, orders, "l_orderkey", num_salts=8)
+    plain = li.join(orders, "l_orderkey")
+    assert salted.count() == plain.count()
+    s = salted.groupBy("o_orderstatus").count().collect()
+    p = plain.groupBy("o_orderstatus").count().collect()
+    assert {(r.o_orderstatus, r["count"]) for r in s} == {(r.o_orderstatus, r["count"]) for r in p}
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    spark.sql("DROP TABLE IF EXISTS tb_orders")
+    spark.sql("DROP TABLE IF EXISTS tb_lineitem")
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"), "tb_orders", "o_orderkey", num_buckets=8
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        "tb_lineitem", "o_orderkey", num_buckets=8,
+    )
+    joined = bucketed_join(spark, "tb_orders", "tb_lineitem", "o_orderkey")
+    assert exchange_count(joined) == 0  # co-located: no shuffle exchange
+    assert joined.count() == load_table(spark, sf_dir, "lineitem").count()
+    spark.sql("DROP TABLE tb_orders")
+    spark.sql("DROP TABLE tb_lineitem")
