@@ -26,6 +26,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "top_orders_per_customer",
+    "rollup_revenue",
+    "events_asof_orders",
     "sessionize_events",
     "validator_rules",
     "transformer_actions",

@@ -94,8 +94,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_candidate_pairs(fps, bands=8, max_hamming=6)
 
 
+def dedup_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup output: the corpus with near-duplicates
+    removed (greedy keep-lowest-id per pair, trigram Jaccard ≥ 0.5).
+    At scale the pair source is MinHash-LSH; here the exact pairs keep
+    it oracle-checkable — same downstream anti-join either way."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "source", "n_chars")
+
+
+CLEAN_CORPUS_SQL = """
+WITH d AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+    FROM d
+), e AS (
+    SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+), drop_ids AS (
+    SELECT DISTINCT id_b FROM inter WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5
+)
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM drop_ids)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_clean_corpus": dedup_clean_corpus,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -104,6 +142,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_clean_corpus": CLEAN_CORPUS_SQL,
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
 }

@@ -370,8 +370,66 @@ GROUP BY user_id, session_id
 """
 
 
+# --- INTERSECT + string similarity + null handling ---------------------------
+def loyal_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custkeys ordering in both 1997 AND 1998 (INTERSECT set op)."""
+    orders = load_table(spark, sf_dir, "orders")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey").distinct()
+    return y97.intersect(y98).select(F.col("o_custkey").alias("custkey"))
+
+
+LOYAL_SQL = """
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+INTERSECT
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998
+"""
+
+
+def part_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance between name and type per part —
+    string-similarity surface (validator fuzzy-match idiom)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.levenshtein(F.lower("p_name"), F.lower("p_type")).alias("name_type_dist"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+LEVENSHTEIN_SQL = """
+SELECT p_partkey, levenshtein(lower(p_name), lower(p_type)) AS name_type_dist,
+       CAST(length(p_name) AS INT) AS name_len
+FROM part
+"""
+
+
+def events_missing_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-channel handling: absent JSON keys → coalesce defaults
+    (the reference's `default` filter semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    k2 = F.get_json_object("props", "$.missing_key").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(k2, F.lit(-1))).alias("sum_with_default"),
+        F.count(k2).alias("n_present"),
+    )
+
+
+MISSING_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(COALESCE(CAST(json_extract_string(props, '$.missing_key') AS INT), -1)) AS sum_with_default,
+       COUNT(CAST(json_extract_string(props, '$.missing_key') AS INT)) AS n_present
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "loyal_customers": loyal_customers,
+    "part_name_similarity": part_name_similarity,
+    "events_missing_props": events_missing_props,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "top_orders_per_customer": top_orders_per_customer,
@@ -388,6 +446,9 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "loyal_customers": LOYAL_SQL,
+    "part_name_similarity": LEVENSHTEIN_SQL,
+    "events_missing_props": MISSING_PROPS_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,
     "top_orders_per_customer": TOP_ORDERS_SQL,
