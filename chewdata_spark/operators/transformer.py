@@ -77,6 +77,70 @@ class UnsupportedTemplate(ValueError):
     """Raised when a pattern falls outside the compilable subset."""
 
 
+_IF_BLOCK = re.compile(
+    r"^\s*\{%\s*if\s+(?P<cond>.+?)\s*%\}(?P<then>.*?)"
+    r"(?P<elifs>(?:\{%\s*elif\s+.+?\s*%\}.*?)*)"
+    r"(?:\{%\s*else\s*%\}(?P<els>.*?))?\{%\s*endif\s*%\}\s*$",
+    re.S,
+)
+_ELIF = re.compile(r"\{%\s*elif\s+(.+?)\s*%\}(.*?)(?=\{%\s*elif|\Z)", re.S)
+
+
+def _compile_condition(src: str, input_col: str | None = None) -> Column:
+    """Compile a Tera boolean expression to a Column.
+
+    Supports comparisons/arithmetic/and/or/not plus the Tera tests the
+    reference exercises: ``X is matching('re')`` → rlike, ``X is
+    defined``/``is undefined`` → null checks.
+    """
+    s = src
+    s = re.sub(r"\binput\.", f"{input_col}." if input_col else "", s)
+    s = re.sub(r"\boutput\.", "", s)
+    s = re.sub(r"\bcontext\.steps\.", "_steps.", s)
+    s = re.sub(r"\bsteps\.", "_steps.", s)
+    s = re.sub(
+        r"([\w.\"']+)\s+is\s+not\s+matching\s*\(\s*('(?:[^'\\]|\\.)*')\s*\)",
+        r"NOT (\1 rlike \2)",
+        s,
+    )
+    s = re.sub(
+        r"([\w.\"']+)\s+is\s+matching\s*\(\s*('(?:[^'\\]|\\.)*')\s*\)",
+        r"(\1 rlike \2)",
+        s,
+    )
+    s = re.sub(r"([\w.]+)\s+is\s+defined", r"(\1 IS NOT NULL)", s)
+    s = re.sub(r"([\w.]+)\s+is\s+undefined", r"(\1 IS NULL)", s)
+    return F.expr(s).cast("boolean")
+
+
+def _compile_if_block(pattern: str, input_col: str | None = None) -> Column:
+    """``{% if c %}A{% elif c2 %}B{% else %}C{% endif %}`` → when-chain.
+
+    Branch bodies are themselves templates (text / ``{{ ... }}`` holes);
+    single level only — nested blocks raise UnsupportedTemplate.
+    """
+    m = _IF_BLOCK.match(pattern)
+    if not m:
+        raise UnsupportedTemplate(f"cannot parse conditional template {pattern!r}")
+    branches: list[tuple[Column, str]] = [
+        (_compile_condition(m.group("cond"), input_col), m.group("then"))
+    ]
+    for cond, body in _ELIF.findall(m.group("elifs") or ""):
+        branches.append((_compile_condition(cond, input_col), body))
+    if any("{%" in body for _, body in branches):
+        raise UnsupportedTemplate("nested {% %} blocks are not compilable")
+    out = None
+    for cond, body in branches:
+        col = template_to_column(body, input_col=input_col)
+        out = F.when(cond, col) if out is None else out.when(cond, col)
+    els = m.group("els")
+    if els is not None:
+        if "{%" in els:
+            raise UnsupportedTemplate("nested {% %} blocks are not compilable")
+        out = out.otherwise(template_to_column(els, input_col=input_col))
+    return out
+
+
 def _split_top_level(s: str, sep: str) -> list[str]:
     """Split on `sep` outside parens/quotes."""
     parts, depth, quote, cur = [], 0, None, []
@@ -104,15 +168,26 @@ def _split_top_level(s: str, sep: str) -> list[str]:
     return parts
 
 
-def _compile_expr(src: str) -> str:
-    """Compile one `{{ ... }}` hole body to a SQL expression string."""
+def _compile_expr(src: str, input_col: str | None = None) -> str:
+    """Compile one `{{ ... }}` hole body to a SQL expression string.
+
+    ``input_col`` names a snapshot struct of the pre-action record: the
+    reference's templates see `input` = the ORIGINAL record and `output`
+    = the accumulating one (src/updater/tera.rs:113-131).  Without a
+    snapshot both resolve to current columns.
+    """
     chain = _split_top_level(src.strip(), "|")
     base = chain[0].strip()
-    # input.a.b -> column path a.b ; bare `input` is the whole row (unsupported here)
     if base == "input":
-        raise UnsupportedTemplate("whole-record `input` reference needs the struct fallback")
-    base = re.sub(r"\binput\.", "", base)
+        # whole-record reference (the default action pattern
+        # `{{ input | json_encode() }}`, updater/mod.rs:58)
+        base = input_col if input_col else "struct(*)"
+    elif base == "now()":
+        base = "current_timestamp()"
+    base = re.sub(r"\binput\.", f"{input_col}." if input_col else "", base)
     base = re.sub(r"\boutput\.", "", base)
+    base = re.sub(r"\bcontext\.steps\.", "_steps.", base)
+    base = re.sub(r"\bsteps\.", "_steps.", base)
     sql = base
     for step in chain[1:]:
         step = step.strip()
@@ -128,7 +203,7 @@ def _compile_expr(src: str) -> str:
                 continue
             k, _, v = kv.partition("=")
             v = v.strip()
-            v = re.sub(r"\binput\.", "", v)
+            v = re.sub(r"\binput\.", f"{input_col}." if input_col else "", v)
             if k.strip() == "format" and fname == "date":
                 for tok, rep in _DATE_TOKENS.items():
                     v = v.replace(tok, rep)
@@ -140,24 +215,26 @@ def _compile_expr(src: str) -> str:
     return sql
 
 
-def template_to_column(pattern: str) -> Column:
+def template_to_column(pattern: str, *, input_col: str | None = None) -> Column:
     """Compile a Tera-subset template string into a native Column.
 
     A single whole-string hole keeps its native type (the reference's
     ``Value::resolve`` re-typing falls out naturally: expressions stay
     numeric/boolean/array).  Mixed text + holes becomes a string concat.
     """
+    if "{%" in pattern:
+        return _compile_if_block(pattern, input_col=input_col)
     holes = list(_HOLE.finditer(pattern))
     if not holes:
         return F.lit(pattern)
     if len(holes) == 1 and holes[0].span() == (0, len(pattern)):
-        return F.expr(_compile_expr(holes[0].group(1)))
+        return F.expr(_compile_expr(holes[0].group(1), input_col))
     parts: list[Column] = []
     pos = 0
     for h in holes:
         if h.start() > pos:
             parts.append(F.lit(pattern[pos:h.start()]))
-        parts.append(F.expr(_compile_expr(h.group(1))).cast("string"))
+        parts.append(F.expr(_compile_expr(h.group(1), input_col)).cast("string"))
         pos = h.end()
     if pos < len(pattern):
         parts.append(F.lit(pattern[pos:]))
@@ -183,10 +260,18 @@ def apply_actions(df: DataFrame, actions: list[Action | dict]) -> DataFrame:
     merge/replace at a leaf field are both "set the field" (deep-merge
     differs from replace only for object values; nested-struct merge is
     handled via withField); remove drops the field.
+
+    `input` in patterns refers to the ORIGINAL record entering the step
+    (reference tera context); a `_input` struct snapshot provides it and
+    is dropped after the fold — Catalyst prunes unreferenced fields.
     """
-    for a in actions:
-        if isinstance(a, dict):
-            a = Action(**a)
+    acts = [Action(**a) if isinstance(a, dict) else a for a in actions]
+    needs_input = any(a.pattern and re.search(r"\binput\b", a.pattern) for a in acts)
+    input_col = None
+    if needs_input:
+        input_col = "_input"
+        df = df.withColumn("_input", F.struct(*[F.col(c) for c in df.columns]))
+    for a in acts:
         if a.type == "remove":
             if "." in a.field:
                 top, rest = a.field.split(".", 1)
@@ -194,10 +279,12 @@ def apply_actions(df: DataFrame, actions: list[Action | dict]) -> DataFrame:
             else:
                 df = df.drop(a.field)
             continue
-        col = template_to_column(a.pattern if a.pattern is not None else "")
+        col = template_to_column(a.pattern if a.pattern is not None else "", input_col=input_col)
         if "." in a.field:
             top, rest = a.field.split(".", 1)
             df = df.withColumn(top, F.col(top).withField(rest, col))
         else:
             df = df.withColumn(a.field, col)
+    if input_col:
+        df = df.drop(input_col)
     return df

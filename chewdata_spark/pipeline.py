@@ -87,6 +87,19 @@ class Pipeline:
         df: DataFrame | None = None
         has_err = False  # becomes True once a step can emit err records
         writes: list[WriteResult] = []
+        # Context/steps history (reference src/lib.rs:304-340): a `_steps`
+        # struct column accumulates each named step's record so later
+        # templates can reference `steps.<name>.<field>`.  Only built when
+        # some template actually references it (width costs at scale).
+        self._keep_history = any(
+            "steps." in (a.get("pattern") or "")
+            for s in self.steps
+            for a in s.get("actions", [])
+        ) or any(
+            "steps." in (r.get("pattern") or "")
+            for s in self.steps
+            for r in (s.get("rules") or {}).values()
+        )
         self._erased_paths = {
             s["connector"]["path"]
             for s in self.steps
@@ -96,6 +109,7 @@ class Pipeline:
             kind = step.get("type")
             if kind == "reader":
                 df = self._read(spark, step)
+                df = self._record_history(df, step)
             elif kind == "generator":
                 n = int(step.get("record_limit", step.get("size", 1)))
                 if df is None:
@@ -116,9 +130,9 @@ class Pipeline:
                     # split/union entirely (keeps plans narrow and lets
                     # remove-actions actually drop columns)
                     if kind == "transformer":
-                        df = self._transform(spark, step, df)
+                        df = self._record_history(self._transform(spark, step, df), step)
                     elif kind == "validator":
-                        df = self._validate(step, df)
+                        df = self._record_history(self._validate(step, df), step)
                         has_err = True
                     else:
                         writes.append(self._write(step, df, execute=execute_writes))
@@ -127,9 +141,9 @@ class Pipeline:
                 mine = ok_stream(df) if data_type == "ok" else err_stream(df)
                 other = err_stream(df) if data_type == "ok" else ok_stream(df)
                 if kind == "transformer":
-                    mine = self._transform(spark, step, mine)
+                    mine = self._record_history(self._transform(spark, step, mine), step)
                 elif kind == "validator":
-                    mine = self._validate(step, mine)
+                    mine = self._record_history(self._validate(step, mine), step)
                     has_err = True
                 else:
                     writes.append(self._write(step, mine, execute=execute_writes))
@@ -141,6 +155,15 @@ class Pipeline:
         if df is None:
             raise ValueError("pipeline produced no data (no reader/generator)")
         return df, writes
+
+    def _record_history(self, df: DataFrame, step: dict) -> DataFrame:
+        name = step.get("name")
+        if not self._keep_history or not name:
+            return df
+        payload = F.struct(*[F.col(c) for c in df.columns if c not in ("_steps", "_error")])
+        if "_steps" in df.columns:
+            return df.withColumn("_steps", F.col("_steps").withField(name, payload))
+        return df.withColumn("_steps", F.struct(payload.alias(name)))
 
     # -- steps ---------------------------------------------------------------
 
@@ -207,6 +230,7 @@ class Pipeline:
         path = _MUSTACHE_PATH.sub("", path).rstrip("_-")
         mode = "overwrite" if raw_path in self._erased_paths or path in self._erased_paths else "append"
         out = df.drop("_error") if "_error" in df.columns and _all_null_errors_ok(step) else df
+        out = out.drop("_steps")  # context history is pipeline-internal
         if execute:
             write_document(
                 out,

@@ -143,3 +143,53 @@ def test_mustache_path_partitioned_write(spark, tmp_path):
 
     parts = sorted(d for d in os.listdir(out.rstrip("/")) if d.startswith("number="))
     assert parts == ["number=10", "number=20", "number=30"]
+
+
+def test_conditional_template(spark):
+    pipe = Pipeline(
+        [
+            {"type": "reader", "connector": {"type": "local", "path": f"{DATA}/multi_lines.json"}, "document": {"type": "json"}},
+            {
+                "type": "transformer",
+                "actions": [
+                    {"field": "size_label",
+                     "pattern": "{% if input.number == 10 %}small{% elif input.number == 20 %}mid{% else %}big-{{ input.number }}{% endif %}"},
+                    {"field": "code_ok", "pattern": "{% if input.code is matching('^value_to_map$') %}yes{% else %}no{% endif %}"},
+                ],
+            },
+        ],
+        spark,
+    )
+    rows = {r.number: (r.size_label, r.code_ok) for r in pipe.dataframe().collect()}
+    assert rows[10] == ("small", "yes")
+    assert rows[20] == ("mid", "no")
+    assert rows[30] == ("big-30", "no")
+
+
+def test_steps_history_reference(spark):
+    """Context/steps semantics: a later step reads an earlier named step's
+    output even after the field was overwritten (src/lib.rs:304-340)."""
+    pipe = Pipeline(
+        [
+            {"type": "reader", "name": "raw", "connector": {"type": "local", "path": f"{DATA}/multi_lines.json"}, "document": {"type": "json"}},
+            {"type": "transformer", "name": "scaled",
+             "actions": [{"field": "number", "pattern": "{{ input.number * 100 }}", "type": "replace"}]},
+            {"type": "transformer",
+             "actions": [{"field": "orig_plus_new", "pattern": "{{ steps.raw.number + input.number }}"}]},
+        ],
+        spark,
+    )
+    rows = {r.number: r.orig_plus_new for r in pipe.dataframe().collect()}
+    assert rows == {1000: 1010, 2000: 2020, 3000: 3030}
+
+
+def test_whole_record_json_encode(spark):
+    pipe = Pipeline(
+        [
+            {"type": "reader", "connector": {"type": "in_memory", "data": '[{"a": 1, "b": "x"}]'}},
+            {"type": "transformer", "actions": [{"field": "as_json", "pattern": "{{ input | json_encode() }}"}]},
+        ],
+        spark,
+    )
+    row = pipe.dataframe().collect()[0]
+    assert json.loads(row.as_json) == {"a": 1, "b": "x"}
