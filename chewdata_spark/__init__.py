@@ -21,9 +21,10 @@ Scale stance: declarative plans, broadcast hints for dimension tables,
 AQE on, no driver-side ``collect()`` loops in any operator.
 """
 
+from chewdata_spark.pipeline import Pipeline
 from chewdata_spark.session import get_spark
 from chewdata_spark.tables import TABLE_NAMES, load_table, load_tables
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "load_table", "load_tables", "TABLE_NAMES", "__version__"]
+__all__ = ["Pipeline", "get_spark", "load_table", "load_tables", "TABLE_NAMES", "__version__"]

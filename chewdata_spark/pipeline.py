@@ -200,14 +200,21 @@ class Pipeline:
         actions: list[Action | dict] = []
         for a in step.get("actions", []):
             pattern = a.get("pattern")
+            field = a.get("field", "/")
             hole = _single_hole(pattern) if pattern else None
             m = _LOOKUP.match(hole) if hole else None
             if m and m.group(1) in refs:
-                df = _lookup_join(df, refs[m.group(1)], a["field"], m)
+                df = _lookup_join(df, refs[m.group(1)], field, m)
                 continue
-            actions.append(
-                Action(a["field"], pattern, a.get("type", a.get("action", "merge")))
-            )
+            if field == "/":
+                # root action: an array result fans out to N records
+                # (reference flatMap, src/step/transformer.rs:209-220)
+                if actions:
+                    df = apply_actions(df, actions)
+                    actions = []
+                df = _root_fanout(df, pattern)
+                continue
+            actions.append(Action(field, pattern, a.get("type", a.get("action", "merge"))))
         return apply_actions(df, actions) if actions else df
 
     def _validate(self, step: dict, df: DataFrame) -> DataFrame:
@@ -262,6 +269,23 @@ def _lookup_join(df: DataFrame, ref: DataFrame, out_field: str, m: re.Match) -> 
     )
     joined = df.join(F.broadcast(ref_small), df[input_key] == F.col("__k"), "left")
     return joined.withColumn(out_field, F.col("__v")).drop("__k", "__v")
+
+
+def _root_fanout(df: DataFrame, pattern: str) -> DataFrame:
+    """Root-field action: the rendered value REPLACES the record; an
+    array fans out to one record per element (explode), a struct becomes
+    the record, a scalar becomes a single `value` column."""
+    from chewdata_spark.operators.transformer import template_to_column
+
+    col = template_to_column(pattern, input_col=None)
+    out = df.select(col.alias("_r"))
+    t = out.schema["_r"].dataType.typeName()
+    if t == "array":
+        out = out.select(F.explode("_r").alias("_r"))
+        t = out.schema["_r"].dataType.typeName()
+    if t == "struct":
+        return out.select("_r.*")
+    return out.withColumnRenamed("_r", "value")
 
 
 def _all_null_errors_ok(step: dict) -> bool:

@@ -32,8 +32,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-READ_FORMATS = ("json", "jsonl", "csv", "parquet", "xml", "yaml", "toml", "text", "byte")
-WRITE_FORMATS = ("json", "jsonl", "csv", "parquet", "xml", "yaml", "toml", "text")
+READ_FORMATS = ("json", "jsonl", "csv", "parquet", "orc", "xml", "yaml", "toml", "text", "byte")
+WRITE_FORMATS = ("json", "jsonl", "csv", "parquet", "orc", "xml", "yaml", "toml", "text")
 
 CSV_READ_DEFAULTS = {
     "header": "true",
@@ -135,6 +135,8 @@ def read_document(
         df = spark.read.options(**opts).csv(path)
     elif fmt == "parquet":
         df = spark.read.options(**options).parquet(path)
+    elif fmt == "orc":
+        df = spark.read.options(**options).orc(path)
     elif fmt == "xml":
         opts = {"rowTag": "item", "attributePrefix": "@", "valueTag": "$", **options}
         df = spark.read.format("xml").options(**opts).load(path)
@@ -183,6 +185,8 @@ def write_document(
         writer.options(header=True, **options).csv(path)
     elif fmt == "parquet":
         writer.options(**options).parquet(path)
+    elif fmt == "orc":
+        writer.options(**options).orc(path)
     elif fmt == "xml":
         opts = {"rowTag": "item", "rootTag": "root", **options}
         writer.format("xml").options(**opts).save(path)

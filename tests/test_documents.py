@@ -54,7 +54,7 @@ def test_headerless_csv_positional(spark):
     assert df.count() == 3
 
 
-@pytest.mark.parametrize("fmt", ["json", "jsonl", "csv", "parquet", "xml", "yaml", "toml"])
+@pytest.mark.parametrize("fmt", ["json", "jsonl", "csv", "parquet", "orc", "xml", "yaml", "toml"])
 def test_write_round_trip(spark, tmp_path, fmt):
     golden = read_document(spark, f"{DATA}/multi_lines.json", "json")
     out = str(tmp_path / f"out_{fmt}")

@@ -193,3 +193,17 @@ def test_whole_record_json_encode(spark):
     )
     row = pipe.dataframe().collect()[0]
     assert json.loads(row.as_json) == {"a": 1, "b": "x"}
+
+
+def test_root_action_array_fanout(spark):
+    """Array result at the root field fans out to N records
+    (reference src/step/transformer.rs:209-220)."""
+    pipe = Pipeline(
+        [
+            {"type": "reader", "connector": {"type": "in_memory", "data": '[{"list_to_sort": "A,B,C"}, {"list_to_sort": "X,Y"}]'}},
+            {"type": "transformer", "actions": [{"field": "/", "pattern": "{{ input.list_to_sort | split(pat=',') }}"}]},
+        ],
+        spark,
+    )
+    vals = sorted(r.value for r in pipe.dataframe().collect())
+    assert vals == ["A", "B", "C", "X", "Y"]
