@@ -195,6 +195,11 @@ def _compile_expr(src: str, input_col: str | None = None) -> str:
         if not m:
             raise UnsupportedTemplate(f"cannot parse filter {step!r}")
         fname, argsrc = m.group(1), m.group(2) or ""
+        if fname == "filesizeformat":
+            # humansize-style: binary divisor, 2-dp, trailing zeros
+            # trimmed — 1000000 → "976.56 kB" (reference tests/transformer.rs:62)
+            sql = _filesizeformat_sql(sql)
+            continue
         if fname not in _FILTERS:
             raise UnsupportedTemplate(f"unsupported filter {fname!r}")
         args = dict(_FILTER_DEFAULTS.get(fname, {}))
@@ -208,11 +213,38 @@ def _compile_expr(src: str, input_col: str | None = None) -> str:
                 for tok, rep in _DATE_TOKENS.items():
                     v = v.replace(tok, rep)
             args[k.strip()] = v
+        if fname == "round":
+            method = args.get("method", "'common'").strip("'\"")
+            p = args.get("precision", "0")
+            if method == "floor":
+                sql = f"floor(({sql}) * pow(10, {p})) / pow(10, {p})"
+            elif method == "ceil":
+                sql = f"ceil(({sql}) * pow(10, {p})) / pow(10, {p})"
+            else:
+                sql = f"round({sql}, {p})"
+            continue
         try:
             sql = _FILTERS[fname].format(sql, **args)
         except (KeyError, IndexError) as e:
             raise UnsupportedTemplate(f"filter {fname!r} missing arg: {e}") from e
     return sql
+
+
+def _trim_zeros(expr: str) -> str:
+    return f"regexp_replace(regexp_replace(cast({expr} as string), '(\\\\.\\\\d*?)0+$', '$1'), '\\\\.$', '')"
+
+
+def _filesizeformat_sql(x: str) -> str:
+    def fmt(div: str, unit: str) -> str:
+        return f"concat({_trim_zeros(f'round(({x}) / {div}, 2)')}, ' {unit}')"
+
+    return (
+        f"CASE WHEN ({x}) < 1024 THEN concat(cast(cast({x} as bigint) as string), ' B') "
+        f"WHEN ({x}) < 1048576 THEN {fmt('1024.0', 'kB')} "
+        f"WHEN ({x}) < 1073741824 THEN {fmt('1048576.0', 'MB')} "
+        f"WHEN ({x}) < 1099511627776 THEN {fmt('1073741824.0', 'GB')} "
+        f"ELSE {fmt('1099511627776.0', 'TB')} END"
+    )
 
 
 def template_to_column(pattern: str, *, input_col: str | None = None) -> Column:
@@ -283,8 +315,43 @@ def apply_actions(df: DataFrame, actions: list[Action | dict]) -> DataFrame:
         if "." in a.field:
             top, rest = a.field.split(".", 1)
             df = df.withColumn(top, F.col(top).withField(rest, col))
+        elif a.type == "merge" and a.field in df.columns:
+            df = _merge_field(df, a.field, col)
         else:
             df = df.withColumn(a.field, col)
     if input_col:
         df = df.drop(input_col)
     return df
+
+
+def _merge_field(df: DataFrame, field: str, col: Column) -> DataFrame:
+    """Deep-merge semantics for object values (reference
+    src/helper/value.rs:202-230): when both the existing field and the
+    new value are structs, new subfields overwrite/extend recursively;
+    otherwise merge degenerates to replace (scalar/array behavior)."""
+    old_dt = df.schema[field].dataType
+    new_dt = df.select(col.alias("_probe")).schema["_probe"].dataType
+    if old_dt.typeName() != "struct" or new_dt.typeName() != "struct":
+        return df.withColumn(field, col)
+
+    def merge(old: Column, odt, new: Column, ndt) -> Column:
+        new_names = {f.name for f in ndt.fields}
+        parts = []
+        for f in odt.fields:
+            if f.name in new_names:
+                nf = ndt[f.name]
+                if f.dataType.typeName() == "struct" and nf.dataType.typeName() == "struct":
+                    parts.append(
+                        merge(old.getField(f.name), f.dataType, new.getField(f.name), nf.dataType)
+                        .alias(f.name)
+                    )
+                else:
+                    parts.append(new.getField(f.name).alias(f.name))
+            else:
+                parts.append(old.getField(f.name).alias(f.name))
+        for f in ndt.fields:
+            if f.name not in {x.name for x in odt.fields}:
+                parts.append(new.getField(f.name).alias(f.name))
+        return F.struct(*parts)
+
+    return df.withColumn(field, merge(F.col(field), old_dt, col, new_dt))

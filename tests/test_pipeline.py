@@ -207,3 +207,35 @@ def test_root_action_array_fanout(spark):
     )
     vals = sorted(r.value for r in pipe.dataframe().collect())
     assert vals == ["A", "B", "C", "X", "Y"]
+
+
+def test_filesizeformat_and_round_method(spark):
+    pipe = Pipeline(
+        [
+            {"type": "reader", "connector": {"type": "local", "path": f"{DATA}/one_line.json"}, "document": {"type": "json"}},
+            {"type": "transformer", "actions": [
+                {"field": "fs", "pattern": "{{ input.filesize | filesizeformat }}"},
+                {"field": "rfloor", "pattern": "{{ input.round | round(method='floor', precision=2) }}"},
+            ]},
+        ],
+        spark,
+    )
+    row = pipe.dataframe().collect()[0]
+    assert row.fs == "976.56 kB"      # reference tests/transformer.rs:62
+    assert row.rfloor == 10.15        # reference tests/transformer.rs:67
+
+
+def test_struct_deep_merge(spark):
+    from chewdata_spark.operators.transformer import Action, apply_actions
+    from pyspark.sql import functions as F
+
+    df = spark.read.json(spark.sparkContext.parallelize(
+        ['{"info": {"a": 1, "nested": {"x": 1, "y": 2}}, "k": 5}']))
+    merged = apply_actions(df, [
+        Action("info", "{{ input.k }}", "merge"),  # scalar new value -> replace
+    ])
+    assert merged.collect()[0].info == 5
+    df2 = df.withColumn("patch", F.struct(F.lit(9).alias("b"), F.struct(F.lit(7).alias("y")).alias("nested")))
+    merged2 = apply_actions(df2, [Action("info", "{{ input.patch }}", "merge")])
+    info = merged2.collect()[0].info.asDict(recursive=True)
+    assert info == {"a": 1, "nested": {"x": 1, "y": 7}, "b": 9}
