@@ -42,7 +42,7 @@ _FILTERS: dict[str, str] = {
     "abs": "abs({0})",
     "round": "round({0}, {precision})",
     "default": "coalesce({0}, {value})",
-    "date": "date_format(cast({0} as timestamp), {format})",
+    "date": "date_format(try_cast({0} as timestamp), {format})",
     "split": "split({0}, {pat})",
     "join": "array_join({0}, {sep})",
     "first": "element_at({0}, 1)",
@@ -52,10 +52,16 @@ _FILTERS: dict[str, str] = {
     "json_encode": "to_json({0})",
     "base64_encode": "base64({0})",
     "base64_decode": "cast(unbase64({0}) as string)",
-    "int": "cast({0} as bigint)",
-    "float": "cast({0} as double)",
+    # try_cast: malformed values become NULL instead of throwing under
+    # ANSI mode — the closest vectorized analogue of the reference's
+    # render-error → Err record (full _error routing is a later step)
+    "int": "try_cast({0} as bigint)",
+    "float": "try_cast({0} as double)",
     "replace": "replace({0}, {from}, {to})",
     "truncate": "substring({0}, 1, {length})",
+    "slugify": "regexp_replace(regexp_replace(lower({0}), '[^a-z0-9]+', '-'), '(^-+|-+$)', '')",
+    "striptags": "regexp_replace({0}, '<[^>]*>', '')",
+    "wordcount": "size(split(trim({0}), '\\\\s+'))",
 }
 
 _FILTER_DEFAULTS: dict[str, dict[str, str]] = {

@@ -239,3 +239,37 @@ def test_struct_deep_merge(spark):
     merged2 = apply_actions(df2, [Action("info", "{{ input.patch }}", "merge")])
     info = merged2.collect()[0].info.asDict(recursive=True)
     assert info == {"a": 1, "nested": {"x": 1, "y": 7}, "b": 9}
+
+
+def test_try_cast_filters_null_instead_of_throw(spark):
+    """Malformed values null out (ANSI would throw) — the vectorized
+    stand-in for the reference's render-error -> Err record."""
+    pipe = Pipeline(
+        [
+            {"type": "reader", "connector": {"type": "in_memory", "data": '[{"s": "12"}, {"s": "oops"}]'}},
+            {"type": "transformer", "actions": [
+                {"field": "n", "pattern": "{{ input.s | int }}"},
+                {"field": "d", "pattern": "{{ input.s | date(format='%Y') }}"},
+            ]},
+        ],
+        spark,
+    )
+    rows = {r.s: (r.n, r.d) for r in pipe.dataframe().collect()}
+    assert rows["12"][0] == 12
+    assert rows["oops"] == (None, None)
+
+
+def test_string_filters(spark):
+    pipe = Pipeline(
+        [
+            {"type": "reader", "connector": {"type": "in_memory", "data": '[{"t": "Hello <b>Big</b> World!"}]'}},
+            {"type": "transformer", "actions": [
+                {"field": "slug", "pattern": "{{ input.t | striptags | slugify }}"},
+                {"field": "wc", "pattern": "{{ input.t | striptags | wordcount }}"},
+            ]},
+        ],
+        spark,
+    )
+    row = pipe.dataframe().collect()[0]
+    assert row.slug == "hello-big-world"
+    assert row.wc == 3
