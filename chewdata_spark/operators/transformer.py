@@ -279,6 +279,19 @@ def template_to_column(pattern: str, *, input_col: str | None = None) -> Column:
     return F.concat(*parts)
 
 
+# filters whose compiled form can produce NULL from malformed (non-null)
+# input — the compiled analogue of a Tera render error
+_FALLIBLE_FILTER = re.compile(r"\|\s*(int|float|date)\b")
+
+
+def fallible_refs(pattern: str | None) -> list[str] | None:
+    """If the pattern uses a fallible filter, the input fields it reads
+    (for null-vs-failure disambiguation); else None."""
+    if not pattern or not _FALLIBLE_FILTER.search(pattern):
+        return None
+    return re.findall(r"\binput\.([\w]+)", pattern)
+
+
 @dataclass
 class Action:
     """One transformer action (reference: src/updater/mod.rs:58-91).
@@ -292,7 +305,9 @@ class Action:
     type: Literal["merge", "replace", "remove"] = "merge"
 
 
-def apply_actions(df: DataFrame, actions: list[Action | dict]) -> DataFrame:
+def apply_actions(
+    df: DataFrame, actions: list[Action | dict], *, route_errors: bool = False
+) -> DataFrame:
     """Fold the ordered action list over the DataFrame.
 
     merge/replace at a leaf field are both "set the field" (deep-merge
@@ -325,6 +340,25 @@ def apply_actions(df: DataFrame, actions: list[Action | dict]) -> DataFrame:
             df = _merge_field(df, a.field, col)
         else:
             df = df.withColumn(a.field, col)
+    if route_errors:
+        # render-failure → Err channel (reference: a failed template
+        # render emits DataResult::Err, src/step/transformer.rs:238-249):
+        # a fallible action that produced NULL from non-null inputs sets
+        # _error, keeping the record flowing on the err stream.
+        parts: list[Column] = []
+        if "_error" in df.columns:
+            parts.append(F.col("_error"))
+        for a in acts:
+            refs = fallible_refs(a.pattern)
+            if refs is None or a.type == "remove":
+                continue
+            src = f"{input_col}." if input_col else ""
+            cond = F.col(a.field).isNull()
+            for r in refs:
+                cond = cond & F.expr(f"{src}{r}").isNotNull()
+            parts.append(F.when(cond, F.lit(f"failed to render field '{a.field}'")))
+        if parts:
+            df = df.withColumn("_error", F.nullif(F.concat_ws("; ", *parts), F.lit("")))
     if input_col:
         df = df.drop(input_col)
     return df

@@ -131,6 +131,7 @@ class Pipeline:
                     # remove-actions actually drop columns)
                     if kind == "transformer":
                         df = self._record_history(self._transform(spark, step, df), step)
+                        has_err = has_err or _has_fallible_actions(step)
                     elif kind == "validator":
                         df = self._record_history(self._validate(step, df), step)
                         has_err = True
@@ -142,6 +143,7 @@ class Pipeline:
                 other = err_stream(df) if data_type == "ok" else ok_stream(df)
                 if kind == "transformer":
                     mine = self._record_history(self._transform(spark, step, mine), step)
+                    has_err = has_err or _has_fallible_actions(step)
                 elif kind == "validator":
                     mine = self._record_history(self._validate(step, mine), step)
                     has_err = True
@@ -215,7 +217,7 @@ class Pipeline:
                 df = _root_fanout(df, pattern)
                 continue
             actions.append(Action(field, pattern, a.get("type", a.get("action", "merge"))))
-        return apply_actions(df, actions) if actions else df
+        return apply_actions(df, actions, route_errors=True) if actions else df
 
     def _validate(self, step: dict, df: DataFrame) -> DataFrame:
         rules = [
@@ -286,6 +288,12 @@ def _root_fanout(df: DataFrame, pattern: str) -> DataFrame:
     if t == "struct":
         return out.select("_r.*")
     return out.withColumnRenamed("_r", "value")
+
+
+def _has_fallible_actions(step: dict) -> bool:
+    from chewdata_spark.operators.transformer import fallible_refs
+
+    return any(fallible_refs(a.get("pattern")) is not None for a in step.get("actions", []))
 
 
 def _all_null_errors_ok(step: dict) -> bool:

@@ -273,3 +273,29 @@ def test_string_filters(spark):
     row = pipe.dataframe().collect()[0]
     assert row.slug == "hello-big-world"
     assert row.wc == 3
+
+
+def test_render_failure_routes_to_err_channel(spark, tmp_path):
+    """Reference: failed template render -> DataResult::Err that still
+    flows (src/step/transformer.rs:238-249). Compiled analogue: fallible
+    filter produced NULL from non-null input -> _error set -> err stream."""
+    ok_out = str(tmp_path / "ok")
+    err_out = str(tmp_path / "err")
+    pipe = Pipeline(
+        [
+            {"type": "reader", "connector": {"type": "in_memory",
+             "data": '[{"s": "7"}, {"s": "garbage"}, {"s": null}]'}},
+            {"type": "transformer", "actions": [{"field": "n", "pattern": "{{ input.s | int }}"}]},
+            {"type": "writer", "connector": {"path": ok_out}, "document": {"type": "jsonl"}, "data_type": "ok"},
+            {"type": "writer", "connector": {"path": err_out}, "document": {"type": "jsonl"}, "data_type": "err"},
+        ],
+        spark,
+    )
+    pipe.run()
+    ok_back = read_document(spark, ok_out, "jsonl")
+    err_back = read_document(spark, err_out, "jsonl")
+    # "7" parses; null input is a legitimate null (NOT an error); "garbage" errs
+    assert ok_back.count() == 2
+    err_rows = err_back.collect()
+    assert len(err_rows) == 1 and err_rows[0]["s"] == "garbage"
+    assert "failed to render field 'n'" in err_rows[0]["_error"]
