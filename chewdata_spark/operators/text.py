@@ -98,6 +98,42 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_size: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Overlapping word-window chunks (embedding-prep for long docs).
+
+    chunk i covers words [i*step, i*step + chunk_size) with
+    step = chunk_size - overlap; every doc yields ≥1 chunk.  Built from
+    sequence/slice + posexplode — no Python; the explode is map-side so
+    chunking pipelines with the scan at any corpus size.
+    """
+    step = chunk_size - overlap
+    words = _tokens(F.col(text_col))
+    n_chunks = F.greatest(
+        F.ceil((F.size(words) - F.lit(overlap)) / F.lit(float(step))).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(words, i * step + 1, chunk_size),
+    )
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_words"),
+    )
+    return ex.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join("chunk_words", " ").alias("chunk_text"),
+        F.size("chunk_words").alias("n_tokens"),
+    )
+
+
 def content_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token set — robust to token shuffling, used for fuzzy-exact dedup."""

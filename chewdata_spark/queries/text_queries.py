@@ -105,7 +105,60 @@ FROM documents
 """
 
 
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", chunk_size=50, overlap=10
+    )
+
+
+# chunk i covers words [i*40+1 .. i*40+50] (1-based inclusive in DuckDB);
+# n_chunks = greatest(ceil((len-10)/40), 1)
+CHUNK_SQL = """
+WITH d AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+), g AS (
+    SELECT doc_id, w, CAST(unnest(range(0, greatest(CAST(ceil((len(w) - 10) / 40.0) AS BIGINT), 1))) AS INT) AS chunk_idx
+    FROM d
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(w[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' ') AS chunk_text,
+       CAST(len(w[chunk_idx * 40 + 1 : chunk_idx * 40 + 50]) AS INT) AS n_tokens
+FROM g
+"""
+
+
+def parts_in_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: per part, how many other parts price within ±10."""
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators.rangejoin import banded_range_join
+
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(F.col("p_partkey").alias("k_a"), F.col("p_retailprice").alias("price_a"))
+    b = part.select(F.col("p_partkey").alias("k_b"), F.col("p_retailprice").alias("price_b"))
+    pairs = banded_range_join(a, b, "price_a", "price_b", max_distance=10.0).filter(
+        F.col("k_a") != F.col("k_b")
+    )
+    counts = pairs.groupBy("k_a").agg(F.count(F.lit(1)).alias("n_within"))
+    return (
+        a.join(counts, "k_a", "left")
+        .select(F.col("k_a").alias("p_partkey"), F.coalesce("n_within", F.lit(0)).alias("n_within"))
+    )
+
+
+PRICE_BAND_SQL = """
+SELECT a.p_partkey, COUNT(b.p_partkey) AS n_within
+FROM part a
+LEFT JOIN part b
+  ON b.p_partkey <> a.p_partkey
+ AND abs(a.p_retailprice - b.p_retailprice) <= 10
+GROUP BY a.p_partkey
+"""
+
+
 QUERIES = {
+    "chunk_documents": chunk_documents,
+    "parts_in_price_band": parts_in_price_band,
     "text_stats": text_stats,
     "language_id": language_id,
     "quality_score": quality_score,
@@ -114,6 +167,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "chunk_documents": CHUNK_SQL,
+    "parts_in_price_band": PRICE_BAND_SQL,
     "text_stats": TEXT_STATS_SQL,
     "language_id": _language_id_sql(),
     "quality_score": QUALITY_SQL,
