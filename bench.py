@@ -38,6 +38,8 @@ HEADLINE = [
     "embedding_near_dup",
     "text_stats",
     "quality_score",
+    "chunk_documents",
+    "parts_in_price_band",
 ]
 
 

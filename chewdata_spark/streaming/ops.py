@@ -105,6 +105,34 @@ def session_window_agg(
     ).drop("sess")
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    watermark: str = "1 hour",
+    time_bound: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a time bound.
+
+    Both sides buffer state only within the watermark + bound horizon —
+    the condition ``right_ts BETWEEN left_ts - bound AND left_ts + bound``
+    is what lets Spark evict state; an unbounded stream-stream join
+    would grow state forever.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= F.expr(f"{left_ts} - INTERVAL {time_bound}"))
+        & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {time_bound}"))
+    )
+    return lw.join(rw, cond, how)
+
+
 def run_to_memory(stream: DataFrame, name: str, *, output_mode: str = "append") -> DataFrame:
     """Run the stream to completion over currently-available data
     (Trigger.AvailableNow) into an in-memory table; returns the result

@@ -88,3 +88,33 @@ def test_foreach_batch_sink(spark, sf_dir, events_stream_dir, tmp_path):
     expected = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error").count()
     assert written.count() == expected > 0
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Two event streams joined on user within ±30min == batch join."""
+    from chewdata_spark.streaming.ops import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left_b = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("l_id"), F.col("user_id").alias("uid"), F.col("ts").alias("l_ts")
+    )
+    right_b = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("r_id"), F.col("user_id").alias("uid"), F.col("ts").alias("r_ts")
+    )
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    left_b.write.parquet(ldir)
+    right_b.write.parquet(rdir)
+    ls = read_stream_directory(spark, ldir, "parquet", left_b.schema)
+    rs = read_stream_directory(spark, rdir, "parquet", right_b.schema)
+    joined = stream_stream_join(
+        ls, rs, "uid", "l_ts", "r_ts", watermark="2 hours", time_bound="30 minutes"
+    ).select("l_id", "r_id")
+    got = {(r.l_id, r.r_id) for r in run_to_memory(joined, "ssj").collect()}
+    want_df = left_b.join(
+        right_b,
+        (left_b.uid == right_b.uid)
+        & (right_b.r_ts >= F.expr("l_ts - INTERVAL 30 minutes"))
+        & (right_b.r_ts <= F.expr("l_ts + INTERVAL 30 minutes")),
+    ).select("l_id", "r_id")
+    want = {(r.l_id, r.r_id) for r in want_df.collect()}
+    assert got == want and len(got) > 0
