@@ -35,8 +35,12 @@ def sql_literal(v: Any) -> str:
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
         return repr(v)
-    s = str(v).replace("'", "''")
-    return f"'{s}'"
+    s = str(v)
+    if "\x00" in s:
+        # NUL cannot appear in a SQL text literal (Postgres rejects it
+        # even as a bound parameter) — fail loudly instead of truncating
+        raise ValueError("NUL byte in string parameter cannot be rendered as SQL")
+    return "'" + s.replace("'", "''") + "'"
 
 
 def render_query(template: str, params: dict[str, Any]) -> str:
