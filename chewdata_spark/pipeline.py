@@ -69,6 +69,19 @@ class Pipeline:
 
     @classmethod
     def from_json(cls, config: str, spark: SparkSession | None = None) -> "Pipeline":
+        """Parse a JSON config with CHEWDATA_* environment substitution
+        (reference env_applier, src/main.rs:73-113): ``{{ CHEWDATA_X }}``
+        holes are replaced by the environment value before parsing."""
+        import os
+
+        def env_repl(m: re.Match) -> str:
+            name = m.group(1)
+            val = os.environ.get(name)
+            if val is None:
+                raise KeyError(f"environment variable {name!r} referenced in config but not set")
+            return val
+
+        config = re.sub(r"\{\{\s*(CHEWDATA_\w+)\s*\}\}", env_repl, config)
         return cls(json.loads(config), spark)
 
     # -- compilation ---------------------------------------------------------
@@ -100,11 +113,13 @@ class Pipeline:
             for s in self.steps
             for r in (s.get("rules") or {}).values()
         )
-        self._erased_paths = {
-            s["connector"]["path"]
-            for s in self.steps
-            if s.get("type") == "eraser" and s.get("connector", {}).get("path")
-        }
+        self._erased_paths = set()
+        self._erase_excluded = set()
+        for s in self.steps:
+            if s.get("type") == "eraser" and s.get("connector", {}).get("path"):
+                self._erased_paths.add(s["connector"]["path"])
+                # exclude_paths survive the erase (src/step/eraser.rs:12-21)
+                self._erase_excluded.update(s.get("exclude_paths", []))
         for step in self.steps:
             kind = step.get("type")
             if kind == "reader":
@@ -181,7 +196,17 @@ class Pipeline:
             jl = spark.sparkContext.parallelize([json.dumps(r) for r in records])
             return spark.read.json(jl)
         if ctype == "local":
-            return read_document(
+            checksum = conn.get("checksum")
+            if checksum:
+                # reference verifies file digests before reading
+                # (src/connector/local.rs:373-392)
+                from chewdata_spark.functions.checksum import verify_file
+
+                if not verify_file(
+                    spark, conn["path"], checksum["value"], checksum.get("algo", "sha256")
+                ):
+                    raise ValueError(f"checksum mismatch for {conn['path']}")
+            df = read_document(
                 spark,
                 conn["path"],
                 doc.get("type", _guess_format(conn["path"])),
@@ -189,6 +214,10 @@ class Pipeline:
                 options=doc.get("options"),
                 resolve_types=bool(doc.get("resolve_types", False)),
             )
+            if conn.get("cache"):
+                # reference's in-process dataset cache (local.rs:108-131)
+                df = df.cache()
+            return df
         raise ValueError(
             f"unsupported connector type {ctype!r} (local/in_memory compile natively; "
             "curl → chewdata_spark.sources.http, psql → spark.read.jdbc)"
@@ -237,7 +266,10 @@ class Pipeline:
         # strip the file-name component: Spark writes directories
         path = re.sub(r"[^/]*\{\{.*$", "", raw_path) if partition_cols else raw_path
         path = _MUSTACHE_PATH.sub("", path).rstrip("_-")
-        mode = "overwrite" if raw_path in self._erased_paths or path in self._erased_paths else "append"
+        erased = (raw_path in self._erased_paths or path in self._erased_paths) and not any(
+            raw_path.startswith(x) or path.startswith(x) for x in self._erase_excluded
+        )
+        mode = "overwrite" if erased else "append"
         out = df.drop("_error") if "_error" in df.columns and _all_null_errors_ok(step) else df
         out = out.drop("_steps")  # context history is pipeline-internal
         if execute:

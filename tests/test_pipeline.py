@@ -299,3 +299,55 @@ def test_render_failure_routes_to_err_channel(spark, tmp_path):
     err_rows = err_back.collect()
     assert len(err_rows) == 1 and err_rows[0]["s"] == "garbage"
     assert "failed to render field 'n'" in err_rows[0]["_error"]
+
+
+def test_env_substitution_in_config(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("CHEWDATA_IN_PATH", f"{DATA}/one_line.json")
+    pipe = Pipeline.from_json(
+        '[{"type": "reader", "connector": {"type": "local", "path": "{{ CHEWDATA_IN_PATH }}"}, "document": {"type": "json"}}]',
+        spark,
+    )
+    assert pipe.dataframe().count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        Pipeline.from_json('[{"x": "{{ CHEWDATA_NOT_SET_ANYWHERE }}"}]', spark)
+
+
+def test_reader_checksum_verify(spark, tmp_path):
+    import hashlib
+
+    p = tmp_path / "data.json"
+    p.write_text('{"a": 1}')
+    good = hashlib.sha256(p.read_bytes()).hexdigest()
+    ok = Pipeline(
+        [{"type": "reader", "connector": {"type": "local", "path": str(p), "checksum": {"algo": "sha256", "value": good}}, "document": {"type": "json"}}],
+        spark,
+    )
+    assert ok.dataframe().count() == 1
+    import pytest as _pytest
+
+    bad = Pipeline(
+        [{"type": "reader", "connector": {"type": "local", "path": str(p), "checksum": {"algo": "sha256", "value": "deadbeef"}}, "document": {"type": "json"}}],
+        spark,
+    )
+    with _pytest.raises(ValueError, match="checksum mismatch"):
+        bad.dataframe()
+
+
+def test_eraser_exclude_paths(spark, tmp_path):
+    kept = str(tmp_path / "keep_out")
+    wiped = str(tmp_path / "wipe_out")
+    cfg = [
+        {"type": "reader", "connector": {"type": "in_memory", "data": '[{"a": 1}]'}},
+        {"type": "eraser", "connector": {"path": wiped}},
+        {"type": "eraser", "connector": {"path": kept}, "exclude_paths": [kept]},
+        {"type": "writer", "connector": {"path": wiped}, "document": {"type": "jsonl"}},
+        {"type": "writer", "connector": {"path": kept}, "document": {"type": "jsonl"}},
+    ]
+    Pipeline(cfg, spark).run()
+    Pipeline(cfg, spark).run()  # second run: wiped overwritten, kept appended
+    from chewdata_spark.sources.documents import read_document
+
+    assert read_document(spark, wiped, "jsonl").count() == 1
+    assert read_document(spark, kept, "jsonl").count() == 2
