@@ -29,11 +29,20 @@ def banded_range_join(
     """All (left, right) pairs with ``|left_val - right_val| <= max_distance``.
 
     Column name collisions are the caller's to avoid (alias first).
+
+    ``how`` may be ``inner`` or ``left``/``left_outer``: the left side
+    lands in exactly one bin, so null-extension is correct; the right
+    side is replicated 3x, so right/full outer would triplicate
+    unmatched right rows and are rejected.
     """
-    lb = F.floor(F.col(left_val) / max_distance).alias("_bin")
-    l_binned = left.withColumn("_bin", lb)
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"banded_range_join supports how='inner'/'left' only, got {how!r} "
+            "(right side is bin-replicated; right/full outer would duplicate rows)"
+        )
+    l_binned = left.withColumn("_lbin", F.floor(F.col(left_val) / max_distance))
     r_binned = right.withColumn(
-        "_bin",
+        "_rbin",
         F.explode(
             F.array(
                 F.floor(F.col(right_val) / max_distance) - 1,
@@ -42,6 +51,9 @@ def banded_range_join(
             )
         ),
     )
-    joined = l_binned.join(r_binned, "_bin", how)
-    exact = F.abs(F.col(left_val) - F.col(right_val)) <= max_distance
-    return joined.filter(exact).drop("_bin")
+    # exact predicate lives IN the join condition so outer rows
+    # null-extend instead of being dropped by a post-filter
+    cond = (F.col("_lbin") == F.col("_rbin")) & (
+        F.abs(F.col(left_val) - F.col(right_val)) <= max_distance
+    )
+    return l_binned.join(r_binned, cond, how).drop("_lbin", "_rbin")

@@ -350,7 +350,10 @@ def apply_actions(
             parts.append(F.col("_error"))
         for a in acts:
             refs = fallible_refs(a.pattern)
-            if refs is None or a.type == "remove":
+            if refs is None or not refs or a.type == "remove":
+                # no identifiable source refs → can't distinguish a render
+                # failure from a legitimately-NULL source; don't flag
+                # (contract: err only on "NULL from non-null inputs")
                 continue
             src = f"{input_col}." if input_col else ""
             cond = F.col(a.field).isNull()

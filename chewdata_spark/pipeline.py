@@ -235,6 +235,12 @@ class Pipeline:
             hole = _single_hole(pattern) if pattern else None
             m = _LOOKUP.match(hole) if hole else None
             if m and m.group(1) in refs:
+                # flush pending actions first — the reference applies actions
+                # in order (src/step/transformer.rs), so an earlier action
+                # writing the same field must land before the lookup
+                if actions:
+                    df = apply_actions(df, actions)
+                    actions = []
                 df = _lookup_join(df, refs[m.group(1)], field, m)
                 continue
             if field == "/":
@@ -262,7 +268,6 @@ class Pipeline:
         raw_path = conn["path"]
         fmt = doc.get("type", _guess_format(raw_path))
         partition_cols = _MUSTACHE_PATH.findall(raw_path)
-        path = _MUSTACHE_PATH.sub("", raw_path)
         # strip the file-name component: Spark writes directories
         path = re.sub(r"[^/]*\{\{.*$", "", raw_path) if partition_cols else raw_path
         path = _MUSTACHE_PATH.sub("", path).rstrip("_-")

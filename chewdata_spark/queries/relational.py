@@ -418,7 +418,7 @@ def events_missing_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MISSING_PROPS_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(COALESCE(CAST(json_extract_string(props, '$.missing_key') AS INT), -1)) AS sum_with_default,
+       CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.missing_key') AS INT), -1)) AS BIGINT) AS sum_with_default,
        COUNT(CAST(json_extract_string(props, '$.missing_key') AS INT)) AS n_present
 FROM events
 GROUP BY event_type

@@ -33,6 +33,10 @@ def sql_literal(v: Any) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        # repr() would emit 'inf'/'nan' — invalid SQL tokens that only
+        # fail at the database; reject like the NUL-byte case
+        raise ValueError(f"non-finite float {v!r} cannot be rendered as a SQL literal")
     if isinstance(v, (int, float)):
         return repr(v)
     s = str(v)
