@@ -151,7 +151,12 @@ class Pipeline:
                         df = self._record_history(self._validate(step, df), step)
                         has_err = True
                     else:
-                        writes.append(self._write(step, df, execute=execute_writes))
+                        wr = self._write(step, df, execute=execute_writes)
+                        writes.append(wr)
+                        if wr.fmt == "http":
+                            # failed sends carry _error → Err channel
+                            df = wr.rows_df
+                            has_err = True
                     continue
                 df = with_error_col(df)
                 mine = ok_stream(df) if data_type == "ok" else err_stream(df)
@@ -163,7 +168,10 @@ class Pipeline:
                     mine = self._record_history(self._validate(step, mine), step)
                     has_err = True
                 else:
-                    writes.append(self._write(step, mine, execute=execute_writes))
+                    wr = self._write(step, mine, execute=execute_writes)
+                    writes.append(wr)
+                    if wr.fmt == "http":
+                        mine = wr.rows_df
                 df = mine.unionByName(other, allowMissingColumns=True)
             elif kind is None:
                 raise ValueError(f"step missing 'type': {step}")
@@ -218,10 +226,39 @@ class Pipeline:
                 # reference's in-process dataset cache (local.rs:108-131)
                 df = df.cache()
             return df
-        raise ValueError(
-            f"unsupported connector type {ctype!r} (local/in_memory compile natively; "
-            "curl → chewdata_spark.sources.http, psql → spark.read.jdbc)"
-        )
+        if ctype == "curl":
+            from chewdata_spark.sources.http import compile_curl_options, register_http_source
+
+            register_http_source(spark)
+            reader = spark.read.format("http")
+            for k, v in compile_curl_options(conn, doc).items():
+                reader = reader.option(k, v)
+            if doc.get("schema"):
+                reader = reader.schema(doc["schema"])
+            return reader.load()
+        if ctype in ("bucket", "bucket_select"):
+            from chewdata_spark.sources.bucket import read_bucket, read_bucket_select
+
+            if ctype == "bucket_select" or conn.get("query"):
+                return read_bucket_select(spark, conn, doc)
+            return read_bucket(spark, conn, doc)
+        if ctype == "psql":
+            from chewdata_spark.sources.jdbc import compile_psql, read_jdbc
+
+            kw = compile_psql(conn)
+            return read_jdbc(spark, kw.pop("url"), **kw)
+        if ctype == "mongodb":
+            from chewdata_spark.sources.mongo import mongo_connector_options
+
+            reader = spark.read.format("mongodb")
+            for k, v in mongo_connector_options(conn).items():
+                reader = reader.option(k, v)
+            return reader.load()  # needs mongo-spark-connector on the cluster
+        if ctype == "cli":
+            from chewdata_spark.sources.cli import read_stdin
+
+            return read_stdin(spark)
+        raise ValueError(f"unsupported connector type {ctype!r}")
 
     def _transform(self, spark: SparkSession, step: dict, df: DataFrame) -> DataFrame:
         refs = {
@@ -265,6 +302,43 @@ class Pipeline:
     def _write(self, step: dict, df: DataFrame, *, execute: bool) -> WriteResult:
         conn = step.get("connector", {})
         doc = step.get("document", {})
+        ctype = conn.get("type", "local")
+        if ctype == "curl":
+            # HTTP sink: batched send; failed batches route to the Err
+            # channel (reference writer semantics, tests/writer.rs:87-132)
+            from chewdata_spark.sources.http import compile_curl_options, http_send
+
+            out = df.drop("_steps")
+            sent = http_send(out, compile_curl_options(conn, doc))
+            if execute:
+                sent = sent.cache()  # pin results so downstream reuse doesn't re-send
+                sent.count()
+            return WriteResult(conn["endpoint"].rstrip("/") + "/" + conn["path"].lstrip("/"),
+                               "http", sent)
+        if ctype == "psql":
+            from chewdata_spark.sources.jdbc import compile_psql, write_jdbc
+
+            kw = compile_psql(conn)
+            out = df.drop("_steps", "_error")
+            if execute:
+                write_jdbc(out, kw["url"], kw["table"], properties=kw["properties"])
+            return WriteResult(kw["url"], "jdbc", out)
+        if ctype == "bucket":
+            from chewdata_spark.sources.bucket import bucket_url, write_bucket
+
+            out = df.drop("_steps", "_error")
+            url = bucket_url(conn)
+            mode = "overwrite" if url in self._erased_paths else "append"
+            if execute:
+                write_bucket(out, conn, doc, mode=mode)
+            return WriteResult(url, doc.get("type", "parquet"), out)
+        if ctype == "cli":
+            from chewdata_spark.sources.cli import write_stdout
+
+            out = df.drop("_steps", "_error")
+            if execute:
+                write_stdout(out, limit=int(conn["limit"]) if conn.get("limit") else None)
+            return WriteResult("stdout", "cli", out)
         raw_path = conn["path"]
         fmt = doc.get("type", _guess_format(raw_path))
         partition_cols = _MUSTACHE_PATH.findall(raw_path)

@@ -1,0 +1,149 @@
+"""S3/object-store connector (reference `bucket` / `bucket_select`).
+
+The reference implements its own S3 client machinery
+(src/connector/bucket.rs:87-853, ~1k LoC; bucket_select.rs:85-801) —
+listing, ranged reads, S3 Select push-down.  On Spark all of that is
+the `s3a://` Hadoop filesystem plus Catalyst:
+
+- **path mapping**: `{bucket, path}` → ``s3a://bucket/path``
+  (bucket.rs:101-102: `bucket` + `path` aliased `key`).
+- **credentials/endpoint**: `endpoint`/`region`/`profile`/keys →
+  ``fs.s3a.*`` Hadoop conf (MinIO-compatible: custom endpoint forces
+  path-style access), the Spark equivalent of the reference's client
+  config (bucket.rs:138-207).
+- **wildcard listing with skip/limit**: the reference's
+  `BucketPaginator` lists keys matching a `*` wildcard and applies
+  `skip`/`limit` (bucket.rs:715-853).  Spark globs natively; for
+  skip/limit parity we list via Hadoop `globStatus` (driver-side, one
+  listing RPC — same cost as the reference's LIST call) and hand Spark
+  the explicit key list.
+- **bucket_select ≡ read + SQL**: S3 Select's `SELECT ... FROM
+  s3object WHERE ...` (bucket_select.rs:85-801) is a row-group-level
+  push-down; on Spark the same effect comes free from Catalyst —
+  register the objects as a view named ``s3object`` and run the query;
+  filters/projection reach the parquet/CSV scan (verified by plan
+  test).
+
+No live S3 exists in CI — everything is scheme-agnostic and tested
+against ``file://`` (the Hadoop FS API is identical across schemes);
+an `s3a://` run needs only the hadoop-aws jar on the cluster.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from chewdata_spark.sources.documents import read_document, write_document
+
+
+def bucket_url(conn: dict[str, Any]) -> str:
+    """``{bucket, path}`` → ``<scheme>://bucket/path`` (bucket.rs:101-102;
+    `scheme` defaults to s3a, overridable for MinIO-on-file tests)."""
+    scheme = conn.get("scheme", "s3a")
+    bucket = conn["bucket"]
+    key = conn.get("path", conn.get("key", "")).lstrip("/")
+    return f"{scheme}://{bucket}/{key}"
+
+
+def bucket_hadoop_conf(conn: dict[str, Any]) -> dict[str, str]:
+    """Pure mapping of connector config → ``fs.s3a.*`` options
+    (reference client config, bucket.rs:138-207).  Credentials resolve
+    like the reference: explicit keys win, else the AWS env/profile
+    chain (which s3a's DefaultAWSCredentialsProviderChain also reads)."""
+    out: dict[str, str] = {}
+    if conn.get("endpoint"):
+        out["fs.s3a.endpoint"] = conn["endpoint"]
+        # MinIO/custom endpoints don't serve virtual-host buckets
+        out["fs.s3a.path.style.access"] = "true"
+    if conn.get("region"):
+        out["fs.s3a.endpoint.region"] = conn["region"]
+    access = conn.get("access_key_id", os.environ.get("AWS_ACCESS_KEY_ID"))
+    secret = conn.get("secret_access_key", os.environ.get("AWS_SECRET_ACCESS_KEY"))
+    if access and secret:
+        out["fs.s3a.access.key"] = access
+        out["fs.s3a.secret.key"] = secret
+    if conn.get("profile") and conn.get("profile") != "default":
+        out["fs.s3a.aws.credentials.provider"] = (
+            "com.amazonaws.auth.profile.ProfileCredentialsProvider"
+        )
+    return out
+
+
+def apply_bucket_conf(spark: SparkSession, conn: dict[str, Any]) -> None:
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in bucket_hadoop_conf(conn).items():
+        hconf.set(k, v)
+
+
+def list_bucket_keys(
+    spark: SparkSession, url: str, *, skip: int = 0, limit: int | None = None
+) -> list[str]:
+    """Wildcard listing with skip/limit (BucketPaginator parity,
+    bucket.rs:715-853: list keys matching the `*` pattern, sort,
+    apply skip then limit).  One driver-side LIST; returns full URLs."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(url)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(jpath)
+    if statuses is None:
+        return []
+    paths = sorted(str(s.getPath().toString()) for s in statuses if s.isFile())
+    paths = paths[skip:]
+    return paths[:limit] if limit is not None else paths
+
+
+def read_bucket(
+    spark: SparkSession, conn: dict[str, Any], doc: dict[str, Any] | None = None
+) -> DataFrame:
+    """Bucket reader: conf → (optional skip/limit listing) → document
+    read.  Without skip/limit the glob goes straight to Spark so
+    partition planning sees the files natively."""
+    doc = doc or {}
+    apply_bucket_conf(spark, conn)
+    url = bucket_url(conn)
+    fmt = doc.get("type") or url.rsplit(".", 1)[-1].lower()
+    skip = int(conn.get("skip", 0))
+    limit = conn.get("limit")
+    if skip or limit is not None:
+        keys = list_bucket_keys(spark, url, skip=skip, limit=int(limit) if limit else None)
+        if not keys:
+            raise FileNotFoundError(f"no objects match {url} (skip={skip}, limit={limit})")
+        url = keys
+    return read_document(
+        spark,
+        url,
+        fmt,
+        entry_path=doc.get("entry_path"),
+        options=doc.get("options"),
+        resolve_types=bool(doc.get("resolve_types", False)),
+    )
+
+
+def read_bucket_select(
+    spark: SparkSession, conn: dict[str, Any], doc: dict[str, Any] | None = None
+) -> DataFrame:
+    """`bucket_select` ≡ read + declarative SQL over ``s3object``
+    (bucket_select.rs:85-801).  S3 Select's server-side filter becomes
+    Catalyst predicate push-down into the object scan — same I/O
+    reduction, no special client."""
+    query = conn.get("query") or "SELECT * FROM s3object"
+    df = read_bucket(spark, conn, doc)
+    alias = "s3object"
+    df.createOrReplaceTempView(alias)
+    try:
+        return spark.sql(query)
+    finally:
+        spark.catalog.dropTempView(alias)
+
+
+def write_bucket(
+    df: DataFrame, conn: dict[str, Any], doc: dict[str, Any] | None = None, *, mode: str = "append"
+) -> None:
+    doc = doc or {}
+    apply_bucket_conf(df.sparkSession, conn)
+    url = bucket_url(conn)
+    fmt = doc.get("type") or url.rsplit(".", 1)[-1].lower()
+    write_document(df, url, fmt, mode=mode, options=doc.get("options"))

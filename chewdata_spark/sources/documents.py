@@ -102,7 +102,7 @@ def _parse_documents_to_json_lines(fmt: str):
 
 def read_document(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     fmt: str,
     *,
     entry_path: str | None = None,
@@ -110,8 +110,10 @@ def read_document(
     options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Read `path` (file/dir/glob — Spark expands globs natively, the
-    reference's wildcard paginator src/connector/paginator/local/wildcard.rs)."""
+    reference's wildcard paginator src/connector/paginator/local/wildcard.rs).
+    An explicit list of files is accepted too (bucket skip/limit listing)."""
     options = dict(options or {})
+    paths = path if isinstance(path, list) else [path]
     if fmt == "json":
         # line-mode first: it handles NDJSON directories (our own writes)
         # and single-line arrays; a pretty-printed array file shows up as
@@ -134,9 +136,9 @@ def read_document(
         opts = {**CSV_READ_DEFAULTS, "inferSchema": "true", **options}
         df = spark.read.options(**opts).csv(path)
     elif fmt == "parquet":
-        df = spark.read.options(**options).parquet(path)
+        df = spark.read.options(**options).parquet(*paths)
     elif fmt == "orc":
-        df = spark.read.options(**options).orc(path)
+        df = spark.read.options(**options).orc(*paths)
     elif fmt == "xml":
         opts = {"rowTag": "item", "attributePrefix": "@", "valueTag": "$", **options}
         df = spark.read.format("xml").options(**opts).load(path)

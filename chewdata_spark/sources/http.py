@@ -63,6 +63,40 @@ def jwt_hs256(claims: dict, secret: str) -> str:
     return f"{header}.{payload}.{sig}"
 
 
+def jwt_sign(claims: dict, *, algorithm: str = "HS256", secret: str | None = None,
+             private_key_pem: str | None = None) -> str:
+    """JWT signer covering the reference's algorithm families
+    (src/connector/authenticator/jwt.rs:79-475): HS256 (HMAC),
+    RS256/RS384/RS512 (RSA-PKCS1v15) and ES256 (ECDSA P-256).
+    Asymmetric algorithms need the ``cryptography`` package."""
+    if algorithm == "HS256":
+        if secret is None:
+            raise ValueError("HS256 requires secret=")
+        return jwt_hs256(claims, secret)
+    if private_key_pem is None:
+        raise ValueError(f"{algorithm} requires private_key_pem=")
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import ec, padding, utils
+
+    def b64url(b: bytes) -> str:
+        return base64.urlsafe_b64encode(b).rstrip(b"=").decode()
+
+    header = b64url(json.dumps({"alg": algorithm, "typ": "JWT"}).encode())
+    payload = b64url(json.dumps(claims, separators=(",", ":")).encode())
+    signing = f"{header}.{payload}".encode()
+    key = serialization.load_pem_private_key(private_key_pem.encode(), password=None)
+    hash_alg = {"RS256": hashes.SHA256, "RS384": hashes.SHA384, "RS512": hashes.SHA512,
+                "ES256": hashes.SHA256}[algorithm]()
+    if algorithm.startswith("RS"):
+        sig = key.sign(signing, padding.PKCS1v15(), hash_alg)
+    else:  # ES256: DER signature → raw r||s fixed-width (JWS form)
+        der = key.sign(signing, ec.ECDSA(hash_alg))
+        r, s = utils.decode_dss_signature(der)
+        size = (key.curve.key_size + 7) // 8
+        sig = r.to_bytes(size, "big") + s.to_bytes(size, "big")
+    return f"{header}.{payload}.{b64url(sig)}"
+
+
 def _build_headers(options: dict) -> dict[str, str]:
     headers = dict(json.loads(options.get("headers", "{}")))
     user = options.get("auth_basic_user")
@@ -73,23 +107,80 @@ def _build_headers(options: dict) -> dict[str, str]:
     if token is not None:
         headers["Authorization"] = f"Bearer {token}"
     secret = options.get("auth_jwt_secret")
-    if secret is not None:
+    pem = options.get("auth_jwt_private_key")
+    if secret is not None or pem is not None:
         claims = json.loads(options.get("auth_jwt_claims", "{}"))
-        headers["Authorization"] = "Bearer " + jwt_hs256(claims, secret)
+        alg = options.get("auth_jwt_algorithm", "HS256")
+        headers["Authorization"] = "Bearer " + jwt_sign(
+            claims, algorithm=alg, secret=secret, private_key_pem=pem
+        )
     return headers
 
 
-def _fetch(url: str, options: dict) -> bytes:
-    """One HTTP request with retry + exponential backoff."""
+# per-process GET-response cache (reference `is_cached`, curl.rs:24-28,
+# :1024-1046 — an HTTP-semantics cache keyed on the request).  One dict
+# per executor python worker; bounded by entry count.
+_RESPONSE_CACHE: dict[str, bytes] = {}
+_RESPONSE_CACHE_MAX = 256
+
+
+def _refresh_token(options: dict) -> None:
+    """`refresh_connector` semantics (jwt.rs:129-210): on 401, call the
+    configured token endpoint and swap the bearer token in-place."""
+    refresh_url = options.get("auth_refresh_url")
+    if not refresh_url:
+        raise LookupError("no refresh connector configured")
+    req = urllib.request.Request(
+        refresh_url,
+        method=options.get("auth_refresh_method", "GET").upper(),
+        headers=dict(json.loads(options.get("auth_refresh_headers", "{}"))),
+    )
+    with urllib.request.urlopen(req, timeout=float(options.get("timeout_sec", "30"))) as resp:
+        payload = json.loads(resp.read())
+    token = _entry_scalar(payload, options.get("auth_refresh_token_path", "/token"))
+    if not token:
+        raise ValueError(f"refresh endpoint returned no token at pointer "
+                         f"{options.get('auth_refresh_token_path', '/token')!r}")
+    options["auth_bearer_token"] = str(token)
+    # the refreshed token replaces any locally-signed JWT
+    options.pop("auth_jwt_secret", None)
+    options.pop("auth_jwt_private_key", None)
+
+
+def _fetch(url: str, options: dict, body: bytes | None = None) -> bytes:
+    """One HTTP request with retry + exponential backoff, optional
+    response cache (GET), and 401 → token-refresh-and-retry."""
     retries = int(options.get("retries", "3"))
     timeout = float(options.get("timeout_sec", "30"))
-    method = options.get("method", "GET").upper()
-    req = urllib.request.Request(url, method=method, headers=_build_headers(options))
+    method = options.get("method", "GET").upper() if body is None else options.get(
+        "method", "POST").upper()
+    use_cache = str(options.get("cache", "")).lower() in ("1", "true", "yes") and method == "GET"
+    if use_cache and url in _RESPONSE_CACHE:
+        return _RESPONSE_CACHE[url]
     delay = 0.2
+    refreshed = False
     for attempt in range(retries + 1):
+        headers = _build_headers(options)
+        if body is not None:
+            headers.setdefault("Content-Type", options.get("content_type", "application/json"))
+        req = urllib.request.Request(url, data=body, method=method, headers=headers)
         try:
             with urllib.request.urlopen(req, timeout=timeout) as resp:
-                return resp.read()
+                out = resp.read()
+                if use_cache:
+                    if len(_RESPONSE_CACHE) >= _RESPONSE_CACHE_MAX:
+                        _RESPONSE_CACHE.pop(next(iter(_RESPONSE_CACHE)))
+                    _RESPONSE_CACHE[url] = out
+                return out
+        except urllib.error.HTTPError as e:
+            if e.code == 401 and not refreshed and options.get("auth_refresh_url"):
+                refreshed = True  # one refresh per request, like the reference
+                _refresh_token(options)
+                continue
+            if e.code < 500 or attempt == retries:
+                raise  # 4xx is not transient; no point retrying
+            time.sleep(delay)
+            delay *= 2
         except (urllib.error.URLError, OSError):
             if attempt == retries:
                 raise
@@ -248,6 +339,130 @@ def register_http_source(spark) -> None:
     except Exception:
         pass  # fall back to by-reference pickling (module on PYTHONPATH)
     spark.dataSource.register(HttpDataSource)
+
+
+def compile_curl_options(conn: dict, doc: dict | None = None) -> dict[str, str]:
+    """Reference curl connector config (curl.rs:155-189: endpoint, path,
+    method, headers, timeout, paginator, counter, authenticator, cache)
+    → flat option dict for the ``http`` DataSource / ``http_send``.
+    Pure function — unit-testable without a server."""
+    doc = doc or {}
+    opts: dict[str, str] = {
+        "url": conn["endpoint"].rstrip("/") + "/" + conn["path"].lstrip("/")
+    }
+    if conn.get("method"):
+        opts["method"] = str(conn["method"]).upper()
+    if conn.get("headers"):
+        opts["headers"] = json.dumps(conn["headers"])
+    if conn.get("timeout"):
+        opts["timeout_sec"] = str(conn["timeout"])
+    if str(conn.get("cache", conn.get("is_cached", ""))).lower() in ("1", "true"):
+        opts["cache"] = "true"
+    pag = conn.get("paginator", conn.get("paginator_type")) or {}
+    ptype = pag.get("type", "once") if isinstance(pag, dict) else str(pag)
+    if ptype == "offset":
+        opts["paginator"] = "offset"
+        opts["limit"] = str(pag.get("limit", 100))
+        opts["skip"] = str(pag.get("skip", 0))
+        if pag.get("count") is not None:
+            opts["count"] = str(pag["count"])
+    elif ptype == "cursor":
+        opts["paginator"] = "cursor"
+        opts["limit"] = str(pag.get("limit", 100))
+        opts["cursor_path"] = pag.get("entry_path", "/next")
+    counter = conn.get("counter", conn.get("count", conn.get("counter_type")))
+    if isinstance(counter, dict):
+        if counter.get("type") == "header":
+            opts["count_from"] = "header:" + counter.get("name", "Content-Length")
+        elif counter.get("type") == "body":
+            opts["count_from"] = "body:" + counter.get("entry_path", "/count")
+    auth = conn.get("authenticator", conn.get("auth")) or {}
+    atype = auth.get("type")
+    if atype == "basic":
+        opts["auth_basic_user"] = (
+            auth.get("username") or auth.get("user") or auth.get("usr") or ""
+        )
+        opts["auth_basic_password"] = (
+            auth.get("password") or auth.get("pwd") or auth.get("pass") or ""
+        )
+    elif atype == "bearer":
+        token = auth["token"]
+        if auth.get("is_base64"):
+            token = base64.b64decode(token).decode()
+        opts["auth_bearer_token"] = token
+    elif atype == "jwt":
+        alg = str(auth.get("algorithm", auth.get("algo", "HS256"))).upper()
+        opts["auth_jwt_algorithm"] = alg
+        if alg.startswith("HS"):
+            opts["auth_jwt_secret"] = auth["key"]
+        else:
+            opts["auth_jwt_private_key"] = auth["key"]
+        opts["auth_jwt_claims"] = json.dumps(auth.get("payload", auth.get("claims", {})))
+        refresh = auth.get("refresh_connector", auth.get("refresh"))
+        if isinstance(refresh, dict):  # a nested curl connector config
+            opts["auth_refresh_url"] = (
+                refresh["endpoint"].rstrip("/") + "/" + refresh.get("path", "").lstrip("/")
+            )
+            opts["auth_refresh_token_path"] = auth.get("token_path", "/token")
+    if doc.get("entry_path"):
+        opts["entry_path"] = doc["entry_path"]
+    for k in ("retries", "batch_size"):
+        if conn.get(k) is not None:
+            opts[k] = str(conn[k])
+    return opts
+
+
+def http_send(df, options: dict):
+    """Distributed HTTP sink (reference curl `send`, curl.rs:1107;
+    batched body, `send_with_retry` curl.rs:686).
+
+    Each partition batches records into JSON arrays of ``batch_size``
+    and POSTs (or ``method``) them to ``url``.  Returns a DataFrame with
+    the input columns plus ``_error`` — null on 2xx, the failure message
+    otherwise — so the pipeline routes failed sends to the Err channel
+    exactly like the reference writer does (tests/writer.rs:87-132:
+    4xx responses surface as Err records, not exceptions).
+
+    The POST itself is the only side effect; Spark retries of a failed
+    task re-send that partition's batches (at-least-once, same as the
+    reference's retry loop).
+    """
+    import pandas as pd
+
+    opts = dict(options)
+    batch_size = int(opts.get("batch_size", "100"))
+    out_fields = [f for f in df.schema.fields if f.name != "_error"]
+    out_schema = StructType(out_fields + [StructField("_error", StringType(), True)])
+    cols = [f.name for f in out_fields]
+
+    def send_batches(iterator):
+        for pdf in iterator:
+            pdf = pdf[cols]
+            errs = []
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                records = json.loads(chunk.to_json(orient="records"))
+                body = json.dumps(records).encode()
+                try:
+                    _fetch(opts["url"], dict(opts), body=body)
+                    errs.extend([None] * len(chunk))
+                except Exception as e:  # noqa: BLE001 — route, don't crash
+                    errs.extend([f"http send failed: {e}"] * len(chunk))
+            out = pdf.copy()
+            out["_error"] = pd.Series(errs, index=pdf.index, dtype="object")
+            yield out
+
+    return df.mapInPandas(send_batches, schema=out_schema)
+
+
+def http_erase(options: dict) -> None:
+    """DELETE the resource (reference curl `erase`, curl.rs:1153) and
+    drop any cached entries for the endpoint (":1024-1046")."""
+    opts = dict(options)
+    opts["method"] = opts.get("erase_method", "DELETE")
+    _fetch(opts["url"], opts, body=b"")
+    for k in [k for k in _RESPONSE_CACHE if k.startswith(opts["url"].split("?")[0])]:
+        _RESPONSE_CACHE.pop(k, None)
 
 
 class HttpDataSource(DataSource):

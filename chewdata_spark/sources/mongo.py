@@ -86,3 +86,108 @@ def mongo_projection_to_columns(projection: dict[str, int]) -> list[str]:
     if not keep:
         raise ValueError("empty projection")
     return keep
+
+
+def mongo_connector_options(conn: dict[str, Any]) -> dict[str, str]:
+    """Reference mongodb connector config (mongodb.rs:69-91: endpoint,
+    database, collection, filter) → option dict for the official
+    mongo-spark connector (``format("mongodb")``).  The filter becomes
+    an aggregation ``$match`` stage — the connector pushes it to the
+    server, same I/O shape as the reference's ``find(filter)``
+    (mongodb.rs:314-380).  Pure function; no server needed to test."""
+    import json
+
+    out = {
+        "connection.uri": conn["endpoint"],
+        "database": conn.get("database", conn.get("db", "")),
+        "collection": conn.get("collection", conn.get("col", "")),
+    }
+    stages: list[dict[str, Any]] = []
+    if conn.get("filter"):
+        stages.append({"$match": conn["filter"]})
+    fo = conn.get("find_options") or {}
+    if fo.get("sort"):
+        stages.append({"$sort": fo["sort"]})
+    if fo.get("skip"):
+        stages.append({"$skip": int(fo["skip"])})
+    if fo.get("limit"):
+        stages.append({"$limit": int(fo["limit"])})
+    if fo.get("projection"):
+        stages.append({"$project": fo["projection"]})
+    if stages:
+        out["aggregation.pipeline"] = json.dumps(stages)
+    return out
+
+
+def apply_find_options(df, find_options: dict[str, Any]):
+    """Replay FindOptions on any DataFrame (parity path when the data
+    came from a JSON dump instead of a live server): projection →
+    select, sort → orderBy, skip/limit → offset/limit."""
+    fo = find_options or {}
+    if fo.get("sort"):
+        df = df.orderBy(
+            *[F.col(k).asc() if v >= 0 else F.col(k).desc() for k, v in fo["sort"].items()]
+        )
+    if fo.get("skip"):
+        df = df.offset(int(fo["skip"]))
+    if fo.get("limit"):
+        df = df.limit(int(fo["limit"]))
+    if fo.get("projection"):
+        df = df.select(*mongo_projection_to_columns(fo["projection"]))
+    return df
+
+
+def mongo_offset_pipelines(
+    count: int, limit: int = 100, skip: int = 0
+) -> list[list[dict[str, Any]]]:
+    """mongodb offset paginator (src/connector/paginator/mongodb/offset.rs):
+    a known count fans out into parallel ``$skip/$limit`` pipelines —
+    one per Spark partition when fed to `aggregation.pipeline`."""
+    pipelines = []
+    at = skip
+    while at < count:
+        pipelines.append([{"$skip": at}, {"$limit": limit}])
+        at += limit
+    return pipelines or [[{"$skip": skip}, {"$limit": limit}]]
+
+
+def mongo_upsert_operations(
+    records: list[dict[str, Any]], key_fields: list[str]
+) -> list[dict[str, Any]]:
+    """Upsert batch semantics (mongodb.rs:384-465: ``update_many`` with
+    ``$set`` + ``upsert=true`` filtered on the key fields).  Returns the
+    operation documents a driver would execute — used by the
+    foreachBatch sink and by contract tests."""
+    ops = []
+    for rec in records:
+        filt = {k: rec[k] for k in key_fields}
+        ops.append(
+            {"filter": filt, "update": {"$set": rec}, "upsert": True, "multi": True}
+        )
+    return ops
+
+
+def upsert_foreach_batch(keys: list[str], apply_ops):
+    """Build a ``foreachBatch`` function implementing MERGE-style upsert
+    for targets without native MERGE (mongo `update_many($set)`,
+    JDBC `INSERT ON CONFLICT`): dedupe the micro-batch on the keys
+    (last write wins, like replaying the reference's per-record updates)
+    then hand each partition's operation batch to ``apply_ops``.
+
+    ``apply_ops(ops: list[dict])`` runs on executors — it opens its own
+    client (one per partition, the distributed analogue of the
+    reference's pooled connection).
+    """
+
+    def fn(batch_df, batch_id: int) -> None:
+        deduped = batch_df.dropDuplicates(keys)
+        kf = list(keys)
+
+        def per_partition(rows):
+            recs = [r.asDict(recursive=True) for r in rows]
+            if recs:
+                apply_ops(mongo_upsert_operations(recs, kf))
+
+        deduped.foreachPartition(per_partition)
+
+    return fn
