@@ -162,54 +162,71 @@ def near_dup_pairs_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    num_blocks: int = 16,
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold via blocked matrix multiply.
+    """Exact all-pairs cosine ≥ threshold via distributed blocked GEMM.
 
-    The full embedding matrix is broadcast (like a broadcast-join build
-    side — N x d doubles; 1M x 64 ≈ 0.5 GB is the practical ceiling) and
-    each partition computes its rows' similarities against all higher-id
-    vectors with one BLAS matmul inside ``mapInPandas``.  This replaces
-    ~N²/2 interpreted per-pair expression evaluations with vectorized
-    kernels — orders of magnitude faster — and ships only matching pairs
-    back through Arrow.  Beyond the build-side ceiling, block by IVF
-    cluster first (:func:`embedding_near_dup_pairs`).
+    Rows hash into ``num_blocks`` blocks; every unordered block pair
+    (bi ≤ bj) is one ``applyInPandas`` group whose task GEMMs block bi
+    against block bj (strict upper triangle when bi == bj) with one
+    vectorized BLAS matmul.  Each unordered vector pair lands in exactly
+    one group, so no dedup pass is needed.
+
+    Scale shape: NOTHING is collected to the driver (the block-pair
+    table is nb² metadata rows).  Each row is shuffled to ~nb groups
+    (communication O(N·nb)); a task holds ≤ 2N/nb vectors, so pick
+    ``num_blocks ≈ 2N·d·8 / task_mem`` — e.g. N=10⁸, d=64 → nb≈400 for
+    ~256 MB tasks.  Compute stays the unavoidable exact N²/2 — for
+    sub-quadratic use :func:`embedding_near_dup_pairs` (cluster-blocked).
     """
-    import numpy as np
-
+    nb = num_blocks
     spark = corpus.sparkSession
-    pdf = corpus.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(nb) for j in range(i, nb)], "bi int, bj int"
+    )
+    src = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("blk"),
+    )
+    tagged = src.join(
+        F.broadcast(pairs), (F.col("blk") == F.col("bi")) | (F.col("blk") == F.col("bj"))
+    )
 
-    def gen(batches):
+    def gemm(key, pdf):
+        import numpy as np
         import pandas as pd
 
-        b_ids, b_mat, b_norms = bc.value
-        for part in batches:
-            if len(part) == 0:
-                continue
-            vids = part[id_col].to_numpy()
-            vecs = np.vstack(part[vec_col].to_numpy()).astype(np.float64)
-            vnorms = np.sqrt((vecs * vecs).sum(axis=1))
-            sims = (vecs @ b_mat.T) / np.outer(vnorms, b_norms)
-            out_a: list = []
-            out_b: list = []
-            out_s: list = []
-            for r in range(len(vids)):
-                # slack below threshold; the authoritative rounded filter
-                # is applied Spark-side so semantics match the SQL oracle
-                mask = (b_ids > vids[r]) & (sims[r] >= threshold - 1e-9)
-                out_a.extend([int(vids[r])] * int(mask.sum()))
-                out_b.extend(b_ids[mask].tolist())
-                out_s.extend(sims[r][mask].tolist())
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim_raw": out_s})
+        bi, bj = key
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "sim_raw": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "sim_raw": "float64"}
+        )
+        if bi == bj:
+            a = b = pdf
+        else:
+            a = pdf[pdf["blk"] == bi]
+            b = pdf[pdf["blk"] == bj]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        aid = a["vid"].to_numpy()
+        bid = b["vid"].to_numpy()
+        A = np.vstack(a["vec"].to_numpy()).astype(np.float64)
+        B = np.vstack(b["vec"].to_numpy()).astype(np.float64)
+        an = np.sqrt((A * A).sum(axis=1))
+        bn = np.sqrt((B * B).sum(axis=1))
+        sims = (A @ B.T) / np.outer(an, bn)
+        # slack below threshold; the authoritative rounded filter is
+        # applied Spark-side so semantics match the SQL oracle
+        hot = sims >= threshold - 1e-9
+        if bi == bj:
+            hot &= aid[:, None] < bid[None, :]  # upper triangle once
+        r, c = np.nonzero(hot)
+        ia, ib = aid[r], bid[c]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)  # cross-block order
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim_raw": sims[r, c]})
 
-    raw = corpus.select(id_col, vec_col).mapInPandas(
-        gen, "id_a bigint, id_b bigint, sim_raw double"
+    raw = tagged.groupBy("bi", "bj").applyInPandas(
+        gemm, "id_a bigint, id_b bigint, sim_raw double"
     )
     return (
         raw.withColumn("sim", F.round("sim_raw", 6))

@@ -131,9 +131,24 @@ WHERE doc_id NOT IN (SELECT id_b FROM drop_ids)
 """
 
 
+def dedup_clean_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for clean-corpus: MinHash-LSH candidate pairs
+    (sub-quadratic — one (band,hash) shuffle, verify only candidates)
+    feed the same greedy anti-join.  Rows-only check (seeded hashing);
+    recall vs the exact pair source is asserted in tests/."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_perm=64, shingle_size=3)
+    pairs = dedup.minhash_candidate_pairs(sigs, num_perm=64, bands=16, jaccard_threshold=0.5)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "source", "n_chars")
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_clean_corpus": dedup_clean_corpus,
+    "dedup_clean_corpus_lsh": dedup_clean_corpus_lsh,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,

@@ -1,0 +1,88 @@
+"""Recall of the sub-quadratic (scale-path) dedup/ANN variants vs their
+exact counterparts, plus blocking-invariance of the exact GEMM."""
+
+from __future__ import annotations
+
+import pytest
+
+from chewdata_spark.operators import dedup, similarity
+from chewdata_spark.tables import load_table
+
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF01, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF01, "embeddings").cache()
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidate_pairs(
+            dedup.minhash_signatures(docs, "doc_id", "text", num_perm=64, shingle_size=3),
+            num_perm=64,
+            bands=16,
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    assert exact, "no planted near-dup pairs at sf0.01?"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9 ({len(exact)} exact pairs)"
+
+
+def test_clean_corpus_lsh_recall(spark, docs):
+    """The benched clean-corpus path (LSH pair source) must drop almost
+    every doc the exact path drops."""
+    from chewdata_spark.queries.dedup_queries import dedup_clean_corpus, dedup_clean_corpus_lsh
+
+    keep_exact = {r.doc_id for r in dedup_clean_corpus(spark, SF01).collect()}
+    keep_lsh = {r.doc_id for r in dedup_clean_corpus_lsh(spark, SF01).collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    dropped_exact = all_ids - keep_exact
+    dropped_lsh = all_ids - keep_lsh
+    assert dropped_exact, "exact path dropped nothing at sf0.01?"
+    recall = len(dropped_exact & dropped_lsh) / len(dropped_exact)
+    assert recall >= 0.9, f"clean-corpus LSH drop recall {recall:.2f} < 0.9"
+    # LSH must not over-drop wildly either (candidates are verified)
+    assert len(dropped_lsh - dropped_exact) <= max(2, len(dropped_exact) // 5)
+
+
+def test_ivf_topk_recall_vs_exact(spark, emb):
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.qid, r.vec_id)
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.qid, r.vec_id)
+        for r in similarity.ivf_topk(emb, queries, k=10, centroid_stride=50, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} < 0.6"
+
+
+def test_blocked_gemm_invariant_to_num_blocks(spark, emb):
+    """Exactness: the distributed blocked GEMM must produce identical
+    pairs for any blocking factor (each unordered pair in exactly one
+    block-pair group)."""
+    a = sorted(
+        (r.id_a, r.id_b, r.sim)
+        for r in similarity.near_dup_pairs_exact(emb, threshold=0.4, num_blocks=16).collect()
+    )
+    b = sorted(
+        (r.id_a, r.id_b, r.sim)
+        for r in similarity.near_dup_pairs_exact(emb, threshold=0.4, num_blocks=3).collect()
+    )
+    assert a == b and len(a) > 0
