@@ -83,6 +83,87 @@ class UnsupportedTemplate(ValueError):
     """Raised when a pattern falls outside the compilable subset."""
 
 
+# Object filters with exact reference value semantics (object.rs:141-552).
+# They operate on the JSON encoding of the value through Arrow-batched
+# UDFs (chew_*) — the documented slow path; keys/values/search stay
+# native SQL.  A chain like `x | replace_key(...) | update(...)` keeps
+# the JSON-text state between steps, so to_json wraps only once.
+_JSON_VALUE_FILTERS = ("update", "extract", "replace_key", "replace_value", "merge")
+_registered_udf_sessions: set[int] = set()
+
+
+def _object_udf_body(fname: str):
+    import json as _j
+
+    from chewdata_spark.functions import objects as O
+
+    def f(js: str | None, args_json: str) -> str | None:
+        if js is None:
+            return None
+        v = _j.loads(js)
+        a = _j.loads(args_json)
+        try:
+            if fname == "update":
+                out = O.value_update(v, a)
+            elif fname == "extract":
+                attrs = a.get("attributes")
+                if attrs is None:
+                    attrs = [a["attribute"]] if "attribute" in a else []
+                out = O.value_extract(v, attrs)
+            elif fname == "replace_key":
+                out = O.value_replace_key(v, str(a.get("from", "")), str(a.get("to", "")))
+            elif fname == "replace_value":
+                out = O.value_replace_value(v, str(a.get("from", "")), str(a.get("to", "")))
+            else:  # merge
+                w = a.get("with")
+                if isinstance(w, str):
+                    try:
+                        w = _j.loads(w)
+                    except Exception:
+                        pass
+                out = O.value_merge(v, w, a.get("attribute"))
+        except Exception:
+            return None  # render failure → NULL → Err-channel routing
+        return _j.dumps(out, ensure_ascii=False)
+
+    return f
+
+
+def ensure_object_udfs(spark=None) -> None:
+    """Register the chew_* JSON-value UDFs once per session."""
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.active()
+    if id(spark) in _registered_udf_sessions:
+        return
+    for name in _JSON_VALUE_FILTERS:
+        spark.udf.register(
+            f"chew_{name}", F.udf(_object_udf_body(name), "string", useArrow=True)
+        )
+    _registered_udf_sessions.add(id(spark))
+
+
+def _parse_literal(v: str):
+    """Parse a Tera filter-arg literal: 'str', 42, true, ['a','b'], {...}."""
+    import ast
+    import json as _j
+
+    v = v.strip()
+    try:
+        return ast.literal_eval(v)
+    except Exception:
+        pass
+    try:
+        return _j.loads(v)
+    except Exception:
+        return v
+
+
+def _pointer_to_json_path(pointer: str) -> str:
+    segs = [s for s in re.split(r"[/.]", str(pointer)) if s]
+    return "$" + "".join(f"[{s}]" if s.isdigit() else f".{s}" for s in segs)
+
+
 _IF_BLOCK = re.compile(
     r"^\s*\{%\s*if\s+(?P<cond>.+?)\s*%\}(?P<then>.*?)"
     r"(?P<elifs>(?:\{%\s*elif\s+.+?\s*%\}.*?)*)"
@@ -195,12 +276,46 @@ def _compile_expr(src: str, input_col: str | None = None) -> str:
     base = re.sub(r"\bcontext\.steps\.", "_steps.", base)
     base = re.sub(r"\bsteps\.", "_steps.", base)
     sql = base
+    is_json = False  # True once an object filter turned the value into JSON text
     for step in chain[1:]:
         step = step.strip()
         m = re.match(r"^(\w+)\s*(?:\((.*)\))?$", step)
         if not m:
             raise UnsupportedTemplate(f"cannot parse filter {step!r}")
         fname, argsrc = m.group(1), m.group(2) or ""
+        if fname in _JSON_VALUE_FILTERS or fname in ("search", "keys", "values"):
+            raw_args = {}
+            for kv in _split_top_level(argsrc, ",") if argsrc else []:
+                if kv.strip():
+                    k, _, v = kv.partition("=")
+                    raw_args[k.strip()] = _parse_literal(v)
+            src_expr = sql if is_json else f"to_json({sql})"
+            if fname == "search":
+                path = _pointer_to_json_path(raw_args.get("attribute", "/"))
+                sql = f"get_json_object({src_expr}, '{path}')"
+                is_json = True
+            elif fname == "keys":
+                sql = f"json_object_keys({src_expr})"
+                is_json = False
+            elif fname == "values":
+                # object values as strings (heterogeneous JSON values
+                # have no single Spark type); nested objects unsupported
+                sql = f"map_values(from_json({src_expr}, 'map<string,string>'))"
+                is_json = False
+            else:
+                import json as _j
+
+                ensure_object_udfs()
+                # escape for a Spark SQL string literal: backslashes
+                # first (Spark treats \ as an escape), then quotes
+                payload = (
+                    _j.dumps(raw_args, ensure_ascii=False)
+                    .replace("\\", "\\\\")
+                    .replace("'", "''")
+                )
+                sql = f"chew_{fname}({src_expr}, '{payload}')"
+                is_json = True
+            continue
         if fname == "filesizeformat":
             # humansize-style: binary divisor, 2-dp, trailing zeros
             # trimmed — 1000000 → "976.56 kB" (reference tests/transformer.rs:62)

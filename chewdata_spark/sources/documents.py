@@ -178,6 +178,15 @@ def write_document(
     scale-correct layout; the reference's single-file append/header
     splicing (src/step/writer.rs:205-242) is a single-node concern."""
     options = dict(options or {})
+    if fmt == "csv" and any(
+        f.dataType.typeName() in ("struct", "array") for f in df.schema.fields
+    ):
+        # nested records flatten to dotted + positional keys on CSV
+        # write (reference csv.rs:384-430 + value.rs:7-82); the header
+        # is the union of keys (deepest-record header, distributed)
+        from chewdata_spark.functions.objects import flatten as _flatten
+
+        df = _flatten(df, positional=str(options.pop("positional", "true")) != "false")
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

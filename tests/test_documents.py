@@ -72,3 +72,40 @@ def test_entry_path_drill_in(spark, tmp_path):
     assert df.count() == 2
     df2 = read_document(spark, str(p), "json", entry_path="/data/results/0")
     assert [tuple(r) for r in df2.select("a", "b").collect()] == [(1, "x")]
+
+
+def test_csv_write_flattens_nested_positional(spark, tmp_path):
+    """Nested records → dotted + positional keys on CSV write
+    (reference csv.rs:384-430, value.rs:7-82): struct fields become
+    a.b, arrays expand to a.0, a.1, ...; the header is the union of
+    keys so shorter records null-fill (deepest-record header)."""
+    df = spark.createDataFrame(
+        [
+            (1, {"city": "Paris", "zip": "75001"}, ["a", "b", "c"], [{"v": 10}]),
+            (2, {"city": "Lyon", "zip": None}, ["x"], [{"v": 20}, {"v": 21}]),
+        ],
+        "id int, addr struct<city:string,zip:string>, tags array<string>, "
+        "items array<struct<v:int>>",
+    )
+    out = tmp_path / "flat_csv"
+    write_document(df, str(out), "csv")
+    back = read_document(spark, str(out), "csv")
+    assert sorted(back.columns) == [
+        "addr.city", "addr.zip", "id", "items.0.v", "items.1.v",
+        "tags.0", "tags.1", "tags.2",
+    ]
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["addr.city"] == "Paris" and rows[1]["tags.2"] == "c"
+    assert rows[2]["items.1.v"] == 21 and rows[2]["tags.1"] is None
+
+
+def test_flatten_positional_helper(spark):
+    from chewdata_spark.functions.objects import flatten
+
+    df = spark.createDataFrame(
+        [([["p", "q"], ["r"]],)], "m array<array<string>>"
+    )
+    flat = flatten(df)
+    assert sorted(flat.columns) == ["m.0.0", "m.0.1", "m.1.0"]
+    row = flat.collect()[0]
+    assert (row["m.0.0"], row["m.0.1"], row["m.1.0"]) == ("p", "q", "r")
