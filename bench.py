@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_clean_corpus_lsh",
     "cosine_topk",
     "embedding_near_dup",
     "text_stats",
@@ -64,18 +65,44 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    regressions = _regressions_vs_baseline(timings)
+    if regressions:
+        out["regressions"] = regressions
+    print(json.dumps(out))
     spark.stop()
+
+
+def _regressions_vs_baseline(timings: dict[str, float]) -> dict[str, str]:
+    """Per-query regression gate: compare against the newest recorded
+    BENCH_r*.json (>1.5x slower AND >0.3s absolute = flagged)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not benches:
+        return {}
+    try:
+        data = json.load(open(benches[-1]))
+        base = data.get("queries") or data.get("parsed", {}).get("queries", {})
+    except Exception:
+        return {}
+    out = {}
+    for name, t in timings.items():
+        b = base.get(name)
+        if b and t > 1.5 * b and t - b > 0.3:
+            out[name] = f"{t:.2f}s vs baseline {b:.2f}s ({t / b:.1f}x)"
+    return out
 
 
 if __name__ == "__main__":

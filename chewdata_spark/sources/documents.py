@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 READ_FORMATS = ("json", "jsonl", "csv", "parquet", "orc", "xml", "yaml", "toml", "text", "byte")
-WRITE_FORMATS = ("json", "jsonl", "csv", "parquet", "orc", "xml", "yaml", "toml", "text")
+WRITE_FORMATS = ("json", "jsonl", "csv", "parquet", "orc", "xml", "yaml", "toml", "text", "byte")
 
 CSV_READ_DEFAULTS = {
     "header": "true",
@@ -209,8 +209,79 @@ def write_document(
         rendered.write.mode(mode).text(path)
     elif fmt == "text":
         writer.options(**options).text(path)
+    elif fmt == "byte":
+        _write_bytes(df, path, mode=mode)
     else:
         raise ValueError(f"unknown write format {fmt!r}; expected {WRITE_FORMATS}")
+
+
+def _write_bytes(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Raw byte passthrough write (reference byte document,
+    src/document/byte.rs): the binary `content` column is written
+    verbatim, one file per partition.  Local/NFS paths only (executors
+    open the files directly — fine in local mode and shared-FS
+    clusters; object stores should use parquet-with-binary instead)."""
+    import os as _os
+    import shutil
+
+    col = "content" if "content" in df.columns else None
+    if col is None:
+        bins = [f.name for f in df.schema.fields if f.dataType.typeName() == "binary"]
+        if len(bins) != 1:
+            raise ValueError(f"byte write needs one binary column, got {df.columns}")
+        col = bins[0]
+    local = path.removeprefix("file:")
+    if mode == "overwrite" and _os.path.isdir(local):
+        shutil.rmtree(local)
+    _os.makedirs(local, exist_ok=True)
+
+    def save(rows) -> None:
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        target = os.path.join(local, f"part-{pid:05d}.bin")
+        wrote = False
+        with open(target, "wb") as fh:
+            for r in rows:
+                b = r[col]
+                if b is not None:
+                    fh.write(bytes(b))
+                    wrote = True
+        if not wrote:
+            os.remove(target)
+
+    df.select(col).foreachPartition(save)
+
+
+def write_single_file(
+    df: DataFrame, path: str, fmt: str, *, options: dict[str, str] | None = None
+) -> None:
+    """Single-file output (the reference appends to ONE file with
+    header/footer splicing, src/document/mod.rs:181-205 — a single-node
+    concern; directories are the scale-correct layout).  Opt-in helper:
+    coalesce(1) → temp directory → promote the part file to `path` via
+    the Hadoop FS API (works on any scheme, including s3a)."""
+    tmp = path.rstrip("/") + "._single_tmp"
+    write_document(df.coalesce(1), tmp, fmt, mode="overwrite", options=options)
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = tmp_path.getFileSystem(conf)
+    parts = [
+        s.getPath()
+        for s in fs.listStatus(tmp_path)
+        if s.getPath().getName().startswith("part-")
+    ]
+    if len(parts) != 1:
+        raise RuntimeError(f"expected one part file in {tmp}, found {len(parts)}")
+    dest = jvm.org.apache.hadoop.fs.Path(path)
+    if fs.exists(dest):
+        fs.delete(dest, False)
+    fs.rename(parts[0], dest)
+    fs.delete(tmp_path, True)
 
 
 def _render_yaml(batches):

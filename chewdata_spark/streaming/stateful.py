@@ -16,26 +16,44 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 
-def stream_dedup(stream: DataFrame, key_cols: list[str]) -> DataFrame:
+def stream_dedup(
+    stream: DataFrame, key_cols: list[str], *, ttl_ms: int | None = None
+) -> DataFrame:
     """Keep only the first-ever record per key across the whole stream.
 
     groupBy(key) → applyInPandasWithState with a seen-flag per key:
     the first batch containing a key emits exactly one row (the min by
     arrival order inside the batch); subsequent batches emit none.
+
+    ``ttl_ms`` bounds state for unbounded key spaces: a key untouched
+    for the TTL is evicted (processing-time timeout), so a duplicate
+    arriving after eviction is treated as first-seen again — the
+    standard state/correctness tradeoff; size the TTL to the dedup
+    horizon you actually need.
     """
     out_schema: StructType = stream.schema
+    use_ttl = ttl_ms is not None
 
     def dedup_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # TTL fired with no new data for this key — drop the state
+            state.remove()
+            return
         if state.exists:
-            # key already emitted in an earlier batch — consume, emit nothing
+            # key already emitted in an earlier batch — consume, emit
+            # nothing, and push the eviction horizon out
             for _ in pdfs:
                 pass
+            if use_ttl:
+                state.setTimeoutDuration(ttl_ms)
             return
         first = None
         for pdf in pdfs:
             if len(pdf) and first is None:
                 first = pdf.iloc[[0]]
         state.update((True,))
+        if use_ttl:
+            state.setTimeoutDuration(ttl_ms)
         if first is not None:
             yield first
 
@@ -44,5 +62,7 @@ def stream_dedup(stream: DataFrame, key_cols: list[str]) -> DataFrame:
         outputStructType=out_schema,
         stateStructType="seen boolean",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout if use_ttl else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -109,3 +109,29 @@ def test_flatten_positional_helper(spark):
     assert sorted(flat.columns) == ["m.0.0", "m.0.1", "m.1.0"]
     row = flat.collect()[0]
     assert (row["m.0.0"], row["m.0.1"], row["m.1.0"]) == ("p", "q", "r")
+
+
+def test_byte_write_roundtrip(spark, tmp_path):
+    """Raw byte passthrough: content bytes land verbatim on disk."""
+    payload = [(bytearray(b"\x00\x01binary-A"),), (bytearray(b"\xffbinary-B"),)]
+    df = spark.createDataFrame(payload, "content binary").coalesce(1)
+    out = tmp_path / "bytes_out"
+    write_document(df, str(out), "byte")
+    files = sorted(out.glob("part-*.bin"))
+    assert len(files) == 1
+    data = files[0].read_bytes()
+    assert b"binary-A" in data and b"binary-B" in data and len(data) == 19
+
+
+def test_write_single_file(spark, tmp_path):
+    """Opt-in single-file promotion (reference single-file append layout)."""
+    from chewdata_spark.sources.documents import write_single_file
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    target = tmp_path / "single.csv"
+    write_single_file(df, str(target), "csv")
+    assert target.is_file()
+    text = target.read_text().strip().splitlines()
+    assert text[0] == "id,v" and len(text) == 3
+    back = read_document(spark, str(target), "csv")
+    assert back.count() == 2
