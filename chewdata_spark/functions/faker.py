@@ -124,9 +124,15 @@ def fake_password(seed: Column, min_len: int = 8, max_len: int = 16) -> Column:
     return F.substring(raw, 1, 32).substr(F.lit(1), length)
 
 
-def uuid_v4() -> Column:
-    """Random UUID (reference: function/string.rs:27-42)."""
-    return F.expr("uuid()")
+def uuid_v4(fmt: str = "hyphenated") -> Column:
+    """Random UUID in the reference's 3 formats: hyphenated (default),
+    simple (no hyphens), urn (function/string.rs:27-42)."""
+    u = F.expr("uuid()")
+    if fmt == "simple":
+        return F.replace(u, F.lit("-"), F.lit(""))
+    if fmt == "urn":
+        return F.concat(F.lit("urn:uuid:"), u)
+    return u
 
 
 # --- word/sentence/paragraph generators --------------------------------------

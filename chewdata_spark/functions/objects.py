@@ -423,6 +423,45 @@ def value_update(value, args: dict):
     return out
 
 
+def value_depth(value) -> int:
+    """Max nesting depth (reference Depth, value.rs:85-114) — used to
+    pick the CSV header-donor record; scalars are depth 0."""
+    if isinstance(value, dict):
+        return 1 + max((value_depth(v) for v in value.values()), default=0)
+    if isinstance(value, list):
+        return 1 + max((value_depth(v) for v in value), default=0)
+    return 0
+
+
+def schema_depth(dt) -> int:
+    """Depth of a Spark datatype (the schema-level twin of value_depth)."""
+    if isinstance(dt, StructType):
+        return 1 + max((schema_depth(f.dataType) for f in dt.fields), default=0)
+    if isinstance(dt, ArrayType):
+        return 1 + schema_depth(dt.elementType)
+    return 0
+
+
+def value_merge_replace(a, b):
+    """Positional merge (reference MergeAndReplace, value.rs:202-230):
+    objects merge per key, ARRAYS MERGE PER INDEX (b's extras append),
+    scalars replace."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = value_merge_replace(out[k], v) if k in out else v
+        return out
+    if isinstance(a, list) and isinstance(b, list):
+        out = list(a)
+        for i, v in enumerate(b):
+            if i < len(out):
+                out[i] = value_merge_replace(out[i], v)
+            else:
+                out.append(v)
+        return out
+    return b
+
+
 def value_keys(value):
     """Keys of an object / indices of an array (object.rs:528-552)."""
     if isinstance(value, dict):

@@ -271,6 +271,21 @@ def _compile_expr(src: str, input_col: str | None = None) -> str:
         base = input_col if input_col else "struct(*)"
     elif base == "now()":
         base = "current_timestamp()"
+    else:
+        m_env = re.match(
+            r"^get_env\(\s*name\s*=\s*'(\w+)'\s*(?:,\s*default\s*=\s*'([^']*)')?\s*\)$", base
+        )
+        if m_env:
+            # reference env function (function/string.rs:74-116): the
+            # value is resolved driver-side at compile time → a literal
+            import os as _os
+
+            val = _os.environ.get(m_env.group(1), m_env.group(2))
+            if val is None:
+                raise UnsupportedTemplate(
+                    f"environment variable {m_env.group(1)!r} not set and no default"
+                )
+            base = "'" + str(val).replace("\\", "\\\\").replace("'", "''") + "'"
     base = re.sub(r"\binput\.", f"{input_col}." if input_col else "", base)
     base = re.sub(r"\boutput\.", "", base)
     base = re.sub(r"\bcontext\.steps\.", "_steps.", base)
@@ -283,14 +298,16 @@ def _compile_expr(src: str, input_col: str | None = None) -> str:
         if not m:
             raise UnsupportedTemplate(f"cannot parse filter {step!r}")
         fname, argsrc = m.group(1), m.group(2) or ""
-        if fname in _JSON_VALUE_FILTERS or fname in ("search", "keys", "values"):
+        if fname in _JSON_VALUE_FILTERS or fname in ("search", "map", "keys", "values"):
             raw_args = {}
             for kv in _split_top_level(argsrc, ",") if argsrc else []:
                 if kv.strip():
                     k, _, v = kv.partition("=")
                     raw_args[k.strip()] = _parse_literal(v)
             src_expr = sql if is_json else f"to_json({sql})"
-            if fname == "search":
+            if fname in ("search", "map"):
+                # map(attribute) projects a nested attribute — same JSON
+                # pointer machinery as search (object.rs:506-525)
                 path = _pointer_to_json_path(raw_args.get("attribute", "/"))
                 sql = f"get_json_object({src_expr}, '{path}')"
                 is_json = True
@@ -321,6 +338,12 @@ def _compile_expr(src: str, input_col: str | None = None) -> str:
             # trimmed — 1000000 → "976.56 kB" (reference tests/transformer.rs:62)
             sql = _filesizeformat_sql(sql)
             continue
+        if fname in ("base64_encode", "base64_decode") and argsrc:
+            # the reference supports 4 alphabets (string.rs:48-122):
+            # standard / standard_no_pad / url_safe / url_safe_no_pad
+            cfg = str(_parse_literal(argsrc.partition("=")[2] or argsrc)).lower()
+            sql = _base64_sql(sql, fname == "base64_encode", cfg)
+            continue
         if fname not in _FILTERS:
             raise UnsupportedTemplate(f"unsupported filter {fname!r}")
         args = dict(_FILTER_DEFAULTS.get(fname, {}))
@@ -349,6 +372,25 @@ def _compile_expr(src: str, input_col: str | None = None) -> str:
         except (KeyError, IndexError) as e:
             raise UnsupportedTemplate(f"filter {fname!r} missing arg: {e}") from e
     return sql
+
+
+def _base64_sql(x: str, encode: bool, cfg: str) -> str:
+    """base64 with the reference's 4 alphabet configs (string.rs:48-122)."""
+    url = "url" in cfg
+    no_pad = "no_pad" in cfg
+    if encode:
+        out = f"base64({x})"
+        if url:
+            out = f"translate({out}, '+/', '-_')"
+        if no_pad:
+            out = f"replace({out}, '=', '')"
+        return out
+    src = x
+    if url:
+        src = f"translate({src}, '-_', '+/')"
+    if no_pad:  # restore padding for the decoder
+        src = f"concat({src}, repeat('=', (4 - length({src}) % 4) % 4))"
+    return f"cast(unbase64({src}) as string)"
 
 
 def _trim_zeros(expr: str) -> str:
@@ -482,6 +524,18 @@ def apply_actions(
     return df
 
 
+def _positional_mergeable(a, b) -> bool:
+    """Both sides are arrays of the SAME struct type → positional merge
+    is well-typed; anything else degenerates to replace."""
+    return (
+        a.typeName() == "array"
+        and b.typeName() == "array"
+        and a.elementType.typeName() == "struct"
+        # simpleString ignores nullability (literal structs are non-null)
+        and a.elementType.simpleString() == b.elementType.simpleString()
+    )
+
+
 def _merge_field(df: DataFrame, field: str, col: Column) -> DataFrame:
     """Deep-merge semantics for object values (reference
     src/helper/value.rs:202-230): when both the existing field and the
@@ -489,27 +543,53 @@ def _merge_field(df: DataFrame, field: str, col: Column) -> DataFrame:
     otherwise merge degenerates to replace (scalar/array behavior)."""
     old_dt = df.schema[field].dataType
     new_dt = df.select(col.alias("_probe")).schema["_probe"].dataType
+    if _positional_mergeable(old_dt, new_dt):
+        # top-level positional array merge (MergeAndReplace)
+        return df.withColumn(
+            field, F.zip_with(F.col(field), col, _elem_merger(old_dt.elementType))
+        )
     if old_dt.typeName() != "struct" or new_dt.typeName() != "struct":
         return df.withColumn(field, col)
+    return df.withColumn(field, _struct_merge(F.col(field), old_dt, col, new_dt))
 
-    def merge(old: Column, odt, new: Column, ndt) -> Column:
-        new_names = {f.name for f in ndt.fields}
-        parts = []
-        for f in odt.fields:
-            if f.name in new_names:
-                nf = ndt[f.name]
-                if f.dataType.typeName() == "struct" and nf.dataType.typeName() == "struct":
-                    parts.append(
-                        merge(old.getField(f.name), f.dataType, new.getField(f.name), nf.dataType)
-                        .alias(f.name)
-                    )
-                else:
-                    parts.append(new.getField(f.name).alias(f.name))
+
+def _elem_merger(et):
+    """zip_with element function merging two same-typed struct elements;
+    null-padded side loses (MergeAndReplace extras survive).  A closure
+    factory, not a defaulted lambda param (HOF arity trap)."""
+
+    def f2(o: Column, n: Column) -> Column:
+        return F.when(n.isNull(), o).when(o.isNull(), n).otherwise(_struct_merge(o, et, n, et))
+
+    return f2
+
+
+def _struct_merge(old: Column, odt, new: Column, ndt) -> Column:
+    new_names = {f.name for f in ndt.fields}
+    parts = []
+    for f in odt.fields:
+        if f.name in new_names:
+            nf = ndt[f.name]
+            if f.dataType.typeName() == "struct" and nf.dataType.typeName() == "struct":
+                parts.append(
+                    _struct_merge(
+                        old.getField(f.name), f.dataType, new.getField(f.name), nf.dataType
+                    ).alias(f.name)
+                )
+            elif _positional_mergeable(f.dataType, nf.dataType):
+                # positional array merge (MergeAndReplace, value.rs:202-230)
+                parts.append(
+                    F.zip_with(
+                        old.getField(f.name),
+                        new.getField(f.name),
+                        _elem_merger(f.dataType.elementType),
+                    ).alias(f.name)
+                )
             else:
-                parts.append(old.getField(f.name).alias(f.name))
-        for f in ndt.fields:
-            if f.name not in {x.name for x in odt.fields}:
                 parts.append(new.getField(f.name).alias(f.name))
-        return F.struct(*parts)
-
-    return df.withColumn(field, merge(F.col(field), old_dt, col, new_dt))
+        else:
+            parts.append(old.getField(f.name).alias(f.name))
+    for f in ndt.fields:
+        if f.name not in {x.name for x in odt.fields}:
+            parts.append(new.getField(f.name).alias(f.name))
+    return F.struct(*parts)

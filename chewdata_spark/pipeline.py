@@ -116,10 +116,23 @@ class Pipeline:
         self._erased_paths = set()
         self._erase_excluded = set()
         for s in self.steps:
-            if s.get("type") == "eraser" and s.get("connector", {}).get("path"):
-                self._erased_paths.add(s["connector"]["path"])
-                # exclude_paths survive the erase (src/step/eraser.rs:12-21)
-                self._erase_excluded.update(s.get("exclude_paths", []))
+            if s.get("type") != "eraser":
+                continue
+            conn = s.get("connector", {})
+            ctype = conn.get("type", "local")
+            if ctype == "bucket" and conn.get("bucket"):
+                from chewdata_spark.sources.bucket import bucket_url
+
+                self._erased_paths.add(bucket_url(conn))
+            elif ctype == "psql":
+                from chewdata_spark.sources.jdbc import compile_psql
+
+                kw = compile_psql(conn)
+                self._erased_paths.add(f"{kw['url']}::{kw['table']}")
+            elif conn.get("path"):
+                self._erased_paths.add(conn["path"])
+            # exclude_paths survive the erase (src/step/eraser.rs:12-21)
+            self._erase_excluded.update(s.get("exclude_paths", []))
         for step in self.steps:
             kind = step.get("type")
             if kind == "reader":
@@ -135,7 +148,15 @@ class Pipeline:
 
                     df = duplicate(df, n)
             elif kind == "eraser":
-                continue  # folded into writer mode
+                # local/bucket/psql erases fold into overwrite mode on the
+                # matching writer; a curl eraser is a real DELETE call
+                # (reference curl erase, curl.rs:1153)
+                conn = step.get("connector", {})
+                if conn.get("type") == "curl" and execute_writes:
+                    from chewdata_spark.sources.http import compile_curl_options, http_erase
+
+                    http_erase(compile_curl_options(conn, step.get("document", {})))
+                continue
             elif kind in ("transformer", "validator", "writer"):
                 if df is None:
                     raise ValueError(f"step {kind!r} has no upstream data")
@@ -320,8 +341,10 @@ class Pipeline:
 
             kw = compile_psql(conn)
             out = df.drop("_steps", "_error")
+            # a psql eraser folds into overwrite (JDBC truncate-and-load)
+            mode = "overwrite" if f"{kw['url']}::{kw['table']}" in self._erased_paths else "append"
             if execute:
-                write_jdbc(out, kw["url"], kw["table"], properties=kw["properties"])
+                write_jdbc(out, kw["url"], kw["table"], mode=mode, properties=kw["properties"])
             return WriteResult(kw["url"], "jdbc", out)
         if ctype == "bucket":
             from chewdata_spark.sources.bucket import bucket_url, write_bucket

@@ -97,6 +97,57 @@ def jwt_sign(claims: dict, *, algorithm: str = "HS256", secret: str | None = Non
     return f"{header}.{payload}.{b64url(sig)}"
 
 
+def jwk_to_signing_args(jwk: dict) -> dict:
+    """JWK → signing args for :func:`jwt_sign` (reference jwt
+    authenticator `jwk` field, jwt.rs:86): symmetric ``oct`` keys yield
+    a secret; ``RSA``/``EC`` private JWKs convert to PEM via their
+    parameters."""
+
+    def ub64(s: str) -> bytes:
+        return base64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+
+    kty = jwk["kty"]
+    if kty == "oct":
+        return {"algorithm": jwk.get("alg", "HS256"), "secret": ub64(jwk["k"]).decode("latin-1")}
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import ec, rsa
+
+    def i(name: str) -> int:
+        return int.from_bytes(ub64(jwk[name]), "big")
+
+    if kty == "RSA":
+        if "d" not in jwk:
+            raise ValueError("JWK signing needs a private RSA key (missing 'd')")
+        pub = rsa.RSAPublicNumbers(i("e"), i("n"))
+        if all(k in jwk for k in ("p", "q", "dp", "dq", "qi")):
+            priv = rsa.RSAPrivateNumbers(
+                i("p"), i("q"), i("d"), i("dp"), i("dq"), i("qi"), pub
+            )
+        else:
+            p, q = rsa.rsa_recover_prime_factors(i("n"), i("e"), i("d"))
+            priv = rsa.RSAPrivateNumbers(
+                p, q, i("d"),
+                rsa.rsa_crt_dmp1(i("d"), p), rsa.rsa_crt_dmq1(i("d"), q),
+                rsa.rsa_crt_iqmp(p, q), pub,
+            )
+        key = priv.private_key()
+        alg = jwk.get("alg", "RS256")
+    elif kty == "EC":
+        if "d" not in jwk:
+            raise ValueError("JWK signing needs a private EC key (missing 'd')")
+        curve = {"P-256": ec.SECP256R1}[jwk.get("crv", "P-256")]()
+        key = ec.derive_private_key(i("d"), curve)
+        alg = jwk.get("alg", "ES256")
+    else:
+        raise ValueError(f"unsupported JWK kty {kty!r}")
+    pem = key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption(),
+    ).decode()
+    return {"algorithm": alg, "private_key_pem": pem}
+
+
 def _build_headers(options: dict) -> dict[str, str]:
     headers = dict(json.loads(options.get("headers", "{}")))
     user = options.get("auth_basic_user")
@@ -391,12 +442,20 @@ def compile_curl_options(conn: dict, doc: dict | None = None) -> dict[str, str]:
             token = base64.b64decode(token).decode()
         opts["auth_bearer_token"] = token
     elif atype == "jwt":
-        alg = str(auth.get("algorithm", auth.get("algo", "HS256"))).upper()
-        opts["auth_jwt_algorithm"] = alg
-        if alg.startswith("HS"):
-            opts["auth_jwt_secret"] = auth["key"]
+        if auth.get("jwk"):
+            sig = jwk_to_signing_args(auth["jwk"])
+            opts["auth_jwt_algorithm"] = sig["algorithm"]
+            if "secret" in sig:
+                opts["auth_jwt_secret"] = sig["secret"]
+            else:
+                opts["auth_jwt_private_key"] = sig["private_key_pem"]
         else:
-            opts["auth_jwt_private_key"] = auth["key"]
+            alg = str(auth.get("algorithm", auth.get("algo", "HS256"))).upper()
+            opts["auth_jwt_algorithm"] = alg
+            if alg.startswith("HS"):
+                opts["auth_jwt_secret"] = auth["key"]
+            else:
+                opts["auth_jwt_private_key"] = auth["key"]
         opts["auth_jwt_claims"] = json.dumps(auth.get("payload", auth.get("claims", {})))
         refresh = auth.get("refresh_connector", auth.get("refresh"))
         if isinstance(refresh, dict):  # a nested curl connector config

@@ -151,6 +151,16 @@ def mongo_offset_pipelines(
     return pipelines or [[{"$skip": skip}, {"$limit": limit}]]
 
 
+def mongo_count_command(conn: dict[str, Any]) -> dict[str, Any]:
+    """mongodb metadata counter (src/connector/counter/mongodb/metadata.rs):
+    the count command the offset paginator issues to plan page fan-out —
+    feed its result to :func:`mongo_offset_pipelines`."""
+    cmd: dict[str, Any] = {"count": conn.get("collection", conn.get("col", ""))}
+    if conn.get("filter"):
+        cmd["query"] = conn["filter"]
+    return cmd
+
+
 def mongo_upsert_operations(
     records: list[dict[str, Any]], key_fields: list[str]
 ) -> list[dict[str, Any]]:
