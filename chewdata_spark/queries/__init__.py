@@ -21,12 +21,21 @@ def _modules():
         analytics,
         chewdata_ops,
         dedup_queries,
+        extra,
         relational,
         similarity_queries,
         text_queries,
     )
 
-    return (relational, chewdata_ops, dedup_queries, similarity_queries, text_queries, analytics)
+    return (
+        relational,
+        chewdata_ops,
+        dedup_queries,
+        similarity_queries,
+        text_queries,
+        analytics,
+        extra,
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:

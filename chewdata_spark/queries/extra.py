@@ -1,0 +1,143 @@
+"""Round-2 additions: skew-salted aggregation, lag windows, outer
+banded range join, and the UDTF chunking surface — each with a DuckDB
+oracle where SQL can express it."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chewdata_spark.tables import load_table
+
+
+def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skew-salted aggregation — algebraically identical to a
+    plain GROUP BY (the oracle proves it), but each hot key spreads
+    over 16 reducers in phase 1.  The shape to use when one event_type
+    dominates at 100 TB."""
+    from chewdata_spark.operators.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_sum_count(
+        ev,
+        ["event_type"],
+        {"n": "count:*", "total_value": "sum:value", "max_value": "max:value"},
+        num_salts=16,
+    )
+    return out.select(
+        "event_type", "n", F.round("total_value", 2).alias("total_value"), "max_value"
+    )
+
+
+SALTED_EVENT_STATS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag window: seconds since the user's previous event.
+    Shuffle key = user_id (high cardinality → even partitions)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # microsecond-exact gap: second-level truncation differs between
+    # engines when fractional parts straddle a boundary
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).alias("gap_us"),
+    )
+
+
+USER_EVENT_GAPS_SQL = """
+SELECT event_id, user_id,
+       epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS gap_us
+FROM events
+"""
+
+
+def orders_near_price_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT banded range join: every part keeps its row even with no
+    order priced within the band (exercises the outer-null-extension
+    semantics of banded_range_join)."""
+    from chewdata_spark.operators.rangejoin import banded_range_join
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), F.col("p_retailprice").alias("price")
+    ).filter(F.col("pk") <= 200)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_totalprice").alias("total")
+    ).filter(F.col("total") < 2000)
+    joined = banded_range_join(
+        part, orders, "price", "total", max_distance=50.0, how="left"
+    )
+    return joined.groupBy("pk").agg(
+        F.count(F.col("ok")).alias("n_near"),
+        F.round(F.min("total"), 2).alias("cheapest_near"),
+    )
+
+
+ORDERS_NEAR_PRICE_LEFT_SQL = """
+SELECT p.p_partkey AS pk,
+       COUNT(o.o_orderkey) AS n_near,
+       ROUND(MIN(o.o_totalprice), 2) AS cheapest_near
+FROM part p
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice < 2000) o
+  ON ABS(p.p_retailprice - o.o_totalprice) <= 50.0
+WHERE p.p_partkey <= 200
+GROUP BY p.p_partkey
+"""
+
+
+def chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-callable chunking surface (LATERAL UDTF) — same output
+    as the codegen chunk_documents query; the oracle reuses the
+    chunking SQL semantics."""
+    from chewdata_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_documents")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
+        "FROM _udtf_documents d, LATERAL chunk_text(d.text, 50, 10) c "
+        "WHERE d.doc_id < 100"
+    )
+
+
+CHUNK_UDTF_SQL = """
+WITH d AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+    FROM documents WHERE doc_id < 100
+), n AS (
+    SELECT doc_id, w, GREATEST(CAST(CEIL((len(w) - 10) / 40.0) AS INT), 1) AS n_chunks
+    FROM d
+), ex AS (
+    SELECT doc_id, w, unnest(range(n_chunks)) AS chunk_idx FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(w[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' ') AS chunk_text,
+       CAST(len(w[chunk_idx * 40 + 1 : chunk_idx * 40 + 50]) AS INT) AS n_tokens
+FROM ex
+"""
+
+
+QUERIES = {
+    "salted_event_stats": salted_event_stats,
+    "user_event_gaps": user_event_gaps,
+    "orders_near_price_left": orders_near_price_left,
+    "chunk_documents_udtf": chunk_documents_udtf,
+}
+
+ORACLES = {
+    "salted_event_stats": SALTED_EVENT_STATS_SQL,
+    "user_event_gaps": USER_EVENT_GAPS_SQL,
+    "orders_near_price_left": ORDERS_NEAR_PRICE_LEFT_SQL,
+    "chunk_documents_udtf": CHUNK_UDTF_SQL,
+}
