@@ -91,6 +91,106 @@ def fake_decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.mapInPandas(gen, out_schema)
 
 
+def resize_image(
+    df: DataFrame, content_col: str = "content", *, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Resize image bytes to (width, height) JPEG — requires PIL."""
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def gen(batches):
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise NotImplementedError(
+                "image resize requires PIL; use fake_resize_image for plumbing tests"
+            ) from e
+        import io
+
+        for pdf in batches:
+            out = []
+            for b in pdf[content_col]:
+                im = Image.open(io.BytesIO(bytes(b))).resize((width, height))
+                buf = io.BytesIO()
+                im.save(buf, format="JPEG")
+                out.append(buf.getvalue())
+            pdf = pdf.copy()
+            pdf[content_col] = out
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def fake_resize_image(
+    df: DataFrame, content_col: str = "content", *, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Deterministic stand-in resize: content becomes a hash-seeded
+    buffer of exactly width*height bytes — same schema-preserving,
+    size-normalizing plan shape as :func:`resize_image`."""
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    target = width * height
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for b in pdf[content_col]:
+                seed = hashlib.sha256(bytes(b)).digest()
+                out.append((seed * (target // len(seed) + 1))[:target])
+            pdf = pdf.copy()
+            pdf[content_col] = out
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def decode_audio(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Audio bytes → (…, sample_rate, duration_ms, n_channels).
+    Real kernel needs soundfile/librosa; raises without them."""
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += ", sample_rate int, duration_ms int, n_channels int"
+
+    def gen(batches):
+        try:
+            import soundfile  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "audio decode requires soundfile; use fake_decode_audio for plumbing tests"
+            ) from e
+        import io
+
+        for pdf in batches:
+            rates, durs, chans = [], [], []
+            for b in pdf[content_col]:
+                info = soundfile.info(io.BytesIO(bytes(b)))
+                rates.append(int(info.samplerate))
+                durs.append(int(info.duration * 1000))
+                chans.append(int(info.channels))
+            pdf = pdf.copy()
+            pdf["sample_rate"] = rates
+            pdf["duration_ms"] = durs
+            pdf["n_channels"] = chans
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def fake_decode_audio(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Deterministic stand-in audio probe (rate/duration/channels from
+    the content hash) — identical plan shape to :func:`decode_audio`."""
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += ", sample_rate int, duration_ms int, n_channels int"
+
+    def gen(batches):
+        for pdf in batches:
+            h = [hashlib.sha256(bytes(b)).digest() for b in pdf[content_col]]
+            pdf = pdf.copy()
+            pdf["sample_rate"] = [(8000, 16000, 22050, 44100)[d[2] % 4] for d in h]
+            pdf["duration_ms"] = [100 + int.from_bytes(d[3:6], "big") % 600000 for d in h]
+            pdf["n_channels"] = [1 + d[6] % 2 for d in h]
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
 def fake_extract_features(
     df: DataFrame, content_col: str = "content", *, dim: int = 64
 ) -> DataFrame:

@@ -2,13 +2,18 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from chewdata_spark.operators.multimodal import (
     attach_metadata,
+    decode_audio,
+    fake_decode_audio,
     fake_decode_image,
     fake_extract_features,
     fake_frame_sample,
+    fake_resize_image,
 )
 from chewdata_spark.tables import load_table
 
@@ -52,3 +57,40 @@ def test_fake_frame_sample_explodes(spark, sf_dir):
     assert all(1 <= r["count"] <= 4 for r in per_doc)
     total_docs = df.count()
     assert frames.select("doc_id").distinct().count() == total_docs
+
+
+def test_fake_resize_normalizes_size(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"img-one")), (2, bytearray(b"img-two-longer"))],
+        "id int, content binary",
+    )
+    out = fake_resize_image(df, width=8, height=8).collect()
+    assert all(len(r.content) == 64 for r in out)
+    # deterministic: same input bytes → same output
+    out2 = fake_resize_image(df, width=8, height=8).collect()
+    assert {bytes(r.content) for r in out} == {bytes(r.content) for r in out2}
+
+
+def test_fake_decode_audio_schema_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"wav-bytes")), (2, bytearray(b"other-aud"))],
+        "id int, content binary",
+    )
+    out = fake_decode_audio(df)
+    assert out.columns == ["id", "content", "sample_rate", "duration_ms", "n_channels"]
+    rows = {r.id: (r.sample_rate, r.duration_ms, r.n_channels) for r in out.collect()}
+    assert rows[1][0] in (8000, 16000, 22050, 44100) and rows[1][2] in (1, 2)
+    rows2 = {r.id: (r.sample_rate, r.duration_ms, r.n_channels)
+             for r in fake_decode_audio(df).collect()}
+    assert rows == rows2
+
+
+def test_real_audio_decode_raises_without_lib(spark):
+    import importlib.util
+
+    if importlib.util.find_spec("soundfile") is not None:
+        pytest.skip("soundfile present; stub guard not applicable")
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "id int, content binary")
+    with pytest.raises(Exception) as ei:
+        decode_audio(df).collect()
+    assert "NotImplementedError" in str(ei.value) or "soundfile" in str(ei.value)

@@ -73,3 +73,76 @@ class TestTemplateArithmetic:
 @pytest.fixture(scope="module")
 def spark_module(spark):
     return spark
+
+
+# -- value-level object filter properties ------------------------------------
+
+json_scalars = st.one_of(
+    st.none(), st.booleans(),
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.text(max_size=20),
+)
+json_values = st.recursive(
+    json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(min_size=1, max_size=8), children, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+class TestValueFilterProperties:
+    @settings(max_examples=150, deadline=None)
+    @given(v=json_values)
+    def test_replace_key_identity_pattern(self, v):
+        """A never-matching pattern leaves the value unchanged."""
+        from chewdata_spark.functions.objects import value_replace_key
+
+        assert value_replace_key(v, r"\bNEVER_MATCHES_XYZ\b", "zzz") == v
+
+    @settings(max_examples=150, deadline=None)
+    @given(v=json_values)
+    def test_merge_replace_identity(self, v):
+        """x merge_replace x == x (idempotent on equal values)."""
+        from chewdata_spark.functions.objects import value_merge_replace
+
+        assert value_merge_replace(v, v) == v
+
+    @settings(max_examples=150, deadline=None)
+    @given(a=json_values, b=json_values)
+    def test_merge_replace_b_wins_on_scalars(self, a, b):
+        """For scalar b, merge_replace always yields b."""
+        from chewdata_spark.functions.objects import value_merge_replace
+
+        if not isinstance(b, (dict, list)):
+            assert value_merge_replace(a, b) == b
+
+    @settings(max_examples=150, deadline=None)
+    @given(v=json_values)
+    def test_depth_non_negative_and_consistent(self, v):
+        from chewdata_spark.functions.objects import value_depth
+
+        d = value_depth(v)
+        assert d >= 0
+        if isinstance(v, (dict, list)) and v:
+            assert d == 1 + max(
+                value_depth(x) for x in (v.values() if isinstance(v, dict) else v)
+            )
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        v=st.dictionaries(st.text(min_size=1, max_size=6), json_scalars,
+                          min_size=1, max_size=5)
+    )
+    def test_keys_values_zip_to_items(self, v):
+        from chewdata_spark.functions.objects import value_keys, value_values
+
+        assert dict(zip(value_keys(v), value_values(v))) == v
+
+    @settings(max_examples=100, deadline=None)
+    @given(v=json_values)
+    def test_search_root_returns_value(self, v):
+        from chewdata_spark.functions.objects import value_search
+
+        assert value_search(v, "/") == v
