@@ -129,6 +129,63 @@ def _object_udf_body(fname: str):
     return f
 
 
+def _chew_tojson(x) -> str | None:
+    """Type-agnostic JSON encoding for the object-filter pipeline:
+    structs/maps/arrays encode naturally, a STRING that already holds
+    JSON text passes through re-encoded (the reference's
+    ``Value::resolve`` re-typing — a rendered `'{"a":1}'` behaves as an
+    object), scalars encode as JSON scalars.  Native ``to_json`` can't
+    do this: it rejects string inputs at analysis time."""
+    import json as _j
+
+    def conv(v):
+        if hasattr(v, "asDict"):
+            v = v.asDict()
+        if isinstance(v, dict):
+            return {k: conv(u) for k, u in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [conv(u) for u in v]
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        return v
+
+    if x is None:
+        return None
+    if isinstance(x, str):
+        s = x.strip()
+        if s[:1] in "[{":
+            try:
+                return _j.dumps(_j.loads(s), ensure_ascii=False)
+            except ValueError:
+                pass
+        return _j.dumps(x, ensure_ascii=False)
+    return _j.dumps(conv(x), ensure_ascii=False, default=str)
+
+
+def _chew_merge_col(js: str | None, args_json: str, with_text: str | None) -> str | None:
+    """merge where `with` is a COLUMN value (tests/transformer.rs:195-255:
+    ``{{ output.a | merge(with=output.b) }}``)."""
+    import json as _j
+
+    from chewdata_spark.functions import objects as O
+
+    if js is None:
+        return None
+    v = _j.loads(js)
+    a = _j.loads(args_json)
+    w = None
+    if with_text is not None:
+        try:
+            w = _j.loads(with_text)
+        except ValueError:
+            w = with_text
+    try:
+        out = O.value_merge(v, w, a.get("attribute"))
+    except Exception:
+        return None
+    return _j.dumps(out, ensure_ascii=False)
+
+
 def ensure_object_udfs(spark=None) -> None:
     """Register the chew_* JSON-value UDFs once per session."""
     from pyspark.sql import SparkSession
@@ -140,6 +197,8 @@ def ensure_object_udfs(spark=None) -> None:
         spark.udf.register(
             f"chew_{name}", F.udf(_object_udf_body(name), "string", useArrow=True)
         )
+    spark.udf.register("chew_tojson", F.udf(_chew_tojson, "string", useArrow=True))
+    spark.udf.register("chew_merge_col", F.udf(_chew_merge_col, "string", useArrow=True))
     _registered_udf_sessions.add(id(spark))
 
 
@@ -298,13 +357,20 @@ def _compile_expr(src: str, input_col: str | None = None) -> str:
         if not m:
             raise UnsupportedTemplate(f"cannot parse filter {step!r}")
         fname, argsrc = m.group(1), m.group(2) or ""
+        if fname == "json_encode" and is_json:
+            # the value is already JSON text — encoding again would
+            # double-quote it (reference renders objects to JSON anyway)
+            continue
         if fname in _JSON_VALUE_FILTERS or fname in ("search", "map", "keys", "values"):
+            ensure_object_udfs()
             raw_args = {}
+            raw_texts = {}
             for kv in _split_top_level(argsrc, ",") if argsrc else []:
                 if kv.strip():
                     k, _, v = kv.partition("=")
                     raw_args[k.strip()] = _parse_literal(v)
-            src_expr = sql if is_json else f"to_json({sql})"
+                    raw_texts[k.strip()] = v.strip()
+            src_expr = sql if is_json else f"chew_tojson({sql})"
             if fname in ("search", "map"):
                 # map(attribute) projects a nested attribute — same JSON
                 # pointer machinery as search (object.rs:506-525)
@@ -322,15 +388,30 @@ def _compile_expr(src: str, input_col: str | None = None) -> str:
             else:
                 import json as _j
 
-                ensure_object_udfs()
-                # escape for a Spark SQL string literal: backslashes
-                # first (Spark treats \ as an escape), then quotes
-                payload = (
-                    _j.dumps(raw_args, ensure_ascii=False)
-                    .replace("\\", "\\\\")
-                    .replace("'", "''")
-                )
-                sql = f"chew_{fname}({src_expr}, '{payload}')"
+                def sql_quote(s: str) -> str:
+                    # escape for a Spark SQL string literal: backslashes
+                    # first (Spark treats \ as an escape), then quotes
+                    return s.replace("\\", "\\\\").replace("'", "''")
+
+                with_txt = raw_texts.get("with", "")
+                if (
+                    fname == "merge"
+                    and with_txt
+                    and with_txt[0] not in "'\"[{0123456789-"
+                    and re.fullmatch(r"[\w.]+", with_txt)
+                ):
+                    # `with` is a COLUMN reference, not a literal —
+                    # resolve it like any base ref and ship its value
+                    wexpr = re.sub(r"\binput\.", f"{input_col}." if input_col else "", with_txt)
+                    wexpr = re.sub(r"\boutput\.", "", wexpr)
+                    payload = sql_quote(_j.dumps(
+                        {k: v for k, v in raw_args.items() if k != "with"},
+                        ensure_ascii=False,
+                    ))
+                    sql = f"chew_merge_col({src_expr}, '{payload}', chew_tojson({wexpr}))"
+                else:
+                    payload = sql_quote(_j.dumps(raw_args, ensure_ascii=False))
+                    sql = f"chew_{fname}({src_expr}, '{payload}')"
                 is_json = True
             continue
         if fname == "filesizeformat":

@@ -46,9 +46,12 @@ from chewdata_spark.sources.documents import read_document, write_document
 
 _MUSTACHE_PATH = re.compile(r"\{\{\s*([\w.]+)\s*\}\}")
 
+# the referential lookup idiom; both quote styles, and both projection
+# spellings the reference tests use: `map(attribute=...)` and
+# `get(key=...)` (tests/transformer.rs:256-309)
 _LOOKUP = re.compile(
-    r"^\s*(\w+)\s*\|\s*filter\s*\(\s*attribute\s*=\s*'([\w.]+)'\s*,\s*value\s*=\s*input\.([\w.]+)\s*\)"
-    r"\s*\|\s*first\s*\|\s*map\s*\(\s*attribute\s*=\s*'([\w.]+)'\s*\)\s*$"
+    r"^\s*(\w+)\s*\|\s*filter\s*\(\s*attribute\s*=\s*[\"']([\w.]+)[\"']\s*,\s*value\s*=\s*input\.([\w.]+)\s*\)"
+    r"\s*\|\s*first\s*\|\s*(?:map\s*\(\s*attribute|get\s*\(\s*key)\s*=\s*[\"']([\w.]+)[\"']\s*\)\s*$"
 )
 
 
@@ -284,7 +287,7 @@ class Pipeline:
     def _transform(self, spark: SparkSession, step: dict, df: DataFrame) -> DataFrame:
         refs = {
             alias: self._read(spark, cfg)
-            for alias, cfg in (step.get("referentials") or {}).items()
+            for alias, cfg in (step.get("referentials") or step.get("refs") or {}).items()
         }
         actions: list[Action | dict] = []
         for a in step.get("actions", []):

@@ -351,3 +351,47 @@ def test_eraser_exclude_paths(spark, tmp_path):
 
     assert read_document(spark, wiped, "jsonl").count() == 1
     assert read_document(spark, kept, "jsonl").count() == 2
+
+
+def test_reference_complex_transformation_merge(spark):
+    """Port of tests/transformer.rs it_should_apply_complex_transformation:
+    two rendered JSON-object fields, merged (optionally at a sub-path)."""
+    import json
+
+    cfg = [
+        {"type": "reader", "connector": {"type": "local", "path": f"{DATA}/one_line.json"},
+         "document": {"type": "json"}},
+        {"type": "transformer", "actions": [
+            {"field": "object1", "pattern": '{"field1":"value1"}'},
+            {"field": "object2", "pattern": '{"field2":"value2"}'},
+            {"field": "object_merged",
+             "pattern": "{{ output.object1 | merge(with=output.object2) | json_encode() }}"},
+            {"field": "object_merged_in",
+             "pattern": "{{ output.object1 | merge(with=output.object2, attribute='/other') | json_encode() }}"},
+        ]},
+    ]
+    row = Pipeline(cfg, spark).dataframe().collect()[0]
+    assert json.loads(row.object_merged) == {"field1": "value1", "field2": "value2"}
+    assert json.loads(row.object_merged_in) == {
+        "field1": "value1", "other": {"field2": "value2"}
+    }
+
+
+def test_reference_mapping_with_get_key(spark):
+    """Port of tests/transformer.rs it_should_apply_transformation_with_mapping:
+    the lookup idiom spelled with double quotes and get(key=...), and the
+    referentials key spelled `refs`."""
+    cfg = [
+        {"type": "reader", "connector": {"type": "local", "path": f"{DATA}/one_line.json"},
+         "document": {"type": "json"}},
+        {"type": "transformer",
+         "actions": [
+             {"field": "mapping",
+              "pattern": '{{ alias_mapping | filter(attribute="mapping_code", value=input.code) | first | get(key="mapping_value") }}'},
+         ],
+         "refs": {"alias_mapping": {"connector": {"type": "local",
+                                                  "path": f"{DATA}/mapping.json"},
+                                    "document": {"type": "json"}}}},
+    ]
+    row = Pipeline(cfg, spark).dataframe().collect()[0]
+    assert row.mapping == "value mapped"
