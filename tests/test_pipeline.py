@@ -395,3 +395,70 @@ def test_reference_mapping_with_get_key(spark):
     ]
     row = Pipeline(cfg, spark).dataframe().collect()[0]
     assert row.mapping == "value mapped"
+
+
+def test_reference_chain_writers(spark, tmp_path):
+    """Port of tests/writer.rs it_should_chain_writers: two writer steps
+    in one pipeline both persist, and data flows through unchanged."""
+    out_a, out_b = tmp_path / "chain_a", tmp_path / "chain_b"
+    cfg = [
+        {"type": "reader", "connector": {"type": "local", "path": f"{DATA}/one_line.json"},
+         "document": {"type": "json"}},
+        {"type": "writer", "connector": {"type": "local", "path": str(out_a)},
+         "document": {"type": "jsonl"}},
+        {"type": "transformer", "actions": [{"field": "extra", "pattern": "tagged"}]},
+        {"type": "writer", "connector": {"type": "local", "path": str(out_b)},
+         "document": {"type": "jsonl"}},
+    ]
+    _, writes = Pipeline(cfg, spark).run()
+    assert len(writes) == 2
+    a = spark.read.json(str(out_a))
+    b = spark.read.json(str(out_b))
+    assert a.count() == 1 and "extra" not in a.columns
+    assert b.count() == 1 and b.collect()[0].extra == "tagged"
+
+
+def test_reference_truncate_vs_append(spark, tmp_path):
+    """Port of writer.rs it_should_truncate_the_file /
+    it_should_not_truncate_the_file: an eraser before the writer
+    truncates (second run replaces), no eraser appends."""
+    target = str(tmp_path / "trunc")
+    with_eraser = [
+        {"type": "reader", "connector": {"type": "local", "path": f"{DATA}/one_line.json"},
+         "document": {"type": "json"}},
+        {"type": "eraser", "connector": {"path": target}},
+        {"type": "writer", "connector": {"type": "local", "path": target},
+         "document": {"type": "jsonl"}},
+    ]
+    Pipeline(with_eraser, spark).run()
+    Pipeline(with_eraser, spark).run()
+    assert spark.read.json(target).count() == 1  # truncated each run
+
+    target2 = str(tmp_path / "append")
+    no_eraser = [
+        {"type": "reader", "connector": {"type": "local", "path": f"{DATA}/one_line.json"},
+         "document": {"type": "json"}},
+        {"type": "writer", "connector": {"type": "local", "path": target2},
+         "document": {"type": "jsonl"}},
+    ]
+    Pipeline(no_eraser, spark).run()
+    Pipeline(no_eraser, spark).run()
+    assert spark.read.json(target2).count() == 2  # appended
+
+
+def test_reference_clear_dynamic_files(spark, tmp_path):
+    """Port of clear.rs it_should_clear_dynamique_files: an eraser on a
+    mustache path truncates the partitioned output of the matching
+    writer (per-partition replace on re-run)."""
+    raw = str(tmp_path / "dyn") + "/file_{{ group }}.json"
+    cfg = [
+        {"type": "reader", "connector": {"type": "local", "path": f"{DATA}/one_line.json"},
+         "document": {"type": "json"}},
+        {"type": "eraser", "connector": {"path": raw}},
+        {"type": "writer", "connector": {"type": "local", "path": raw},
+         "document": {"type": "jsonl"}},
+    ]
+    Pipeline(cfg, spark).run()
+    Pipeline(cfg, spark).run()
+    out = spark.read.json(str(tmp_path / "dyn"))
+    assert out.count() == 1  # re-run replaced, not doubled
