@@ -128,8 +128,56 @@ FROM ex
 """
 
 
+_STREAM_RUN = {"n": 0}
+
+
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts computed BY STRUCTURED STREAMING (availableNow
+    over the same parquet, complete-mode window aggregation, memory
+    sink) and compared to the plain batch GROUP BY oracle — the
+    streaming runtime is inside the correctness gate, not just pytest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # file streams need a directory basePath — a glob resolves it to sf_dir
+    stream = spark.readStream.schema(schema).parquet(os.path.join(sf_dir, "events.parquet*"))
+    ts = F.expr("timestamp_micros(ts div 1000)")
+    agg = (
+        stream.withColumn("ts_us", ts)
+        .groupBy(F.window("ts_us", "1 hour"), "event_type")
+        .count()
+    )
+    _STREAM_RUN["n"] += 1
+    name = f"_stream_events_hourly_{_STREAM_RUN['n']}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window.start").alias("hour_start"),
+        "event_type",
+        F.col("count").alias("n"),
+    )
+
+
+STREAM_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "salted_event_stats": salted_event_stats,
+    "stream_events_hourly": stream_events_hourly,
     "user_event_gaps": user_event_gaps,
     "orders_near_price_left": orders_near_price_left,
     "chunk_documents_udtf": chunk_documents_udtf,
@@ -137,6 +185,7 @@ QUERIES = {
 
 ORACLES = {
     "salted_event_stats": SALTED_EVENT_STATS_SQL,
+    "stream_events_hourly": STREAM_EVENTS_HOURLY_SQL,
     "user_event_gaps": USER_EVENT_GAPS_SQL,
     "orders_near_price_left": ORDERS_NEAR_PRICE_LEFT_SQL,
     "chunk_documents_udtf": CHUNK_UDTF_SQL,
