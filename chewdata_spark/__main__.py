@@ -1,0 +1,37 @@
+"""CLI entrypoint — the reference's ``chewdata '<config>'`` binary
+(src/main.rs:24-117) as ``python -m chewdata_spark '<config>'``:
+
+    echo '[{"a":1}]' | python -m chewdata_spark \\
+        '[{"type":"r"},{"type":"t","actions":[...]},{"type":"w"}]'
+
+- the single argument is a JSON or YAML step-list config (with
+  ``{{ CHEWDATA_* }}`` env substitution);
+- no argument runs the default passthrough ``[{"type":"r"},{"type":"w"}]``;
+- readers/writers without a connector use stdin/stdout (cli connector).
+"""
+
+from __future__ import annotations
+
+import sys
+
+DEFAULT_PROCESSORS = '[{"type": "r"},{"type": "w"}]'
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    config = argv[0] if argv else DEFAULT_PROCESSORS
+
+    from chewdata_spark.pipeline import Pipeline
+    from chewdata_spark.session import get_spark
+
+    spark = get_spark("chewdata-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        Pipeline.from_config(config, spark).run()
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -259,20 +259,24 @@ def _compile_condition(src: str, input_col: str | None = None) -> Column:
     return F.expr(s).cast("boolean")
 
 
-def _compile_if_block(pattern: str, input_col: str | None = None) -> Column:
+def _compile_if_block(
+    pattern: str, input_col: str | None = None, *, strip_bodies: bool = False
+) -> Column:
     """``{% if c %}A{% elif c2 %}B{% else %}C{% endif %}`` → when-chain.
 
     Branch bodies are themselves templates (text / ``{{ ... }}`` holes);
     single level only — nested blocks raise UnsupportedTemplate.
+    ``strip_bodies`` trims branch whitespace (Tera ``{%- -%}`` markers).
     """
     m = _IF_BLOCK.match(pattern)
     if not m:
         raise UnsupportedTemplate(f"cannot parse conditional template {pattern!r}")
+    trim = (lambda s: s.strip()) if strip_bodies else (lambda s: s)
     branches: list[tuple[Column, str]] = [
-        (_compile_condition(m.group("cond"), input_col), m.group("then"))
+        (_compile_condition(m.group("cond"), input_col), trim(m.group("then")))
     ]
     for cond, body in _ELIF.findall(m.group("elifs") or ""):
-        branches.append((_compile_condition(cond, input_col), body))
+        branches.append((_compile_condition(cond, input_col), trim(body)))
     if any("{%" in body for _, body in branches):
         raise UnsupportedTemplate("nested {% %} blocks are not compilable")
     out = None
@@ -283,7 +287,7 @@ def _compile_if_block(pattern: str, input_col: str | None = None) -> Column:
     if els is not None:
         if "{%" in els:
             raise UnsupportedTemplate("nested {% %} blocks are not compilable")
-        out = out.otherwise(template_to_column(els, input_col=input_col))
+        out = out.otherwise(template_to_column(trim(els), input_col=input_col))
     return out
 
 
@@ -498,6 +502,15 @@ def template_to_column(pattern: str, *, input_col: str | None = None) -> Column:
     ``Value::resolve`` re-typing falls out naturally: expressions stay
     numeric/boolean/array).  Mixed text + holes becomes a string concat.
     """
+    if "{%-" in pattern or "-%}" in pattern:
+        # Tera whitespace-control markers: normalize and trim branch
+        # bodies (the reference's `{%- if c -%} true {%- else -%} ...`)
+        pattern = re.sub(r"\{%-\s*", "{% ", pattern)
+        pattern = re.sub(r"\s*-%\}", " %}", pattern)
+        pattern = re.sub(r"\{\{-\s*", "{{ ", pattern)
+        pattern = re.sub(r"\s*-\}\}", " }}", pattern)
+        if _IF_BLOCK.match(pattern):
+            return _compile_if_block(pattern, input_col=input_col, strip_bodies=True)
     if "{%" in pattern:
         return _compile_if_block(pattern, input_col=input_col)
     holes = list(_HOLE.finditer(pattern))

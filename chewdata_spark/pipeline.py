@@ -46,6 +46,12 @@ from chewdata_spark.sources.documents import read_document, write_document
 
 _MUSTACHE_PATH = re.compile(r"\{\{\s*([\w.]+)\s*\}\}")
 
+# validator "exists in referential" idiom (src/step/validator.rs:66)
+_EXISTS_RULE = re.compile(
+    r"(\w+)\s*\|\s*filter\s*\(\s*attribute\s*=\s*[\"']([\w.]+)[\"']\s*,"
+    r"\s*value\s*=\s*input\.([\w.]+)\s*\)\s*\|\s*length\s*>\s*0"
+)
+
 # the referential lookup idiom; both quote styles, and both projection
 # spellings the reference tests use: `map(attribute=...)` and
 # `get(key=...)` (tests/transformer.rs:256-309)
@@ -87,6 +93,28 @@ class Pipeline:
         config = re.sub(r"\{\{\s*(CHEWDATA_\w+)\s*\}\}", env_repl, config)
         return cls(json.loads(config), spark)
 
+    @classmethod
+    def from_config(cls, config: str, spark: SparkSession | None = None) -> "Pipeline":
+        """Parse a JSON *or YAML* config string (the reference CLI
+        accepts JSON/HJSON/YAML, src/main.rs:73-111; HJSON has no
+        python stdlib parser — YAML covers its common forms)."""
+        try:
+            return cls.from_json(config, spark)
+        except (json.JSONDecodeError, ValueError):
+            import os
+
+            import yaml
+
+            config = re.sub(
+                r"\{\{\s*(CHEWDATA_\w+)\s*\}\}",
+                lambda m: os.environ[m.group(1)],
+                config,
+            )
+            steps = yaml.safe_load(config)
+            if not isinstance(steps, list):
+                raise ValueError("config must be a list of steps")
+            return cls(steps, spark)
+
     # -- compilation ---------------------------------------------------------
 
     def dataframe(self) -> DataFrame:
@@ -100,6 +128,7 @@ class Pipeline:
 
     def _compile(self, *, execute_writes: bool) -> tuple[DataFrame, list[WriteResult]]:
         spark = self.spark or SparkSession.active()
+        self.steps = [_normalize_step(s) for s in self.steps]
         df: DataFrame | None = None
         has_err = False  # becomes True once a step can emit err records
         writes: list[WriteResult] = []
@@ -172,7 +201,7 @@ class Pipeline:
                         df = self._record_history(self._transform(spark, step, df), step)
                         has_err = has_err or _has_fallible_actions(step)
                     elif kind == "validator":
-                        df = self._record_history(self._validate(step, df), step)
+                        df = self._record_history(self._validate(spark, step, df), step)
                         has_err = True
                     else:
                         wr = self._write(step, df, execute=execute_writes)
@@ -189,7 +218,7 @@ class Pipeline:
                     mine = self._record_history(self._transform(spark, step, mine), step)
                     has_err = has_err or _has_fallible_actions(step)
                 elif kind == "validator":
-                    mine = self._record_history(self._validate(step, mine), step)
+                    mine = self._record_history(self._validate(spark, step, mine), step)
                     has_err = True
                 else:
                     wr = self._write(step, mine, execute=execute_writes)
@@ -315,13 +344,36 @@ class Pipeline:
             actions.append(Action(field, pattern, a.get("type", a.get("action", "merge"))))
         return apply_actions(df, actions, route_errors=True) if actions else df
 
-    def _validate(self, step: dict, df: DataFrame) -> DataFrame:
-        rules = [
-            Rule(name, cfg["pattern"], cfg.get("message"))
-            for name, cfg in (step.get("rules") or {}).items()
-        ]
+    def _validate(self, spark: SparkSession, step: dict, df: DataFrame) -> DataFrame:
+        refs_cfg = step.get("referentials") or step.get("refs") or {}
+        rules: list[Rule] = []
+        exists_cols: list[str] = []
+        for name, cfg in (step.get("rules") or {}).items():
+            pattern = cfg["pattern"]
+            m = _EXISTS_RULE.search(pattern) if refs_cfg else None
+            if m and m.group(1) in refs_cfg:
+                # the "exists in referential" idiom (validator.rs:66:
+                # `ref | filter(attribute=k, value=input.x) | length > 0`)
+                # → broadcast key join, boolean column
+                alias, ref_key, input_key = m.group(1), m.group(2), m.group(3)
+                colname = f"__exists_{alias}_{input_key}"
+                if colname not in exists_cols:
+                    keys = (
+                        self._read(spark, refs_cfg[alias])
+                        .select(F.col(ref_key).alias("__k"))
+                        .dropDuplicates()
+                    )
+                    df = (
+                        df.join(F.broadcast(keys), df[input_key] == F.col("__k"), "left")
+                        .withColumn(colname, F.col("__k").isNotNull())
+                        .drop("__k")
+                    )
+                    exists_cols.append(colname)
+                rules.append(Rule(name, F.col(colname), cfg.get("message")))
+            else:
+                rules.append(Rule(name, pattern, cfg.get("message")))
         sep = step.get("error_separator", DEFAULT_SEPARATOR)
-        return apply_rules(df, rules, error_separator=sep)
+        return apply_rules(df, rules, error_separator=sep).drop(*exists_cols)
 
     def _write(self, step: dict, df: DataFrame, *, execute: bool) -> WriteResult:
         conn = step.get("connector", {})
@@ -387,6 +439,29 @@ class Pipeline:
                 options=doc.get("options"),
             )
         return WriteResult(path, fmt, out)
+
+
+# reference step-type aliases (src/step/mod.rs:27-54)
+_STEP_ALIASES = {
+    "r": "reader", "read": "reader",
+    "w": "writer", "write": "writer",
+    "t": "transformer", "transform": "transformer",
+    "e": "eraser", "erase": "eraser", "truncate": "eraser",
+    "v": "validator", "validate": "validator",
+    "g": "generator",
+}
+
+
+def _normalize_step(step: dict) -> dict:
+    """Resolve type aliases and default connectors: a reader/writer with
+    no connector is the cli (stdin/stdout) connector, exactly like the
+    reference's `{"type":"r"},{"type":"w"}` default pipeline."""
+    kind = step.get("type")
+    if kind in _STEP_ALIASES:
+        step = {**step, "type": _STEP_ALIASES[kind]}
+    if step.get("type") in ("reader", "writer") and "connector" not in step:
+        step = {**step, "connector": {"type": "cli"}}
+    return step
 
 
 def _guess_format(path: str) -> str:

@@ -462,3 +462,36 @@ def test_reference_clear_dynamic_files(spark, tmp_path):
     Pipeline(cfg, spark).run()
     out = spark.read.json(str(tmp_path / "dyn"))
     assert out.count() == 1  # re-run replaced, not doubled
+
+
+def test_validator_referential_exists_rule(spark):
+    """The validator's 'exists in referential' idiom (validator.rs:66):
+    `{%- if ref | filter(attribute=k, value=input.x) | length > 0 -%}`
+    compiles to a broadcast key join, not a per-record scan."""
+    cfg = [
+        {"type": "reader", "connector": {"type": "local", "path": f"{DATA}/multi_lines.json"},
+         "document": {"type": "json"}},
+        {"type": "validator",
+         "referentials": {"mapping_ref": {"connector": {"type": "local",
+                                                        "path": f"{DATA}/mapping.json"},
+                                          "document": {"type": "json"}}},
+         "rules": {"code_rule": {
+             "pattern": "{%- if mapping_ref | filter(attribute='mapping_code', value=input.code) | length > 0 -%} true {%- else -%} false {%- endif -%}",
+             "message": "code not in referential"}}},
+    ]
+    df = Pipeline(cfg, spark).dataframe()
+    rows = {r.code: r._error for r in df.select("code", "_error").collect()}
+    # all three codes exist in mapping.json → no errors
+    assert all(v is None for v in rows.values())
+
+    # now break one code upstream and check it routes to err
+    cfg2 = [
+        {"type": "reader", "connector": {"type": "in_memory",
+                                         "data": '[{"code": "value_to_map"}, {"code": "nope"}]'}},
+        cfg[1],
+    ]
+    df2 = Pipeline(cfg2, spark).dataframe()
+    rows2 = {r.code: r._error for r in df2.select("code", "_error").collect()}
+    assert rows2["value_to_map"] is None
+    assert rows2["nope"] == "code not in referential"
+    assert "__exists_mapping_ref_code" not in df2.columns
