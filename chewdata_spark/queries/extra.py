@@ -128,6 +128,30 @@ FROM ex
 """
 
 
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    try_parse_json once, typed variant_get extraction — the modern
+    (binary-encoded, pushdown-friendly) alternative to per-query
+    get_json_object string parsing."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(try_parse_json(props), '$.k', 'int')")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_k"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+EVENTS_PROPS_VARIANT_SQL = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
 _STREAM_RUN = {"n": 0}
 
 
@@ -177,6 +201,7 @@ GROUP BY 1, 2
 
 QUERIES = {
     "salted_event_stats": salted_event_stats,
+    "events_props_variant": events_props_variant,
     "stream_events_hourly": stream_events_hourly,
     "user_event_gaps": user_event_gaps,
     "orders_near_price_left": orders_near_price_left,
@@ -185,6 +210,7 @@ QUERIES = {
 
 ORACLES = {
     "salted_event_stats": SALTED_EVENT_STATS_SQL,
+    "events_props_variant": EVENTS_PROPS_VARIANT_SQL,
     "stream_events_hourly": STREAM_EVENTS_HOURLY_SQL,
     "user_event_gaps": USER_EVENT_GAPS_SQL,
     "orders_near_price_left": ORDERS_NEAR_PRICE_LEFT_SQL,
