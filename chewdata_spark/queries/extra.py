@@ -216,3 +216,78 @@ ORACLES = {
     "orders_near_price_left": ORDERS_NEAR_PRICE_LEFT_SQL,
     "chunk_documents_udtf": CHUNK_UDTF_SQL,
 }
+
+
+def order_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): totals by
+    (status, priority), by status alone, and grand total in one pass."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+ORDER_PRIORITY_GROUPING_SETS_SQL = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window: customers bucketed into spend quartiles."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    return spend.select(
+        F.col("o_custkey").alias("custkey"),
+        "spend",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+CUSTOMER_SPEND_QUARTILES_SQL = """
+WITH spend AS (
+    SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey
+)
+SELECT custkey, spend,
+       CAST(ntile(4) OVER (ORDER BY spend DESC, custkey ASC) AS INT) AS quartile
+FROM spend
+"""
+
+
+def part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex token explode + frequency (regexp_extract_all → explode →
+    count): the text-mining shape over a relational column."""
+    part = load_table(spark, sf_dir, "part")
+    toks = part.select(
+        F.explode(F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), 0)).alias("token")
+    )
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+
+
+PART_NAME_TOKENS_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (
+    SELECT unnest(regexp_extract_all(p_name, '[a-z]+')) AS token FROM part
+)
+GROUP BY token
+"""
+
+QUERIES.update({
+    "order_priority_grouping_sets": order_priority_grouping_sets,
+    "customer_spend_quartiles": customer_spend_quartiles,
+    "part_name_tokens": part_name_tokens,
+})
+ORACLES.update({
+    "order_priority_grouping_sets": ORDER_PRIORITY_GROUPING_SETS_SQL,
+    "customer_spend_quartiles": CUSTOMER_SPEND_QUARTILES_SQL,
+    "part_name_tokens": PART_NAME_TOKENS_SQL,
+})

@@ -32,8 +32,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-READ_FORMATS = ("json", "jsonl", "csv", "parquet", "orc", "xml", "yaml", "toml", "text", "byte")
-WRITE_FORMATS = ("json", "jsonl", "csv", "parquet", "orc", "xml", "yaml", "toml", "text", "byte")
+READ_FORMATS = ("json", "jsonl", "csv", "parquet", "orc", "avro", "xml", "yaml", "toml", "text", "byte")
+WRITE_FORMATS = ("json", "jsonl", "csv", "parquet", "orc", "avro", "xml", "yaml", "toml", "text", "byte")
 
 CSV_READ_DEFAULTS = {
     "header": "true",
@@ -139,6 +139,10 @@ def read_document(
         df = spark.read.options(**options).parquet(*paths)
     elif fmt == "orc":
         df = spark.read.options(**options).orc(*paths)
+    elif fmt == "avro":
+        # needs the spark-avro module on the cluster classpath (not in
+        # this container); Spark raises its own actionable error if absent
+        df = spark.read.format("avro").options(**options).load(paths)
     elif fmt == "xml":
         opts = {"rowTag": "item", "attributePrefix": "@", "valueTag": "$", **options}
         df = spark.read.format("xml").options(**opts).load(path)
@@ -198,6 +202,8 @@ def write_document(
         writer.options(**options).parquet(path)
     elif fmt == "orc":
         writer.options(**options).orc(path)
+    elif fmt == "avro":
+        writer.format("avro").options(**options).save(path)
     elif fmt == "xml":
         opts = {"rowTag": "item", "rootTag": "root", **options}
         writer.format("xml").options(**opts).save(path)
