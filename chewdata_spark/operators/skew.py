@@ -102,3 +102,31 @@ def write_bucketed(
 def bucketed_join(spark: SparkSession, table_a: str, table_b: str, on: Column | str) -> DataFrame:
     """Join two same-bucketed tables (shuffle-free when bucket specs match)."""
     return spark.table(table_a).join(spark.table(table_b), on)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    target_file_mb: int = 256,
+    mode: str = "overwrite",
+    options: dict[str, str] | None = None,
+) -> int:
+    """Small-files-safe write: size the output file count from the
+    OPTIMIZER'S size estimate instead of inheriting upstream partition
+    count.  A 100 TB pipeline that writes a filtered/aggregated result
+    through its input partitioning produces millions of KB-sized files
+    (the classic small-files problem) or a handful of multi-GB ones;
+    this picks ``ceil(estimated_bytes / target_file_mb)`` partitions.
+
+    Returns the partition count used.  The estimate comes from Catalyst
+    statistics (``optimizedPlan().stats``) — free, no extra scan; for
+    severely mis-estimated plans pass an explicit repartition upstream.
+    """
+    from chewdata_spark.sources.documents import write_document
+
+    est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n = max(1, -(-est_bytes // (target_file_mb * 1024 * 1024)))
+    write_document(df.repartition(n), path, fmt, mode=mode, options=options)
+    return n

@@ -239,7 +239,14 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 
 
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile window: customers bucketed into spend quartiles."""
+    """ntile window: customers bucketed into spend quartiles.
+
+    SCALE NOTE: the unpartitioned window is a deliberate pin — exact
+    global ntile requires a total order (one reducer), applied here
+    AFTER the per-customer aggregation so the windowed row count is
+    |customers|, not |orders|.  Beyond ~10⁸ customers switch to
+    approx_percentile thresholds + comparison bucketing (fully
+    distributed, boundary ties differ)."""
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("spend")
@@ -291,3 +298,35 @@ ORACLES.update({
     "customer_spend_quartiles": CUSTOMER_SPEND_QUARTILES_SQL,
     "part_name_tokens": PART_NAME_TOKENS_SQL,
 })
+
+
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profile of the corpus (null rate, exact
+    distinct for oracle-comparability, min/max)."""
+    from chewdata_spark.operators.profile import profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile(docs, ["lang", "source", "n_chars"], exact_distinct=True)
+
+
+DOCUMENTS_PROFILE_SQL = """
+WITH t AS (SELECT COUNT(*) AS total FROM documents)
+SELECT 'lang' AS "column", COUNT(lang) AS n_nonnull,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_distinct,
+       ROUND(1 - COUNT(lang) * 1.0 / (SELECT total FROM t), 4) AS null_rate,
+       MIN(CAST(lang AS VARCHAR)) AS min_str, MAX(CAST(lang AS VARCHAR)) AS max_str
+FROM documents
+UNION ALL
+SELECT 'source', COUNT(source), CAST(COUNT(DISTINCT source) AS BIGINT),
+       ROUND(1 - COUNT(source) * 1.0 / (SELECT total FROM t), 4),
+       MIN(CAST(source AS VARCHAR)), MAX(CAST(source AS VARCHAR))
+FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(n_chars), CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+       ROUND(1 - COUNT(n_chars) * 1.0 / (SELECT total FROM t), 4),
+       MIN(CAST(n_chars AS VARCHAR)), MAX(CAST(n_chars AS VARCHAR))
+FROM documents
+"""
+
+QUERIES["documents_profile"] = documents_profile
+ORACLES["documents_profile"] = DOCUMENTS_PROFILE_SQL

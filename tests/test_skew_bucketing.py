@@ -57,3 +57,33 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     assert joined.count() == load_table(spark, sf_dir, "lineitem").count()
     spark.sql("DROP TABLE tb_orders")
     spark.sql("DROP TABLE tb_lineitem")
+
+
+def test_write_compacted_sizes_output(spark, tmp_path):
+    """Output file count follows the optimizer size estimate, not the
+    upstream partition count (small-files defense)."""
+    from chewdata_spark.operators.skew import write_compacted
+
+    # 64 upstream partitions of a small dataset would write 64 files
+    df = spark.range(10_000).repartition(64).selectExpr("id", "id * 2 AS v")
+    out = tmp_path / "compact"
+    n = write_compacted(df, str(out), target_file_mb=64)
+    assert n == 1  # ~160 KB estimated → one file
+    import glob
+
+    parts = glob.glob(str(out / "part-*"))
+    assert len(parts) == 1
+    assert spark.read.parquet(str(out)).count() == 10_000
+
+
+def test_profile_operator(spark):
+    from chewdata_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None)], "id int, tag string"
+    )
+    rows = {r.column: r for r in profile(df, exact_distinct=True).collect()}
+    assert rows["id"].n_nonnull == 3 and rows["id"].n_distinct == 3
+    assert rows["tag"].n_nonnull == 2 and rows["tag"].n_distinct == 1
+    assert abs(rows["tag"].null_rate - 0.3333) < 1e-9
+    assert rows["tag"].min_str == "a" and rows["id"].max_str == "3"
