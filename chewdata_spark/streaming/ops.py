@@ -148,6 +148,33 @@ def run_to_memory(stream: DataFrame, name: str, *, output_mode: str = "append") 
     return stream.sparkSession.table(name)
 
 
+def idempotent_batch_fn(
+    fn: Callable[[DataFrame, int], None], ledger_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """Exactly-once wrapper for foreachBatch sinks without transactional
+    targets: Spark guarantees at-least-once delivery of each
+    ``batch_id`` — a replayed batch (post-crash re-run between sink
+    write and checkpoint commit) re-invokes ``fn`` with the SAME id.
+    Recording completed ids in a ledger (one empty marker file per id,
+    written through the Hadoop FS so it works on any scheme) turns
+    at-least-once + dedup into effectively-once.
+    """
+    from pyspark.sql import SparkSession
+
+    def wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession if hasattr(batch_df, "sparkSession") else SparkSession.active()
+        jvm = spark.sparkContext._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(f"{ledger_dir}/batch-{batch_id}.done")
+        fs = marker.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(marker):
+            return  # replayed batch — already applied
+        fn(batch_df, batch_id)
+        fs.mkdirs(marker.getParent())
+        fs.create(marker, True).close()
+
+    return wrapped
+
+
 def run_foreach_batch(
     stream: DataFrame,
     fn: Callable[[DataFrame, int], None],

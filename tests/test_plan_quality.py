@@ -110,3 +110,33 @@ def test_http_send_plan_is_map_side(spark):
     sent = http_send(df, {"url": "http://localhost:1/unused"})
     assert exchange_count(sent) == 0
     assert "MapInPandas" in sent._jdf.queryExecution().executedPlan().toString()
+
+
+def test_profile_hll_single_shuffle(spark, sf_dir):
+    """Default (HLL) profiling is one aggregate pass — a single
+    exchange, mergeable sketches, no Expand explosion."""
+    from chewdata_spark.operators.profile import profile
+    from chewdata_spark.tables import load_table
+
+    df = profile(load_table(spark, sf_dir, "documents"), ["lang", "source", "n_chars"])
+    assert exchange_count(df) <= 1
+
+
+def test_referential_lookup_broadcasts(spark):
+    """The compiled lookup idiom must be a broadcast join, never SMJ."""
+    from chewdata_spark.pipeline import Pipeline
+
+    cfg = [
+        {"type": "reader", "connector": {"type": "local",
+                                         "path": "/root/reference/data/multi_lines.json"},
+         "document": {"type": "json"}},
+        {"type": "transformer",
+         "referentials": {"m": {"connector": {"type": "local",
+                                              "path": "/root/reference/data/mapping.json"},
+                                "document": {"type": "json"}}},
+         "actions": [{"field": "v",
+                      "pattern": "{{ m | filter(attribute='mapping_code', value=input.code) | first | map(attribute='mapping_value') }}"}]},
+    ]
+    df = Pipeline(cfg, spark).dataframe()
+    assert join_counts(df)["broadcast_hash"] >= 1
+    assert_no_sort_merge_join(df)

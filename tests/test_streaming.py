@@ -118,3 +118,19 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     ).select("l_id", "r_id")
     want = {(r.l_id, r.r_id) for r in want_df.collect()}
     assert got == want and len(got) > 0
+
+
+def test_idempotent_batch_fn_skips_replayed_ids(spark, tmp_path):
+    from chewdata_spark.streaming.ops import idempotent_batch_fn
+
+    applied = []
+
+    def sink(batch_df, batch_id):
+        applied.append(batch_id)
+
+    fn = idempotent_batch_fn(sink, str(tmp_path / "ledger"))
+    df = spark.range(3)
+    fn(df, 0)
+    fn(df, 1)
+    fn(df, 0)  # replay — must be skipped
+    assert applied == [0, 1]
