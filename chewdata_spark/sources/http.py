@@ -170,9 +170,25 @@ def _build_headers(options: dict) -> dict[str, str]:
 
 # per-process GET-response cache (reference `is_cached`, curl.rs:24-28,
 # :1024-1046 — an HTTP-semantics cache keyed on the request).  One dict
-# per executor python worker; bounded by entry count.
-_RESPONSE_CACHE: dict[str, bytes] = {}
+# per executor python worker; bounded by entry count.  Entries honor
+# HTTP cache semantics: `Cache-Control: no-store` is never cached,
+# `max-age=N` expires after N seconds (no header → cacheable until
+# evicted, matching the reference storing any 2xx GET).
+_RESPONSE_CACHE: dict[str, tuple[bytes, float | None]] = {}
 _RESPONSE_CACHE_MAX = 256
+
+
+def _cache_policy(cache_control: str | None) -> tuple[bool, float | None]:
+    """(cacheable, expires_at_monotonic) from a Cache-Control header."""
+    if not cache_control:
+        return True, None
+    cc = cache_control.lower()
+    if "no-store" in cc or "no-cache" in cc:
+        return False, None
+    m = __import__("re").search(r"max-age=(\d+)", cc)
+    if m:
+        return True, time.monotonic() + int(m.group(1))
+    return True, None
 
 
 def _refresh_token(options: dict) -> None:
@@ -207,7 +223,10 @@ def _fetch(url: str, options: dict, body: bytes | None = None) -> bytes:
         "method", "POST").upper()
     use_cache = str(options.get("cache", "")).lower() in ("1", "true", "yes") and method == "GET"
     if use_cache and url in _RESPONSE_CACHE:
-        return _RESPONSE_CACHE[url]
+        cached, expires_at = _RESPONSE_CACHE[url]
+        if expires_at is None or time.monotonic() < expires_at:
+            return cached
+        _RESPONSE_CACHE.pop(url, None)  # stale — refetch
     delay = 0.2
     refreshed = False
     for attempt in range(retries + 1):
@@ -219,9 +238,11 @@ def _fetch(url: str, options: dict, body: bytes | None = None) -> bytes:
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 out = resp.read()
                 if use_cache:
-                    if len(_RESPONSE_CACHE) >= _RESPONSE_CACHE_MAX:
-                        _RESPONSE_CACHE.pop(next(iter(_RESPONSE_CACHE)))
-                    _RESPONSE_CACHE[url] = out
+                    ok, expires_at = _cache_policy(resp.headers.get("Cache-Control"))
+                    if ok:
+                        if len(_RESPONSE_CACHE) >= _RESPONSE_CACHE_MAX:
+                            _RESPONSE_CACHE.pop(next(iter(_RESPONSE_CACHE)))
+                        _RESPONSE_CACHE[url] = (out, expires_at)
                 return out
         except urllib.error.HTTPError as e:
             if e.code == 401 and not refreshed and options.get("auth_refresh_url"):

@@ -435,3 +435,30 @@ def test_pipeline_bucket_writer(spark, tmp_path):
     Pipeline(cfg, spark).run()
     back = spark.read.parquet(f"file://{out}/dump")
     assert back.count() == 4
+
+
+def test_cache_policy_semantics():
+    from chewdata_spark.sources.http import _cache_policy
+
+    assert _cache_policy(None) == (True, None)
+    assert _cache_policy("no-store")[0] is False
+    assert _cache_policy("no-cache, private")[0] is False
+    ok, exp = _cache_policy("max-age=60")
+    assert ok and exp is not None
+    ok0, exp0 = _cache_policy("max-age=0")
+    import time as _t
+
+    assert ok0 and exp0 is not None and exp0 <= _t.monotonic() + 0.01
+
+
+def test_response_cache_expiry(server):
+    """max-age=0 responses are stored but immediately stale → refetch."""
+    from chewdata_spark.sources import http as H
+
+    H._RESPONSE_CACHE.clear()
+    url = f"{server}/items?skip=0&limit=2"
+    a = H._fetch(url, {"cache": "true"})
+    # simulate a stale entry
+    H._RESPONSE_CACHE[url] = (b"stale-bytes", 0.0)
+    b = H._fetch(url, {"cache": "true"})
+    assert b == a and b != b"stale-bytes"
