@@ -41,6 +41,10 @@ HEADLINE = [
     "quality_score",
     "chunk_documents",
     "parts_in_price_band",
+    "salted_event_stats",
+    "user_event_gaps",
+    "events_props_variant",
+    "documents_profile",
 ]
 
 

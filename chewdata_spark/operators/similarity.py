@@ -162,7 +162,7 @@ def near_dup_pairs_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    num_blocks: int = 16,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold via distributed blocked GEMM.
 
@@ -174,13 +174,28 @@ def near_dup_pairs_exact(
 
     Scale shape: NOTHING is collected to the driver (the block-pair
     table is nb² metadata rows).  Each row is shuffled to ~nb groups
-    (communication O(N·nb)); a task holds ≤ 2N/nb vectors, so pick
-    ``num_blocks ≈ 2N·d·8 / task_mem`` — e.g. N=10⁸, d=64 → nb≈400 for
-    ~256 MB tasks.  Compute stays the unavoidable exact N²/2 — for
-    sub-quadratic use :func:`embedding_near_dup_pairs` (cluster-blocked).
+    (communication O(N·nb)); a task holds ≤ 2N/nb vectors.  Compute
+    stays the unavoidable exact N²/2 — for sub-quadratic use
+    :func:`embedding_near_dup_pairs` (cluster-blocked).
+
+    ``num_blocks=None`` auto-sizes: the larger of the MEMORY bound
+    (2N·d·8 bytes / ~256 MB per task — at N=10⁸, d=64 that's nb≈400)
+    and a PARALLELISM floor (enough block pairs to feed ~¼ of the
+    cores; GEMM tasks are BLAS-bound, so modest task counts amortize
+    scheduling).  One count + one head job — metadata-cheap on parquet.
     """
-    nb = num_blocks
     spark = corpus.sparkSession
+    nb = num_blocks
+    if nb is None:
+        import math
+
+        n = corpus.count()
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        d = int(first["d"]) if first and first["d"] else 64
+        mem_nb = math.ceil(n * d * 8 * 2 / (256 << 20))
+        par = max(1, spark.sparkContext.defaultParallelism // 4)
+        par_nb = math.ceil((math.sqrt(8 * par + 1) - 1) / 2)
+        nb = min(1024, max(2, mem_nb, par_nb))
     pairs = spark.createDataFrame(
         [(i, j) for i in range(nb) for j in range(i, nb)], "bi int, bj int"
     )

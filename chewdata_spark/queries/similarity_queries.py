@@ -46,9 +46,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine ≥ 0.4 via the blocked-GEMM kernel
     (:func:`chewdata_spark.operators.similarity.near_dup_pairs_exact`)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # nb=8 suits the test scales (atomic tasks still ≥250 vectors);
-    # at cluster scale pick nb ≈ 2N·d·8 / task_mem (operator docstring)
-    return similarity.near_dup_pairs_exact(emb, threshold=0.4, num_blocks=8)
+    # auto-sized blocking: memory bound at cluster scale, parallelism
+    # floor at test scale (operator docstring)
+    return similarity.near_dup_pairs_exact(emb, threshold=0.4)
 
 
 NEAR_DUP_SQL = f"""
