@@ -64,9 +64,12 @@ def main() -> None:
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warmup
-        start = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):  # min of 2 steady-state runs (noise guard)
+            start = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
