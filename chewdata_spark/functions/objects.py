@@ -268,24 +268,35 @@ def value_replace_value(value, pattern: str, replacement: str, level: int = 0, _
 
 def _extract_one(value, attributes: list[str]):
     out: dict = {}
+
+    def walk(node, segs, path):
+        """Collect (resolved_path, value) for every match; segments are
+        exact keys, array indices, or REGEXES against object keys
+        (reference Extract, value.rs:117-199)."""
+        if not segs:
+            yield path, node
+            return
+        seg, rest = segs[0], segs[1:]
+        if isinstance(node, dict):
+            if seg in node:
+                yield from walk(node[seg], rest, path + [seg])
+                return
+            try:
+                rx = re.compile(seg)
+            except re.error:
+                return
+            for k in node:
+                if rx.fullmatch(k):
+                    yield from walk(node[k], rest, path + [k])
+        elif isinstance(node, list) and seg.isdigit() and int(seg) < len(node):
+            yield from walk(node[int(seg)], rest, path + [seg])
+
     for attr in attributes:
-        segs = _segs(attr)
-        node = value
-        ok = True
-        for seg in segs:
-            if isinstance(node, dict) and seg in node:
-                node = node[seg]
-            elif isinstance(node, list) and seg.isdigit() and int(seg) < len(node):
-                node = node[int(seg)]
-            else:
-                ok = False
-                break
-        if not ok:
-            continue
-        cur = out
-        for seg in segs[:-1]:
-            cur = cur.setdefault(seg, {})
-        cur[segs[-1]] = node
+        for path, node in walk(value, _segs(attr), []):
+            cur = out
+            for seg in path[:-1]:
+                cur = cur.setdefault(seg, {})
+            cur[path[-1]] = node
     return out
 
 

@@ -199,3 +199,14 @@ def test_template_chained_object_filters(spark, people):
     )
     out = json.loads(df.filter("id = 2").collect()[0].out)
     assert out == {"name": "Bob", "years": 41}
+
+
+def test_extract_regex_attribute_names():
+    """Reference extract accepts regex attribute names
+    (object.rs:306 'Accept regular expression in the attribute names')."""
+    v = {"field_1": {"x": 1}, "field_2": {"x": 2}, "other": 3}
+    out = value_extract(v, [r"field_\d+.x"])
+    assert out == {"field_1": {"x": 1}, "field_2": {"x": 2}}
+    # exact names still take precedence over regex interpretation
+    assert value_extract({"a.b": 1}, ["a.b"]) == {}  # dotted = path, not literal
+    assert value_extract({"a": {"b": 7}}, ["a.b"]) == {"a": {"b": 7}}
