@@ -52,21 +52,32 @@ def bucket_hadoop_conf(conn: dict[str, Any]) -> dict[str, str]:
     """Pure mapping of connector config → ``fs.s3a.*`` options
     (reference client config, bucket.rs:138-207).  Credentials resolve
     like the reference: explicit keys win, else the AWS env/profile
-    chain (which s3a's DefaultAWSCredentialsProviderChain also reads)."""
+    chain (which s3a's DefaultAWSCredentialsProviderChain also reads).
+
+    Options are emitted as PER-BUCKET overrides
+    (``fs.s3a.bucket.<name>.*``, the s3a override mechanism) when the
+    connector names a bucket — two buckets with different endpoints or
+    credentials coexist in one session without clobbering each other.
+    """
+    prefix = (
+        f"fs.s3a.bucket.{conn['bucket']}."
+        if conn.get("bucket") and conn.get("scheme", "s3a") == "s3a"
+        else "fs.s3a."
+    )
     out: dict[str, str] = {}
     if conn.get("endpoint"):
-        out["fs.s3a.endpoint"] = conn["endpoint"]
+        out[prefix + "endpoint"] = conn["endpoint"]
         # MinIO/custom endpoints don't serve virtual-host buckets
-        out["fs.s3a.path.style.access"] = "true"
+        out[prefix + "path.style.access"] = "true"
     if conn.get("region"):
-        out["fs.s3a.endpoint.region"] = conn["region"]
+        out[prefix + "endpoint.region"] = conn["region"]
     access = conn.get("access_key_id", os.environ.get("AWS_ACCESS_KEY_ID"))
     secret = conn.get("secret_access_key", os.environ.get("AWS_SECRET_ACCESS_KEY"))
     if access and secret:
-        out["fs.s3a.access.key"] = access
-        out["fs.s3a.secret.key"] = secret
+        out[prefix + "access.key"] = access
+        out[prefix + "secret.key"] = secret
     if conn.get("profile") and conn.get("profile") != "default":
-        out["fs.s3a.aws.credentials.provider"] = (
+        out[prefix + "aws.credentials.provider"] = (
             "com.amazonaws.auth.profile.ProfileCredentialsProvider"
         )
     return out

@@ -346,6 +346,14 @@ def test_bucket_url_and_conf():
     assert conf["fs.s3a.endpoint"] == "http://minio:9000"
     assert conf["fs.s3a.path.style.access"] == "true"
     assert conf["fs.s3a.access.key"] == "AK" and conf["fs.s3a.secret.key"] == "SK"
+    # naming the bucket scopes every option per-bucket (s3a overrides),
+    # so two buckets with different endpoints/creds coexist
+    scoped = bucket_hadoop_conf(
+        {"bucket": "my-bkt", "endpoint": "http://minio:9000", "access_key_id": "AK",
+         "secret_access_key": "SK"}
+    )
+    assert scoped["fs.s3a.bucket.my-bkt.endpoint"] == "http://minio:9000"
+    assert scoped["fs.s3a.bucket.my-bkt.access.key"] == "AK"
 
 
 @pytest.fixture()
