@@ -51,6 +51,12 @@ class Handler(BaseHTTPRequestHandler):
                 return
             self._json(200, {"results": RECORDS[:5]})
             return
+        if u.path == "/cursor":
+            start = int(q.get("after", ["0"])[0] or 0)
+            page = RECORDS[start : start + 20]
+            nxt = str(start + 20) if start + 20 < len(RECORDS) else None
+            self._json(200, {"results": page, "next": nxt})
+            return
         skip = int(q.get("skip", ["0"])[0])
         limit = int(q.get("limit", ["100"])[0])
         self._json(200, {"results": RECORDS[skip : skip + limit], "total": len(RECORDS)})
@@ -470,3 +476,45 @@ def test_response_cache_expiry(server):
     H._RESPONSE_CACHE[url] = (b"stale-bytes", 0.0)
     b = H._fetch(url, {"cache": "true"})
     assert b == a and b != b"stale-bytes"
+
+
+def test_pipeline_bucket_select_config(spark, tmp_path):
+    """bucket_select through the config compiler: SQL over s3object
+    with projection/filter pushed into the scan."""
+    pq = tmp_path / "bsel"
+    spark.range(50).selectExpr("id", "id % 5 AS g").write.parquet(f"file://{pq}")
+    cfg = [
+        {
+            "type": "reader",
+            "connector": {
+                "type": "bucket_select",
+                "bucket": str(tmp_path),
+                "scheme": "file",
+                "path": "bsel",
+                "query": "SELECT id FROM s3object WHERE g = 2",
+            },
+            "document": {"type": "parquet"},
+        },
+    ]
+    df = Pipeline(cfg, spark).dataframe()
+    assert df.columns == ["id"] and df.count() == 10
+
+
+def test_pipeline_curl_cursor_config(spark, server):
+    """Cursor pagination configured reference-style (paginator type
+    cursor + entry_path for the next token)."""
+    cfg = [
+        {
+            "type": "reader",
+            "connector": {
+                "type": "curl",
+                "endpoint": server,
+                "path": "/cursor?after={{ paginator.cursor }}",
+                "paginator": {"type": "cursor", "entry_path": "/next"},
+            },
+            "document": {"entry_path": "/results", "schema": "id bigint, name string"},
+        },
+    ]
+    # extend the handler: /cursor pages through RECORDS
+    df = Pipeline(cfg, spark).dataframe()
+    assert df.count() == len(RECORDS)
