@@ -21,6 +21,7 @@ no shuffle, no Python, fully pipelined with the surrounding scan.
 from __future__ import annotations
 
 import re
+import weakref
 from dataclasses import dataclass
 from typing import Literal
 
@@ -89,7 +90,9 @@ class UnsupportedTemplate(ValueError):
 # native SQL.  A chain like `x | replace_key(...) | update(...)` keeps
 # the JSON-text state between steps, so to_json wraps only once.
 _JSON_VALUE_FILTERS = ("update", "extract", "replace_key", "replace_value", "merge")
-_registered_udf_sessions: set[int] = set()
+# WeakSet, not id()s: a stopped session's id can be reused by a new
+# SparkSession, which would silently skip re-registration
+_registered_udf_sessions: weakref.WeakSet = weakref.WeakSet()
 
 
 def _object_udf_body(fname: str):
@@ -191,7 +194,7 @@ def ensure_object_udfs(spark=None) -> None:
     from pyspark.sql import SparkSession
 
     spark = spark or SparkSession.active()
-    if id(spark) in _registered_udf_sessions:
+    if spark in _registered_udf_sessions:
         return
     for name in _JSON_VALUE_FILTERS:
         spark.udf.register(
@@ -199,7 +202,7 @@ def ensure_object_udfs(spark=None) -> None:
         )
     spark.udf.register("chew_tojson", F.udf(_chew_tojson, "string", useArrow=True))
     spark.udf.register("chew_merge_col", F.udf(_chew_merge_col, "string", useArrow=True))
-    _registered_udf_sessions.add(id(spark))
+    _registered_udf_sessions.add(spark)
 
 
 def _parse_literal(v: str):

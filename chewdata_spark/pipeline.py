@@ -354,9 +354,12 @@ class Pipeline:
             if m and m.group(1) in refs_cfg:
                 # the "exists in referential" idiom (validator.rs:66:
                 # `ref | filter(attribute=k, value=input.x) | length > 0`)
-                # → broadcast key join, boolean column
+                # → broadcast key join, boolean column.  The exists
+                # sub-expression is spliced back into the pattern so a
+                # compound condition (`input.x > 0 and ref|...|length > 0`)
+                # keeps its other terms.
                 alias, ref_key, input_key = m.group(1), m.group(2), m.group(3)
-                colname = f"__exists_{alias}_{input_key}"
+                colname = f"__exists_{alias}_{ref_key}_{input_key}".replace(".", "_")
                 if colname not in exists_cols:
                     keys = (
                         self._read(spark, refs_cfg[alias])
@@ -369,7 +372,8 @@ class Pipeline:
                         .drop("__k")
                     )
                     exists_cols.append(colname)
-                rules.append(Rule(name, F.col(colname), cfg.get("message")))
+                spliced = pattern[: m.start()] + f"input.{colname}" + pattern[m.end() :]
+                rules.append(Rule(name, spliced, cfg.get("message")))
             else:
                 rules.append(Rule(name, pattern, cfg.get("message")))
         sep = step.get("error_separator", DEFAULT_SEPARATOR)
@@ -385,12 +389,16 @@ class Pipeline:
             from chewdata_spark.sources.http import compile_curl_options, http_send
 
             out = df.drop("_steps")
-            sent = http_send(out, compile_curl_options(conn, doc))
-            if execute:
-                sent = sent.cache()  # pin results so downstream reuse doesn't re-send
-                sent.count()
-            return WriteResult(conn["endpoint"].rstrip("/") + "/" + conn["path"].lstrip("/"),
-                               "http", sent)
+            url = conn["endpoint"].rstrip("/") + "/" + conn["path"].lstrip("/")
+            if not execute:
+                # dry-run: never embed the send transform — any downstream
+                # action on the preview DataFrame would fire real POSTs
+                preview = out.drop("_error").withColumn("_error", F.lit(None).cast("string"))
+                return WriteResult(url, "http", preview)
+            # localCheckpoint truncates lineage: even cache eviction can't
+            # re-trigger the send transform on downstream reuse
+            sent = http_send(out, compile_curl_options(conn, doc)).localCheckpoint(eager=True)
+            return WriteResult(url, "http", sent)
         if ctype == "psql":
             from chewdata_spark.sources.jdbc import compile_psql, write_jdbc
 

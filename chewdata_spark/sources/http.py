@@ -29,6 +29,7 @@ limit, skip, count, cursor_path, infer (sample-fetch schema inference).
 from __future__ import annotations
 
 import base64
+import hashlib
 import json
 import math
 import time
@@ -178,6 +179,13 @@ _RESPONSE_CACHE: dict[str, tuple[bytes, float | None]] = {}
 _RESPONSE_CACHE_MAX = 256
 
 
+def _cache_key(url: str, options: dict) -> str:
+    """URL + digest of the effective request headers: two connectors with
+    different credentials hitting the same URL must not share entries."""
+    hdrs = json.dumps(sorted(_build_headers(options).items()))
+    return url + "#" + hashlib.sha256(hdrs.encode()).hexdigest()[:16]
+
+
 def _cache_policy(cache_control: str | None) -> tuple[bool, float | None]:
     """(cacheable, expires_at_monotonic) from a Cache-Control header."""
     if not cache_control:
@@ -222,11 +230,12 @@ def _fetch(url: str, options: dict, body: bytes | None = None) -> bytes:
     method = options.get("method", "GET").upper() if body is None else options.get(
         "method", "POST").upper()
     use_cache = str(options.get("cache", "")).lower() in ("1", "true", "yes") and method == "GET"
-    if use_cache and url in _RESPONSE_CACHE:
-        cached, expires_at = _RESPONSE_CACHE[url]
+    cache_key = _cache_key(url, options) if use_cache else None
+    if use_cache and cache_key in _RESPONSE_CACHE:
+        cached, expires_at = _RESPONSE_CACHE[cache_key]
         if expires_at is None or time.monotonic() < expires_at:
             return cached
-        _RESPONSE_CACHE.pop(url, None)  # stale — refetch
+        _RESPONSE_CACHE.pop(cache_key, None)  # stale — refetch
     delay = 0.2
     refreshed = False
     for attempt in range(retries + 1):
@@ -242,7 +251,9 @@ def _fetch(url: str, options: dict, body: bytes | None = None) -> bytes:
                     if ok:
                         if len(_RESPONSE_CACHE) >= _RESPONSE_CACHE_MAX:
                             _RESPONSE_CACHE.pop(next(iter(_RESPONSE_CACHE)))
-                        _RESPONSE_CACHE[url] = (out, expires_at)
+                        # key may differ from cache_key after a 401 token
+                        # refresh changed the effective headers
+                        _RESPONSE_CACHE[_cache_key(url, options)] = (out, expires_at)
                 return out
         except urllib.error.HTTPError as e:
             if e.code == 401 and not refreshed and options.get("auth_refresh_url"):
@@ -537,7 +548,12 @@ def http_send(df, options: dict):
 
 def http_erase(options: dict) -> None:
     """DELETE the resource (reference curl `erase`, curl.rs:1153) and
-    drop any cached entries for the endpoint (":1024-1046")."""
+    drop any cached entries for the endpoint (":1024-1046").
+
+    Cache scope caveat: the response cache is per python process — this
+    clears the *driver's* cache only.  Executor-side worker caches expire
+    via Cache-Control max-age; configs that erase-then-reread the same URL
+    within one job should disable ``cache`` on the reader."""
     opts = dict(options)
     opts["method"] = opts.get("erase_method", "DELETE")
     _fetch(opts["url"], opts, body=b"")

@@ -113,12 +113,15 @@ def compile_psql(conn: dict[str, Any]) -> dict[str, Any]:
     pag = conn.get("paginator", conn.get("paginator_type")) or {}
     if isinstance(pag, dict) and pag.get("type") == "offset":
         # offset paginator → partitionColumn bounds
-        # (src/connector/paginator/psql/offset.rs ≡ Spark partitioned read)
-        if pag.get("partition_column"):
+        # (src/connector/paginator/psql/offset.rs ≡ Spark partitioned read).
+        # Spark's query/partitionColumn options are mutually exclusive, and
+        # partitioning needs known bounds — without a count the caller must
+        # discover_bounds() first, so emit an unpartitioned read instead of
+        # an .option("upperBound", "None") that fails at load.
+        if pag.get("partition_column") and pag.get("count") is not None and not conn.get("query"):
             out["partition_column"] = pag["partition_column"]
             out["lower_bound"] = int(pag.get("skip", 0))
-            if pag.get("count") is not None:
-                out["upper_bound"] = int(pag["count"])
+            out["upper_bound"] = int(pag["count"])
             out["num_partitions"] = max(
                 1, int(pag.get("count", pag.get("limit", 100))) // max(1, int(pag.get("limit", 100)))
             )
@@ -168,8 +171,11 @@ def read_jdbc(
     else:
         raise ValueError("either query or table is required")
     if partition_column:
-        if table is None:
+        if query is not None or table is None:
             raise ValueError("partitioned reads require table=, not query=")
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned reads require lower_bound/upper_bound "
+                             "(use discover_bounds)")
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

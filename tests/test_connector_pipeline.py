@@ -151,6 +151,37 @@ def test_compile_psql():
     assert kw["partition_column"] == "id" and kw["num_partitions"] == 10
 
 
+def test_compile_psql_partition_guards():
+    """partition_column without a count, or alongside a query, must not
+    emit broken partition options (round-2 advice)."""
+    from chewdata_spark.sources.jdbc import compile_psql
+
+    # no count → no bounds known → unpartitioned read, not upperBound=None
+    kw = compile_psql(
+        {"endpoint": "psql://u:p@h:5432", "database": "d", "collection": "t",
+         "paginator": {"type": "offset", "partition_column": "id"}}
+    )
+    assert "partition_column" not in kw and "upper_bound" not in kw
+
+    # query + partition_column are mutually exclusive in Spark JDBC
+    kw2 = compile_psql(
+        {"endpoint": "psql://u:p@h:5432", "database": "d", "collection": "t",
+         "query": "SELECT * FROM t WHERE x > 0",
+         "paginator": {"type": "offset", "partition_column": "id", "count": 100}}
+    )
+    assert "partition_column" not in kw2
+
+
+def test_read_jdbc_rejects_unbounded_partitioning(spark):
+    from chewdata_spark.sources.jdbc import read_jdbc
+
+    with pytest.raises(ValueError, match="lower_bound/upper_bound"):
+        read_jdbc(spark, "jdbc:postgresql://h/d", table="t", partition_column="id")
+    with pytest.raises(ValueError, match="not query"):
+        read_jdbc(spark, "jdbc:postgresql://h/d", query="SELECT 1", table="t",
+                  partition_column="id", lower_bound=0, upper_bound=10)
+
+
 def test_upsert_sql():
     from chewdata_spark.sources.jdbc import render_query, upsert_sql
 
@@ -269,6 +300,24 @@ def test_pipeline_curl_writer_4xx_routes_to_err(spark, server):
     assert len(errs) == 3 and all(e and "400" in e for e in errs)
 
 
+def test_pipeline_curl_writer_dry_run_sends_nothing(spark, server):
+    """Pipeline.dataframe() (execute=False) must not embed the send
+    transform: actions on the preview DataFrame fire no POSTs
+    (round-2 advice)."""
+    Handler.posts = []
+    cfg = [
+        {"type": "reader",
+         "connector": {"type": "in_memory", "data": json.dumps(RECORDS[:5])}},
+        {"type": "writer",
+         "connector": {"type": "curl", "endpoint": server, "path": "/post", "method": "POST"}},
+    ]
+    df = Pipeline(cfg, spark).dataframe()
+    assert df.count() == 5          # action on the preview
+    df.collect()                    # and another one
+    assert Handler.posts == []      # zero HTTP traffic
+    assert "_error" in df.columns   # schema matches the execute path
+
+
 def test_http_send_batching(spark, server):
     Handler.posts = []
     df = spark.createDataFrame([(i, f"n{i}") for i in range(10)], "id int, name string")
@@ -329,7 +378,19 @@ def test_response_cache(server):
     url = f"{server}/items?skip=0&limit=3"
     a = H._fetch(url, {"cache": "true"})
     b = H._fetch(url, {"cache": "true"})
-    assert a == b and url in H._RESPONSE_CACHE
+    assert a == b and H._cache_key(url, {"cache": "true"}) in H._RESPONSE_CACHE
+
+
+def test_response_cache_keyed_on_auth(server):
+    """Two connectors with different credentials hitting the same URL
+    must not share cache entries (round-2 advice)."""
+    from chewdata_spark.sources import http as H
+
+    H._RESPONSE_CACHE.clear()
+    url = f"{server}/items?skip=0&limit=3"
+    H._fetch(url, {"cache": "true", "auth_bearer_token": "alice"})
+    H._fetch(url, {"cache": "true", "auth_bearer_token": "bob"})
+    assert len(H._RESPONSE_CACHE) == 2  # one entry per credential set
 
 
 # -- bucket (file:// stand-in for s3a) ---------------------------------------
@@ -473,7 +534,7 @@ def test_response_cache_expiry(server):
     url = f"{server}/items?skip=0&limit=2"
     a = H._fetch(url, {"cache": "true"})
     # simulate a stale entry
-    H._RESPONSE_CACHE[url] = (b"stale-bytes", 0.0)
+    H._RESPONSE_CACHE[H._cache_key(url, {"cache": "true"})] = (b"stale-bytes", 0.0)
     b = H._fetch(url, {"cache": "true"})
     assert b == a and b != b"stale-bytes"
 

@@ -494,4 +494,51 @@ def test_validator_referential_exists_rule(spark):
     rows2 = {r.code: r._error for r in df2.select("code", "_error").collect()}
     assert rows2["value_to_map"] is None
     assert rows2["nope"] == "code not in referential"
-    assert "__exists_mapping_ref_code" not in df2.columns
+    assert not [c for c in df2.columns if c.startswith("__exists_")]
+
+
+def test_validator_exists_rule_compound_condition(spark):
+    """A compound rule keeps its non-referential terms: the exists
+    sub-expression is spliced into the condition, not substituted for
+    the whole rule (round-2 advice)."""
+    cfg = [
+        {"type": "reader", "connector": {"type": "in_memory",
+                                         "data": '[{"code": "value_to_map", "qty": 5},'
+                                                 ' {"code": "value_to_map", "qty": -1},'
+                                                 ' {"code": "nope", "qty": 5}]'}},
+        {"type": "validator",
+         "referentials": {"mapping_ref": {"connector": {"type": "local",
+                                                        "path": f"{DATA}/mapping.json"},
+                                          "document": {"type": "json"}}},
+         "rules": {"code_and_qty": {
+             "pattern": "{%- if input.qty > 0 and mapping_ref | filter(attribute='mapping_code', value=input.code) | length > 0 -%} true {%- else -%} false {%- endif -%}",
+             "message": "bad"}}},
+    ]
+    df = Pipeline(cfg, spark).dataframe()
+    rows = {(r.code, r.qty): r._error for r in df.select("code", "qty", "_error").collect()}
+    assert rows[("value_to_map", 5)] is None
+    assert rows[("value_to_map", -1)] == "bad"  # qty term must still apply
+    assert rows[("nope", 5)] == "bad"
+
+
+def test_validator_exists_rules_distinct_ref_keys(spark):
+    """Two rules on the same alias+input key but different referential
+    attributes must not share one exists column (round-2 advice)."""
+    cfg = [
+        {"type": "reader", "connector": {"type": "in_memory",
+                                         "data": '[{"code": "value_to_map"}]'}},
+        {"type": "validator",
+         "referentials": {"m": {"connector": {"type": "local",
+                                              "path": f"{DATA}/mapping.json"},
+                                "document": {"type": "json"}}},
+         "rules": {
+             "by_code": {"pattern": "{%- if m | filter(attribute='mapping_code', value=input.code) | length > 0 -%} true {%- else -%} false {%- endif -%}",
+                         "message": "no code"},
+             "by_value": {"pattern": "{%- if m | filter(attribute='mapping_value', value=input.code) | length > 0 -%} true {%- else -%} false {%- endif -%}",
+                          "message": "no value"}}},
+    ]
+    df = Pipeline(cfg, spark).dataframe()
+    row = df.collect()[0]
+    # 'value_to_map' is a mapping_code but not a mapping_value →
+    # exactly the second rule fails
+    assert row._error == "no value"
