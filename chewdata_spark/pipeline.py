@@ -46,6 +46,39 @@ from chewdata_spark.sources.documents import read_document, write_document
 
 _MUSTACHE_PATH = re.compile(r"\{\{\s*([\w.]+)\s*\}\}")
 
+# connector-config holes referencing the upstream record
+# (reference `connector.set_parameters(context)`, src/step/reader.rs:137:
+# the context renders as {"input": <record>, "steps": {...}}, so variable
+# connectors spell their holes `{{ input.<field> }}`)
+_PARAM_HOLE = re.compile(r"\{\{\s*input\.([\w.]+)\s*\}\}")
+
+def _render_input_holes(node: Any, record: dict, ctype: str, _key: str | None = None) -> Any:
+    """Render ``{{ input.* }}`` holes in a connector config against one
+    upstream record (reference ``replace_mustache``, src/helper/mustache.rs:53
+    + connector ``set_parameters``).  A psql ``query`` hole renders as an
+    escaped SQL literal; everything else as plain text."""
+    if isinstance(node, dict):
+        return {k: _render_input_holes(v, record, ctype, k) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_render_input_holes(v, record, ctype, _key) for v in node]
+    if not isinstance(node, str):
+        return node
+    if ctype == "psql" and _key == "query":
+        from chewdata_spark.sources.jdbc import sql_literal
+
+        fmt = sql_literal
+    else:
+        fmt = lambda v: "" if v is None else str(v)  # noqa: E731
+
+    def repl(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in record:
+            raise KeyError(f"parameterized connector references unknown field input.{name}")
+        return fmt(record[name])
+
+    return _PARAM_HOLE.sub(repl, node)
+
+
 # validator "exists in referential" idiom (src/step/validator.rs:66)
 _EXISTS_RULE = re.compile(
     r"(\w+)\s*\|\s*filter\s*\(\s*attribute\s*=\s*[\"']([\w.]+)[\"']\s*,"
@@ -168,7 +201,10 @@ class Pipeline:
         for step in self.steps:
             kind = step.get("type")
             if kind == "reader":
-                df = self._read(spark, step)
+                if df is not None and _PARAM_HOLE.search(json.dumps(step.get("connector", {}))):
+                    df = self._read_parameterized(spark, step, df)
+                else:
+                    df = self._read(spark, step)
                 df = self._record_history(df, step)
             elif kind == "generator":
                 n = int(step.get("record_limit", step.get("size", 1)))
@@ -244,6 +280,97 @@ class Pipeline:
         return df.withColumn("_steps", F.struct(payload.alias(name)))
 
     # -- steps ---------------------------------------------------------------
+
+    def _read_parameterized(self, spark: SparkSession, step: dict, upstream: DataFrame) -> DataFrame:
+        """Correlated read: a reader whose connector config references
+        upstream record fields (reference ``connector.set_parameters``,
+        src/step/reader.rs:137 — each received context renders the
+        connector's mustache holes, fetches, and forwards the fetched
+        records; the upstream record survives in the ``steps`` context).
+
+        Scale strategy: the *distinct* parameter tuples are collected to
+        the driver (bounded by ``parameter_fanout_limit``, default 64) and
+        one read per tuple is unioned then joined back on the parameter
+        columns — the partition-pruning shape: N small scans, a single
+        join, no per-row driver work.  For curl with higher cardinality
+        and an explicit ``document.schema``, the fetch instead runs
+        distributed — one GET per upstream row on the executors
+        (:func:`chewdata_spark.sources.http.http_fetch_per_row`).
+
+        Err records pass through untouched (the reference reader only
+        consumes its own data_type, reader.rs:131-136).
+        """
+        from functools import reduce
+
+        conn = step.get("connector", {})
+        doc = step.get("document", {})
+        ctype = conn.get("type", "local")
+        fields = sorted(set(_PARAM_HOLE.findall(json.dumps(conn))))
+        limit = int(step.get("parameter_fanout_limit", conn.get("parameter_fanout_limit", 64)))
+        has_err = "_error" in upstream.columns
+        ok = ok_stream(upstream) if has_err else upstream
+        carry = [c for c in ("_steps",) if c in ok.columns]
+        key = {f: f"__in_{f.replace('.', '_')}" for f in fields}
+
+        distinct = (
+            ok.select(*[F.col(f).alias(key[f]) for f in fields])
+            .dropDuplicates()
+            .limit(limit + 1)
+            .collect()
+        )
+        if len(distinct) > limit:
+            if ctype == "curl" and doc.get("schema"):
+                out = self._curl_fetch_per_row(spark, conn, doc, ok, fields, carry)
+            else:
+                raise ValueError(
+                    f"parameterized reader has more than {limit} distinct parameter "
+                    "tuples; raise parameter_fanout_limit, or (curl) set document.schema "
+                    "to enable the distributed per-row fetch"
+                )
+        elif not distinct:
+            return upstream  # no ok contexts → nothing to fetch
+        else:
+            parts = []
+            for row in distinct:
+                rec = {f: row[key[f]] for f in fields}
+                sub = {"connector": _render_input_holes(conn, rec, ctype), "document": doc}
+                rdf = self._read(spark, sub)
+                for f in fields:
+                    rdf = rdf.withColumn(f"__param_{key[f]}", F.lit(rec[f]))
+                parts.append(rdf)
+            fetched = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+            left = ok.select(*[F.col(f).alias(key[f]) for f in fields], *carry)
+            cond = reduce(
+                lambda a, b: a & b,
+                [left[key[f]].eqNullSafe(fetched[f"__param_{key[f]}"]) for f in fields],
+            )
+            out = left.join(fetched, cond, "inner").drop(
+                *[key[f] for f in fields], *[f"__param_{key[f]}" for f in fields]
+            )
+        if has_err:
+            out = with_error_col(out).unionByName(
+                err_stream(upstream), allowMissingColumns=True
+            )
+        return out
+
+    def _curl_fetch_per_row(
+        self, spark: SparkSession, conn: dict, doc: dict,
+        ok: DataFrame, fields: list[str], carry: list[str],
+    ) -> DataFrame:
+        """Distributed correlated HTTP fetch: render + GET per upstream row
+        on the executors, then re-type the fetched records with the
+        document schema.  The paginator degenerates to ``once`` — each
+        rendered URL is fetched exactly once per upstream record."""
+        from chewdata_spark.sources.http import compile_curl_options, http_fetch_per_row
+
+        options = compile_curl_options(conn, doc)
+        raw = http_fetch_per_row(ok, options, fields)
+        rec = F.from_json("__rec", doc["schema"]).alias("__r")
+        ctx = F.from_json("__ctx", ok.schema).alias("__c")
+        parsed = raw.select(rec, ctx, "_error")
+        cols = [F.col(f"__r.{name}").alias(name) for name in parsed.select("__r.*").columns]
+        cols += [F.col(f"__c.{c}").alias(c) for c in carry]
+        return parsed.select(*cols, "_error")
 
     def _read(self, spark: SparkSession, step: dict) -> DataFrame:
         conn = step.get("connector", {})

@@ -32,11 +32,13 @@ import base64
 import hashlib
 import json
 import math
+import re
 import time
 import urllib.error
 import urllib.request
 from collections.abc import Iterator
 
+from pyspark.sql import functions as F
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import (
     BooleanType,
@@ -544,6 +546,53 @@ def http_send(df, options: dict):
             yield out
 
     return df.mapInPandas(send_batches, schema=out_schema)
+
+
+_INPUT_HOLE = re.compile(r"\{\{\s*input\.([\w.]+)\s*\}\}")
+
+
+def http_fetch_per_row(df, options: dict, param_fields: list[str]):
+    """Distributed correlated fetch (reference variable curl connector:
+    ``set_parameters`` renders ``{{ input.* }}`` path holes per received
+    context, curl.rs:842-931).
+
+    One GET per upstream row, executed on the executors — the scale shape
+    for high-cardinality parameters where driver fan-out can't work.
+    Emits one output row per fetched record: ``__ctx`` (the upstream row
+    as JSON, for context/steps reconstruction), ``__rec`` (the fetched
+    record as JSON) and ``_error`` (fetch failures route to the Err
+    channel, like the reference's fetch-error context, reader.rs:208-219).
+    """
+    import pandas as pd
+
+    opts = {k: v for k, v in options.items() if k not in ("paginator", "count", "count_from")}
+    url_template = opts["url"]
+    entry_path = opts.get("entry_path")
+    keyed = {f: f"__p_{i}" for i, f in enumerate(param_fields)}
+    ctx = df.select(
+        F.to_json(F.struct(*df.columns)).alias("__ctx"),
+        *[F.col(f).cast("string").alias(keyed[f]) for f in param_fields],
+    )
+
+    def fetch(iterator):
+        for pdf in iterator:
+            out = {"__ctx": [], "__rec": [], "_error": []}
+            for _, r in pdf.iterrows():
+                values = {f: ("" if r[keyed[f]] is None else str(r[keyed[f]])) for f in param_fields}
+                url = _INPUT_HOLE.sub(lambda m: values[m.group(1)], url_template)
+                try:
+                    body = _fetch(url, dict(opts))
+                    for rec in _entry(json.loads(body), entry_path):
+                        out["__ctx"].append(r["__ctx"])
+                        out["__rec"].append(json.dumps(rec))
+                        out["_error"].append(None)
+                except Exception as e:  # noqa: BLE001 — route, don't crash
+                    out["__ctx"].append(r["__ctx"])
+                    out["__rec"].append(None)
+                    out["_error"].append(f"http fetch failed: {e}")
+            yield pd.DataFrame(out)
+
+    return ctx.mapInPandas(fetch, "__ctx string, __rec string, _error string")
 
 
 def http_erase(options: dict) -> None:

@@ -51,6 +51,10 @@ class Handler(BaseHTTPRequestHandler):
                 return
             self._json(200, {"results": RECORDS[:5]})
             return
+        if u.path.startswith("/by/"):
+            i = int(u.path.rsplit("/", 1)[-1])
+            self._json(200, {"results": [RECORDS[i]]})
+            return
         if u.path == "/cursor":
             start = int(q.get("after", ["0"])[0] or 0)
             page = RECORDS[start : start + 20]
@@ -559,6 +563,86 @@ def test_pipeline_bucket_select_config(spark, tmp_path):
     ]
     df = Pipeline(cfg, spark).dataframe()
     assert df.columns == ["id"] and df.count() == 10
+
+
+def test_pipeline_parameterized_curl_fanout(spark, server):
+    """A curl reader whose path references upstream record fields
+    (reference set_parameters, src/step/reader.rs:137 + curl.rs:842-931):
+    small parameter cardinality → one read per distinct tuple, joined back."""
+    cfg = [
+        {"type": "reader",
+         "connector": {"type": "in_memory",
+                       "data": '[{"idx": 3}, {"idx": 7}, {"idx": 3}]'}},
+        {"type": "reader",
+         "connector": {"type": "curl", "endpoint": server, "path": "/by/{{ input.idx }}"},
+         "document": {"entry_path": "/results"}},
+    ]
+    df = Pipeline(cfg, spark).dataframe()
+    names = sorted(r.name for r in df.select("name").collect())
+    # idx 3 appears twice upstream → item_3 fetched/emitted per context
+    assert names == ["item_3", "item_3", "item_7"]
+
+
+def test_pipeline_parameterized_curl_per_row(spark, server):
+    """High parameter cardinality + explicit document schema → the
+    distributed per-row fetch (one GET per upstream row on executors)."""
+    cfg = [
+        {"type": "reader",
+         "connector": {"type": "in_memory",
+                       "data": json.dumps([{"idx": i} for i in range(6)])}},
+        {"type": "reader",
+         "parameter_fanout_limit": 2,  # force the distributed path
+         "connector": {"type": "curl", "endpoint": server, "path": "/by/{{ input.idx }}"},
+         "document": {"entry_path": "/results", "schema": "id bigint, name string"}},
+    ]
+    df = Pipeline(cfg, spark).dataframe()
+    rows = df.collect()
+    assert sorted(r.name for r in rows) == [f"item_{i}" for i in range(6)]
+    assert all(r._error is None for r in rows)
+
+
+def test_pipeline_parameterized_curl_per_row_fetch_error(spark):
+    """Per-row fetch failures route to the Err channel (reference
+    fetch-error context, reader.rs:208-219), they don't crash the job."""
+    cfg = [
+        {"type": "reader",
+         "connector": {"type": "in_memory", "data": '[{"idx": 1}, {"idx": 2}, {"idx": 3}]'}},
+        {"type": "reader",
+         "parameter_fanout_limit": 1,
+         "connector": {"type": "curl", "endpoint": "http://127.0.0.1:9",  # unreachable
+                       "path": "/by/{{ input.idx }}", "retries": 0, "timeout": 1},
+         "document": {"entry_path": "/results", "schema": "id bigint, name string"}},
+    ]
+    df = Pipeline(cfg, spark).dataframe()
+    rows = df.collect()
+    assert len(rows) == 3
+    assert all(r._error and "http fetch failed" in r._error for r in rows)
+    assert all(r.id is None for r in rows)
+
+
+def test_render_input_holes_psql_sql_literal():
+    """psql query holes render as escaped SQL literals, path holes as text."""
+    from chewdata_spark.pipeline import _render_input_holes
+
+    conn = {"type": "psql", "query": "SELECT * FROM t WHERE name = {{ input.name }}",
+            "collection": "t_{{ input.name }}"}
+    out = _render_input_holes(conn, {"name": "a'b"}, "psql")
+    assert out["query"] == "SELECT * FROM t WHERE name = 'a''b'"
+    assert out["collection"] == "t_a'b"  # only query gets SQL quoting
+
+
+def test_pipeline_parameterized_fanout_limit_raises(spark, server):
+    cfg = [
+        {"type": "reader",
+         "connector": {"type": "in_memory",
+                       "data": json.dumps([{"idx": i} for i in range(5)])}},
+        {"type": "reader",
+         "parameter_fanout_limit": 2,
+         "connector": {"type": "curl", "endpoint": server, "path": "/by/{{ input.idx }}"},
+         "document": {"entry_path": "/results"}},  # no schema → no per-row path
+    ]
+    with pytest.raises(ValueError, match="distinct parameter"):
+        Pipeline(cfg, spark).dataframe()
 
 
 def test_pipeline_curl_cursor_config(spark, server):

@@ -464,6 +464,48 @@ def test_reference_clear_dynamic_files(spark, tmp_path):
     assert out.count() == 1  # re-run replaced, not doubled
 
 
+def test_pipeline_parameterized_local_path(spark, tmp_path):
+    """A local reader with a templated path (reference variable connector,
+    src/connector/local.rs:166-179: `/dir/filename_{{ field }}.ext` +
+    set_parameters): each upstream record renders the path and forwards
+    the fetched records."""
+    (tmp_path / "file_a.json").write_text('[{"v": 1}, {"v": 2}]')
+    (tmp_path / "file_b.json").write_text('[{"v": 3}]')
+    cfg = [
+        {"type": "reader",
+         "connector": {"type": "in_memory",
+                       "data": '[{"tag": "a"}, {"tag": "b"}, {"tag": "a"}]'}},
+        {"type": "reader",
+         "connector": {"type": "local", "path": f"{tmp_path}/file_{{{{ input.tag }}}}.json"},
+         "document": {"type": "json"}},
+    ]
+    df = Pipeline(cfg, spark).dataframe()
+    # tag 'a' received twice → its records emitted per context
+    assert sorted(r.v for r in df.collect()) == [1, 1, 2, 2, 3]
+    assert "tag" not in df.columns  # fetched records replace the input
+
+
+def test_pipeline_parameterized_reader_keeps_steps_history(spark, tmp_path):
+    """The upstream record survives in the steps context
+    (reader.rs:228-240: insert_step_result keeps prior steps), so a later
+    transformer can reference `steps.<name>.<field>`."""
+    (tmp_path / "file_x.json").write_text('[{"v": 10}]')
+    (tmp_path / "file_y.json").write_text('[{"v": 20}]')
+    cfg = [
+        {"type": "reader", "name": "seed",
+         "connector": {"type": "in_memory",
+                       "data": '[{"tag": "x"}, {"tag": "y"}]'}},
+        {"type": "reader", "name": "fetch",
+         "connector": {"type": "local", "path": f"{tmp_path}/file_{{{{ input.tag }}}}.json"},
+         "document": {"type": "json"}},
+        {"type": "transformer",
+         "actions": [{"field": "origin", "pattern": "{{ steps.seed.tag }}"}]},
+    ]
+    df = Pipeline(cfg, spark).dataframe()
+    got = sorted((r.origin, r.v) for r in df.select("origin", "v").collect())
+    assert got == [("x", 10), ("y", 20)]
+
+
 def test_validator_referential_exists_rule(spark):
     """The validator's 'exists in referential' idiom (validator.rs:66):
     `{%- if ref | filter(attribute=k, value=input.x) | length > 0 -%}`
