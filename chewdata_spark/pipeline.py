@@ -52,6 +52,14 @@ _MUSTACHE_PATH = re.compile(r"\{\{\s*([\w.]+)\s*\}\}")
 # connectors spell their holes `{{ input.<field> }}`)
 _PARAM_HOLE = re.compile(r"\{\{\s*input\.([\w.]+)\s*\}\}")
 
+class _FanoutOverflow(Exception):
+    """Distinct-parameter cardinality exceeded the fan-out limit."""
+
+
+def _param_key(fields: list[str]) -> dict[str, str]:
+    return {f: f"__in_{f.replace('.', '_')}" for f in fields}
+
+
 def _render_input_holes(node: Any, record: dict, ctype: str, _key: str | None = None) -> Any:
     """Render ``{{ input.* }}`` holes in a connector config against one
     upstream record (reference ``replace_mustache``, src/helper/mustache.rs:53
@@ -310,35 +318,12 @@ class Pipeline:
         has_err = "_error" in upstream.columns
         ok = ok_stream(upstream) if has_err else upstream
         carry = [c for c in ("_steps",) if c in ok.columns]
-        key = {f: f"__in_{f.replace('.', '_')}" for f in fields}
+        key = _param_key(fields)
 
-        distinct = (
-            ok.select(*[F.col(f).alias(key[f]) for f in fields])
-            .dropDuplicates()
-            .limit(limit + 1)
-            .collect()
-        )
-        if len(distinct) > limit:
-            if ctype == "curl" and doc.get("schema"):
-                out = self._curl_fetch_per_row(spark, conn, doc, ok, fields, carry)
-            else:
-                raise ValueError(
-                    f"parameterized reader has more than {limit} distinct parameter "
-                    "tuples; raise parameter_fanout_limit, or (curl) set document.schema "
-                    "to enable the distributed per-row fetch"
-                )
-        elif not distinct:
-            return upstream  # no ok contexts → nothing to fetch
-        else:
-            parts = []
-            for row in distinct:
-                rec = {f: row[key[f]] for f in fields}
-                sub = {"connector": _render_input_holes(conn, rec, ctype), "document": doc}
-                rdf = self._read(spark, sub)
-                for f in fields:
-                    rdf = rdf.withColumn(f"__param_{key[f]}", F.lit(rec[f]))
-                parts.append(rdf)
-            fetched = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+        try:
+            fetched = self._fetch_fanout(spark, conn, doc, ok, fields, limit)
+            if fetched is None:
+                return upstream  # no ok contexts → nothing to fetch
             left = ok.select(*[F.col(f).alias(key[f]) for f in fields], *carry)
             cond = reduce(
                 lambda a, b: a & b,
@@ -347,11 +332,51 @@ class Pipeline:
             out = left.join(fetched, cond, "inner").drop(
                 *[key[f] for f in fields], *[f"__param_{key[f]}" for f in fields]
             )
+        except _FanoutOverflow:
+            if not (ctype == "curl" and doc.get("schema")):
+                raise ValueError(
+                    f"parameterized reader has more than {limit} distinct parameter "
+                    "tuples; raise parameter_fanout_limit, or (curl) set document.schema "
+                    "to enable the distributed per-row fetch"
+                ) from None
+            out = self._curl_fetch_per_row(spark, conn, doc, ok, fields, carry)
         if has_err:
             out = with_error_col(out).unionByName(
                 err_stream(upstream), allowMissingColumns=True
             )
         return out
+
+    def _fetch_fanout(
+        self, spark: SparkSession, conn: dict, doc: dict,
+        upstream: DataFrame, fields: list[str], limit: int,
+    ) -> DataFrame | None:
+        """Distinct-parameter fan-out: one read per distinct upstream
+        parameter tuple, unioned and tagged with ``__param_*`` join
+        columns.  Returns None when the upstream has no rows; raises
+        :class:`_FanoutOverflow` past ``limit`` distinct tuples."""
+        from functools import reduce
+
+        ctype = conn.get("type", "local")
+        key = _param_key(fields)
+        distinct = (
+            upstream.select(*[F.col(f).alias(key[f]) for f in fields])
+            .dropDuplicates()
+            .limit(limit + 1)
+            .collect()
+        )
+        if len(distinct) > limit:
+            raise _FanoutOverflow(len(distinct))
+        parts = []
+        for row in distinct:
+            rec = {f: row[key[f]] for f in fields}
+            sub = {"connector": _render_input_holes(conn, rec, ctype), "document": doc}
+            rdf = self._read(spark, sub)
+            for f in fields:
+                rdf = rdf.withColumn(f"__param_{key[f]}", F.lit(rec[f]))
+            parts.append(rdf)
+        if not parts:
+            return None
+        return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
 
     def _curl_fetch_per_row(
         self, spark: SparkSession, conn: dict, doc: dict,
@@ -371,6 +396,43 @@ class Pipeline:
         cols = [F.col(f"__r.{name}").alias(name) for name in parsed.select("__r.*").columns]
         cols += [F.col(f"__c.{c}").alias(c) for c in carry]
         return parsed.select(*cols, "_error")
+
+    def _variable_lookup_join(
+        self, spark: SparkSession, df: DataFrame, cfg: dict, out_field: str, m: re.Match
+    ) -> DataFrame:
+        """Variable referential (src/step/referential.rs:86-125): the
+        referential's connector config references the current record
+        (``{{ input.* }}``), so each record's lookup runs against *its*
+        re-fetched referential.  Compiles to a correlated join — the
+        parameter columns join alongside the lookup key, so record A
+        never matches rows fetched for record B's parameters.  Fetch
+        cardinality is bounded by ``parameter_fanout_limit`` (the
+        reference re-fetches per record with no cache; the distinct-tuple
+        fan-out is the distributed equivalent)."""
+        conn = cfg.get("connector", {})
+        doc = cfg.get("document", {})
+        fields = sorted(set(_PARAM_HOLE.findall(json.dumps(conn))))
+        limit = int(cfg.get("parameter_fanout_limit", 64))
+        key = _param_key(fields)
+        try:
+            fetched = self._fetch_fanout(spark, conn, doc, df, fields, limit)
+        except _FanoutOverflow:
+            raise ValueError(
+                f"variable referential has more than {limit} distinct parameter "
+                "tuples; raise parameter_fanout_limit on the referential config"
+            ) from None
+        _, ref_key, input_key, ref_value = m.groups()
+        if fetched is None:
+            return df.withColumn(out_field, F.lit(None).cast("string"))
+        params = [f"__param_{key[f]}" for f in fields]
+        ref_small = fetched.select(
+            F.col(ref_key).alias("__k"), F.col(ref_value).alias("__v"), *params
+        ).dropDuplicates(["__k", *params])
+        cond = df[input_key] == ref_small["__k"]
+        for f in fields:
+            cond = cond & df[f].eqNullSafe(ref_small[f"__param_{key[f]}"])
+        joined = df.join(F.broadcast(ref_small), cond, "left")
+        return joined.withColumn(out_field, F.col("__v")).drop("__k", "__v", *params)
 
     def _read(self, spark: SparkSession, step: dict) -> DataFrame:
         conn = step.get("connector", {})
@@ -441,9 +503,14 @@ class Pipeline:
         raise ValueError(f"unsupported connector type {ctype!r}")
 
     def _transform(self, spark: SparkSession, step: dict, df: DataFrame) -> DataFrame:
+        ref_cfgs = step.get("referentials") or step.get("refs") or {}
+        # static referentials read once and cache (reference set_cache for
+        # non-variable connectors, src/step/referential.rs:117-121);
+        # variable ones ({{ input.* }} holes) resolve per lookup below
         refs = {
             alias: self._read(spark, cfg)
-            for alias, cfg in (step.get("referentials") or step.get("refs") or {}).items()
+            for alias, cfg in ref_cfgs.items()
+            if not _PARAM_HOLE.search(json.dumps(cfg.get("connector", {})))
         }
         actions: list[Action | dict] = []
         for a in step.get("actions", []):
@@ -451,14 +518,18 @@ class Pipeline:
             field = a.get("field", "/")
             hole = _single_hole(pattern) if pattern else None
             m = _LOOKUP.match(hole) if hole else None
-            if m and m.group(1) in refs:
+            if m and m.group(1) in ref_cfgs:
                 # flush pending actions first — the reference applies actions
                 # in order (src/step/transformer.rs), so an earlier action
                 # writing the same field must land before the lookup
                 if actions:
                     df = apply_actions(df, actions)
                     actions = []
-                df = _lookup_join(df, refs[m.group(1)], field, m)
+                alias = m.group(1)
+                if alias in refs:
+                    df = _lookup_join(df, refs[alias], field, m)
+                else:
+                    df = self._variable_lookup_join(spark, df, ref_cfgs[alias], field, m)
                 continue
             if field == "/":
                 # root action: an array result fans out to N records

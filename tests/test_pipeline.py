@@ -506,6 +506,38 @@ def test_pipeline_parameterized_reader_keeps_steps_history(spark, tmp_path):
     assert got == [("x", 10), ("y", 20)]
 
 
+def test_pipeline_variable_referential(spark, tmp_path):
+    """Variable referential (src/step/referential.rs:86-125): the
+    referential connector path references the record, so each record's
+    lookup runs against *its* re-fetched referential — a correlated join
+    on (lookup key, parameter columns)."""
+    (tmp_path / "ref_g1.json").write_text(
+        '[{"mapping_code": "c1", "mapping_value": "g1-v1"},'
+        ' {"mapping_code": "c2", "mapping_value": "g1-v2"}]')
+    (tmp_path / "ref_g2.json").write_text(
+        '[{"mapping_code": "c1", "mapping_value": "g2-v1"}]')
+    cfg = [
+        {"type": "reader",
+         "connector": {"type": "in_memory",
+                       "data": '[{"group": "g1", "code": "c1"}, {"group": "g2", "code": "c1"},'
+                               ' {"group": "g1", "code": "c2"}, {"group": "g2", "code": "c2"}]'}},
+        {"type": "transformer",
+         "referentials": {"m": {"connector": {"type": "local",
+                                              "path": f"{tmp_path}/ref_{{{{ input.group }}}}.json"},
+                                "document": {"type": "json"}}},
+         "actions": [{"field": "mapped",
+                      "pattern": "{{ m | filter(attribute='mapping_code', value=input.code) | first | map(attribute='mapping_value') }}"}]},
+    ]
+    df = Pipeline(cfg, spark).dataframe()
+    got = {(r.group, r.code): r.mapped for r in df.collect()}
+    assert got[("g1", "c1")] == "g1-v1"
+    assert got[("g2", "c1")] == "g2-v1"
+    assert got[("g1", "c2")] == "g1-v2"
+    # c2 exists in g1's referential but NOT g2's — a non-correlated join
+    # would wrongly resolve it
+    assert got[("g2", "c2")] is None
+
+
 def test_validator_referential_exists_rule(spark):
     """The validator's 'exists in referential' idiom (validator.rs:66):
     `{%- if ref | filter(attribute=k, value=input.x) | length > 0 -%}`
