@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_clean_corpus_lsh",
     "cosine_topk",
     "embedding_near_dup",
+    "embedding_near_dup_clustered",
     "text_stats",
     "quality_score",
     "chunk_documents",
@@ -79,36 +80,39 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
-    regressions = _regressions_vs_baseline(timings)
+    regressions = _regressions_vs_baseline(timings, sf_val)
     if regressions:
         out["regressions"] = regressions
     print(json.dumps(out))
     spark.stop()
 
 
-def _regressions_vs_baseline(timings: dict[str, float]) -> dict[str, str]:
-    """Per-query regression gate: compare against the newest recorded
-    BENCH_r*.json (>1.5x slower AND >0.3s absolute = flagged)."""
+def _regressions_vs_baseline(timings: dict[str, float], sf: float | str) -> dict[str, str]:
+    """Per-query regression gate: compare against the best-ever recorded
+    time across ALL BENCH_r*.json rounds at the SAME scale factor
+    (>1.5x slower AND >0.3s absolute = flagged), so slow creep can't hide
+    behind a slow previous round."""
     import glob
-    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    benches = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
-    if not benches:
-        return {}
-    try:
-        data = json.load(open(benches[-1]))
-        base = data.get("queries") or data.get("parsed", {}).get("queries", {})
-    except Exception:
-        return {}
+    best: dict[str, float] = {}
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        try:
+            data = json.load(open(path))
+            rec_sf = data.get("sf", data.get("parsed", {}).get("sf"))
+            if rec_sf is not None and rec_sf != sf:
+                continue
+            base = data.get("queries") or data.get("parsed", {}).get("queries", {})
+        except Exception:
+            continue
+        for name, t in (base or {}).items():
+            if isinstance(t, (int, float)) and (name not in best or t < best[name]):
+                best[name] = float(t)
     out = {}
     for name, t in timings.items():
-        b = base.get(name)
+        b = best.get(name)
         if b and t > 1.5 * b and t - b > 0.3:
-            out[name] = f"{t:.2f}s vs baseline {b:.2f}s ({t / b:.1f}x)"
+            out[name] = f"{t:.2f}s vs best-ever {b:.2f}s ({t / b:.1f}x)"
     return out
 
 

@@ -80,13 +80,17 @@ def assign_ivf_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_stride: int = 50,
+    nprobe: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF coarse quantization.
 
     Centroids = vectors whose id % stride == 0 (deterministic, no
     k-means iterations — swap in k-means|| offline for production).
-    Assignment = argmax cosine vs the broadcast centroid set, computed
-    as one projection.  Returns (assigned_corpus, centroids).
+    Assignment = top-``nprobe`` cosine vs the broadcast centroid set,
+    computed as one projection (multi-probe assignment replicates each
+    vector into its nprobe nearest clusters — the standard recall lever
+    for cluster-blocked pair generation).  Returns (assigned_corpus,
+    centroids); with nprobe>1 a vector appears once per probed cluster.
     """
     centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
@@ -101,7 +105,7 @@ def assign_ivf_clusters(
                 Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
             ),
         )
-        .filter(F.col("rk") == 1)
+        .filter(F.col("rk") <= nprobe)
         .select("vec_id", "vec", F.col("cid").alias("cluster"))
     )
     return assigned, centroids
@@ -257,21 +261,35 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     centroid_stride: int = 50,
+    nprobe: int = 3,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, bucketed by IVF cluster.
 
-    Pairs are only compared within a cluster (near-dups land in the
-    same cluster with high probability) — the blocked version of the
-    quadratic all-pairs scan.
+    Pairs are only compared within a shared probed cluster — the
+    sub-quadratic version of the all-pairs scan.  Multi-probe assignment
+    (each vector lands in its ``nprobe`` nearest clusters) recovers the
+    pairs that straddle a cluster boundary; candidate volume grows
+    ~nprobe² per cluster while staying far below N².  Duplicate
+    candidates from shared multi-probe clusters are dropped before the
+    verify projection.
     """
-    assigned, _ = assign_ivf_clusters(corpus, id_col=id_col, vec_col=vec_col, centroid_stride=centroid_stride)
+    assigned, _ = assign_ivf_clusters(
+        corpus, id_col=id_col, vec_col=vec_col, centroid_stride=centroid_stride, nprobe=nprobe
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
     return (
         a.join(b, (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("sim"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

@@ -60,6 +60,16 @@ WHERE ROUND({_COS.format(a='a.v', b='b.v')}, 6) >= 0.4
 """
 
 
+def embedding_near_dup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic near-dup pairs: IVF cluster blocking with
+    multi-probe assignment (nprobe=4) — the 100-TB path; pairs are only
+    compared within a shared probed cluster.  Rows-only check; recall
+    ≥0.9 vs the exact GEMM twin is asserted in tests/test_dedup_recall.py
+    (1.0 at sf0.01)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.4, nprobe=4)
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (probe 4 of ~n/50 clusters).  Rows-only
     check (approximation is algorithm-specific); recall vs. the exact
@@ -72,6 +82,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "cosine_topk": cosine_topk,
     "embedding_near_dup": embedding_near_dup,
+    "embedding_near_dup_clustered": embedding_near_dup_clustered,
     "ann_ivf_topk": ann_ivf_topk,
 }
 

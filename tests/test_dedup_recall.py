@@ -73,6 +73,23 @@ def test_ivf_topk_recall_vs_exact(spark, emb):
     assert recall >= 0.6, f"IVF recall {recall:.2f} < 0.6"
 
 
+def test_clustered_near_dup_recall_vs_exact(spark, emb):
+    """The benched sub-quadratic near-dup path (IVF blocking, multi-probe
+    nprobe=4) must recover ≥0.9 of the exact GEMM's pairs, with no false
+    positives (every candidate is exactly verified)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.near_dup_pairs_exact(emb, threshold=0.4).collect()
+    }
+    clustered = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.4, nprobe=4).collect()
+    }
+    recall = len(exact & clustered) / len(exact)
+    assert recall >= 0.9, f"clustered near-dup recall {recall:.2f} < 0.9"
+    assert not clustered - exact  # exact verify → zero false positives
+
+
 def test_blocked_gemm_invariant_to_num_blocks(spark, emb):
     """Exactness: the distributed blocked GEMM must produce identical
     pairs for any blocking factor (each unordered pair in exactly one
