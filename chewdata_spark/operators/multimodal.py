@@ -41,63 +41,77 @@ def attach_metadata(df: DataFrame, content_col: str, mime: str) -> DataFrame:
     )
 
 
-def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Decode image bytes → (id-preserving columns..., width, height).
-
-    Real kernel requires PIL; raises NotImplementedError without it.
-    """
-    cols = [f.name for f in df.schema.fields]
+def _media_stage(df: DataFrame, extra_schema: str, kernel) -> DataFrame:
+    """The single Arrow plumbing path every media kernel — real or fake —
+    runs through: schema widening, ``mapInPandas`` batch iteration,
+    partition preservation.  A kernel is ``(pandas.DataFrame) ->
+    pandas.DataFrame``; real and fake twins differ ONLY in the kernel
+    body (the decode call), pinned by
+    tests/test_multimodal.py::test_real_and_fake_share_plumbing."""
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    out_schema += ", width int, height int"
+    if extra_schema:
+        out_schema += ", " + extra_schema
 
     def gen(batches):
+        for pdf in batches:
+            yield kernel(pdf)
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def _pil_dims_kernel(content_col: str):
+    """Real image-decode kernel: PIL dims.  Import is lazy per executor
+    batch; without PIL it raises NotImplementedError at execution."""
+
+    def kernel(pdf):
         try:
-            from PIL import Image  # noqa: F401
+            from PIL import Image
         except ImportError as e:
             raise NotImplementedError(
                 "image decode requires PIL; use fake_decode_image for plumbing tests"
             ) from e
         import io
 
-        import pandas as pd
+        dims = [Image.open(io.BytesIO(bytes(b))).size for b in pdf[content_col]]
+        pdf = pdf.copy()
+        pdf["width"] = [d[0] for d in dims]
+        pdf["height"] = [d[1] for d in dims]
+        return pdf
 
-        for pdf in batches:
-            dims = [Image.open(io.BytesIO(b)).size for b in pdf[content_col]]
-            pdf = pdf.copy()
-            pdf["width"] = [d[0] for d in dims]
-            pdf["height"] = [d[1] for d in dims]
-            yield pdf
+    return kernel
 
-    return df.mapInPandas(gen, out_schema)
+
+def _fake_dims_kernel(content_col: str):
+    """Deterministic stand-in decode kernel: dims from sha256(bytes)."""
+
+    def kernel(pdf):
+        h = [hashlib.sha256(bytes(b)).digest() for b in pdf[content_col]]
+        pdf = pdf.copy()
+        pdf["width"] = [16 + d[0] % 1024 for d in h]
+        pdf["height"] = [16 + d[1] % 1024 for d in h]
+        return pdf
+
+    return kernel
+
+
+def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Decode image bytes → (id-preserving columns..., width, height).
+
+    Real kernel requires PIL; raises NotImplementedError without it.
+    """
+    return _media_stage(df, "width int, height int", _pil_dims_kernel(content_col))
 
 
 def fake_decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Deterministic stand-in decode: dims derived from sha256(bytes).
-
-    Exercises the identical plan shape (schema widening, Arrow batch
-    transfer, partition preservation) as :func:`decode_image`.
-    """
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    out_schema += ", width int, height int"
-
-    def gen(batches):
-        for pdf in batches:
-            h = [hashlib.sha256(bytes(b)).digest() for b in pdf[content_col]]
-            pdf = pdf.copy()
-            pdf["width"] = [16 + d[0] % 1024 for d in h]
-            pdf["height"] = [16 + d[1] % 1024 for d in h]
-            yield pdf
-
-    return df.mapInPandas(gen, out_schema)
+    """Deterministic stand-in decode — identical plumbing (same
+    :func:`_media_stage`, same schema), only the kernel differs."""
+    return _media_stage(df, "width int, height int", _fake_dims_kernel(content_col))
 
 
-def resize_image(
-    df: DataFrame, content_col: str = "content", *, width: int = 224, height: int = 224
-) -> DataFrame:
-    """Resize image bytes to (width, height) JPEG — requires PIL."""
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+def _pil_resize_kernel(content_col: str, width: int, height: int):
+    """Real resize kernel: PIL resize → JPEG re-encode."""
 
-    def gen(batches):
+    def kernel(pdf):
         try:
             from PIL import Image
         except ImportError as e:
@@ -106,89 +120,104 @@ def resize_image(
             ) from e
         import io
 
-        for pdf in batches:
-            out = []
-            for b in pdf[content_col]:
-                im = Image.open(io.BytesIO(bytes(b))).resize((width, height))
-                buf = io.BytesIO()
-                im.save(buf, format="JPEG")
-                out.append(buf.getvalue())
-            pdf = pdf.copy()
-            pdf[content_col] = out
-            yield pdf
+        out = []
+        for b in pdf[content_col]:
+            im = Image.open(io.BytesIO(bytes(b))).resize((width, height))
+            buf = io.BytesIO()
+            im.save(buf, format="JPEG")
+            out.append(buf.getvalue())
+        pdf = pdf.copy()
+        pdf[content_col] = out
+        return pdf
 
-    return df.mapInPandas(gen, out_schema)
+    return kernel
+
+
+def _fake_resize_kernel(content_col: str, width: int, height: int):
+    """Stand-in resize kernel: hash-seeded buffer of width*height bytes."""
+    target = width * height
+
+    def kernel(pdf):
+        out = []
+        for b in pdf[content_col]:
+            seed = hashlib.sha256(bytes(b)).digest()
+            out.append((seed * (target // len(seed) + 1))[:target])
+        pdf = pdf.copy()
+        pdf[content_col] = out
+        return pdf
+
+    return kernel
+
+
+def resize_image(
+    df: DataFrame, content_col: str = "content", *, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Resize image bytes to (width, height) JPEG — requires PIL."""
+    return _media_stage(df, "", _pil_resize_kernel(content_col, width, height))
 
 
 def fake_resize_image(
     df: DataFrame, content_col: str = "content", *, width: int = 224, height: int = 224
 ) -> DataFrame:
-    """Deterministic stand-in resize: content becomes a hash-seeded
-    buffer of exactly width*height bytes — same schema-preserving,
-    size-normalizing plan shape as :func:`resize_image`."""
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    target = width * height
-
-    def gen(batches):
-        for pdf in batches:
-            out = []
-            for b in pdf[content_col]:
-                seed = hashlib.sha256(bytes(b)).digest()
-                out.append((seed * (target // len(seed) + 1))[:target])
-            pdf = pdf.copy()
-            pdf[content_col] = out
-            yield pdf
-
-    return df.mapInPandas(gen, out_schema)
+    """Deterministic stand-in resize — identical plumbing
+    (:func:`_media_stage`, schema-preserving), only the kernel differs."""
+    return _media_stage(df, "", _fake_resize_kernel(content_col, width, height))
 
 
-def decode_audio(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Audio bytes → (…, sample_rate, duration_ms, n_channels).
-    Real kernel needs soundfile/librosa; raises without them."""
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    out_schema += ", sample_rate int, duration_ms int, n_channels int"
+_AUDIO_SCHEMA = "sample_rate int, duration_ms int, n_channels int"
 
-    def gen(batches):
+
+def _soundfile_audio_kernel(content_col: str):
+    """Real audio-probe kernel: soundfile header read."""
+
+    def kernel(pdf):
         try:
-            import soundfile  # noqa: F401
+            import soundfile
         except ImportError as e:
             raise NotImplementedError(
                 "audio decode requires soundfile; use fake_decode_audio for plumbing tests"
             ) from e
         import io
 
-        for pdf in batches:
-            rates, durs, chans = [], [], []
-            for b in pdf[content_col]:
-                info = soundfile.info(io.BytesIO(bytes(b)))
-                rates.append(int(info.samplerate))
-                durs.append(int(info.duration * 1000))
-                chans.append(int(info.channels))
-            pdf = pdf.copy()
-            pdf["sample_rate"] = rates
-            pdf["duration_ms"] = durs
-            pdf["n_channels"] = chans
-            yield pdf
+        rates, durs, chans = [], [], []
+        for b in pdf[content_col]:
+            info = soundfile.info(io.BytesIO(bytes(b)))
+            rates.append(int(info.samplerate))
+            durs.append(int(info.duration * 1000))
+            chans.append(int(info.channels))
+        pdf = pdf.copy()
+        pdf["sample_rate"] = rates
+        pdf["duration_ms"] = durs
+        pdf["n_channels"] = chans
+        return pdf
 
-    return df.mapInPandas(gen, out_schema)
+    return kernel
+
+
+def _fake_audio_kernel(content_col: str):
+    """Stand-in audio probe kernel: rate/duration/channels from hash."""
+
+    def kernel(pdf):
+        h = [hashlib.sha256(bytes(b)).digest() for b in pdf[content_col]]
+        pdf = pdf.copy()
+        pdf["sample_rate"] = [(8000, 16000, 22050, 44100)[d[2] % 4] for d in h]
+        pdf["duration_ms"] = [100 + int.from_bytes(d[3:6], "big") % 600000 for d in h]
+        pdf["n_channels"] = [1 + d[6] % 2 for d in h]
+        return pdf
+
+    return kernel
+
+
+def decode_audio(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Audio bytes → (…, sample_rate, duration_ms, n_channels).
+    Real kernel needs soundfile/librosa; raises without them."""
+    return _media_stage(df, _AUDIO_SCHEMA, _soundfile_audio_kernel(content_col))
 
 
 def fake_decode_audio(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Deterministic stand-in audio probe (rate/duration/channels from
-    the content hash) — identical plan shape to :func:`decode_audio`."""
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    out_schema += ", sample_rate int, duration_ms int, n_channels int"
-
-    def gen(batches):
-        for pdf in batches:
-            h = [hashlib.sha256(bytes(b)).digest() for b in pdf[content_col]]
-            pdf = pdf.copy()
-            pdf["sample_rate"] = [(8000, 16000, 22050, 44100)[d[2] % 4] for d in h]
-            pdf["duration_ms"] = [100 + int.from_bytes(d[3:6], "big") % 600000 for d in h]
-            pdf["n_channels"] = [1 + d[6] % 2 for d in h]
-            yield pdf
-
-    return df.mapInPandas(gen, out_schema)
+    """Deterministic stand-in audio probe — identical plumbing
+    (:func:`_media_stage`, same widened schema), only the kernel differs."""
+    return _media_stage(df, _AUDIO_SCHEMA, _fake_audio_kernel(content_col))
 
 
 def fake_extract_features(

@@ -94,6 +94,42 @@ _JSON_VALUE_FILTERS = ("update", "extract", "replace_key", "replace_value", "mer
 # SparkSession, which would silently skip re-registration
 _registered_udf_sessions: weakref.WeakSet = weakref.WeakSet()
 
+# Shared environment store (filters/string.rs:8-13): the reference keeps a
+# process-wide map seeded by `set_env` and read by `env`, deliberately
+# separate from the system environment "to avoid side effects with multi
+# threading".  Compilation happens on the driver, so a plain dict is the
+# faithful analogue; keys written by set_env get the CHEWDATA_ prefix
+# (string.rs:159-165).
+_ENV_PREFIX = "CHEWDATA_"
+_shared_env: dict[str, str] = {}
+
+
+def get_shared_env() -> dict[str, str]:
+    """The driver-side shared env store (filters/string.rs:11-13)."""
+    return _shared_env
+
+
+def resolve_env(name: str, default: str | None = None) -> str:
+    """Reference `env` function resolution order
+    (function/string.rs:74-116): shared store (prefixed key, then bare),
+    then system env (prefixed, then bare — cached back into the store),
+    then the default, else an error.
+    """
+    import os as _os
+
+    prefixed = _ENV_PREFIX + name
+    for key in (prefixed, name):
+        if key in _shared_env:
+            return _shared_env[key]
+    for key in (prefixed, name):
+        val = _os.environ.get(key)
+        if val is not None:
+            _shared_env[prefixed] = val
+            return val
+    if default is not None:
+        return default
+    raise UnsupportedTemplate(f"environment variable {name!r} not found")
+
 
 def _object_udf_body(fname: str):
     import json as _j
@@ -189,6 +225,22 @@ def _chew_merge_col(js: str | None, args_json: str, with_text: str | None) -> st
     return _j.dumps(out, ensure_ascii=False)
 
 
+def _chew_values(js: str | None) -> str | None:
+    """Typed `values` filter (object.rs:527-537): object → JSON array of
+    its values with types preserved; array/scalar pass through."""
+    import json as _j
+
+    from chewdata_spark.functions import objects as O
+
+    if js is None:
+        return None
+    try:
+        out = O.value_values(_j.loads(js))
+    except Exception:
+        return None
+    return _j.dumps(out, ensure_ascii=False)
+
+
 def ensure_object_udfs(spark=None) -> None:
     """Register the chew_* JSON-value UDFs once per session."""
     from pyspark.sql import SparkSession
@@ -202,6 +254,7 @@ def ensure_object_udfs(spark=None) -> None:
         )
     spark.udf.register("chew_tojson", F.udf(_chew_tojson, "string", useArrow=True))
     spark.udf.register("chew_merge_col", F.udf(_chew_merge_col, "string", useArrow=True))
+    spark.udf.register("chew_values", F.udf(_chew_values, "string", useArrow=True))
     _registered_udf_sessions.add(spark)
 
 
@@ -343,14 +396,9 @@ def _compile_expr(src: str, input_col: str | None = None) -> str:
         )
         if m_env:
             # reference env function (function/string.rs:74-116): the
-            # value is resolved driver-side at compile time → a literal
-            import os as _os
-
-            val = _os.environ.get(m_env.group(1), m_env.group(2))
-            if val is None:
-                raise UnsupportedTemplate(
-                    f"environment variable {m_env.group(1)!r} not set and no default"
-                )
+            # value is resolved driver-side at compile time → a literal;
+            # resolution checks the shared set_env store first
+            val = resolve_env(m_env.group(1), m_env.group(2))
             base = "'" + str(val).replace("\\", "\\\\").replace("'", "''") + "'"
     base = re.sub(r"\binput\.", f"{input_col}." if input_col else "", base)
     base = re.sub(r"\boutput\.", "", base)
@@ -385,13 +433,23 @@ def _compile_expr(src: str, input_col: str | None = None) -> str:
                 sql = f"get_json_object({src_expr}, '{path}')"
                 is_json = True
             elif fname == "keys":
-                sql = f"json_object_keys({src_expr})"
+                # object → key names; array → indices (object.rs:540-552;
+                # indices stringify — one Spark array type for both shapes)
+                sql = (
+                    f"coalesce(json_object_keys({src_expr}), "
+                    f"case when json_array_length({src_expr}) = 0 then array() "
+                    f"else transform(sequence(0, json_array_length({src_expr}) - 1), "
+                    f"x -> cast(x as string)) end)"
+                )
                 is_json = False
             elif fname == "values":
-                # object values as strings (heterogeneous JSON values
-                # have no single Spark type); nested objects unsupported
-                sql = f"map_values(from_json({src_expr}, 'map<string,string>'))"
-                is_json = False
+                # typed object values (object.rs:527-537): a JSON array
+                # preserving each value's type (number stays number,
+                # nested object stays object) — heterogeneous values
+                # have no single Spark type, so the array stays JSON
+                # text and re-resolves through downstream filters
+                sql = f"chew_values({src_expr})"
+                is_json = True
             else:
                 import json as _j
 
@@ -420,6 +478,29 @@ def _compile_expr(src: str, input_col: str | None = None) -> str:
                     payload = sql_quote(_j.dumps(raw_args, ensure_ascii=False))
                     sql = f"chew_{fname}({src_expr}, '{payload}')"
                 is_json = True
+            continue
+        if fname == "set_env":
+            # reference set_env filter (filters/string.rs:145-167):
+            # store the value under CHEWDATA_<name> in the shared env
+            # store and pass the value through unchanged.  Compilation
+            # is driver-side, so only compile-time-constant inputs can
+            # be stored (the reference's own doctest pattern:
+            # `'literal' | set_env(name='KEY')`); a column-dependent
+            # value has no single process-wide value to store.
+            m_name = re.search(r"name\s*=\s*'(\w+)'", argsrc)
+            if not m_name:
+                raise UnsupportedTemplate("set_env requires a `name` argument")
+            m_lit = re.fullmatch(r"'((?:[^'\\]|\\.|'')*)'", sql.strip())
+            if m_lit:
+                _shared_env[_ENV_PREFIX + m_name.group(1)] = (
+                    m_lit.group(1).replace("''", "'").replace("\\\\", "\\")
+                )
+            else:
+                raise UnsupportedTemplate(
+                    "set_env requires a compile-time constant value "
+                    "(a literal or get_env(...) input); per-record "
+                    "stores do not distribute"
+                )
             continue
         if fname == "filesizeformat":
             # humansize-style: binary divisor, 2-dp, trailing zeros

@@ -151,6 +151,57 @@ def mongo_offset_pipelines(
     return pipelines or [[{"$skip": skip}, {"$limit": limit}]]
 
 
+def mongo_cursor_batches(
+    count: int, limit: int = 100, skip: int = 0
+) -> list[dict[str, int]]:
+    """mongodb cursor paginator contract
+    (src/connector/paginator/mongodb/cursor.rs:44-189).
+
+    The reference opens a live cursor, counts the documents it yields
+    (``skip`` is applied to the *count* only — cursor.rs:100-101 sets
+    ``options.skip`` before the counting find, while each yielded page
+    clones the connector's ORIGINAL find_options and overrides
+    ``skip = i`` starting from 0, cursor.rs:127-140), then yields one
+    connector per ``limit``-sized batch.  That walk is inherently
+    sequential ("the paginator cannot be parallelized", cursor.rs:1) —
+    the compiled replay is therefore an ordered list of skip/limit
+    find_options, one per micro-batch, mirrored faithfully including
+    the pages-restart-at-0 behavior.
+
+    An empty cursor yields no pages (unlike the offset paginator's
+    one-empty-page fallback) — cursor.rs's ``paginate_to_end`` doctest
+    pins exactly that.
+    """
+    batches: list[dict[str, int]] = []
+    for i in range(0, max(0, count - skip), limit):
+        batches.append({"skip": i, "limit": limit})
+    return batches
+
+
+def mongo_cursor_connector_options(
+    conn: dict[str, Any], count: int
+) -> list[dict[str, str]]:
+    """One mongo-spark option dict per cursor batch: the compiled form
+    of cursor.rs's yielded connector clones (each with find_options
+    skip/limit overridden).  ``count`` comes from
+    :func:`mongo_count_command` — the same count the reference's cursor
+    materializes.  Feed the dicts as sequential reads (the reference
+    cursor is ordered); each batch still pushes its own
+    ``$skip/$limit`` pipeline to the server.
+    """
+    pag = conn.get("paginator") or {}
+    limit = int(pag.get("limit", 100))
+    skip = int(pag.get("skip", 0))
+    outs = []
+    for batch in mongo_cursor_batches(count, limit=limit, skip=skip):
+        page_conn = dict(conn)
+        fo = dict(conn.get("find_options") or {})
+        fo["skip"], fo["limit"] = batch["skip"], batch["limit"]
+        page_conn["find_options"] = fo
+        outs.append(mongo_connector_options(page_conn))
+    return outs
+
+
 def mongo_count_command(conn: dict[str, Any]) -> dict[str, Any]:
     """mongodb metadata counter (src/connector/counter/mongodb/metadata.rs):
     the count command the offset paginator issues to plan page fan-out —

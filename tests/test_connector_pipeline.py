@@ -228,6 +228,49 @@ def test_mongo_contract():
     assert ops[0]["upsert"] is True
 
 
+def test_mongo_cursor_batches():
+    """cursor paginator contract (paginator/mongodb/cursor.rs:44-189)."""
+    from chewdata_spark.sources.mongo import mongo_cursor_batches
+
+    # cursor.rs paginate doctest: limit=1 → one page per document
+    assert mongo_cursor_batches(3, limit=1) == [
+        {"skip": 0, "limit": 1},
+        {"skip": 1, "limit": 1},
+        {"skip": 2, "limit": 1},
+    ]
+    # paginate_to_end doctest: default limit=100, small collection → one page
+    assert mongo_cursor_batches(42) == [{"skip": 0, "limit": 100}]
+    # skip reduces the COUNT only; pages restart at 0 (cursor.rs:100-140)
+    assert mongo_cursor_batches(250, limit=100, skip=30) == [
+        {"skip": 0, "limit": 100},
+        {"skip": 100, "limit": 100},
+        {"skip": 200, "limit": 100},
+    ]
+    # empty cursor yields no pages (no offset-style fallback page)
+    assert mongo_cursor_batches(0) == []
+
+
+def test_mongo_cursor_connector_options():
+    """Each cursor batch becomes a mongo-spark option dict whose
+    pipeline pushes the filter plus its own $skip/$limit."""
+    from chewdata_spark.sources.mongo import mongo_cursor_connector_options
+
+    conn = {
+        "endpoint": "mongodb://localhost:27017",
+        "db": "tests",
+        "collection": "test",
+        "filter": {"status": "open"},
+        "paginator": {"type": "cursor", "limit": 2},
+    }
+    pages = mongo_cursor_connector_options(conn, 5)
+    assert len(pages) == 3  # ceil(5 / 2)
+    stages = [json.loads(p["aggregation.pipeline"]) for p in pages]
+    assert all(s[0] == {"$match": {"status": "open"}} for s in stages)
+    assert all({"$limit": 2} in s for s in stages)
+    assert [st for st in stages[1] if "$skip" in st] == [{"$skip": 2}]
+    assert [st for st in stages[2] if "$skip" in st] == [{"$skip": 4}]
+
+
 def test_apply_find_options(spark):
     from chewdata_spark.sources.mongo import apply_find_options
 

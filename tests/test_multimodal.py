@@ -85,6 +85,60 @@ def test_fake_decode_audio_schema_and_determinism(spark):
     assert rows == rows2
 
 
+def test_real_and_fake_share_plumbing(spark, monkeypatch):
+    """Contract: every real/fake twin builds through the SAME
+    ``_media_stage`` plumbing (schema widening + mapInPandas); the two
+    differ only in the kernel callable (the decode body)."""
+    import chewdata_spark.operators.multimodal as M
+
+    calls = []
+    real_stage = M._media_stage
+
+    def spy(df, extra_schema, kernel):
+        calls.append(extra_schema)
+        return real_stage(df, extra_schema, kernel)
+
+    monkeypatch.setattr(M, "_media_stage", spy)
+    df = spark.createDataFrame([(1, bytearray(b"img"))], "id int, content binary")
+    for real, fake in (
+        (M.decode_image, M.fake_decode_image),
+        (M.resize_image, M.fake_resize_image),
+        (M.decode_audio, M.fake_decode_audio),
+    ):
+        calls.clear()
+        r, f = real(df), fake(df)
+        # both routed through the one plumbing path with identical
+        # widened schema → identical plan shape, swap-in kernel
+        assert calls == [calls[0]] * 2
+        assert r.schema == f.schema
+
+
+def test_real_kernels_raise_only_in_kernel_body():
+    """Kernel-level contract: the real kernels raise NotImplementedError
+    from the kernel body itself (the lazy lib import) while the fake
+    twins run on the identical pandas batch — everything outside the
+    kernel body is shared code, not a parallel stub implementation."""
+    import importlib.util
+
+    import pandas as pd
+
+    import chewdata_spark.operators.multimodal as M
+
+    pdf = pd.DataFrame({"id": [1], "content": [b"payload-bytes"]})
+    reals = []
+    if importlib.util.find_spec("PIL") is None:
+        reals += [M._pil_dims_kernel("content"), M._pil_resize_kernel("content", 8, 8)]
+    if importlib.util.find_spec("soundfile") is None:
+        reals.append(M._soundfile_audio_kernel("content"))
+    for kernel in reals:
+        with pytest.raises(NotImplementedError):
+            kernel(pdf)
+    out = M._fake_dims_kernel("content")(pdf)
+    assert list(out["width"]) and list(out["height"])
+    out = M._fake_audio_kernel("content")(pdf)
+    assert out["sample_rate"][0] in (8000, 16000, 22050, 44100)
+
+
 def test_real_audio_decode_raises_without_lib(spark):
     import importlib.util
 

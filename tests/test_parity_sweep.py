@@ -58,6 +58,44 @@ def test_get_env_function(spark, row, monkeypatch):
         _one(spark, row, "{{ get_env(name='CHEW_MISSING') }}")
 
 
+def test_set_env_filter(spark, row):
+    """set_env (filters/string.rs:145-167): stores under CHEWDATA_<name>
+    in the shared env store, passes the value through unchanged."""
+    from chewdata_spark.operators.transformer import UnsupportedTemplate, get_shared_env
+
+    store = get_shared_env()
+    store.pop("CHEWDATA_MY_KEY", None)
+    # reference doctest: 'my_var' | set_env(name='MY_KEY') == 'my_var'
+    assert _one(spark, row, "{{ 'my_var' | set_env(name='MY_KEY') }}") == "my_var"
+    assert store["CHEWDATA_MY_KEY"] == "my_var"
+    # get_env resolves from the shared store before the system env
+    assert _one(spark, row, "{{ get_env(name='MY_KEY') }}") == "my_var"
+    # chained store-then-use: get_env input is a compile-time constant
+    store.pop("CHEWDATA_COPY", None)
+    assert _one(spark, row, "{{ get_env(name='MY_KEY') | set_env(name='COPY') }}") == "my_var"
+    assert store["CHEWDATA_COPY"] == "my_var"
+    # a column-dependent value has no single process-wide store → error
+    with pytest.raises(UnsupportedTemplate):
+        _one(spark, row, "{{ input.s | set_env(name='MY_KEY') }}")
+
+
+def test_env_resolution_order(monkeypatch):
+    """env function (function/string.rs:74-116): shared store first,
+    then system env (cached back into the store), then default."""
+    from chewdata_spark.operators.transformer import get_shared_env, resolve_env
+
+    store = get_shared_env()
+    store.pop("CHEWDATA_ORDER_KEY", None)
+    store.pop("ORDER_KEY", None)
+    monkeypatch.setenv("ORDER_KEY", "system")
+    assert resolve_env("ORDER_KEY") == "system"
+    # cached under the prefixed key (function/string.rs:100-108)
+    assert store["CHEWDATA_ORDER_KEY"] == "system"
+    # the shared store now wins over the system env
+    store["CHEWDATA_ORDER_KEY"] = "shared"
+    assert resolve_env("ORDER_KEY") == "shared"
+
+
 def test_uuid_formats(spark):
     import re
 

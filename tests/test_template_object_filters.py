@@ -176,9 +176,15 @@ def test_template_search_keys_values(spark, people):
     df2 = _apply(people.select("id", "name"), "{{ input | keys }}", field="ks")
     assert df2.collect()[0].ks == ["id", "name"]
 
+    # keys on an ARRAY = its indices (object.rs:540-552)
+    df2a = _apply(people, "{{ input.roles | keys }}", field="ks")
+    row = df2a.filter("id = 1").collect()[0]
+    assert row.ks == ["0", "1"] or row.ks == ["0"]
+
     df3 = _apply(people.select("id", "name"), "{{ input | values }}", field="vs")
     row = df3.filter("id = 2").collect()[0]
-    assert row.vs == ["2", "Bob"]  # object values stringify
+    # typed values (object.rs:527-537): number stays number
+    assert json.loads(row.vs) == [2, "Bob"]
 
 
 def test_template_merge(spark, people):
