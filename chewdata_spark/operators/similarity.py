@@ -95,20 +95,47 @@ def assign_ivf_clusters(
     centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
-    assigned = (
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("sim", cosine(F.col("vec"), F.col("cvec")))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
-            ),
-        )
-        .filter(F.col("rk") <= nprobe)
-        .select("vec_id", "vec", F.col("cid").alias("cluster"))
-    )
-    return assigned, centroids
+    rows = centroids.collect()  # centroid set is small by contract (see below)
+    renamed = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in renamed.schema.fields
+    ) + ", cluster " + renamed.schema["vec_id"].dataType.simpleString()
+    if not rows:
+        return renamed.limit(0).withColumn("cluster", F.col("vec_id")), centroids
+    import numpy as np
+
+    cids = np.array([r.cid for r in rows])
+    cmat = np.array([list(r.cvec) for r in rows], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True) + 1e-300
+    by_cid = np.argsort(cids)  # cid-ascending so a STABLE sort on -sim
+    cids, cmat = cids[by_cid], cmat[by_cid]  # tie-breaks to the lower cid
+    # Assignment = top-nprobe cosine vs the centroid matrix, computed as
+    # a numpy GEMM per Arrow batch against the BROADCAST centroids —
+    # zero shuffle (the naive form, crossJoin(N×C) + a window partitioned
+    # by vec_id, shuffles and sorts N·C rows; the GEMM touches each
+    # vector once).  The centroid set must fit in executor memory — the
+    # standard IVF contract (C ≈ √N; at 100 TB train k-means|| offline
+    # and cap C, don't derive it from a stride).
+    bc = corpus.sparkSession.sparkContext.broadcast((cids, cmat))
+    npr = nprobe
+
+    def gen(batches):
+        b_cids, b_cmat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            V = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-300)
+            sims = V @ b_cmat.T  # (batch, C)
+            take = min(npr, sims.shape[1])
+            # (sim desc, cid asc) — centroids are cid-sorted, so the
+            # stable sort's tie-break matches the SQL window's ordering
+            picked = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+            out = pdf.iloc[np.repeat(np.arange(len(pdf)), take)].copy()
+            out["cluster"] = b_cids[picked.ravel()]
+            yield out
+
+    return renamed.mapInPandas(gen, out_schema), centroids
 
 
 def ivf_topk(
@@ -268,28 +295,48 @@ def embedding_near_dup_pairs(
     Pairs are only compared within a shared probed cluster — the
     sub-quadratic version of the all-pairs scan.  Multi-probe assignment
     (each vector lands in its ``nprobe`` nearest clusters) recovers the
-    pairs that straddle a cluster boundary; candidate volume grows
-    ~nprobe² per cluster while staying far below N².  Duplicate
-    candidates from shared multi-probe clusters are dropped before the
-    verify projection.
+    pairs that straddle a cluster boundary.
+
+    Scale shape: ONE shuffle of N·nprobe (id, vec, cluster) rows keyed
+    by cluster; each task GEMMs one cluster (≈ nprobe·stride vectors —
+    bounded, BLAS-vectorized like the exact twin); only above-threshold
+    (id, id, sim) triples reach the multi-probe dedup.  Compute is
+    Σ cluster² ≈ N·nprobe²·stride — linear in N, vs the exact twin's
+    N²/2.  A degenerate centroid set can still skew one cluster large;
+    AQE skew handling or re-training centroids is the lever there.
     """
     assigned, _ = assign_ivf_clusters(
         corpus, id_col=id_col, vec_col=vec_col, centroid_stride=centroid_stride, nprobe=nprobe
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+
+    def gemm(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "sim_raw": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "sim_raw": "float64"}
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        V = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        n = np.sqrt((V * V).sum(axis=1))
+        sims = (V @ V.T) / np.outer(n, n)
+        # slack below threshold; the authoritative rounded filter is
+        # applied Spark-side so semantics match the exact twin's
+        hot = (sims >= threshold - 1e-9) & (ids[:, None] < ids[None, :])
+        r, c = np.nonzero(hot)
+        return pd.DataFrame({"id_a": ids[r], "id_b": ids[c], "sim_raw": sims[r, c]})
+
+    raw = assigned.groupBy("cluster").applyInPandas(
+        gemm, "id_a bigint, id_b bigint, sim_raw double"
+    )
     return (
-        a.join(b, (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
-        )
+        raw.withColumn("sim", F.round("sim_raw", 6))
         .filter(F.col("sim") >= threshold)
+        # a pair sharing k probed clusters appears k times with an
+        # identical exact sim — only above-threshold (id,id,sim) triples
+        # reach the dedup shuffle, never vectors
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "sim")
     )

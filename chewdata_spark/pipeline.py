@@ -635,15 +635,31 @@ class Pipeline:
         mode = "overwrite" if erased else "append"
         out = df.drop("_error") if "_error" in df.columns and _all_null_errors_ok(step) else df
         out = out.drop("_steps")  # context history is pipeline-internal
+        single = bool(conn.get("single_file") or doc.get("single_file"))
         if execute:
-            write_document(
-                out,
-                path,
-                fmt,
-                mode=mode,
-                partition_by=partition_cols or None,
-                options=doc.get("options"),
-            )
+            if single and not partition_cols:
+                # reference single-file semantics (can_append splice,
+                # src/document/mod.rs:181-205): truncate-then-write when
+                # erased, envelope-splice append otherwise
+                from chewdata_spark.sources.documents import (
+                    _hadoop_fs,
+                    append_single_file,
+                )
+
+                if erased:
+                    _, fs, dest = _hadoop_fs(out.sparkSession, path)
+                    if fs.exists(dest):
+                        fs.delete(dest, False)
+                append_single_file(out, path, fmt, options=doc.get("options"))
+            else:
+                write_document(
+                    out,
+                    path,
+                    fmt,
+                    mode=mode,
+                    partition_by=partition_cols or None,
+                    options=doc.get("options"),
+                )
         return WriteResult(path, fmt, out)
 
 

@@ -261,6 +261,13 @@ def _write_bytes(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.select(col).foreachPartition(save)
 
 
+def _hadoop_fs(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(conf), p
+
+
 def write_single_file(
     df: DataFrame, path: str, fmt: str, *, options: dict[str, str] | None = None
 ) -> None:
@@ -272,10 +279,7 @@ def write_single_file(
     tmp = path.rstrip("/") + "._single_tmp"
     write_document(df.coalesce(1), tmp, fmt, mode="overwrite", options=options)
     spark = df.sparkSession
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = tmp_path.getFileSystem(conf)
+    jvm, fs, tmp_path = _hadoop_fs(spark, tmp)
     parts = [
         s.getPath()
         for s in fs.listStatus(tmp_path)
@@ -288,6 +292,76 @@ def write_single_file(
         fs.delete(dest, False)
     fs.rename(parts[0], dest)
     fs.delete(tmp_path, True)
+
+
+def _fs_read_fully(jvm, fs, p) -> bytes:
+    stream = fs.open(p)
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def append_single_file(
+    df: DataFrame, path: str, fmt: str, *, options: dict[str, str] | None = None
+) -> None:
+    """Single-file append with the reference's ``can_append`` splice
+    (src/document/mod.rs:181-205).
+
+    - ``json``: records append INSIDE the ``[`` … ``]`` envelope — the
+      reference seeks past the footer and splices ``,record…]``
+      (header/footer/terminator, src/document/json.rs:282-327); the
+      target stays one valid JSON array across appends.
+    - ``csv``: the header is written only when the target has no data
+      (``has_data`` gate, mod.rs:178-180) — appends drop the fresh part's
+      header line.
+    - ``jsonl`` / ``text``: terminator-separated, append at EOF.
+
+    Single-file output is a single-node concern by construction (the
+    scale path is a directory of part files with ``mode=append``), so
+    the splice is a bounded driver-side read-modify-write over the
+    Hadoop FS API — any scheme works, including object stores where an
+    in-place seek-and-write would not.
+    """
+    if fmt not in ("json", "jsonl", "csv", "text"):
+        raise ValueError(f"append_single_file supports json/jsonl/csv/text, got {fmt!r}")
+    spark = df.sparkSession
+    tmp = path.rstrip("/") + "._append_tmp"
+    write_single_file(df, tmp, fmt, options=options)
+    jvm, fs, tmp_p = _hadoop_fs(spark, tmp)
+    new = _fs_read_fully(jvm, fs, tmp_p).decode("utf-8")
+    fs.delete(tmp_p, False)
+    dest_p = jvm.org.apache.hadoop.fs.Path(path)
+    existing = (
+        _fs_read_fully(jvm, fs, dest_p).decode("utf-8") if fs.exists(dest_p) else ""
+    )
+    if fmt == "json":
+        # Spark renders JSONL; the single-file envelope is a JSON array
+        body = ",".join(line for line in new.splitlines() if line.strip())
+        if not existing.strip():
+            content = "[" + body + "]"
+        else:
+            head = existing.rstrip()
+            if not head.endswith("]"):
+                raise ValueError(f"{path} is not a JSON array document; cannot splice")
+            head = head[:-1].rstrip()
+            sep = "" if head.endswith("[") or not body else ","
+            content = head + sep + body + "]"
+    elif fmt == "csv" and existing.strip():
+        content = existing
+        if not content.endswith("\n"):
+            content += "\n"
+        content += new.split("\n", 1)[1] if "\n" in new else ""
+    else:  # jsonl / text / first csv write
+        content = existing
+        if content and not content.endswith("\n"):
+            content += "\n"
+        content += new
+    out = fs.create(dest_p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def _render_yaml(batches):

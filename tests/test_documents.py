@@ -135,3 +135,69 @@ def test_write_single_file(spark, tmp_path):
     assert text[0] == "id,v" and len(text) == 3
     back = read_document(spark, str(target), "csv")
     assert back.count() == 2
+
+
+def test_append_single_file_json_splice(spark, tmp_path):
+    """Reference can_append splice (document/mod.rs:181-205,
+    json.rs:282-327): appends land INSIDE the [ ... ] envelope and the
+    target stays one valid JSON array."""
+    import json as _json
+
+    from chewdata_spark.sources.documents import append_single_file
+
+    target = tmp_path / "appended.json"
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id int, v string")
+    append_single_file(df1, str(target), "json")
+    append_single_file(df2, str(target), "json")
+    text = target.read_text()
+    assert text.startswith("[") and text.rstrip().endswith("]")
+    recs = _json.loads(text)
+    assert sorted(r["id"] for r in recs) == [1, 2, 3]
+    # the multiLine reader round-trips the array document
+    back = read_document(spark, str(target), "json")
+    assert back.count() == 3
+
+
+def test_append_single_file_csv_one_header(spark, tmp_path):
+    """csv appends keep ONE header (the has_data gate, mod.rs:178-180)."""
+    from chewdata_spark.sources.documents import append_single_file
+
+    target = tmp_path / "appended.csv"
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    append_single_file(df, str(target), "csv")
+    append_single_file(df.selectExpr("id + 1 as id", "'b' as v"), str(target), "csv")
+    lines = target.read_text().strip().splitlines()
+    assert lines.count("id,v") == 1 and len(lines) == 3
+
+
+def test_pipeline_single_file_writer_appends(spark, tmp_path):
+    """Writer with single_file: two pipeline runs splice into one JSON
+    array file; an eraser run truncates it first."""
+    import json as _json
+
+    from chewdata_spark.pipeline import Pipeline
+
+    target = tmp_path / "out.json"
+    src = tmp_path / "in.json"
+    src.write_text('[{"id": 1}]')
+    cfg = [
+        {"type": "reader", "connector": {"type": "local", "path": str(src)}},
+        {
+            "type": "writer",
+            "connector": {"type": "local", "path": str(target), "single_file": True},
+        },
+    ]
+    Pipeline(cfg, spark).run()
+    Pipeline(cfg, spark).run()
+    assert [r["id"] for r in _json.loads(target.read_text())] == [1, 1]
+    erase_cfg = [
+        {"type": "reader", "connector": {"type": "local", "path": str(src)}},
+        {"type": "eraser", "connector": {"type": "local", "path": str(target)}},
+        {
+            "type": "writer",
+            "connector": {"type": "local", "path": str(target), "single_file": True},
+        },
+    ]
+    Pipeline(erase_cfg, spark).run()
+    assert [r["id"] for r in _json.loads(target.read_text())] == [1]

@@ -79,6 +79,24 @@ def test_blocked_gemm_no_driver_collect(spark, sf_dir):
     assert plan.count("Scan parquet") + plan.count("FileScan parquet") >= 1
 
 
+def test_clustered_near_dup_plan_shape(spark, sf_dir):
+    """The benched sub-quadratic near-dup: GEMM assignment (MapInPandas,
+    zero-shuffle) → one cluster-keyed exchange into the per-cluster GEMM
+    (FlatMapGroupsInPandas) → dedup on bare triples.  No cartesian or
+    nested-loop join anywhere; the only vector movement is the single
+    cluster shuffle."""
+    from chewdata_spark.queries.similarity_queries import embedding_near_dup_clustered
+
+    df = embedding_near_dup_clustered(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan  # GEMM centroid assignment
+    assert "FlatMapGroupsInPandas" in plan  # per-cluster GEMM verify
+    # exchanges: cluster shuffle + triple dedup — nothing else
+    assert plan.count("Exchange") <= 2
+
+
 def test_salted_agg_two_phase(spark, sf_dir):
     """Salted aggregation = exactly two hash aggregates around one
     exchange pair (partial on (key,salt), final on key) — no extra
