@@ -40,6 +40,7 @@ HEADLINE = [
     "embedding_near_dup_clustered",
     "text_stats",
     "quality_score",
+    "corpus_top_terms",
     "chunk_documents",
     "parts_in_price_band",
     "salted_event_stats",

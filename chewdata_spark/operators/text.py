@@ -98,6 +98,55 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# PII redaction patterns: RE2-compatible (no lookarounds) so the exact
+# same patterns run in Spark (Java regex) and the DuckDB oracle (RE2).
+# Applied in list order; counts are taken on the ORIGINAL text.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing for training corpora: regex-redact emails, IPv4
+    addresses, and international phone numbers to typed placeholders,
+    with per-type hit counts for corpus auditing.
+
+    A narrow all-builtin projection (chained ``regexp_replace``) — zero
+    shuffle, pipelines with the scan at any scale.  Patterns are a
+    pragmatic floor, not an NER system; swap in model-based PII
+    detection via ``mapInPandas`` where recall matters more than cost.
+    """
+    t = F.col(text_col)
+    red = t
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(F.col(id_col).alias("doc_id"), red.alias("redacted"), *counts)
+
+
+def corpus_top_terms(df: DataFrame, text_col: str, *, k: int = 20) -> DataFrame:
+    """Corpus-level term frequency: top-k lowercase alphanumeric terms.
+
+    The vocabulary aggregation is the one shuffle (map-side partial
+    count per term); the global top-k is ``orderBy(...).limit(k)`` which
+    Spark executes as TakeOrdered — each partition keeps only its local
+    top-k, no full sort materializes.  Deterministic tie-break
+    (count desc, term asc).
+    """
+    term = F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias("term")
+    return (
+        df.select(term)
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

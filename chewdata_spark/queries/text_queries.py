@@ -156,6 +156,39 @@ GROUP BY a.p_partkey
 """
 
 
+def documents_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit over the corpus: emails/IPv4s/phones →
+    typed placeholders + per-type hit counts (zero-shuffle projection)."""
+    return text.redact_pii(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _redact_sql() -> str:
+    # lockstep with text.PII_PATTERNS: same patterns, same order
+    red = "text"
+    counts = []
+    for name, pat, repl in text.PII_PATTERNS:
+        p = pat.replace("'", "''")
+        counts.append(f"CAST(len(regexp_extract_all(text, '{p}')) AS INT) AS n_{name}")
+        red = f"regexp_replace({red}, '{p}', '{repl}', 'g')"
+    return f"SELECT doc_id, {red} AS redacted, {', '.join(counts)} FROM documents"
+
+
+def corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 terms by frequency (one term shuffle,
+    TakeOrdered top-k — no global sort materializes)."""
+    return text.corpus_top_terms(load_table(spark, sf_dir, "documents"), "text", k=20)
+
+
+TOP_TERMS_SQL = """
+SELECT term, n FROM (
+    SELECT term, COUNT(*) AS n FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+    ) WHERE term != '' GROUP BY term
+) ORDER BY n DESC, term ASC LIMIT 20
+"""
+
+
 QUERIES = {
     "chunk_documents": chunk_documents,
     "parts_in_price_band": parts_in_price_band,
@@ -164,6 +197,8 @@ QUERIES = {
     "quality_score": quality_score,
     "token_counts": token_counts,
     "content_fingerprint": content_fingerprint,
+    "documents_redact_pii": documents_redact_pii,
+    "corpus_top_terms": corpus_top_terms,
 }
 
 ORACLES = {
@@ -174,4 +209,6 @@ ORACLES = {
     "quality_score": QUALITY_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "content_fingerprint": FINGERPRINT_SQL,
+    "documents_redact_pii": _redact_sql(),
+    "corpus_top_terms": TOP_TERMS_SQL,
 }

@@ -1,0 +1,46 @@
+"""Unit tests for corpus-curation text operators (redaction, vocab).
+
+Oracle parity at sf0.001 is covered by test_correctness; these pin the
+operator semantics on crafted rows and the plan shapes.
+"""
+
+from __future__ import annotations
+
+from chewdata_spark.operators.text import corpus_top_terms, redact_pii
+
+
+def test_redact_pii_crafted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co or +1 (555) 123-4567 at 10.0.0.1 end"),
+            (2, "two mails: x@y.org, z@w.io; no phone"),
+            (3, "clean text without identifiers"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(df, "doc_id", "text").collect()}
+    assert rows[1].redacted == "mail <EMAIL> or <PHONE> at <IP> end"
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (1, 1, 1)
+    assert rows[2].n_email == 2 and "<EMAIL>" in rows[2].redacted
+    assert rows[3].redacted == "clean text without identifiers"
+    assert (rows[3].n_email, rows[3].n_ipv4, rows[3].n_phone) == (0, 0, 0)
+
+
+def test_redact_pii_zero_shuffle(spark):
+    """Redaction is a narrow projection — no exchange in the plan."""
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    plan = redact_pii(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_corpus_top_terms_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry! APPLE date")],
+        "doc_id int, text string",
+    )
+    got = [(r.term, r.n) for r in corpus_top_terms(df, "text", k=3).collect()]
+    # apple 3, banana 2, then cherry/date tie broken alphabetically
+    assert got == [("apple", 3), ("banana", 2), ("cherry", 1)]
+    # top-k executes as TakeOrdered, not a global sort
+    plan = corpus_top_terms(df, "text", k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
