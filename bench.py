@@ -41,6 +41,7 @@ HEADLINE = [
     "text_stats",
     "quality_score",
     "corpus_top_terms",
+    "curate_corpus",
     "chunk_documents",
     "parts_in_price_band",
     "salted_event_stats",

@@ -45,12 +45,10 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Stopword-marker language heuristic.
-
-    Scores each language by marker-token hits; highest count wins
-    (deterministic tie-break by language code), 'und' when nothing hits.
-    """
+def _lang_pred_expr(text_col: str) -> Column:
+    """Stopword-marker language prediction expression (highest marker-hit
+    count wins, deterministic tie-break by language code, 'und' when
+    nothing hits)."""
     toks = _tokens(F.col(text_col))
     scores = {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
@@ -65,17 +63,20 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             cond = score > best_score
             best = F.when(cond, F.lit(lang)).otherwise(best)
             best_score = F.when(cond, score).otherwise(best_score)
-    pred = F.when(best_score > 0, best).otherwise(F.lit("und"))
-    return df.select(F.col(id_col).alias("doc_id"), pred.alias("lang_pred"))
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Composite 0-1 quality score from surface heuristics.
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-marker language heuristic."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), _lang_pred_expr(text_col).alias("lang_pred")
+    )
 
-    Components: reasonable length, low punctuation density, lexical
-    diversity.  Weights are arbitrary but fixed — the shape (a narrow
-    all-builtin projection) is the point.
-    """
+
+def _quality_expr(text_col: str) -> Column:
+    """Composite 0-1 quality score expression: reasonable length, low
+    punctuation density, lexical diversity (weights arbitrary but
+    fixed)."""
     t = F.col(text_col)
     toks = _tokens(t)
     n_tokens = F.size(toks)
@@ -84,8 +85,15 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))
     punct_penalty = F.least(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)) * 5.0, F.lit(1.0))
     diversity = F.size(F.array_distinct(toks)).cast("double") / F.greatest(n_tokens, F.lit(1))
-    score = F.round(0.4 * len_score + 0.3 * (1 - punct_penalty) + 0.3 * diversity, 6)
-    return df.select(F.col(id_col).alias("doc_id"), score.alias("quality"))
+    return F.round(0.4 * len_score + 0.3 * (1 - punct_penalty) + 0.3 * diversity, 6)
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite 0-1 quality score from surface heuristics — a narrow
+    all-builtin projection."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), _quality_expr(text_col).alias("quality")
+    )
 
 
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -125,6 +133,48 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         counts.append(F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}"))
         red = F.regexp_replace(red, pat, repl)
     return df.select(F.col(id_col).alias("doc_id"), red.alias("redacted"), *counts)
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    lang: str = "en",
+    min_quality: float = 0.75,
+    min_tokens: int = 20,
+    max_tokens: int = 5000,
+) -> DataFrame:
+    """The canonical pretraining filter funnel in ONE pass: language,
+    quality score, token-count band, and exact-duplicate removal.
+
+    Every signal is a projection of the row, so a naive composition of
+    the standalone operators (four doc_id joins) would pay three
+    needless shuffles; here lang/quality/tokens are computed inline and
+    the only shuffle is the dedup window over ``md5(text)`` (keep the
+    lowest id per signature).  Filters run BEFORE the window, so
+    rejected documents never shuffle — at 100 TB the funnel's selectivity
+    is the dominant cost lever.
+    """
+    from pyspark.sql.window import Window
+
+    kept = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        _lang_pred_expr(text_col).alias("lang_pred"),
+        _quality_expr(text_col).alias("quality"),
+        F.size(_tokens(F.col(text_col))).alias("n_tokens"),
+    ).filter(
+        (F.col("lang_pred") == lang)
+        & (F.col("quality") >= min_quality)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+    )
+    w = Window.partitionBy(F.md5(F.col("__text"))).orderBy(F.col("doc_id").asc())
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang_pred", "quality", "n_tokens")
+    )
 
 
 def corpus_top_terms(df: DataFrame, text_col: str, *, k: int = 20) -> DataFrame:

@@ -156,6 +156,30 @@ GROUP BY a.p_partkey
 """
 
 
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining filter funnel (lang + quality + token band +
+    exact dedup) as ONE pass — inline signal projections, single
+    md5-window shuffle (see text.curate_corpus)."""
+    return text.curate_corpus(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _curate_sql() -> str:
+    # compose the standalone oracles; identical text ⟹ identical signals,
+    # so ranking duplicates over ALL docs is equivalent to ranking the
+    # kept subset (the Spark plan filters first)
+    return f"""
+WITH l AS (SELECT * FROM ({_language_id_sql()})),
+     q AS (SELECT * FROM ({QUALITY_SQL})),
+     t AS (SELECT * FROM ({TOKEN_COUNTS_SQL})),
+     d AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM documents)
+SELECT l.doc_id, l.lang_pred, q.quality, t.ws_tokens AS n_tokens
+FROM l JOIN q USING (doc_id) JOIN t USING (doc_id) JOIN d USING (doc_id)
+WHERE l.lang_pred = 'en' AND q.quality >= 0.75
+  AND t.ws_tokens BETWEEN 20 AND 5000 AND d.rn = 1
+"""
+
+
 def documents_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction audit over the corpus: emails/IPv4s/phones →
     typed placeholders + per-type hit counts (zero-shuffle projection)."""
@@ -199,6 +223,7 @@ QUERIES = {
     "content_fingerprint": content_fingerprint,
     "documents_redact_pii": documents_redact_pii,
     "corpus_top_terms": corpus_top_terms,
+    "curate_corpus": curate_corpus,
 }
 
 ORACLES = {
@@ -211,4 +236,5 @@ ORACLES = {
     "content_fingerprint": FINGERPRINT_SQL,
     "documents_redact_pii": _redact_sql(),
     "corpus_top_terms": TOP_TERMS_SQL,
+    "curate_corpus": _curate_sql(),
 }

@@ -33,6 +33,25 @@ def test_redact_pii_zero_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_curate_corpus_single_shuffle(spark):
+    """The curation funnel computes all signals inline: exactly one
+    exchange (the md5 dedup window) — a join-composition of the
+    standalone operators would shuffle four times."""
+    from chewdata_spark.operators.text import curate_corpus
+
+    df = spark.createDataFrame(
+        [(i, "the and of " + "tok " * 30) for i in range(4)] + [(9, "short")],
+        "doc_id int, text string",
+    )
+    out = curate_corpus(df, "doc_id", "text", min_quality=0.0, min_tokens=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    rows = out.collect()
+    # 4 identical docs → keep the lowest id; 'short' fails the token band
+    assert [r.doc_id for r in rows] == [0]
+    assert rows[0].lang_pred == "en" and rows[0].n_tokens == 33
+
+
 def test_corpus_top_terms_deterministic(spark):
     df = spark.createDataFrame(
         [(1, "apple banana apple"), (2, "banana cherry! APPLE date")],
