@@ -446,6 +446,9 @@ class Pipeline:
             jl = spark.sparkContext.parallelize([json.dumps(r) for r in records])
             return spark.read.json(jl)
         if ctype == "local":
+            path = conn["path"]
+            if _METADATA_HOLE.search(path):
+                path = _resolve_metadata_holes(path, doc.get("type", "json"))
             checksum = conn.get("checksum")
             if checksum:
                 # reference verifies file digests before reading
@@ -453,13 +456,13 @@ class Pipeline:
                 from chewdata_spark.functions.checksum import verify_file
 
                 if not verify_file(
-                    spark, conn["path"], checksum["value"], checksum.get("algo", "sha256")
+                    spark, path, checksum["value"], checksum.get("algo", "sha256")
                 ):
-                    raise ValueError(f"checksum mismatch for {conn['path']}")
+                    raise ValueError(f"checksum mismatch for {path}")
             df = read_document(
                 spark,
-                conn["path"],
-                doc.get("type", _guess_format(conn["path"])),
+                path,
+                doc.get("type", _guess_format(path)),
                 entry_path=doc.get("entry_path"),
                 options=doc.get("options"),
                 resolve_types=bool(doc.get("resolve_types", False)),
@@ -624,6 +627,8 @@ class Pipeline:
                 write_stdout(out, limit=int(conn["limit"]) if conn.get("limit") else None)
             return WriteResult("stdout", "cli", out)
         raw_path = conn["path"]
+        if _METADATA_HOLE.search(raw_path):
+            raw_path = _resolve_metadata_holes(raw_path, doc.get("type", "json"))
         fmt = doc.get("type", _guess_format(raw_path))
         partition_cols = _MUSTACHE_PATH.findall(raw_path)
         # strip the file-name component: Spark writes directories
@@ -674,13 +679,45 @@ _STEP_ALIASES = {
 }
 
 
+# reference serde aliases, step-key level (reader.rs:60-68, writer.rs:72-81,
+# eraser.rs:55-61, transformer.rs:102-105, validator.rs:120-129,
+# generator.rs:88-93)
+_STEP_KEY_ALIASES = {
+    "conn": "connector",
+    "doc": "document",
+    "alias": "name",
+    "data": "data_type",
+    "refs": "referentials",
+    "batch": "record_limit",
+    "size": "record_limit",
+    "exclude": "exclude_paths",
+    "separator": "error_separator",
+    "u": "updater",
+}
+# connector-type aliases (connector/mod.rs:47-70)
+_CONNECTOR_TYPE_ALIASES = {"mem": "in_memory", "mongo": "mongodb", "pgsql": "psql", "pg": "psql"}
+# document-type aliases (document/mod.rs:46-52)
+_DOC_TYPE_ALIASES = {"yml": "yaml", "txt": "text"}
+
+
 def _normalize_step(step: dict) -> dict:
-    """Resolve type aliases and default connectors: a reader/writer with
-    no connector is the cli (stdin/stdout) connector, exactly like the
-    reference's `{"type":"r"},{"type":"w"}` default pipeline."""
+    """Resolve the reference's serde aliases (step types, step keys,
+    connector/document type names) and default connectors: a
+    reader/writer with no connector is the cli (stdin/stdout) connector,
+    exactly like the reference's `{"type":"r"},{"type":"w"}` default
+    pipeline."""
     kind = step.get("type")
     if kind in _STEP_ALIASES:
         step = {**step, "type": _STEP_ALIASES[kind]}
+    for short, canon in _STEP_KEY_ALIASES.items():
+        if short in step and canon not in step:
+            step = {k if k != short else canon: v for k, v in step.items()}
+    conn = step.get("connector")
+    if isinstance(conn, dict) and conn.get("type") in _CONNECTOR_TYPE_ALIASES:
+        step = {**step, "connector": {**conn, "type": _CONNECTOR_TYPE_ALIASES[conn["type"]]}}
+    doc = step.get("document")
+    if isinstance(doc, dict) and doc.get("type") in _DOC_TYPE_ALIASES:
+        step = {**step, "document": {**doc, "type": _DOC_TYPE_ALIASES[doc["type"]]}}
     if step.get("type") in ("reader", "writer") and "connector" not in step:
         step = {**step, "connector": {"type": "cli"}}
     return step
@@ -688,7 +725,38 @@ def _normalize_step(step: dict) -> dict:
 
 def _guess_format(path: str) -> str:
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else "json"
-    return {"yml": "yaml", "ndjson": "jsonl", "txt": "text"}.get(ext, ext)
+    return {
+        "yml": "yaml",
+        "ndjson": "jsonl",
+        "txt": "text",
+        # substituted {{ metadata.mime_subtype }} extensions
+        "x-ndjson": "jsonl",
+        "x-yaml": "yaml",
+        "octet-stream": "byte",
+    }.get(ext, ext)
+
+
+_METADATA_HOLE = re.compile(r"\{\{\s*metadata\.(\w+)\s*\}\}")
+
+
+def _resolve_metadata_holes(path: str, fmt: str) -> str:
+    """`{{ metadata.mime_type }}` / `{{ metadata.mime_subtype }}` path
+    holes resolve from the step's document metadata (the reference's
+    dynamic-file idiom: `path: data.{{ metadata.mime_subtype }}` writes
+    `data.json` for a json document) — resolved at compile time, BEFORE
+    mustache fields become partition columns."""
+    from chewdata_spark.sources.documents import MIME_TYPES
+
+    def repl(m: re.Match) -> str:
+        attr = m.group(1)
+        mt, mst = MIME_TYPES.get(fmt, ("application", fmt))
+        if attr == "mime_type":
+            return mt
+        if attr == "mime_subtype":
+            return mst
+        raise ValueError(f"unknown metadata attribute {attr!r} in path {path!r}")
+
+    return _METADATA_HOLE.sub(repl, path)
 
 
 def _single_hole(pattern: str) -> str | None:

@@ -261,6 +261,27 @@ def _write_bytes(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.select(col).foreachPartition(save)
 
 
+# (mime_type, mime_subtype) per document type, mirroring the reference's
+# Metadata defaults (json.rs:80-81, jsonl.rs:61,78, csv.rs:96-97,
+# text.rs:54-55, toml.rs:53-54, xml.rs:88-89, yaml.rs:39,58,
+# byte.rs:52-53, parquet.rs:186,191) — including the text document's
+# quirky plain/text ordering.  Drives `{{ metadata.* }}` path holes
+# (local.rs dynamic-file example).
+MIME_TYPES: dict[str, tuple[str, str]] = {
+    "json": ("application", "json"),
+    "jsonl": ("application", "x-ndjson"),
+    "csv": ("text", "csv"),
+    "text": ("plain", "text"),
+    "toml": ("application", "toml"),
+    "xml": ("text", "xml"),
+    "yaml": ("application", "x-yaml"),
+    "byte": ("application", "octet-stream"),
+    "parquet": ("application", "parquet"),
+    "orc": ("application", "orc"),
+    "avro": ("application", "avro"),
+}
+
+
 def _hadoop_fs(spark, path: str):
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()

@@ -81,3 +81,59 @@ def test_from_config_yaml(spark):
 """
     df = Pipeline.from_config(cfg, spark).dataframe()
     assert [r.b for r in df.collect()] == [6]
+
+
+def test_reference_serde_aliases(spark, tmp_path):
+    """The reference accepts short serde aliases everywhere
+    (reader.rs:60-68, connector/mod.rs:47-48, document/mod.rs:46):
+    conn→connector, mem→in_memory, doc→document, yml→yaml, refs,
+    alias→name — a config written with them must compile identically."""
+    from chewdata_spark.pipeline import Pipeline
+
+    target = tmp_path / "out.yml"
+    cfg = [
+        {"type": "r", "conn": {"type": "mem", "data": '[{"a": 1}, {"a": 2}]'}, "alias": "src"},
+        {"type": "t", "actions": [{"field": "b", "pattern": "{{ input.a * 10 }}"}]},
+        {"type": "w", "conn": {"type": "local", "path": str(target)}, "doc": {"type": "yml"}},
+    ]
+    df, writes = Pipeline(cfg, spark).run()
+    assert sorted(r.b for r in df.collect()) == [10, 20]
+    assert writes[0].fmt == "yaml"
+    import yaml as _yaml
+
+    docs = [
+        d
+        for f in sorted(target.glob("part-*"))
+        for d in _yaml.safe_load_all(f.read_text())
+        if d
+    ]
+    assert sorted(d["b"] for d in docs) == [10, 20]
+
+
+def test_metadata_mime_subtype_path_holes(spark, tmp_path):
+    """The reference's dynamic-file idiom (examples/local-dynamic_file.rs):
+    `{{ metadata.mime_subtype }}` in a path resolves from the step's
+    document metadata — write `out.json` for a json document, then read
+    it back through the same templated path."""
+    from chewdata_spark.pipeline import Pipeline
+
+    out = tmp_path / "dyn"
+    write_cfg = [
+        {"type": "r", "conn": {"type": "mem", "data": '[{"a": 1}, {"a": 2}]'}},
+        {
+            "type": "w",
+            "conn": {"type": "local", "path": f"{out}.{{{{ metadata.mime_subtype }}}}"},
+            "doc": {"type": "json"},
+        },
+    ]
+    _, writes = Pipeline(write_cfg, spark).run()
+    assert writes[0].path.endswith(".json")
+    read_cfg = [
+        {
+            "type": "r",
+            "conn": {"type": "local", "path": f"{out}.{{{{ metadata.mime_subtype }}}}"},
+            "doc": {"type": "json"},
+        },
+    ]
+    df = Pipeline(read_cfg, spark).dataframe()
+    assert sorted(r.a for r in df.collect()) == [1, 2]
