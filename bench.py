@@ -42,6 +42,9 @@ HEADLINE = [
     "quality_score",
     "corpus_top_terms",
     "curate_corpus",
+    "decontaminate_docs",
+    "pack_sequences",
+    "unigram_logprob",
     "chunk_documents",
     "parts_in_price_band",
     "salted_event_stats",

@@ -1,0 +1,253 @@
+"""Corpus-curation operators for LLM training pipelines.
+
+Beyond dedup (operators/dedup.py) and surface quality (operators/text.py),
+a production pretraining pipeline needs: benchmark decontamination,
+repetition-based quality filters (Gopher-style), deterministic sampling,
+sequence packing, and statistical LM scoring.  Each operator here is
+expressed with built-in functions only (no Python row path) and
+documents its shuffle structure for the 100 TB case.
+
+Tokenization matches operators/text.py `_tokens` (trim+lower+split on
+whitespace) so the whole curation surface agrees on token boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chewdata_spark.operators.text import _tokens
+
+
+def _word_ngrams(text_col: str, n: int) -> Column:
+    """All word n-grams of the text (space-joined) as one array column;
+    docs shorter than ``n`` words collapse to one whole-text gram.
+
+    Interpreted HOF — fine for per-doc array math on short line/gram
+    arrays, but the corpus-wide hot paths use :func:`gram_rows`
+    (posexplode + lead, whole-stage codegen — measured ~4× faster at
+    sf0.1)."""
+    w = _tokens(F.col(text_col))
+    count = F.greatest(F.size(w) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+
+
+def gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """One word n-gram per row, ``(doc_id, g)``, duplicates preserved.
+
+    posexplode(split) + window ``lead`` stays in whole-stage codegen,
+    and the window's hash-partitioning on doc_id is reused by every
+    downstream ``groupBy(doc_id…)`` — one token-level shuffle total.
+    Same semantics as :func:`_word_ngrams` (trim+lower tokens, short
+    docs yield one whole-text gram)."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w", i).over(w) for i in range(1, n)]
+    sh = ex.withColumn("g", F.concat_ws(" ", F.col("w"), *leads))
+    sh = sh.withColumn("_last", F.lead("w", n - 1).over(w)).filter(
+        F.col("_last").isNotNull() | (F.col("pos") == 0)
+    )
+    return sh.select("doc_id", "g")
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with a held-out benchmark/eval set (the standard
+    13-gram overlap test from LM training pipelines, ``n`` scaled to the
+    corpus).  Returns ``(doc_id, n_hit_grams)`` for contaminated docs.
+
+    Scale shape: the benchmark is eval data — MBs, not TBs — so its
+    distinct gram set is **broadcast**; the training side is codegen
+    gram rows (:func:`gram_rows`) + broadcast-semi-join +
+    ``groupBy(doc_id)``, where the distinct and the count both reuse the
+    gram window's doc_id partitioning — one token-level shuffle total,
+    no matter how big the training corpus is.  Grams join on md5
+    (fixed-width keys) rather than raw text.
+    """
+    bench_grams = (
+        gram_rows(benchmark, id_col, text_col, n)
+        .select(F.md5("g").alias("gram_key"))
+        .distinct()
+    )
+    doc_grams = (
+        gram_rows(docs, id_col, text_col, n)
+        .select("doc_id", F.md5("g").alias("gram_key"))
+        .distinct()
+    )
+    hits = doc_grams.join(F.broadcast(bench_grams), "gram_key")
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit_grams"))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style within-document repetition signals:
+
+    - ``dup_line_frac`` — fraction of lines that are repeats of an
+      earlier line (0 for single-line docs),
+    - ``dup_trigram_frac`` — fraction of word trigrams that are
+      duplicates within the doc,
+    - ``top_bigram_frac`` — fraction of all bigram slots taken by the
+      single most frequent bigram.
+
+    The line stat is a pure projection (line arrays are short); the
+    gram stats run on codegen gram rows (:func:`gram_rows`) where the
+    per-(doc, gram) count, the distinct count and the final join are all
+    keyed by doc_id — the window's partitioning is reused, so each gram
+    size costs one token-level shuffle and the stats join without a
+    reshuffle.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    proj = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(
+            (F.size(lines) - F.size(F.array_distinct(lines)))
+            / F.greatest(F.size(lines), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_line_frac"),
+    )
+    tri = (
+        gram_rows(df, id_col, text_col, 3)
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                (F.count(F.lit(1)) - F.count_distinct("g"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_trigram_frac")
+        )
+    )
+    top = (
+        gram_rows(df, id_col, text_col, 2)
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_bigram_frac"))
+    )
+    return proj.join(tri, "doc_id").join(top, "doc_id")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column,
+    *,
+    seq_len: int = 512,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents are laid
+    end-to-end in ``id_col`` order and cut into fixed ``seq_len`` token
+    sequences.  Returns per doc: global ``start_offset``, the first and
+    last sequence index it lands in, and how many sequences it spans.
+
+    Scale shape — the global running offset is a distributed prefix
+    sum, NOT a single-partition window: ``repartitionByRange`` on the id
+    gives a range-sorted layout, each partition computes its local
+    cumulative sum (window keyed by partition id), per-partition totals
+    (one tiny row per partition) come to the driver for the exclusive
+    prefix scan, and the offsets join back via a broadcast of
+    O(num_partitions) rows.  Offsets depend only on the total order of
+    ids, so the (sampled, nondeterministic) range boundaries never
+    change the answer.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col).alias("doc_id"), token_count_col.cast("long").alias("n_tokens")
+    ).repartitionByRange(num_partitions, "doc_id")
+    base = base.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy("doc_id")
+    base = base.withColumn("__local_cum", F.sum("n_tokens").over(w))
+    totals = base.groupBy("__pid").agg(F.sum("n_tokens").alias("t")).collect()
+    prefix: dict[int, int] = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        prefix[row["__pid"]] = acc
+        acc += row["t"]
+    prefix_df = spark.createDataFrame(
+        [(pid, off) for pid, off in prefix.items()], "__pid int, __prefix long"
+    )
+    out = base.join(F.broadcast(prefix_df), "__pid")
+    start = F.col("__prefix") + F.col("__local_cum") - F.col("n_tokens")
+    end = F.col("__prefix") + F.col("__local_cum")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / seq_len).cast("int").alias("first_seq"),
+        F.floor((end - 1) / seq_len).cast("int").alias("last_seq"),
+        (F.floor((end - 1) / seq_len) - F.floor(start / seq_len) + 1)
+        .cast("int")
+        .alias("n_seqs"),
+    )
+
+
+def hex_threshold(rate: float) -> str:
+    """Keep-rate → 4-char string compared against the first 4 hex chars
+    of md5.  rate ≥ 1.0 saturates to ``"g000"`` (lexicographically above
+    every hex string, so everything is kept — ``"10000"`` would sort
+    BELOW most hashes and silently drop them)."""
+    v = int(round(rate * 65536))
+    return "g000" if v >= 65536 else format(max(v, 0), "04x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    *,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the data-mixing step of
+    a pretraining pipeline (e.g. keep 100% of en, 25% of zh).
+
+    The keep decision is ``md5(key) < threshold(stratum)`` on the first
+    16 bits of the hex digest, NOT ``rand()``: re-runs, task retries and
+    engine changes all reproduce the exact same sample, and the filter
+    is a pure projection (zero shuffle) that composes with pushdown.
+    """
+    hash16 = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    expr = F.lit(hex_threshold(default_rate))
+    for stratum, rate in sorted(rates.items(), reverse=True):
+        expr = F.when(F.col(strata_col) == stratum, F.lit(hex_threshold(rate))).otherwise(expr)
+    return df.filter(hash16 < expr)
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Statistical language-model quality score: mean log-probability of
+    the document's tokens under the corpus's own unigram distribution
+    (the cheap stand-in for a KenLM perplexity filter).
+
+    Two passes: (1) vocabulary counts — one explode + term-keyed
+    aggregation with map-side combine; (2) score — the exploded doc
+    terms join the vocabulary.  The vocab for a 100 TB corpus still fits
+    executor memory after a top-K cut, so the join side is marked
+    broadcastable; here the full vocab joins (AQE picks broadcast when
+    it fits).  Result: ``(doc_id, n_tokens, avg_logprob)``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    total = toks.count()
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("term_n"))
+    scored = toks.join(vocab, "term").select(
+        "doc_id", F.log(F.col("term_n") / F.lit(float(total))).alias("lp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )

@@ -20,6 +20,7 @@ def _modules():
     from chewdata_spark.queries import (
         analytics,
         chewdata_ops,
+        curation_queries,
         dedup_queries,
         extra,
         relational,
@@ -33,6 +34,7 @@ def _modules():
         dedup_queries,
         similarity_queries,
         text_queries,
+        curation_queries,
         analytics,
         extra,
     )

@@ -1,0 +1,180 @@
+"""Corpus-curation operators as oracle-backed queries over `documents`.
+
+The benchmark set for decontamination is carved deterministically from
+the corpus itself (doc_id % 97 == 0) so both engines agree without an
+extra input table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chewdata_spark.operators import curation
+from chewdata_spark.tables import load_table
+
+# DuckDB fragment: word n-grams of `text` as list `g`, matching
+# operators.curation._word_ngrams (trim+lower, whitespace split, short
+# docs collapse to one whole-text gram).
+_NGRAMS = (
+    "[array_to_string(w[i:i+{top}], ' ') "
+    "for i in range(1, greatest(len(w) - {top}, 1) + 1)]"
+)
+
+
+def _ngrams_cte(n: int) -> str:
+    return (
+        "SELECT doc_id, "
+        + _NGRAMS.format(top=n - 1)
+        + " AS g FROM (SELECT doc_id, "
+        "string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents)"
+    )
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing any word 4-gram with the benchmark
+    slice (doc_id % 97 == 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return curation.decontaminate(train, bench, "doc_id", "text", n=4)
+
+
+DECONTAMINATE_SQL = f"""
+WITH grams AS ({_ngrams_cte(4)}),
+bench AS (
+    SELECT DISTINCT md5(unnest(g)) AS gram_key FROM grams WHERE doc_id % 97 = 0
+),
+train AS (
+    SELECT doc_id, md5(unnest(list_distinct(g))) AS gram_key
+    FROM grams WHERE doc_id % 97 <> 0
+)
+SELECT t.doc_id, COUNT(*) AS n_hit_grams
+FROM train t JOIN bench b USING (gram_key)
+GROUP BY t.doc_id
+"""
+
+
+def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.repetition_stats(docs, "doc_id", "text")
+
+
+REPETITION_SQL = f"""
+WITH tri AS ({_ngrams_cte(3)}),
+bi AS ({_ngrams_cte(2)}),
+proj AS (
+    SELECT d.doc_id,
+           ROUND((len(string_split(d.text, chr(10)))
+                  - len(list_distinct(string_split(d.text, chr(10)))))
+                 * 1.0 / greatest(len(string_split(d.text, chr(10))), 1),
+                 6) AS dup_line_frac,
+           ROUND((len(t.g) - len(list_distinct(t.g)))
+                 * 1.0 / greatest(len(t.g), 1), 6) AS dup_trigram_frac
+    FROM documents d JOIN tri t USING (doc_id)
+),
+bg AS (
+    SELECT doc_id, gram, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(g) AS gram FROM bi)
+    GROUP BY doc_id, gram
+),
+top AS (
+    SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac
+    FROM bg GROUP BY doc_id
+)
+SELECT proj.doc_id, dup_line_frac, dup_trigram_frac, top_bigram_frac
+FROM proj JOIN top USING (doc_id)
+"""
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of the corpus into 512-token sequences
+    (whitespace token counts), docs laid out in doc_id order."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    return curation.pack_sequences(docs, "doc_id", n_tokens, seq_len=512)
+
+
+PACK_SEQUENCES_SQL = """
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+    FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(FLOOR(start_offset / 512.0) AS INT) AS first_seq,
+       CAST(FLOOR((start_offset + n_tokens - 1) / 512.0) AS INT) AS last_seq,
+       CAST(FLOOR((start_offset + n_tokens - 1) / 512.0)
+            - FLOOR(start_offset / 512.0) + 1 AS INT) AS n_seqs
+FROM c
+"""
+
+
+# Per-language keep rates for the sampling query (deterministic
+# md5-threshold, so both engines pick the identical sample).
+SAMPLE_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.1}
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.stratified_sample(docs, "lang", SAMPLE_RATES, "doc_id")
+    return out.select("doc_id", "lang", "source")
+
+
+def _sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{curation.hex_threshold(r)}'"
+        for s, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < (CASE lang {cases} ELSE '0000' END)
+"""
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.unigram_logprob(docs, "doc_id", "text")
+
+
+UNIGRAM_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+),
+vocab AS (SELECT term, COUNT(*) AS term_n FROM toks GROUP BY term),
+total AS (SELECT COUNT(*) AS n FROM toks)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS INT) AS n_tokens,
+       ROUND(AVG(ln(v.term_n * 1.0 / total.n)), 6) AS avg_logprob
+FROM toks t JOIN vocab v USING (term), total
+GROUP BY t.doc_id
+"""
+
+
+QUERIES = {
+    "decontaminate_docs": decontaminate_docs,
+    "repetition_stats": repetition_docs,
+    "pack_sequences": pack_sequences,
+    "stratified_sample": stratified_sample,
+    "unigram_logprob": unigram_logprob,
+}
+
+ORACLES = {
+    "decontaminate_docs": DECONTAMINATE_SQL,
+    "repetition_stats": REPETITION_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
+    "stratified_sample": _sample_sql(),
+    "unigram_logprob": UNIGRAM_SQL,
+}

@@ -1,0 +1,112 @@
+"""Operator-level tests for corpus curation (decontamination, repetition,
+packing, sampling, unigram LM).  Oracle equivalence is swept separately in
+test_correctness.py; these pin behaviors oracles can't see — determinism
+across partitionings, synthetic repetition fixtures, plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chewdata_spark.operators import curation
+from chewdata_spark.plans.inspection import join_counts
+from chewdata_spark.tables import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    train = _docs(
+        spark,
+        [
+            (1, "zeta alpha beta gamma delta end"),  # shares one 4-gram
+            (2, "totally different words here now"),
+        ],
+    )
+    out = curation.decontaminate(train, bench, "doc_id", "text", n=4).collect()
+    assert {(r.doc_id, r.n_hit_grams) for r in out} == {(1, 1)}
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = curation.decontaminate(docs, bench, "doc_id", "text", n=4)
+    assert join_counts(out)["broadcast_hash"] >= 1
+
+
+def test_repetition_stats_synthetic(spark):
+    # 3 identical lines of 4 tokens; every trigram/bigram repeats.
+    text = "a b c d\na b c d\na b c d"
+    out = curation.repetition_stats(_docs(spark, [(1, text)]), "doc_id", "text").collect()[0]
+    assert out.dup_line_frac == round(2 / 3, 6)
+    # 10 trigrams total ("d\na" spans lines), duplicates exist
+    assert out.dup_trigram_frac > 0
+    assert 0 < out.top_bigram_frac <= 1
+
+
+def test_repetition_stats_clean_doc(spark):
+    out = curation.repetition_stats(
+        _docs(spark, [(1, "all tokens here are unique words")]), "doc_id", "text"
+    ).collect()[0]
+    assert out.dup_line_frac == 0.0
+    assert out.dup_trigram_frac == 0.0
+    # every bigram occurs once: top fraction = 1/n_bigrams
+    assert out.top_bigram_frac == 0.2
+
+
+def test_pack_sequences_offsets_partition_invariant(spark):
+    rows = [(i, "w " * (i % 7 + 1)) for i in range(100)]
+    df = _docs(spark, rows)
+    tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    a = curation.pack_sequences(df, "doc_id", tok, seq_len=16, num_partitions=1)
+    b = curation.pack_sequences(df, "doc_id", tok, seq_len=16, num_partitions=7)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # offsets are the exclusive prefix sum in doc_id order
+    got = {r.doc_id: r for r in b.collect()}
+    acc = 0
+    for i in range(100):
+        assert got[i].start_offset == acc
+        acc += i % 7 + 1
+
+
+def test_pack_sequences_spanning_doc(spark):
+    df = _docs(spark, [(1, "w " * 10), (2, "w " * 10)])
+    tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    out = {r.doc_id: r for r in curation.pack_sequences(df, "doc_id", tok, seq_len=8).collect()}
+    assert (out[1].first_seq, out[1].last_seq, out[1].n_seqs) == (0, 1, 2)
+    assert (out[2].first_seq, out[2].last_seq, out[2].n_seqs) == (1, 2, 2)
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    rows = [(i, "x", "en" if i % 2 else "zh") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = curation.stratified_sample(df, "lang", {"en": 0.5, "zh": 0.05}, "doc_id")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # md5 is uniform: expect ~500 en, ~50 zh with slack
+    assert 400 <= counts["en"] <= 600
+    assert 20 <= counts.get("zh", 0) <= 85
+    # rerun picks the identical sample
+    again = curation.stratified_sample(df, "lang", {"en": 0.5, "zh": 0.05}, "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())
+
+
+def test_stratified_sample_default_rate_drops_unknown(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "qq"), (2, "x", "en")], "doc_id long, text string, lang string"
+    )
+    out = curation.stratified_sample(df, "lang", {"en": 1.0}, "doc_id").collect()
+    assert [r.doc_id for r in out] == [2]
+
+
+def test_unigram_logprob_orders_common_above_rare(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the the the the"),  # all high-frequency
+            (2, "the the the zyzzyva"),  # one rare token
+        ],
+    )
+    out = {r.doc_id: r.avg_logprob for r in curation.unigram_logprob(df, "doc_id", "text").collect()}
+    assert out[1] > out[2]
