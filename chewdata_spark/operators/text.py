@@ -48,22 +48,24 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _lang_pred_expr(text_col: str) -> Column:
     """Stopword-marker language prediction expression (highest marker-hit
     count wins, deterministic tie-break by language code, 'und' when
-    nothing hits)."""
+    nothing hits).
+
+    Shaped as ONE ``greatest()`` over (score, rank, lang) structs, not a
+    nested when-chain: the chain form re-references the running best at
+    every level, so the expression tree — and the codegen the filter
+    pushdown then duplicates — grows exponentially in the number of
+    languages (measured ~5× slower on the curation funnel).  Ranks are
+    assigned so that on equal scores the alphabetically-first language
+    holds the larger struct."""
     toks = _tokens(F.col(text_col))
-    scores = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
-        for lang, markers in sorted(LANG_MARKERS.items())
-    }
-    best = None
-    best_score = None
-    for lang, score in scores.items():
-        if best is None:
-            best, best_score = F.lit(lang), score
-        else:
-            cond = score > best_score
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_score = F.when(cond, score).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    entries = []
+    for rank, (lang, markers) in enumerate(sorted(LANG_MARKERS.items(), reverse=True)):
+        score = F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        entries.append(
+            F.struct(score.alias("s"), F.lit(rank).alias("r"), F.lit(lang).alias("lang"))
+        )
+    best = F.greatest(*entries)
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
