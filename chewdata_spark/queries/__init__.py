@@ -26,10 +26,12 @@ def _modules():
         relational,
         similarity_queries,
         text_queries,
+        tpch_extra,
     )
 
     return (
         relational,
+        tpch_extra,
         chewdata_ops,
         dedup_queries,
         similarity_queries,

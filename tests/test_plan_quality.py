@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from chewdata_spark.plans.inspection import (
     assert_filter_pushed,
+    formatted_plan,
     assert_no_sort_merge_join,
     assert_scan_prunes_to,
     exchange_count,
@@ -158,3 +159,36 @@ def test_referential_lookup_broadcasts(spark):
     df = Pipeline(cfg, spark).dataframe()
     assert join_counts(df)["broadcast_hash"] >= 1
     assert_no_sort_merge_join(df)
+
+
+def test_q7_all_dims_broadcast_single_fact_shuffle(spark, sf_dir):
+    from chewdata_spark.queries.tpch_extra import q7_volume_shipping
+
+    df = q7_volume_shipping(spark, sf_dir)
+    jc = join_counts(df)
+    assert jc["broadcast_hash"] >= 5 and jc["sort_merge"] == 0
+
+
+def test_q4_semi_join_with_lateness_in_condition(spark, sf_dir):
+    from chewdata_spark.queries.tpch_extra import q4_late_order_priority
+
+    df = q4_late_order_priority(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    # the lateness predicate must sit in the join condition, not a
+    # post-join filter over a duplicated fact
+    import re
+
+    assert re.search(r"Join condition: .*60'? DAY", plan)
+
+
+def test_q18_aggregates_before_joining(spark, sf_dir):
+    from chewdata_spark.queries.tpch_extra import q18_large_volume_customers
+    from chewdata_spark.plans.inspection import formatted_plan as _fp
+
+    df = q18_large_volume_customers(spark, sf_dir)
+    plan = _fp(df)
+    # HAVING filter on the aggregate appears (sum_qty > 150) and the
+    # customer join is broadcast
+    assert "150" in plan
+    assert join_counts(df)["broadcast_hash"] >= 1
