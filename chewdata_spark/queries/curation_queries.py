@@ -163,8 +163,77 @@ GROUP BY t.doc_id
 """
 
 
+_STREAM_RUN = {"n": 0}
+
+
+def stream_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel executed BY STRUCTURED STREAMING: the same
+    lang/quality/token-band filters run over a file stream
+    (availableNow), and the exact-dup grouping is a stateful streaming
+    aggregation (complete mode, memory sink).  Output is per content
+    signature — min doc_id + copy count — so the result is deterministic
+    under any micro-batch arrival order, unlike streaming
+    dropDuplicates whose "first seen" is order-dependent.
+    """
+    import os
+
+    from chewdata_spark.operators.text import _lang_pred_expr, _quality_expr, _tokens
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path + "*")
+    kept = stream.select(
+        F.col("doc_id"),
+        F.md5("text").alias("sig"),
+        _lang_pred_expr("text").alias("lang_pred"),
+        _quality_expr("text").alias("quality"),
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+    ).filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.75)
+        & F.col("n_tokens").between(20, 5000)
+    )
+    agg = kept.groupBy("sig").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("quality").alias("quality"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    _STREAM_RUN["n"] += 1
+    name = f"_stream_curate_corpus_{_STREAM_RUN['n']}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _stream_curate_sql() -> str:
+    from chewdata_spark.queries.text_queries import (
+        QUALITY_SQL,
+        TOKEN_COUNTS_SQL,
+        _language_id_sql,
+    )
+
+    return f"""
+WITH l AS (SELECT * FROM ({_language_id_sql()})),
+     q AS (SELECT * FROM ({QUALITY_SQL})),
+     t AS (SELECT * FROM ({TOKEN_COUNTS_SQL}))
+SELECT md5(d.text) AS sig, MIN(d.doc_id) AS keep_id, COUNT(*) AS n_copies,
+       MIN(q.quality) AS quality, MIN(t.ws_tokens) AS n_tokens
+FROM documents d JOIN l USING (doc_id) JOIN q USING (doc_id) JOIN t USING (doc_id)
+WHERE l.lang_pred = 'en' AND q.quality >= 0.75 AND t.ws_tokens BETWEEN 20 AND 5000
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "decontaminate_docs": decontaminate_docs,
+    "stream_curate_corpus": stream_curate_corpus,
     "repetition_stats": repetition_docs,
     "pack_sequences": pack_sequences,
     "stratified_sample": stratified_sample,
@@ -173,6 +242,7 @@ QUERIES = {
 
 ORACLES = {
     "decontaminate_docs": DECONTAMINATE_SQL,
+    "stream_curate_corpus": _stream_curate_sql(),
     "repetition_stats": REPETITION_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "stratified_sample": _sample_sql(),
