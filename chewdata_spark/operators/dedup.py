@@ -142,10 +142,18 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH banding → candidate pairs → exact-Jaccard verification.
 
-    Plan shape: explode bands (map-side), shuffle once on
-    (band_idx, band_hash), self-join within buckets, then verify with
-    ``array_intersect`` on the retained shingle arrays.  Output:
-    (id_a, id_b, jaccard) with id_a < id_b, deduplicated across bands.
+    Plan shape: explode bands (map-side), ONE shuffle on
+    (band_idx, band_hash) into a collect_set-per-bucket, pairs exploded
+    from each bucket's id set — not a bucket self-join, which would
+    evaluate the whole signature pipeline a second time as the join's
+    other side (measured: one fewer scan+window+aggregate pass).  Then
+    verify with ``array_intersect`` on the retained shingle arrays.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, deduplicated across
+    bands.
+
+    A pathologically hot bucket (low-entropy band over near-identical
+    docs) makes |bucket|² pairs — inherent to LSH; the collect_set per
+    bucket is bounded by the same factor that bounds the pair blowup.
     """
     rows_per_band = num_perm // bands
     band_cols = F.array(
@@ -163,21 +171,30 @@ def minhash_candidate_pairs(
     buckets = sigs.select("id", F.explode(band_cols).alias("band")).select(
         "id", "band.band_idx", "band.band_hash"
     )
+    bucket_ids = (
+        buckets.groupBy("band_idx", "band_hash")
+        .agg(F.collect_set("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     pairs = (
-        buckets.alias("a")
-        .join(
-            buckets.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        bucket_ids.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Verify with ONE probe of the shingle relation: exploding each pair
+    # into two (pair, id) rows and regrouping costs one candidate-sized
+    # shuffle, where joining sh twice (once per side) would execute the
+    # whole signature pipeline a second time.
     sh = sigs.select("id", "shingles")
+    sides = pairs.select("id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id"))
     verified = (
-        pairs.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
+        sides.join(sh, "id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(F.when(F.col("id") == F.col("id_a"), F.col("shingles")), ignorenulls=True).alias("sh_a"),
+            F.first(F.when(F.col("id") == F.col("id_b"), F.col("shingles")), ignorenulls=True).alias("sh_b"),
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
