@@ -26,6 +26,7 @@ def _modules():
         relational,
         similarity_queries,
         text_queries,
+        timeseries_queries,
         tpch_extra,
     )
 
@@ -37,6 +38,7 @@ def _modules():
         similarity_queries,
         text_queries,
         curation_queries,
+        timeseries_queries,
         analytics,
         extra,
     )

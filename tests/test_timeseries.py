@@ -1,0 +1,57 @@
+"""Operator tests for time-series gap fill (oracle sweep covers the
+events query; these pin the fill semantics on a hand-built series)."""
+
+from __future__ import annotations
+
+import datetime
+
+from chewdata_spark.operators.timeseries import resample_forward_fill
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+
+
+def test_gap_fill_emits_empty_buckets_and_forward_fills(spark):
+    t = datetime.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t, 10.0, 1),
+        (1, t + datetime.timedelta(hours=3), 30.0, 2),  # 2-hour gap
+    ]
+    out = resample_forward_fill(
+        _events(spark, rows), "user_id", "ts", "value", tiebreak_col="event_id"
+    ).collect()
+    got = {(r.bucket.hour): (r.n_events, r.filled_value) for r in out}
+    assert got == {0: (1, 10.0), 1: (0, 10.0), 2: (0, 10.0), 3: (1, 30.0)}
+
+
+def test_gap_fill_last_value_tiebreak(spark):
+    t = datetime.datetime(2024, 1, 1, 5, 0)
+    rows = [  # same timestamp: higher event_id wins
+        (7, t, 1.0, 10),
+        (7, t, 2.0, 11),
+        (7, t + datetime.timedelta(minutes=5), 9.0, 9),  # later ts beats ids
+    ]
+    out = resample_forward_fill(
+        _events(spark, rows), "user_id", "ts", "value", tiebreak_col="event_id"
+    ).collect()
+    assert len(out) == 1
+    assert (out[0].n_events, out[0].filled_value) == (3, 9.0)
+
+
+def test_gap_fill_keys_independent(spark):
+    t = datetime.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (1, t, 1.0, 1),
+        (2, t + datetime.timedelta(hours=5), 5.0, 2),
+    ]
+    out = resample_forward_fill(
+        _events(spark, rows), "user_id", "ts", "value", tiebreak_col="event_id"
+    ).collect()
+    # each key's grid spans only its own range: one bucket each
+    assert sorted((r.user_id, r.bucket.hour, r.filled_value) for r in out) == [
+        (1, 0, 1.0),
+        (2, 5, 5.0),
+    ]
