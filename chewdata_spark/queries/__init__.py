@@ -27,6 +27,7 @@ def _modules():
         similarity_queries,
         text_queries,
         timeseries_queries,
+        tokenize_queries,
         tpch_extra,
     )
 
@@ -39,6 +40,7 @@ def _modules():
         text_queries,
         curation_queries,
         timeseries_queries,
+        tokenize_queries,
         analytics,
         extra,
     )

@@ -1,0 +1,74 @@
+"""Tokenization queries: vocabulary build + token-id sequences over
+`documents`."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from chewdata_spark.operators.tokenize import build_vocab, tokenize_corpus
+from chewdata_spark.tables import load_table
+
+VOCAB_K = 200
+UNK_ID = VOCAB_K  # one past the largest vocab id
+
+
+def corpus_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return build_vocab(docs, "text", top_k=VOCAB_K)
+
+
+VOCAB_SQL = f"""
+WITH t AS (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+),
+counts AS (SELECT term, COUNT(*) AS term_n FROM t GROUP BY term),
+cut AS (SELECT * FROM counts ORDER BY term_n DESC, term ASC LIMIT {VOCAB_K})
+SELECT term,
+       CAST(ROW_NUMBER() OVER (ORDER BY term_n DESC, term ASC) - 1 AS INT) AS tid,
+       term_n
+FROM cut
+"""
+
+
+def tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document as its ordered token-id sequence under the
+    corpus's own top-K vocabulary (OOV → unk)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", top_k=VOCAB_K)
+    return tokenize_corpus(docs, "doc_id", "text", vocab, unk_id=UNK_ID)
+
+
+TOKENIZE_SQL = f"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+    FROM documents
+),
+t AS (
+    SELECT doc_id, unnest(w) AS term, unnest(range(1, len(w) + 1)) AS pos
+    FROM d
+),
+counts AS (SELECT term, COUNT(*) AS term_n FROM t GROUP BY term),
+cut AS (SELECT * FROM counts ORDER BY term_n DESC, term ASC LIMIT {VOCAB_K}),
+vocab AS (
+    SELECT term,
+           CAST(ROW_NUMBER() OVER (ORDER BY term_n DESC, term ASC) - 1 AS INT) AS tid
+    FROM cut
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS INT) AS n_tokens,
+       list(COALESCE(v.tid, {UNK_ID}) ORDER BY t.pos) AS token_ids
+FROM t LEFT JOIN vocab v USING (term)
+GROUP BY t.doc_id
+"""
+
+
+QUERIES = {
+    "corpus_vocab_ids": corpus_vocab_ids,
+    "tokenize_documents": tokenize_documents,
+}
+
+ORACLES = {
+    "corpus_vocab_ids": VOCAB_SQL,
+    "tokenize_documents": TOKENIZE_SQL,
+}

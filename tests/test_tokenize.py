@@ -1,0 +1,41 @@
+"""Operator tests for vocabulary build + tokenization (the oracle sweep
+covers the corpus queries; these pin id assignment, OOV, ordering, and
+the compose-with-packing path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chewdata_spark.operators.curation import pack_sequences
+from chewdata_spark.operators.tokenize import build_vocab, tokenize_corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_vocab_ids_by_count_then_term(spark):
+    df = _docs(spark, [(1, "b b b a a c"), (2, "a z")])
+    vocab = {r.term: (r.tid, r.term_n) for r in build_vocab(df, "text", top_k=3).collect()}
+    # a:3, b:3 tie → term asc; c and z tied at 1 → c wins the K=3 cut
+    assert vocab == {"a": (0, 3), "b": (1, 3), "c": (2, 1)}
+
+
+def test_tokenize_preserves_order_and_unks(spark):
+    df = _docs(spark, [(1, "b a zz b")])
+    vocab = build_vocab(df, "text", top_k=2)  # keeps b(0), a(1); zz is OOV
+    out = tokenize_corpus(df, "doc_id", "text", vocab, unk_id=99).collect()[0]
+    assert out.n_tokens == 4
+    assert out.token_ids == [0, 1, 99, 0]
+
+
+def test_tokenize_feeds_pack_sequences(spark):
+    rows = [(i, "w " * 5) for i in range(10)]
+    df = _docs(spark, rows)
+    vocab = build_vocab(df, "text", top_k=10)
+    toks = tokenize_corpus(df, "doc_id", "text", vocab, unk_id=10)
+    packed = pack_sequences(toks, "doc_id", F.col("n_tokens"), seq_len=8)
+    got = {r.doc_id: r for r in packed.collect()}
+    assert got[0].start_offset == 0 and got[9].start_offset == 45
+    # 50 tokens / 8 per seq → last doc ends in seq 6
+    assert got[9].last_seq == 6
