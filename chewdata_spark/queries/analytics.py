@@ -235,7 +235,80 @@ LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (event_id)
 """
 
 
+def signup_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohorted conversion funnel: per first-signup date, how many users
+    signed up and how many purchased within 7 days of that signup.
+
+    Scale shape: both aggregations key on user_id (map-side partials);
+    the conversion check is a LEFT SEMI join with the time window inside
+    the join condition — purchases short-circuit at first match and
+    never duplicate the signup row.  The final cohort join is
+    date-keyed (tiny, AQE broadcasts it).
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = firsts.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("signup_ts"))
+        & (F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")),
+        "left_semi",
+    )
+    cohorts = firsts.groupBy(F.to_date("signup_ts").alias("cohort_date")).agg(
+        F.count(F.lit(1)).alias("n_signups")
+    )
+    conv = converted.groupBy(F.to_date("signup_ts").alias("cohort_date")).agg(
+        F.count(F.lit(1)).alias("n_converted")
+    )
+    return (
+        cohorts.join(conv, "cohort_date", "left")
+        .select(
+            "cohort_date",
+            "n_signups",
+            F.coalesce("n_converted", F.lit(0)).alias("n_converted"),
+            F.round(F.coalesce("n_converted", F.lit(0)) / F.col("n_signups"), 4).alias("conv_rate"),
+        )
+    )
+
+
+FUNNEL_SQL = """
+WITH firsts AS (
+    SELECT user_id, MIN(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+converted AS (
+    SELECT f.user_id, f.signup_ts
+    FROM firsts f
+    WHERE EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = f.user_id
+          AND p.ts >= f.signup_ts AND p.ts <= f.signup_ts + INTERVAL 7 DAY
+    )
+),
+cohorts AS (
+    SELECT CAST(signup_ts AS DATE) AS cohort_date, COUNT(*) AS n_signups
+    FROM firsts GROUP BY 1
+),
+conv AS (
+    SELECT CAST(signup_ts AS DATE) AS cohort_date, COUNT(*) AS n_converted
+    FROM converted GROUP BY 1
+)
+SELECT c.cohort_date, c.n_signups,
+       COALESCE(v.n_converted, 0) AS n_converted,
+       ROUND(COALESCE(v.n_converted, 0) * 1.0 / c.n_signups, 4) AS conv_rate
+FROM cohorts c LEFT JOIN conv v USING (cohort_date)
+"""
+
+
 QUERIES = {
+    "signup_conversion_funnel": signup_conversion_funnel,
     "events_asof_orders": events_asof_orders,
     "rollup_revenue": rollup_revenue,
     "cube_order_stats": cube_order_stats,
@@ -248,6 +321,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "signup_conversion_funnel": FUNNEL_SQL,
     "events_asof_orders": ASOF_SQL,
     "rollup_revenue": ROLLUP_SQL,
     "cube_order_stats": CUBE_SQL,
