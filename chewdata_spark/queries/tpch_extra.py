@@ -265,3 +265,156 @@ ORACLES = {
     "q18_large_volume_customers": Q18_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
 }
+
+
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: histogram of customers by order count (including the
+    zero-order bucket via LEFT OUTER).
+
+    Two aggregations, both with map-side partials: orders keyed by
+    custkey (the outer join's natural key), then the tiny count
+    histogram.  customer⋈orders is the one real shuffle; at 100 TB
+    co-bucketing both tables on custkey removes it.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) with the maximum quarterly revenue.
+
+    The revenue aggregate (decimal — exact, so the max-equality
+    comparison is engine-independent) computes once; the scalar max is
+    a one-row broadcast joined back, and supplier is broadcast.  No
+    window over the full supplier set.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_rev")
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("m"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_rev") == F.col("m"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: weekly-equivalent revenue from orders of one brand's
+    parts at quantities below half the part's average.
+
+    The correlated scalar subquery becomes a per-part aggregate joined
+    back: the avg computes ONLY for the brand's parts (semi-join first
+    — running it over all parts would aggregate the whole fact table
+    for a thousandth of it), then part + avgs broadcast into the fact
+    scan.  l_quantity is integer-valued so the half-average threshold
+    is exact in both engines.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5").select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_li = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    avgs = brand_li.groupBy("l_partkey").agg((0.5 * F.avg("l_quantity")).alias("half_avg"))
+    small = brand_li.join(
+        F.broadcast(avgs.withColumnRenamed("l_partkey", "a_partkey")),
+        (F.col("l_partkey") == F.col("a_partkey")) & (F.col("l_quantity") < F.col("half_avg")),
+    )
+    return small.agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+
+
+Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part p ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#5'
+  AND l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: per nation, above-average-balance customers with no
+    order since 2000.
+
+    The global average is a one-row broadcast; the inactivity test is a
+    LEFT ANTI join against the date-filtered orders (the filter pushes
+    to the orders scan, shrinking the anti side before the shuffle).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    rich = cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab")).drop("ab")
+    dormant = rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+QUERIES.update(
+    {
+        "q13_customer_order_distribution": q13_customer_order_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q22_dormant_rich_customers": q22_dormant_rich_customers,
+    }
+)
+
+ORACLES.update(
+    {
+        "q13_customer_order_distribution": Q13_SQL,
+        "q15_top_supplier": Q15_SQL,
+        "q17_small_quantity_revenue": Q17_SQL,
+        "q22_dormant_rich_customers": Q22_SQL,
+    }
+)
