@@ -81,7 +81,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=TOPK, centroid_stride=50, nprobe=4)
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vectors (the k-means M-step / class-prototype
+    computation), emitted as (label, dim, c) rows.
+
+    Scale shape: posexplode is map-side; the ONE shuffle keys on
+    (label, dim) — |labels|×|dims| groups with map-side partial
+    averages, so the reduce side sees a few thousand rows regardless of
+    corpus size.  No vector is ever assembled driver-side; downstream
+    consumers re-collect the (label, dim) rows into arrays with a
+    sort_array(collect_list) keyed by label when needed.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return ex.groupBy("label", "dim").agg(F.round(F.avg("v"), 4).alias("c"))
+
+
+CENTROIDS_SQL = """
+SELECT label, CAST(dim AS INT) AS dim, ROUND(AVG(v), 4) AS c
+FROM (
+    SELECT label, unnest(embedding) AS v,
+           unnest(range(0, len(embedding))) AS dim
+    FROM embeddings
+)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "embedding_centroids": embedding_centroids,
     "cosine_topk": cosine_topk,
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_clustered": embedding_near_dup_clustered,
@@ -89,6 +117,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_centroids": CENTROIDS_SQL,
     "cosine_topk": COSINE_TOPK_SQL,
     "embedding_near_dup": NEAR_DUP_SQL,
 }
