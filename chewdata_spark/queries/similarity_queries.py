@@ -94,11 +94,13 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
-    return ex.groupBy("label", "dim").agg(F.round(F.avg("v"), 4).alias("c"))
+    # + 0.0 normalizes IEEE negative zero: round can yield -0.0, whose
+    # string form differs between engines even though -0.0 == 0.0
+    return ex.groupBy("label", "dim").agg((F.round(F.avg("v"), 4) + 0.0).alias("c"))
 
 
 CENTROIDS_SQL = """
-SELECT label, CAST(dim AS INT) AS dim, ROUND(AVG(v), 4) AS c
+SELECT label, CAST(dim AS INT) AS dim, ROUND(AVG(v), 4) + 0.0 AS c
 FROM (
     SELECT label, unnest(embedding) AS v,
            unnest(range(0, len(embedding))) AS dim
