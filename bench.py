@@ -45,6 +45,10 @@ HEADLINE = [
     "decontaminate_docs",
     "pack_sequences",
     "unigram_logprob",
+    "repetition_stats",
+    "tokenize_documents",
+    "events_gap_fill",
+    "q7_volume_shipping",
     "chunk_documents",
     "parts_in_price_band",
     "salted_event_stats",
