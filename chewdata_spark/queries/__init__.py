@@ -29,11 +29,13 @@ def _modules():
         timeseries_queries,
         tokenize_queries,
         tpch_extra,
-    )
+        tpch_rest,
+    )  # noqa: F401
 
     return (
         relational,
         tpch_extra,
+        tpch_rest,
         chewdata_ops,
         dedup_queries,
         similarity_queries,

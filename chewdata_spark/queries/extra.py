@@ -169,7 +169,13 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
     # file streams need a directory basePath — a glob resolves it to sf_dir
     stream = spark.readStream.schema(schema).parquet(os.path.join(sf_dir, "events.parquet*"))
-    ts = F.expr("timestamp_micros(ts div 1000)")
+    # ts has shipped as nanos-as-long, TIMESTAMP, and TIMESTAMP_NTZ across
+    # testdata generations — normalize all three to TIMESTAMP (UTC session).
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        ts = F.expr("timestamp_micros(ts div 1000)")
+    else:
+        ts = F.col("ts").cast("timestamp")
     agg = (
         stream.withColumn("ts_us", ts)
         .groupBy(F.window("ts_us", "1 hour"), "event_type")

@@ -41,14 +41,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet timestamp[ns], which Spark refuses by default.
-        # Read nanos as long and truncate to micros (matching DuckDB's
-        # ns→us conversion).  `div` keeps it in integer math — double
-        # division would lose precision above 2^53 ns.
+        # events.ts has shipped as both parquet timestamp[ns] (which Spark
+        # refuses by default) and timestamp[us] without tz annotation
+        # (which Spark 4 infers as TIMESTAMP_NTZ).  Normalize both to
+        # TIMESTAMP so downstream epoch math (unix_micros/unix_timestamp)
+        # resolves; with the session pinned to UTC the NTZ→LTZ cast is a
+        # numeric identity, matching DuckDB's naive-timestamp view.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos read as long: truncate to micros in integer math —
+            # double division would lose precision above 2^53 ns.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

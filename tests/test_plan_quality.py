@@ -192,3 +192,58 @@ def test_q18_aggregates_before_joining(spark, sf_dir):
     # customer join is broadcast
     assert "150" in plan
     assert join_counts(df)["broadcast_hash"] >= 1
+
+
+def test_q6_single_scan_all_filters_pushed(spark, sf_dir):
+    from chewdata_spark.queries.tpch_rest import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, sf_dir)
+    assert_filter_pushed(df, "GreaterThanOrEqual(l_shipdate")
+    assert_filter_pushed(df, "LessThan(l_quantity")
+    # 4 of 11 lineitem columns; a wider scan is a 100 TB I/O bug
+    assert_scan_prunes_to(
+        df, {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    )
+
+
+def test_q2_dims_broadcast_offers_reuse_partitioning(spark, sf_dir):
+    from chewdata_spark.queries.tpch_rest import q2_min_cost_supplier
+
+    df = q2_min_cost_supplier(spark, sf_dir)
+    jc = join_counts(df)
+    # part/supplier/nation/region all broadcast; only the derived
+    # offers relation (distinct pairs, not lineitem rows) shuffles
+    assert jc["broadcast_hash"] >= 4
+    assert_scan_prunes_to(
+        df, {"l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"}
+    )
+
+
+def test_q8_all_dims_broadcast(spark, sf_dir):
+    from chewdata_spark.queries.tpch_rest import q8_market_share
+
+    df = q8_market_share(spark, sf_dir)
+    jc = join_counts(df)
+    assert jc["broadcast_hash"] >= 4 and jc["sort_merge"] == 0
+    assert_filter_pushed(df, "EqualTo(p_type,ECONOMY)")
+
+
+def test_q16_distinct_pairs_then_anti_join(spark, sf_dir):
+    from chewdata_spark.queries.tpch_rest import q16_supplier_count
+
+    df = q16_supplier_count(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    # the pair-distinct must prune lineitem to the two key columns
+    assert_scan_prunes_to(df, {"l_partkey", "l_suppkey"})
+
+
+def test_q21_window_pass_no_self_join(spark, sf_dir):
+    from chewdata_spark.queries.tpch_rest import q21_waiting_orders
+
+    df = q21_waiting_orders(spark, sf_dir)
+    plan = formatted_plan(df)
+    # exists/not-exists expressed as one window pass: exactly one scan
+    # of lineitem (a self-join form would scan it 2-3x)
+    assert sum(1 for s in read_schemas(df) if "l_orderkey" in s) == 1
+    assert "Window" in plan
