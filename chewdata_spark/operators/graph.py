@@ -1,0 +1,114 @@
+"""Distributed connected components for duplicate clustering.
+
+Pairwise near-dup output (MinHash-LSH, SimHash, n-gram Jaccard) is a
+graph; production dedup keeps ONE document per connected component,
+not per pair — greedy pair-dropping over-deletes when A~B, B~C but
+A≁C chains overlap.  This module turns candidate pairs into cluster
+assignments.
+
+The algorithm is alternating large-star/small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14): each round
+is two self-free DataFrame aggregations + joins, and the edge set
+converges to a star per component in O(log n) rounds — the right
+shape at 100 TB, where min-label propagation's O(diameter) rounds and
+GraphX's RDD machinery both lose.  Each round ends in
+``localCheckpoint`` to truncate lineage (iterative plans otherwise
+grow exponentially in Catalyst).
+
+Reference parity: chewdata has no graph operator — this is part of the
+beyond-reference LLM-pipeline surface (dedup family), same tier as
+MinHash-LSH in operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (connect strictly-larger neighbors to the local
+    min) or small-star (connect smaller-or-equal neighbors to the local
+    min) round.  ``edges`` columns: u, v; output is the new edge set in
+    the same shape, self-loops dropped."""
+    adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    local_min = (
+        adj.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .withColumn("m", F.least("mn", "u"))
+        .select("u", "m")
+    )
+    joined = adj.join(local_min, "u")
+    if large:
+        out = joined.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        out = (
+            joined.filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(local_min.select(F.col("u"), F.col("m").alias("v")))
+        )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster assignment ``(node, cluster_id)`` for every node that
+    appears in ``pairs``; ``cluster_id`` is the component's minimum
+    node id (deterministic, engine-independent).
+
+    Convergence is detected by edge-set stability (an anti-join count,
+    cheap relative to the round itself); ``max_iter`` is a guard far
+    above the O(log n) bound for any realistic graph.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        new_edges = _star_round(_star_round(edges, large=True), large=False)
+        new_edges = new_edges.localCheckpoint(eager=True)
+        # stable when neither direction gained an edge
+        if (
+            new_edges.exceptAll(edges).isEmpty()
+            and edges.exceptAll(new_edges).isEmpty()
+        ):
+            edges = new_edges
+            break
+        edges = new_edges
+    # converged: every edge points node -> component min (a star);
+    # re-derive labels from both directions so the root labels itself
+    labels = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
+        .union(edges.select(F.col("v").alias("node"), F.col("v").alias("lbl")))
+        .groupBy("node")
+        .agg(F.min("lbl").alias("cluster_id"))
+    )
+    return labels
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Corpus with one survivor (minimum id) per duplicate cluster:
+    drop every node whose component label differs from its own id.
+    Unpaired documents pass through untouched (left anti-join on the
+    drop set — one broadcast-able shuffle over the small cluster
+    table, one pass over the corpus)."""
+    labels = connected_components(pairs, src, dst)
+    drop = labels.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -145,8 +145,118 @@ def dedup_clean_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "source", "n_chars")
 
 
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not pairs: connected components over the
+    exact trigram-Jaccard pair graph (alternating large-star/small-star,
+    operators/graph.py).  cluster_id = component min doc_id, so the
+    result is deterministic and the DuckDB recursive-CTE oracle can
+    reproduce it.  The pair source is exact for checkability; at scale
+    it is the identical plan fed by MinHash-LSH pairs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from chewdata_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b")
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    )
+
+
+# Transitive min-reachable label via recursive CTE — enumerates every
+# (node, reachable-label) pair, exact on the small pair graph.
+CLUSTER_COMPONENTS_SQL = """
+WITH RECURSIVE d AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+    FROM d
+), e AS (
+    SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+), pairs AS (
+    SELECT id_a, id_b FROM inter WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+), reach(node, lbl) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+), lab AS (
+    SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT node AS doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+"""
+
+
+def dedup_clean_corpus_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-correct clean corpus: one survivor (min doc_id) per
+    connected duplicate component.  Where the greedy pairwise anti-join
+    (`dedup_clean_corpus`) can over-delete on A~B~C chains, this keeps
+    exactly one document per transitive duplicate group — the
+    production semantics for training-corpus dedup."""
+    from chewdata_spark.operators.graph import cluster_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return cluster_dedup(docs, pairs, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+CLEAN_CORPUS_CC_SQL = """
+WITH RECURSIVE d AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+    FROM d
+), e AS (
+    SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+), pairs AS (
+    SELECT id_a, id_b FROM inter WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+), reach(node, lbl) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+), lab AS (
+    SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM lab WHERE node <> cluster_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_cluster_components": dedup_cluster_components,
+    "dedup_clean_corpus_cc": dedup_clean_corpus_cc,
     "dedup_clean_corpus": dedup_clean_corpus,
     "dedup_clean_corpus_lsh": dedup_clean_corpus_lsh,
     "dedup_fingerprint": dedup_fingerprint,
@@ -157,6 +267,8 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_cluster_components": CLUSTER_COMPONENTS_SQL,
+    "dedup_clean_corpus_cc": CLEAN_CORPUS_CC_SQL,
     "dedup_clean_corpus": CLEAN_CORPUS_SQL,
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
