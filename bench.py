@@ -48,7 +48,14 @@ HEADLINE = [
     "repetition_stats",
     "tokenize_documents",
     "events_gap_fill",
+    "dedup_cluster_components",
+    "dedup_clean_corpus_cc",
+    "mix_corpus_weighted",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q16_supplier_count",
+    "q21_waiting_orders",
     "chunk_documents",
     "parts_in_price_band",
     "salted_event_stats",

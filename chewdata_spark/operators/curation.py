@@ -227,6 +227,43 @@ def stratified_sample(
     return df.filter(hash16 < expr)
 
 
+def weighted_mix(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    *,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Epoch-weighted corpus mixture — the UPSAMPLING half of a
+    pretraining data mix that :func:`stratified_sample` (rates ≤ 1)
+    cannot express: weight 2.5 emits every row twice plus a
+    deterministic half-sample third copy; weight 0.25 emits a quarter
+    sample.  Output gains an ``epoch`` column (1-based copy index) so
+    downstream shuffling/packing can keep copies apart.
+
+    Scale shape: a generate+filter projection — ``explode(sequence)``
+    to ceil(weight) copies then a hash-threshold keep — zero shuffle,
+    zero state, composes with column pruning.  The keep decision salts
+    the key with the epoch (``md5(key || ':' || epoch)``), so partial
+    copies are independent samples and re-runs/task retries are
+    bit-reproducible (no ``rand()``).
+    """
+    w_expr = F.lit(float(default_weight))
+    for stratum, w in sorted(weights.items(), reverse=True):
+        w_expr = F.when(F.col(strata_col) == stratum, F.lit(float(w))).otherwise(w_expr)
+    out = df.withColumn("_w", w_expr).withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), F.ceil("_w").cast("int")))
+    )
+    frac_thr = F.substring(
+        F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.col("epoch"))), 1, 4
+    )
+    keep = (F.col("epoch") <= F.floor("_w")) | (
+        frac_thr < F.format_string("%04x", (F.round((F.col("_w") % 1) * 65536)).cast("int"))
+    )
+    return out.filter(keep).drop("_w")
+
+
 def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Statistical language-model quality score: mean log-probability of
     the document's tokens under the corpus's own unigram distribution

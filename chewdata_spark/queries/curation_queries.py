@@ -142,6 +142,41 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
 """
 
 
+# Epoch weights for the upsampling mix: zh seen 3x, de 2.5x (two full
+# copies + a deterministic half-sample), fr halved, es quartered.
+# Fractions are x/65536-exact so the Spark and DuckDB thresholds agree.
+MIX_WEIGHTS = {"en": 1.0, "de": 2.5, "zh": 3.0, "fr": 0.5, "es": 0.25}
+
+
+def mix_corpus_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted pretraining mix (upsampling included): each doc
+    appears floor(w) times plus one hash-sampled partial copy — see
+    operators/curation.py::weighted_mix for the zero-shuffle shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.weighted_mix(docs, "lang", MIX_WEIGHTS, "doc_id")
+    return out.select("doc_id", "lang", "source", "epoch")
+
+
+def _mix_sql() -> str:
+    w_cases = " ".join(f"WHEN '{s}' THEN {float(w)}" for s, w in sorted(MIX_WEIGHTS.items()))
+    return f"""
+WITH w AS (
+    SELECT doc_id, lang, source,
+           (CASE lang {w_cases} ELSE 1.0 END) AS wt
+    FROM documents
+), c AS (
+    SELECT doc_id, lang, source, wt,
+           unnest(generate_series(1, CAST(ceil(wt) AS INT))) AS epoch
+    FROM w
+)
+SELECT doc_id, lang, source, epoch
+FROM c
+WHERE epoch <= CAST(floor(wt) AS INT)
+   OR substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), 1, 4)
+      < printf('%04x', CAST(round((wt % 1) * 65536) AS INT))
+"""
+
+
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return curation.unigram_logprob(docs, "doc_id", "text")
@@ -233,6 +268,7 @@ GROUP BY 1
 
 QUERIES = {
     "decontaminate_docs": decontaminate_docs,
+    "mix_corpus_weighted": mix_corpus_weighted,
     "stream_curate_corpus": stream_curate_corpus,
     "repetition_stats": repetition_docs,
     "pack_sequences": pack_sequences,
@@ -242,6 +278,7 @@ QUERIES = {
 
 ORACLES = {
     "decontaminate_docs": DECONTAMINATE_SQL,
+    "mix_corpus_weighted": _mix_sql(),
     "stream_curate_corpus": _stream_curate_sql(),
     "repetition_stats": REPETITION_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,

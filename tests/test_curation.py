@@ -110,3 +110,28 @@ def test_unigram_logprob_orders_common_above_rare(spark):
     )
     out = {r.doc_id: r.avg_logprob for r in curation.unigram_logprob(df, "doc_id", "text").collect()}
     assert out[1] > out[2]
+
+
+def test_weighted_mix_epoch_counts(spark):
+    from chewdata_spark.operators.curation import weighted_mix
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "zh") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    out = weighted_mix(docs, "lang", {"en": 2.5, "zh": 0.5}, "doc_id")
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # en: 200 docs * 2.5 → 500 expected, half-sample is hash-exact not
+    # random but concentrates near the rate; zh: 200 * 0.5 → 100
+    assert 440 <= per_lang["en"] <= 560
+    assert 70 <= per_lang["zh"] <= 130
+    # full copies are exact: every en doc appears at epochs 1 and 2
+    full = out.filter((F.col("lang") == "en") & (F.col("epoch") <= 2)).count()
+    assert full == 400
+    # determinism: a second run yields the identical multiset
+    again = weighted_mix(docs, "lang", {"en": 2.5, "zh": 0.5}, "doc_id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
