@@ -51,6 +51,8 @@ HEADLINE = [
     "dedup_cluster_components",
     "dedup_clean_corpus_cc",
     "mix_corpus_weighted",
+    "shard_shuffle_corpus",
+    "quantize_embeddings",
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",

@@ -264,6 +264,41 @@ def weighted_mix(
     return out.filter(keep).drop("_w")
 
 
+def shard_shuffle(
+    df: DataFrame,
+    key_col: str,
+    *,
+    num_shards: int = 16,
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministic training-order shuffle: documents land in
+    ``num_shards`` shards (≤256) with a pseudo-random position inside
+    each — the shape a trainer consumes (one file per shard, rows
+    pre-shuffled) without ever materializing a GLOBAL order.
+
+    ``md5(seed:key)`` drives both decisions, so the layout is
+    bit-reproducible across reruns, retries and engines (no
+    ``rand()``/``zipWithIndex``).  Position is a row_number window
+    PER SHARD — parallel across shards; a global ORDER BY rank would
+    serialize into one partition at 100 TB, which is exactly what this
+    avoids.  Reshuffling between epochs = change ``seed``.
+    """
+    if not 1 <= num_shards <= 256:
+        raise ValueError(f"num_shards must be in [1, 256], got {num_shards}")
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
+
+    def digit(i: int) -> Column:
+        # hex-char value via position in the alphabet: portable to any
+        # SQL engine (no conv()/strtol divergence)
+        return F.expr(f"locate(substring(_h, {i}, 1), '0123456789abcdef') - 1")
+
+    out = df.withColumn("_h", h).withColumn(
+        "shard", ((digit(1) * 16 + digit(2)) % num_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return out.withColumn("pos", F.row_number().over(w)).drop("_h")
+
+
 def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Statistical language-model quality score: mean log-probability of
     the document's tokens under the corpus's own unigram distribution

@@ -340,3 +340,35 @@ def embedding_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "sim")
     )
+
+
+def scalar_quantize(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-dimension int8 scalar quantization (the standard ANN memory
+    step: float32 vectors -> 4x smaller codes + a tiny codebook).
+
+    Fully distributed: posexplode -> per-dimension global min/max
+    (map-side partial agg over ``dim``, one tiny shuffle), then the
+    dim-count-sized codebook broadcasts back over the exploded corpus —
+    no driver collect, same shape as the IVF centroid table.  Codes:
+    ``round((x - mn) / (mx - mn) * 255) - 128``; constant dimensions
+    (mx == mn) quantize to -128.
+
+    Output is long-form ``(id, dim, code)`` — schema-stable for any
+    vector dimensionality and directly comparable across engines.
+    """
+    e = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    stats = e.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(-128)).otherwise(
+        (F.round((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255) - 128)
+        .cast("int")
+    )
+    return (
+        e.join(F.broadcast(stats), "dim")
+        .select(F.col(id_col), "dim", code.cast("int").alias("code"))
+    )

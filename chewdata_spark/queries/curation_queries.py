@@ -177,6 +177,33 @@ WHERE epoch <= CAST(floor(wt) AS INT)
 """
 
 
+def shard_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-shard training shuffle of the corpus — shard +
+    in-shard position from md5, no global sort (see
+    operators/curation.py::shard_shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.shard_shuffle(docs, "doc_id", num_shards=16, seed="0")
+    return out.select("doc_id", "shard", "pos")
+
+
+SHARD_SHUFFLE_SQL = """
+WITH h AS (
+    SELECT doc_id, md5('0:' || CAST(doc_id AS VARCHAR)) AS hh
+    FROM documents
+),
+s AS (
+    SELECT doc_id, hh,
+           CAST(((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) % 16
+                AS INT) AS shard
+    FROM h
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS INT) AS pos
+FROM s
+"""
+
+
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return curation.unigram_logprob(docs, "doc_id", "text")
@@ -269,6 +296,7 @@ GROUP BY 1
 QUERIES = {
     "decontaminate_docs": decontaminate_docs,
     "mix_corpus_weighted": mix_corpus_weighted,
+    "shard_shuffle_corpus": shard_shuffle_corpus,
     "stream_curate_corpus": stream_curate_corpus,
     "repetition_stats": repetition_docs,
     "pack_sequences": pack_sequences,
@@ -279,6 +307,7 @@ QUERIES = {
 ORACLES = {
     "decontaminate_docs": DECONTAMINATE_SQL,
     "mix_corpus_weighted": _mix_sql(),
+    "shard_shuffle_corpus": SHARD_SHUFFLE_SQL,
     "stream_curate_corpus": _stream_curate_sql(),
     "repetition_stats": REPETITION_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,

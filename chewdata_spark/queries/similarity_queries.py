@@ -110,8 +110,34 @@ GROUP BY 1, 2
 """
 
 
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding table (long-form
+    (vec_id, dim, code)) — see operators/similarity.py::scalar_quantize
+    for the distributed codebook shape."""
+    from chewdata_spark.operators.similarity import scalar_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return scalar_quantize(emb, "vec_id", "embedding")
+
+
+QUANTIZE_SQL = """
+WITH e AS (
+    SELECT vec_id,
+           CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY dim)
+SELECT vec_id, dim,
+       CASE WHEN mx = mn THEN -128
+            ELSE CAST(round((x - mn) / (mx - mn) * 255) - 128 AS INT) END AS code
+FROM e JOIN stats USING (dim)
+"""
+
+
 QUERIES = {
     "embedding_centroids": embedding_centroids,
+    "quantize_embeddings": quantize_embeddings,
     "cosine_topk": cosine_topk,
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_clustered": embedding_near_dup_clustered,
@@ -120,6 +146,7 @@ QUERIES = {
 
 ORACLES = {
     "embedding_centroids": CENTROIDS_SQL,
+    "quantize_embeddings": QUANTIZE_SQL,
     "cosine_topk": COSINE_TOPK_SQL,
     "embedding_near_dup": NEAR_DUP_SQL,
 }

@@ -135,3 +135,25 @@ def test_weighted_mix_epoch_counts(spark):
     # determinism: a second run yields the identical multiset
     again = weighted_mix(docs, "lang", {"en": 2.5, "zh": 0.5}, "doc_id")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_shard_shuffle_layout(spark):
+    from chewdata_spark.operators.curation import shard_shuffle
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = shard_shuffle(docs, "doc_id", num_shards=16, seed="0")
+    rows = out.collect()
+    assert len(rows) == 1000  # a shuffle permutes, never drops
+    # positions are 1..n_s contiguous inside every shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(16))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # md5 spreads evenly: no shard more than 2x the fair share
+    assert max(len(v) for v in by_shard.values()) < 2 * (1000 / 16)
+    # a different seed produces a different permutation, same layout
+    out2 = shard_shuffle(docs, "doc_id", num_shards=16, seed="1")
+    assert sorted(map(tuple, out2.collect())) != sorted(map(tuple, rows))

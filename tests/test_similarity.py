@@ -1,0 +1,29 @@
+
+
+def test_scalar_quantize_reconstruction(spark):
+    from chewdata_spark.operators.similarity import scalar_quantize
+    from pyspark.sql import functions as F
+
+    vecs = [(i, [float(i % 7) - 3.0, float(i) / 50.0, 1.5]) for i in range(100)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    codes = scalar_quantize(df, "vec_id", "embedding")
+    assert codes.count() == 300
+    rng = codes.agg(F.min("code"), F.max("code")).first()
+    assert rng[0] >= -128 and rng[1] <= 127
+    # constant dimension (index 2) collapses to -128 everywhere
+    assert codes.filter("dim = 2").select("code").distinct().collect()[0][0] == -128
+    # dequantized values reconstruct within half a quantization step
+    stats = (
+        df.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    joined = (
+        codes.join(stats, "dim")
+        .join(df.select("vec_id", F.posexplode("embedding").alias("dim", "x")),
+              ["vec_id", "dim"])
+        .filter("mx != mn")
+        .withColumn("deq", (F.col("code") + 128) / 255 * (F.col("mx") - F.col("mn")) + F.col("mn"))
+        .withColumn("err", F.abs(F.col("deq") - F.col("x")))
+        .withColumn("step", (F.col("mx") - F.col("mn")) / 255)
+    )
+    assert joined.filter(F.col("err") > F.col("step") * 0.51).count() == 0
