@@ -337,13 +337,58 @@ def _compile_if_block(
         raise UnsupportedTemplate("nested {% %} blocks are not compilable")
     out = None
     for cond, body in branches:
-        col = template_to_column(body, input_col=input_col)
+        # a throw() branch renders no value — NULL here; the message
+        # lands in _error via compile_throw_error
+        if _THROW.match(body):
+            col = F.lit(None).cast("string")
+        else:
+            col = template_to_column(body, input_col=input_col)
         out = F.when(cond, col) if out is None else out.when(cond, col)
     els = m.group("els")
     if els is not None:
         if "{%" in els:
             raise UnsupportedTemplate("nested {% %} blocks are not compilable")
-        out = out.otherwise(template_to_column(trim(els), input_col=input_col))
+        if _THROW.match(els):
+            out = out.otherwise(F.lit(None).cast("string"))
+        else:
+            out = out.otherwise(template_to_column(trim(els), input_col=input_col))
+    return out
+
+
+_THROW = re.compile(r"^\s*\{\{\s*throw\(\s*message\s*=\s*'([^']*)'\s*\)\s*\}\}\s*$")
+
+
+def compile_throw_error(pattern: str | None, input_col: str | None = None) -> Column | None:
+    """Error column for Tera's ``throw(message=...)`` built-in: rendering
+    throw fails the record (reference: a failed render emits
+    ``DataResult::Err``, src/step/transformer.rs:238-249; the
+    examples/local-chaine.rs cascade routes those rows to the err
+    writer).  Returns NULL for rows whose branch does not throw, the
+    message for rows whose branch does, or ``None`` when the pattern
+    contains no throw at all."""
+    if not pattern or "throw(" not in pattern:
+        return None
+    m = _THROW.match(pattern)
+    if m:
+        return F.lit(m.group(1))
+    mb = _IF_BLOCK.match(pattern)
+    if not mb:
+        raise UnsupportedTemplate(
+            f"throw() only compiles standalone or inside a {{% if %}} branch: {pattern!r}"
+        )
+    out = None
+    branches = [(mb.group("cond"), mb.group("then"))]
+    branches += _ELIF.findall(mb.group("elifs") or "")
+    for cond_src, body in branches:
+        tm = _THROW.match(body)
+        msg = F.lit(tm.group(1)) if tm else F.lit(None).cast("string")
+        cond = _compile_condition(cond_src, input_col)
+        out = F.when(cond, msg) if out is None else out.when(cond, msg)
+    els = mb.group("els")
+    if els is not None:
+        tm = _THROW.match(els)
+        if tm:
+            out = out.otherwise(F.lit(tm.group(1)))
     return out
 
 
@@ -597,6 +642,10 @@ def template_to_column(pattern: str, *, input_col: str | None = None) -> Column:
             return _compile_if_block(pattern, input_col=input_col, strip_bodies=True)
     if "{%" in pattern:
         return _compile_if_block(pattern, input_col=input_col)
+    if _THROW.match(pattern):
+        # unconditional throw: no value; compile_throw_error carries
+        # the message to _error
+        return F.lit(None).cast("string")
     holes = list(_HOLE.finditer(pattern))
     if not holes:
         return F.lit(pattern)
@@ -659,7 +708,12 @@ def apply_actions(
     if needs_input:
         input_col = "_input"
         df = df.withColumn("_input", F.struct(*[F.col(c) for c in df.columns]))
+    throw_parts: list[Column] = []
     for a in acts:
+        if a.type != "remove":
+            terr = compile_throw_error(a.pattern, input_col)
+            if terr is not None:
+                throw_parts.append(terr)
         if a.type == "remove":
             if "." in a.field:
                 top, rest = a.field.split(".", 1)
@@ -675,16 +729,21 @@ def apply_actions(
             df = _merge_field(df, a.field, col)
         else:
             df = df.withColumn(a.field, col)
-    if route_errors:
+    if route_errors or throw_parts:
         # render-failure → Err channel (reference: a failed template
         # render emits DataResult::Err, src/step/transformer.rs:238-249):
-        # a fallible action that produced NULL from non-null inputs sets
-        # _error, keeping the record flowing on the err stream.
+        # an explicit throw() always errs; a fallible action that
+        # produced NULL from non-null inputs errs when route_errors.
         parts: list[Column] = []
         if "_error" in df.columns:
             parts.append(F.col("_error"))
-        for a in acts:
+        parts.extend(throw_parts)
+        for a in acts if route_errors else []:
             refs = fallible_refs(a.pattern)
+            if a.pattern and "throw(" in a.pattern:
+                # explicit throw already errs with its own message; the
+                # NULL it renders is not a failed render
+                continue
             if refs is None or not refs or a.type == "remove":
                 # no identifiable source refs → can't distinguish a render
                 # failure from a legitimately-NULL source; don't flag

@@ -775,12 +775,44 @@ def _lookup_join(df: DataFrame, ref: DataFrame, out_field: str, m: re.Match) -> 
     return joined.withColumn(out_field, F.col("__v")).drop("__k", "__v")
 
 
+_IDENTITY_BODY = re.compile(r"^\s*\{\{\s*input\s*\|\s*json_encode(\(\))?\s*\}\}\s*$")
+
+
 def _root_fanout(df: DataFrame, pattern: str) -> DataFrame:
     """Root-field action: the rendered value REPLACES the record; an
     array fans out to one record per element (explode), a struct becomes
-    the record, a scalar becomes a single `value` column."""
-    from chewdata_spark.operators.transformer import template_to_column
+    the record, a scalar becomes a single `value` column.
 
+    ``throw(message=...)`` branches err the record instead of replacing
+    it (the examples/local-chaine.rs cascade: ok rows pass through when
+    the other branch is the identity render ``{{ input | json_encode() }}``,
+    throw rows carry the message on the err channel)."""
+    from chewdata_spark.operators.transformer import (
+        _IF_BLOCK,
+        UnsupportedTemplate,
+        compile_throw_error,
+        template_to_column,
+    )
+
+    terr = compile_throw_error(pattern, input_col=None)
+    if terr is not None:
+        mb = _IF_BLOCK.match(pattern)
+        if mb is not None:  # conditional throw: other branches must be identity
+            bodies = [mb.group("then")] + [
+                b
+                for _, b in re.findall(
+                    r"\{%\s*elif\s+(.+?)\s*%\}(.*?)(?=\{%\s*elif|\Z)",
+                    mb.group("elifs") or "",
+                    re.S,
+                )
+            ] + ([mb.group("els")] if mb.group("els") is not None else [])
+            if not all("throw(" in b or _IDENTITY_BODY.match(b) for b in bodies):
+                raise UnsupportedTemplate(
+                    "root throw() composes only with identity branches "
+                    "({{ input | json_encode() }}): " + pattern
+                )
+        prev = F.col("_error") if "_error" in df.columns else F.lit(None).cast("string")
+        return df.withColumn("_error", F.coalesce(prev, terr))
     col = template_to_column(pattern, input_col=None)
     out = df.select(col.alias("_r"))
     t = out.schema["_r"].dataType.typeName()
@@ -795,7 +827,11 @@ def _root_fanout(df: DataFrame, pattern: str) -> DataFrame:
 def _has_fallible_actions(step: dict) -> bool:
     from chewdata_spark.operators.transformer import fallible_refs
 
-    return any(fallible_refs(a.get("pattern")) is not None for a in step.get("actions", []))
+    return any(
+        "throw(" in (a.get("pattern") or "")  # explicit err emission
+        or fallible_refs(a.get("pattern")) is not None
+        for a in step.get("actions", [])
+    )
 
 
 def _all_null_errors_ok(step: dict) -> bool:

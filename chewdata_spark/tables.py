@@ -40,24 +40,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Timestamp columns have shipped as parquet timestamp[ns] (which
+    # Spark refuses by default), timestamp[us] without tz annotation
+    # (which Spark 4 infers as TIMESTAMP_NTZ), and plain TIMESTAMP
+    # across testdata generations.  Normalize every variant to
+    # TIMESTAMP so downstream epoch math (unix_micros/unix_timestamp)
+    # resolves; with the session pinned to UTC the NTZ→LTZ cast is a
+    # numeric identity, matching DuckDB's naive-timestamp view.
     if name == "events":
-        # events.ts has shipped as both parquet timestamp[ns] (which Spark
-        # refuses by default) and timestamp[us] without tz annotation
-        # (which Spark 4 infers as TIMESTAMP_NTZ).  Normalize both to
-        # TIMESTAMP so downstream epoch math (unix_micros/unix_timestamp)
-        # resolves; with the session pinned to UTC the NTZ→LTZ cast is a
-        # numeric identity, matching DuckDB's naive-timestamp view.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
+    df = spark.read.parquet(path)
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif name == "events" and col == "ts" and dtype == "bigint":
             # nanos read as long: truncate to micros in integer math —
             # double division would lose precision above 2^53 ns.
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(path)
+            df = df.withColumn(col, F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -616,3 +616,62 @@ def test_validator_exists_rules_distinct_ref_keys(spark):
     # 'value_to_map' is a mapping_code but not a mapping_value →
     # exactly the second rule fails
     assert row._error == "no value"
+
+
+def test_throw_routes_record_to_err_channel(spark, tmp_path):
+    """Tera's throw(message=...) built-in fails the render and emits the
+    record on the err channel (examples/local-chaine.rs cascade,
+    examples/transform-throw_error.rs)."""
+    import json as _json
+    import os
+
+    from chewdata_spark.pipeline import Pipeline
+
+    src = tmp_path / "in.jsonl"
+    src.write_text("\n".join(_json.dumps({"number": n}) for n in (1, 10, 3)))
+    ok_out = str(tmp_path / "ok")
+    err_out = str(tmp_path / "err")
+    cfg = [
+        {"type": "r", "connector": {"type": "local", "path": str(src)}},
+        {
+            "type": "t",
+            "actions": [
+                {
+                    "field": "/",
+                    "pattern": (
+                        "{% if input.number == 10 %}"
+                        "{{ throw(message='data write in the file cascade_file2.json') }}"
+                        "{% else %}{{ input | json_encode() }}{% endif %}"
+                    ),
+                }
+            ],
+        },
+        {"type": "w", "connector": {"type": "local", "path": ok_out, "document": {"type": "jsonl"}}, "data_type": "ok"},
+        {"type": "w", "connector": {"type": "local", "path": err_out, "document": {"type": "jsonl"}}, "data_type": "err"},
+    ]
+    Pipeline(cfg, spark).run()
+    ok_rows = [_json.loads(line) for f in os.listdir(ok_out) if f.endswith((".json", ".jsonl")) or f.startswith("part-")
+               for line in open(os.path.join(ok_out, f)) if line.strip()]
+    err_rows = [_json.loads(line) for f in os.listdir(err_out) if f.endswith((".json", ".jsonl")) or f.startswith("part-")
+                for line in open(os.path.join(err_out, f)) if line.strip()]
+    assert sorted(r["number"] for r in ok_rows) == [1, 3]
+    assert [r["number"] for r in err_rows] == [10]
+    assert "cascade_file2" in err_rows[0]["_error"]
+
+
+def test_throw_on_scalar_field_sets_error(spark):
+    from chewdata_spark.operators.transformer import apply_actions
+
+    df = spark.createDataFrame([(1,), (10,)], "number long")
+    out = apply_actions(
+        df,
+        [
+            {
+                "field": "flag",
+                "pattern": "{% if input.number == 10 %}{{ throw(message='bad ten') }}{% else %}ok{% endif %}",
+            }
+        ],
+    )
+    rows = {r["number"]: (r["flag"], r["_error"]) for r in out.collect()}
+    assert rows[1] == ("ok", None)
+    assert rows[10][0] is None and rows[10][1] == "bad ten"

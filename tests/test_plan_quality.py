@@ -247,3 +247,31 @@ def test_q21_window_pass_no_self_join(spark, sf_dir):
     # of lineitem (a self-join form would scan it 2-3x)
     assert sum(1 for s in read_schemas(df) if "l_orderkey" in s) == 1
     assert "Window" in plan
+
+
+def test_connected_components_round_is_two_aggs(spark):
+    from chewdata_spark.operators.graph import _star_round
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    df = _star_round(edges, large=True)
+    plan = formatted_plan(df)
+    # one round = min-agg + join + distinct; no cartesian, no collect
+    assert "CartesianProduct" not in plan
+
+
+def test_quantize_codebook_broadcasts(spark, sf_dir):
+    from chewdata_spark.queries.similarity_queries import quantize_embeddings
+
+    df = quantize_embeddings(spark, sf_dir)
+    jc = join_counts(df)
+    assert jc["broadcast_hash"] >= 1 and jc["sort_merge"] == 0
+
+
+def test_shard_shuffle_no_global_sort(spark, sf_dir):
+    from chewdata_spark.queries.curation_queries import shard_shuffle_corpus
+
+    df = shard_shuffle_corpus(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    # exchange is hash on shard, not a range exchange for a total order
+    assert "rangepartitioning" not in plan.lower()
