@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_clean_corpus_lsh",
+    "dedup_clean_corpus_lsh_cc",
     "cosine_topk",
     "embedding_near_dup",
     "embedding_near_dup_clustered",

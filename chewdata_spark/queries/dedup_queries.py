@@ -253,10 +253,30 @@ WHERE doc_id NOT IN (SELECT node FROM lab WHERE node <> cluster_id)
 """
 
 
+def dedup_clean_corpus_lsh_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END production dedup path at 100 TB: MinHash-LSH
+    candidate discovery (sub-quadratic, one (band,hash) shuffle) →
+    connected-components clustering over the pair graph (O(log n)
+    star rounds) → one anti-join keeping the min-id survivor per
+    duplicate cluster.  Rows-only check (seeded hashing); recall vs
+    the exact-pair cluster twin is asserted in tests/."""
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators.graph import cluster_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_perm=64, shingle_size=3)
+    pairs = dedup.minhash_candidate_pairs(sigs, num_perm=64, bands=16, jaccard_threshold=0.5)
+    return cluster_dedup(docs, pairs, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_clean_corpus_cc": dedup_clean_corpus_cc,
+    "dedup_clean_corpus_lsh_cc": dedup_clean_corpus_lsh_cc,
     "dedup_clean_corpus": dedup_clean_corpus,
     "dedup_clean_corpus_lsh": dedup_clean_corpus_lsh,
     "dedup_fingerprint": dedup_fingerprint,

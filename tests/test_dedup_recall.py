@@ -106,3 +106,18 @@ def test_blocked_gemm_invariant_to_num_blocks(spark, emb):
         for r in similarity.near_dup_pairs_exact(emb, threshold=0.4, num_blocks=3).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_clean_corpus_lsh_cc_recall(spark, docs):
+    """The LSH→connected-components→anti-join production path keeps
+    nearly the same survivor set as the exact-pair cluster twin."""
+    from chewdata_spark.queries.dedup_queries import (
+        dedup_clean_corpus_cc,
+        dedup_clean_corpus_lsh_cc,
+    )
+
+    exact = {r.doc_id for r in dedup_clean_corpus_cc(spark, SF01).collect()}
+    lsh = {r.doc_id for r in dedup_clean_corpus_lsh_cc(spark, SF01).collect()}
+    assert exact
+    agree = len(exact & lsh) / len(exact | lsh)
+    assert agree >= 0.95, f"survivor-set agreement {agree:.2f} < 0.95"
