@@ -205,8 +205,67 @@ GROUP BY 1, 2
 """
 
 
+def stream_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM join executed by Structured Streaming:
+    view events join purchase events of the same user within the next
+    hour (time-bound condition = bounded state, streaming/ops.py).
+    availableNow over the same parquet + memory sink; inner-join
+    matches emit deterministically regardless of micro-batching, so the
+    batch SQL oracle checks the streaming runtime itself."""
+    import os
+
+    from chewdata_spark.streaming.ops import run_to_memory, stream_stream_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(os.path.join(sf_dir, "events.parquet*"))
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        ts = F.expr("timestamp_micros(ts div 1000)")
+    else:
+        ts = F.col("ts").cast("timestamp")
+    stream = stream.withColumn("ts", ts)
+    views = stream.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = stream_stream_join(
+        views,
+        purchases,
+        "user_id",
+        "view_ts",
+        "purchase_ts",
+        watermark="1 hour",
+        time_bound="1 hour",
+    ).filter(F.col("purchase_ts") >= F.col("view_ts"))
+    _STREAM_RUN["n"] += 1
+    name = f"_stream_view_to_purchase_{_STREAM_RUN['n']}"
+    return run_to_memory(
+        joined.select(views["user_id"].alias("user_id"), "view_id", "purchase_id"),
+        name,
+    )
+
+
+STREAM_VIEW_TO_PURCHASE_SQL = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
 QUERIES = {
     "salted_event_stats": salted_event_stats,
+    "stream_view_to_purchase": stream_view_to_purchase,
     "events_props_variant": events_props_variant,
     "stream_events_hourly": stream_events_hourly,
     "user_event_gaps": user_event_gaps,
@@ -216,6 +275,7 @@ QUERIES = {
 
 ORACLES = {
     "salted_event_stats": SALTED_EVENT_STATS_SQL,
+    "stream_view_to_purchase": STREAM_VIEW_TO_PURCHASE_SQL,
     "events_props_variant": EVENTS_PROPS_VARIANT_SQL,
     "stream_events_hourly": STREAM_EVENTS_HOURLY_SQL,
     "user_event_gaps": USER_EVENT_GAPS_SQL,
