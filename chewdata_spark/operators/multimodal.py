@@ -8,12 +8,13 @@ Design for 100 TB multimodal corpora:
 - Decode / feature-extract / resize / frame-sample run as Arrow-batched
   ``mapInPandas`` stages: bytes cross to Python once per batch, heavy
   libs (PIL/ffmpeg/librosa) are imported lazily per executor.
-- This container has no media libraries, so the *decode kernels* are
-  STUBS: ``decode_image`` raises ``NotImplementedError`` unless PIL is
-  importable, and the deterministic-fake variants (``fake_*``) derive
-  features from the bytes' hash — schema, batching, partitioning and
-  UDF signatures are real and tested; swap the kernel body in
-  production.
+- ``decode_image`` is REAL without any media library: container
+  headers (PNG/GIF/BMP/JPEG/PPM) carry the dimensions, parsed in pure
+  Python; ``resize_image`` is real for uncompressed PPM rasters
+  (numpy nearest-neighbor).  PIL is needed only for compressed-pixel
+  work (JPEG/PNG resize) and audio/video kernels still stub without
+  their libs — the deterministic-fake twins (``fake_*``) share the
+  identical Arrow plumbing for those paths.
 """
 
 from __future__ import annotations
@@ -59,26 +60,78 @@ def _media_stage(df: DataFrame, extra_schema: str, kernel) -> DataFrame:
     return df.mapInPandas(gen, out_schema)
 
 
-def _pil_dims_kernel(content_col: str):
-    """Real image-decode kernel: PIL dims.  Import is lazy per executor
-    batch; without PIL it raises NotImplementedError at execution."""
+def image_dims(b: bytes) -> tuple[int, int]:
+    """(width, height) from the container header — pure Python, no
+    imaging library: PNG IHDR, GIF logical screen, BMP info header,
+    JPEG SOF scan, PPM/PGM ASCII header.  Raises ValueError on formats
+    without a parseable header (then the kernel falls back to PIL)."""
+    import re as _re
+    import struct
+
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", b[16:24])
+        return w, h
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return w, h
+    if b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        return w, abs(h)  # negative height = top-down rows
+    if b[:2] == b"\xff\xd8":  # JPEG: find a start-of-frame marker
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return w, h
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+            i += 2 + seg_len
+        raise ValueError("JPEG without SOF marker")
+    if b[:2] in (b"P5", b"P6"):
+        m = _re.match(rb"P[56]\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)", b)
+        if m:
+            return int(m.group(1)), int(m.group(2))
+    raise ValueError(f"unrecognized image container: {b[:8]!r}")
+
+
+def _dims_kernel(content_col: str):
+    """Real image-decode kernel: container-header dims in pure Python
+    (PNG/GIF/BMP/JPEG/PPM need no imaging library), PIL only for
+    containers the header parser does not know."""
 
     def kernel(pdf):
-        try:
-            from PIL import Image
-        except ImportError as e:
-            raise NotImplementedError(
-                "image decode requires PIL; use fake_decode_image for plumbing tests"
-            ) from e
-        import io
+        def one(b: bytes) -> tuple[int, int]:
+            try:
+                return image_dims(bytes(b))
+            except ValueError:
+                try:
+                    from PIL import Image
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "unknown container and PIL unavailable; "
+                        "use fake_decode_image for plumbing tests"
+                    ) from e
+                import io
 
-        dims = [Image.open(io.BytesIO(bytes(b))).size for b in pdf[content_col]]
+                return Image.open(io.BytesIO(bytes(b))).size
+
+        dims = [one(b) for b in pdf[content_col]]
         pdf = pdf.copy()
         pdf["width"] = [d[0] for d in dims]
         pdf["height"] = [d[1] for d in dims]
         return pdf
 
     return kernel
+
+
+# kept under its historical name for the shared-plumbing contract test
+_pil_dims_kernel = _dims_kernel
 
 
 def _fake_dims_kernel(content_col: str):
@@ -97,9 +150,10 @@ def _fake_dims_kernel(content_col: str):
 def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Decode image bytes → (id-preserving columns..., width, height).
 
-    Real kernel requires PIL; raises NotImplementedError without it.
+    Pure-Python header parsing for PNG/GIF/BMP/JPEG/PPM — no imaging
+    library; PIL only for containers the parser does not know.
     """
-    return _media_stage(df, "width int, height int", _pil_dims_kernel(content_col))
+    return _media_stage(df, "width int, height int", _dims_kernel(content_col))
 
 
 def fake_decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -108,29 +162,59 @@ def fake_decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
     return _media_stage(df, "width int, height int", _fake_dims_kernel(content_col))
 
 
-def _pil_resize_kernel(content_col: str, width: int, height: int):
-    """Real resize kernel: PIL resize → JPEG re-encode."""
+def ppm_resize(b: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize of a binary P6 PPM — numpy only.  The
+    uncompressed-raster path that needs no imaging library; compressed
+    containers go through PIL in the kernel below."""
+    import re as _re
+
+    import numpy as np
+
+    m = _re.match(rb"(P6)\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", b)
+    if not m:
+        raise ValueError("not a binary P6 PPM")
+    w, h, maxv = int(m.group(2)), int(m.group(3)), int(m.group(4))
+    if maxv > 255:
+        raise ValueError("16-bit PPM not supported")
+    px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=m.end()).reshape(h, w, 3)
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    out = px[ys][:, xs]
+    return b"P6\n%d %d\n255\n" % (width, height) + out.tobytes()
+
+
+def _resize_kernel(content_col: str, width: int, height: int):
+    """Real resize kernel: numpy nearest-neighbor for binary PPM
+    rasters, PIL resize → JPEG re-encode for compressed containers."""
 
     def kernel(pdf):
-        try:
-            from PIL import Image
-        except ImportError as e:
-            raise NotImplementedError(
-                "image resize requires PIL; use fake_resize_image for plumbing tests"
-            ) from e
-        import io
+        def one(raw) -> bytes:
+            b = bytes(raw)
+            if b[:2] == b"P6":
+                return ppm_resize(b, width, height)
+            try:
+                from PIL import Image
+            except ImportError as e:
+                raise NotImplementedError(
+                    "compressed-image resize requires PIL; "
+                    "use fake_resize_image for plumbing tests"
+                ) from e
+            import io
 
-        out = []
-        for b in pdf[content_col]:
-            im = Image.open(io.BytesIO(bytes(b))).resize((width, height))
+            im = Image.open(io.BytesIO(b)).resize((width, height))
             buf = io.BytesIO()
             im.save(buf, format="JPEG")
-            out.append(buf.getvalue())
+            return buf.getvalue()
+
         pdf = pdf.copy()
-        pdf[content_col] = out
+        pdf[content_col] = [one(b) for b in pdf[content_col]]
         return pdf
 
     return kernel
+
+
+# kept under its historical name for the shared-plumbing contract test
+_pil_resize_kernel = _resize_kernel
 
 
 def _fake_resize_kernel(content_col: str, width: int, height: int):
@@ -152,8 +236,9 @@ def _fake_resize_kernel(content_col: str, width: int, height: int):
 def resize_image(
     df: DataFrame, content_col: str = "content", *, width: int = 224, height: int = 224
 ) -> DataFrame:
-    """Resize image bytes to (width, height) JPEG — requires PIL."""
-    return _media_stage(df, "", _pil_resize_kernel(content_col, width, height))
+    """Resize image bytes to (width, height): numpy nearest-neighbor
+    for binary PPM, PIL (JPEG re-encode) for compressed containers."""
+    return _media_stage(df, "", _resize_kernel(content_col, width, height))
 
 
 def fake_resize_image(
