@@ -113,18 +113,53 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # fixed CPU-bound reference job: lets any consumer separate
+        # "this query's plan regressed" from "the whole host is slower
+        # today" by comparing calib across BENCH_r*.json files
+        "calib": _calibration(spark),
     }
+    if regressions:
+        # uniform slowdown across UNRELATED queries is ambient (shared
+        # host / thermal / co-tenant), not a plan regression: when the
+        # median ratio vs best-ever itself exceeds the gate, report the
+        # ambient factor and keep only queries clearly worse than it
+        med = _median_ratio(timings, sf_val)
+        if med > 1.4:
+            out["ambient_slowdown"] = f"median {med:.2f}x vs best-ever across all queries"
+            regressions = {
+                n: msg
+                for n, msg in regressions.items()
+                if timings[n] > med * 1.25 * _best_ever(sf_val).get(n, float("inf"))
+            }
     if regressions:
         out["regressions"] = regressions
     print(json.dumps(out))
     spark.stop()
 
 
-def _regressions_vs_baseline(timings: dict[str, float], sf: float | str) -> dict[str, str]:
-    """Per-query regression gate: compare against the best-ever recorded
-    time across ALL BENCH_r*.json rounds at the SAME scale factor
-    (>1.5x slower AND >0.3s absolute = flagged), so slow creep can't hide
-    behind a slow previous round."""
+def _calibration(spark) -> float:
+    """Seconds for a fixed deterministic JVM-side job (range sum, no
+    I/O): a pure probe of the host's current compute throughput."""
+    spark.range(500_000_000).selectExpr("sum(id * 2) AS s").collect()  # warm
+    best = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        spark.range(500_000_000).selectExpr("sum(id * 2) AS s").collect()
+        best = min(best, time.perf_counter() - start)
+    return round(best, 3)
+
+
+def _median_ratio(timings: dict[str, float], sf: float | str) -> float:
+    best = _best_ever(sf)
+    ratios = sorted(
+        timings[n] / best[n] for n in timings if n in best and best[n] > 0
+    )
+    return ratios[len(ratios) // 2] if ratios else 1.0
+
+
+def _best_ever(sf: float | str) -> dict[str, float]:
+    """Best recorded per-query time across ALL BENCH_r*.json rounds at
+    the SAME scale factor."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -141,6 +176,14 @@ def _regressions_vs_baseline(timings: dict[str, float], sf: float | str) -> dict
         for name, t in (base or {}).items():
             if isinstance(t, (int, float)) and (name not in best or t < best[name]):
                 best[name] = float(t)
+    return best
+
+
+def _regressions_vs_baseline(timings: dict[str, float], sf: float | str) -> dict[str, str]:
+    """Per-query regression gate vs best-ever (>1.5x slower AND >0.3s
+    absolute = flagged), so slow creep can't hide behind a slow
+    previous round."""
+    best = _best_ever(sf)
     out = {}
     for name, t in timings.items():
         b = best.get(name)
