@@ -263,9 +263,67 @@ JOIN events p
 """
 
 
+def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows computed BY STRUCTURED STREAMING: 30-minute-gap
+    per-user sessions over the event file stream (session_window merges
+    across micro-batches; complete mode + availableNow makes the final
+    table equal to the batch gaps-and-islands answer, which the DuckDB
+    oracle computes)."""
+    import os
+
+    from chewdata_spark.streaming.ops import run_to_memory
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(os.path.join(sf_dir, "events.parquet*"))
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        ts = F.expr("timestamp_micros(ts div 1000)")
+    else:
+        ts = F.col("ts").cast("timestamp")
+    agg = (
+        stream.withColumn("ts_n", ts)
+        .groupBy(F.session_window("ts_n", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    _STREAM_RUN["n"] += 1
+    name = f"_stream_sessionize_{_STREAM_RUN['n']}"
+    out = run_to_memory(agg, name, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+
+
+STREAM_SESSIONIZE_SQL = """
+WITH o AS (
+    SELECT user_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "salted_event_stats": salted_event_stats,
     "stream_view_to_purchase": stream_view_to_purchase,
+    "stream_sessionize_events": stream_sessionize_events,
     "events_props_variant": events_props_variant,
     "stream_events_hourly": stream_events_hourly,
     "user_event_gaps": user_event_gaps,
@@ -276,6 +334,7 @@ QUERIES = {
 ORACLES = {
     "salted_event_stats": SALTED_EVENT_STATS_SQL,
     "stream_view_to_purchase": STREAM_VIEW_TO_PURCHASE_SQL,
+    "stream_sessionize_events": STREAM_SESSIONIZE_SQL,
     "events_props_variant": EVENTS_PROPS_VARIANT_SQL,
     "stream_events_hourly": STREAM_EVENTS_HOURLY_SQL,
     "user_event_gaps": USER_EVENT_GAPS_SQL,
