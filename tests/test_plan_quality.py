@@ -275,3 +275,35 @@ def test_shard_shuffle_no_global_sort(spark, sf_dir):
     assert "Window" in plan
     # exchange is hash on shard, not a range exchange for a total order
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_q11_threshold_is_broadcast_not_collect(spark, sf_dir):
+    from chewdata_spark.queries.tpch_rest import q11_important_parts
+
+    df = q11_important_parts(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the scalar total joins back as a broadcast (nested-loop over one
+    # row) — never a driver collect and never a shuffled join
+    assert "BroadcastNestedLoopJoin" in plan or join_counts(df)["broadcast_hash"] >= 1
+    assert_scan_prunes_to(df, {"l_suppkey", "l_partkey", "l_extendedprice", "l_discount"})
+
+
+def test_q12_single_fact_join_case_sums_fold(spark, sf_dir):
+    from chewdata_spark.queries.tpch_rest import q12_ship_delay_priority
+
+    df = q12_ship_delay_priority(spark, sf_dir)
+    # lineitem scan: join key + shipdate only — the CASE sums read
+    # orders columns, lineitem contributes two columns
+    assert_scan_prunes_to(df, {"l_orderkey", "l_shipdate"})
+
+
+def test_q20_dominance_join_shares_partkey_partitioning(spark, sf_dir):
+    from chewdata_spark.queries.tpch_rest import q20_dominant_shippers
+
+    df = q20_dominant_shippers(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert_filter_pushed(df, "GreaterThanOrEqual(l_shipdate")
+    # per-pair and per-part aggregates both key on l_partkey: at most
+    # one exchange introduces that partitioning, the dominance join
+    # reuses it rather than re-shuffling
+    assert plan.count("hashpartitioning(l_partkey") <= 3
