@@ -249,12 +249,18 @@ def weighted_mix(
     copies are independent samples and re-runs/task retries are
     bit-reproducible (no ``rand()``).
     """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("mixture weights must be >= 0")
     w_expr = F.lit(float(default_weight))
     for stratum, w in sorted(weights.items(), reverse=True):
         w_expr = F.when(F.col(strata_col) == stratum, F.lit(float(w))).otherwise(w_expr)
-    out = df.withColumn("_w", w_expr).withColumn(
-        "epoch", F.explode(F.sequence(F.lit(1), F.ceil("_w").cast("int")))
+    n_copies = F.ceil("_w").cast("int")
+    # weight 0 must DROP the stratum: sequence(1, 0) would descend
+    # ([1, 0]) instead of being empty, so gate the explode
+    copies = F.when(n_copies >= 1, F.sequence(F.lit(1), n_copies)).otherwise(
+        F.array().cast("array<int>")
     )
+    out = df.withColumn("_w", w_expr).withColumn("epoch", F.explode(copies))
     frac_thr = F.substring(
         F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.col("epoch"))), 1, 4
     )

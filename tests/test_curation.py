@@ -157,3 +157,17 @@ def test_shard_shuffle_layout(spark):
     # a different seed produces a different permutation, same layout
     out2 = shard_shuffle(docs, "doc_id", num_shards=16, seed="1")
     assert sorted(map(tuple, out2.collect())) != sorted(map(tuple, rows))
+
+
+def test_weighted_mix_zero_weight_drops_stratum(spark):
+    from chewdata_spark.operators.curation import weighted_mix
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "zh") for i in range(50)], "doc_id long, lang string"
+    )
+    out = weighted_mix(docs, "lang", {"en": 1.0, "zh": 0.0}, "doc_id")
+    langs = {r["lang"] for r in out.collect()}
+    assert langs == {"en"}  # sequence(1,0) descends — zh must vanish, not emit epoch 0
+    with pytest.raises(ValueError):
+        weighted_mix(docs, "lang", {"en": -1.0}, "doc_id")
