@@ -243,3 +243,38 @@ def content_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("doc_id"),
         F.md5(F.array_join(toks, " ")).alias("fingerprint"),
     )
+
+
+def strip_boilerplate(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Line-level boilerplate removal for web-scraped corpora: drop
+    lines that are too short (< 4 words), mostly punctuation/digits
+    (alphabetic share < 50%), or navigation-like (no terminal
+    punctuation AND every word capitalized — menu/header shape).
+
+    All higher-order builtin functions over split(text, '\\n') — a
+    zero-shuffle projection that pipelines with the scan; the kept-line
+    share doubles as a page-quality signal (content_frac).
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def is_content(ln):
+        words = F.split(F.trim(ln), r"\s+")
+        n_words = F.size(F.filter(words, lambda w: w != F.lit("")))
+        n_alpha = F.length(F.regexp_replace(ln, "[^A-Za-z]", ""))
+        n_chars = F.greatest(F.length(ln), F.lit(1))
+        navish = (~ln.rlike("[.!?]\\s*$")) & (~ln.rlike("(^|\\s)[a-z]"))
+        return (
+            (n_words >= 4)
+            & ((n_alpha / n_chars) >= 0.5)
+            & ~navish
+        )
+
+    kept = F.filter(lines, is_content)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("int").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("int").alias("n_dropped"),
+        F.round(F.size(kept) / F.greatest(F.size(lines), F.lit(1)), 6).alias("content_frac"),
+    )

@@ -213,8 +213,39 @@ SELECT term, n FROM (
 """
 
 
+def documents_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (short / punct-heavy / nav-shaped
+    lines dropped) with a kept-share quality signal — zero-shuffle
+    higher-order-function projection."""
+    return text.strip_boilerplate(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+STRIP_BOILERPLATE_SQL = """
+WITH l AS (
+    SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents
+), k AS (
+    SELECT doc_id, lines,
+           list_filter(lines, ln ->
+               len(list_filter(string_split_regex(trim(ln), '\\s+'), w -> w <> '')) >= 4
+               AND length(regexp_replace(ln, '[^A-Za-z]', '', 'g'))
+                   / greatest(length(ln), 1) >= 0.5
+               AND NOT (NOT regexp_matches(ln, '[.!?]\\s*$')
+                        AND NOT regexp_matches(ln, '(^|\\s)[a-z]'))
+           ) AS kept
+    FROM l
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS clean_text,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(lines) - len(kept) AS INT) AS n_dropped,
+       ROUND(len(kept) / greatest(len(lines), 1), 6) AS content_frac
+FROM k
+"""
+
+
 QUERIES = {
     "chunk_documents": chunk_documents,
+    "documents_strip_boilerplate": documents_strip_boilerplate,
     "parts_in_price_band": parts_in_price_band,
     "text_stats": text_stats,
     "language_id": language_id,
@@ -228,6 +259,7 @@ QUERIES = {
 
 ORACLES = {
     "chunk_documents": CHUNK_SQL,
+    "documents_strip_boilerplate": STRIP_BOILERPLATE_SQL,
     "parts_in_price_band": PRICE_BAND_SQL,
     "text_stats": TEXT_STATS_SQL,
     "language_id": _language_id_sql(),

@@ -88,3 +88,13 @@ def test_cluster_dedup_keeps_one_per_component(spark):
         r["doc_id"] for r in cluster_dedup(docs, pairs, "doc_id").collect()
     )
     assert kept == [0, 3, 4, 6, 7, 8, 9]
+
+
+def test_large_random_graph_many_components(spark):
+    # 300 nodes, sparse — dozens of small components plus a 60-node
+    # chain grafted in (stress: many roots + long diameter at once)
+    rng = random.Random(99)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(160)]
+    edges += [(1000 + i, 1001 + i) for i in range(60)]
+    edges = [(u, v) for u, v in edges if u != v]
+    _check(spark, edges)

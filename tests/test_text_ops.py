@@ -63,3 +63,25 @@ def test_corpus_top_terms_deterministic(spark):
     # top-k executes as TakeOrdered, not a global sort
     plan = corpus_top_terms(df, "text", k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_strip_boilerplate_drops_nav_and_junk(spark):
+    from chewdata_spark.operators.text import strip_boilerplate
+
+    doc = "\n".join([
+        "Home | About | Contact",                      # nav: no lowercase start, no terminal punct
+        "=== === === ===",                             # punctuation
+        "Subscribe Now",                               # short + capitalized
+        "This is a real sentence with enough words.",  # keep
+        "another real line of body text follows here", # keep (lowercase, 4+ words)
+        "123 456 789 000",                             # digits
+    ])
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = strip_boilerplate(df, "doc_id", "text").first()
+    kept = r["clean_text"].split("\n")
+    assert kept == [
+        "This is a real sentence with enough words.",
+        "another real line of body text follows here",
+    ]
+    assert r["n_lines"] == 6 and r["n_dropped"] == 4
+    assert abs(r["content_frac"] - 2 / 6) < 1e-6
