@@ -171,3 +171,37 @@ def test_weighted_mix_zero_weight_drops_stratum(spark):
     assert langs == {"en"}  # sequence(1,0) descends — zh must vanish, not emit epoch 0
     with pytest.raises(ValueError):
         weighted_mix(docs, "lang", {"en": -1.0}, "doc_id")
+
+
+def test_curation_ops_compose_end_to_end(spark):
+    """The pretraining pipeline shape: filter (curate) → epoch-mix →
+    shard-shuffle, all composing on one DataFrame without schema
+    conflicts, with the epoch column surviving into the shard layout."""
+    from chewdata_spark.operators.curation import shard_shuffle, weighted_mix
+    from chewdata_spark.operators.text import strip_boilerplate
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (i, "en" if i % 3 else "zh",
+             "this is a perfectly fine body sentence with words.\nHome | About")
+            for i in range(90)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    clean = strip_boilerplate(docs, "doc_id", "text")
+    assert clean.filter(F.col("n_dropped") != 1).count() == 0
+    mixed = weighted_mix(
+        clean.join(docs.select("doc_id", "lang"), "doc_id"),
+        "lang", {"en": 1.0, "zh": 2.0}, "doc_id",
+    )
+    sharded = shard_shuffle(mixed, "doc_id", num_shards=4, seed="0")
+    rows = sharded.collect()
+    # 60 en * 1 + 30 zh * 2 = 120 rows, every one placed in a shard
+    assert len(rows) == 120
+    assert {r["shard"] for r in rows} <= set(range(4))
+    assert all(r["epoch"] in (1, 2) for r in rows)
+    # same doc at different epochs shares a shard (keyed by doc_id) but
+    # the pipeline kept both copies distinct
+    zh = [r for r in rows if r["lang"] == "zh"]
+    assert len(zh) == 60 and len({(r["doc_id"], r["epoch"]) for r in zh}) == 60
