@@ -254,19 +254,24 @@ def weighted_mix(
     w_expr = F.lit(float(default_weight))
     for stratum, w in sorted(weights.items(), reverse=True):
         w_expr = F.when(F.col(strata_col) == stratum, F.lit(float(w))).otherwise(w_expr)
-    n_copies = F.ceil("_w").cast("int")
+    n_copies = F.ceil("_w").cast("bigint")
     # weight 0 must DROP the stratum: sequence(1, 0) would descend
     # ([1, 0]) instead of being empty, so gate the explode
-    copies = F.when(n_copies >= 1, F.sequence(F.lit(1), n_copies)).otherwise(
-        F.array().cast("array<int>")
+    copies = F.when(n_copies >= 1, F.sequence(F.lit(1).cast("bigint"), n_copies)).otherwise(
+        F.array().cast("array<bigint>")
     )
     out = df.withColumn("_w", w_expr).withColumn("epoch", F.explode(copies))
-    frac_thr = F.substring(
+    frac_hash = F.substring(
         F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.col("epoch"))), 1, 4
     )
-    keep = (F.col("epoch") <= F.floor("_w")) | (
-        frac_thr < F.format_string("%04x", (F.round((F.col("_w") % 1) * 65536)).cast("int"))
+    # same saturation rule as hex_threshold: a fractional part that
+    # rounds to 65536 must keep ~everything, and "%04x" of 65536 is the
+    # 5-char "10000" which sorts BELOW most hashes (silent ~15/16 drop)
+    frac_v = F.round((F.col("_w") % 1) * 65536).cast("int")
+    frac_thr = F.when(frac_v >= 65536, F.lit("g000")).otherwise(
+        F.format_string("%04x", F.greatest(frac_v, F.lit(0)))
     )
+    keep = (F.col("epoch") <= F.floor("_w")) | (frac_hash < frac_thr)
     return out.filter(keep).drop("_w")
 
 

@@ -104,9 +104,9 @@ WITH t AS (
 ),
 c AS (
     SELECT doc_id, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS start_offset
+               AS BIGINT) AS start_offset
     FROM t
 )
 SELECT doc_id, n_tokens, start_offset,

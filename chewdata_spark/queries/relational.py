@@ -392,7 +392,7 @@ def part_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
-        F.levenshtein(F.lower("p_name"), F.lower("p_type")).alias("name_type_dist"),
+        F.levenshtein(F.lower("p_name"), F.lower("p_type")).cast("bigint").alias("name_type_dist"),
         F.length("p_name").alias("name_len"),
     )
 

@@ -46,7 +46,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp_nations), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust_nations), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
         # decimal accumulate: price*(1-discount) is exact at 4 dp, so the
         # decimal sum is exact and order-independent (float sums differ
         # across engines at the cent-rounding boundary); no re-rounding

@@ -41,6 +41,46 @@ def canonical_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+# Spark simpleString -> DuckDB type strings the driver's type-sensitive
+# hasher treats as equivalent.  Anything outside this map (HUGEINT from
+# SUM-over-integers, unchecked DECIMAL arithmetic, ...) is a drift the
+# driver flags even when values are identical — see q12 in round 4.
+_SPARK_TO_DUCK = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "smallint": {"SMALLINT"},
+    "tinyint": {"TINYINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+    "boolean": {"BOOLEAN"},
+}
+
+
+def duck_type_ok(spark_simple: str, duck_type: str) -> bool:
+    """True when the DuckDB output type is hash-equivalent to Spark's."""
+    if spark_simple.startswith("array<") and spark_simple.endswith(">"):
+        return duck_type.endswith("[]") and duck_type_ok(
+            spark_simple[6:-1], duck_type[:-2]
+        )
+    if spark_simple.startswith("decimal("):
+        return duck_type.replace(" ", "") == spark_simple.upper().replace(" ", "")
+    return duck_type in _SPARK_TO_DUCK.get(spark_simple, set())
+
+
+def type_mismatches(spark_df, rel) -> list[str]:
+    spark_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    out = []
+    for col, dt in zip(rel.columns, rel.types):
+        st = spark_types.get(col)
+        if st is not None and not duck_type_ok(st, str(dt)):
+            out.append(f"{col}: spark={st} duckdb={dt}")
+    return out
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -49,6 +89,9 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, s
     d_rows = rel.fetchall()
     if sorted(s_cols) != sorted(d_cols):
         return False, f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    bad_types = type_mismatches(spark_df, rel)
+    if bad_types:
+        return False, f"output types differ (driver hasher is type-sensitive): {bad_types}"
     if len(s_rows) != len(d_rows):
         return False, f"row counts differ: spark={len(s_rows)} duckdb={len(d_rows)}"
     cs = canonical_rows(s_cols, s_rows)

@@ -159,6 +159,22 @@ def test_shard_shuffle_layout(spark):
     assert sorted(map(tuple, out2.collect())) != sorted(map(tuple, rows))
 
 
+def test_weighted_mix_saturated_fraction_keeps_all(spark):
+    # w % 1 >= 0.9999924 rounds the 16-bit threshold up to 65536, whose
+    # "%04x" rendering is the 5-char "10000" — lexicographically BELOW
+    # most hashes, which silently dropped ~15/16 of the copy before the
+    # saturation guard.  A saturated fraction must keep ~100%.
+    from chewdata_spark.operators.curation import weighted_mix
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(300)], "doc_id long, lang string"
+    )
+    for w, copies in ((2.9999999, 3), (0.9999999, 1)):
+        out = weighted_mix(docs, "lang", {"en": w}, "doc_id")
+        assert out.count() == 300 * copies, f"w={w} dropped saturated epoch rows"
+
+
 def test_weighted_mix_zero_weight_drops_stratum(spark):
     from chewdata_spark.operators.curation import weighted_mix
     import pytest
