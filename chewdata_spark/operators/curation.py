@@ -283,19 +283,30 @@ def shard_shuffle(
     seed: str = "0",
 ) -> DataFrame:
     """Deterministic training-order shuffle: documents land in
-    ``num_shards`` shards (≤256) with a pseudo-random position inside
+    ``num_shards`` shards (≤65536) with a pseudo-random position inside
     each — the shape a trainer consumes (one file per shard, rows
     pre-shuffled) without ever materializing a GLOBAL order.
 
     ``md5(seed:key)`` drives both decisions, so the layout is
     bit-reproducible across reruns, retries and engines (no
-    ``rand()``/``zipWithIndex``).  Position is a row_number window
-    PER SHARD — parallel across shards; a global ORDER BY rank would
-    serialize into one partition at 100 TB, which is exactly what this
-    avoids.  Reshuffling between epochs = change ``seed``.
+    ``rand()``/``zipWithIndex``).  ``pos`` is the exact per-shard rank
+    by ``(_h, key)`` but is NEVER computed as one shard-wide sort
+    (≥400 GB in a single task at 100 TB).  Instead, a two-level
+    distributed prefix sum:
+
+    1. window rank inside a fine 6-hex-char bucket of ``_h`` (16.7M
+       buckets — each a sliver of a shard; the bucket is a string
+       PREFIX of ``_h``, so bucket order agrees with ``_h`` order, and
+       it extends the 4 shard digits, so bucket → shard);
+    2. per-bucket counts (map-side combine to ≤16^6 tiny rows) turn
+       into bucket start offsets via a cumulative sum over that tiny
+       aggregate; ``pos = offset + local rank``.  The offsets join on
+       the bucket key reuses the window's hash partitioning.
+
+    Reshuffling between epochs = change ``seed``.
     """
-    if not 1 <= num_shards <= 256:
-        raise ValueError(f"num_shards must be in [1, 256], got {num_shards}")
+    if not 1 <= num_shards <= 65536:
+        raise ValueError(f"num_shards must be in [1, 65536], got {num_shards}")
     h = F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
 
     def digit(i: int) -> Column:
@@ -303,11 +314,30 @@ def shard_shuffle(
         # SQL engine (no conv()/strtol divergence)
         return F.expr(f"locate(substring(_h, {i}, 1), '0123456789abcdef') - 1")
 
-    out = df.withColumn("_h", h).withColumn(
-        "shard", ((digit(1) * 16 + digit(2)) % num_shards).cast("int")
+    shard_v = digit(1) * 4096 + digit(2) * 256 + digit(3) * 16 + digit(4)
+    hashed = (
+        df.withColumn("_h", h)
+        .withColumn("shard", (shard_v % num_shards).cast("int"))
+        .withColumn("_b", F.substring("_h", 1, 6))
     )
-    w = Window.partitionBy("shard").orderBy("_h", key_col)
-    return out.withColumn("pos", F.row_number().over(w)).drop("_h")
+    local = F.row_number().over(Window.partitionBy("_b").orderBy("_h", key_col))
+    ranked = hashed.withColumn("_r", local)
+    # tiny aggregate: ≤16^6 rows of (bucket, shard, count); the
+    # cumulative sum windows over ≤16^6/num_shards rows per shard
+    counts = hashed.groupBy("_b", "shard").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = (
+        Window.partitionBy("shard")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+    return (
+        ranked.join(offsets, "_b")
+        .withColumn("pos", (F.col("_off") + F.col("_r")).cast("bigint"))
+        .drop("_h", "_b", "_r", "_off")
+    )
 
 
 def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -315,22 +345,31 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the document's tokens under the corpus's own unigram distribution
     (the cheap stand-in for a KenLM perplexity filter).
 
-    Two passes: (1) vocabulary counts — one explode + term-keyed
-    aggregation with map-side combine; (2) score — the exploded doc
-    terms join the vocabulary.  The vocab for a 100 TB corpus still fits
-    executor memory after a top-K cut, so the join side is marked
-    broadcastable; here the full vocab joins (AQE picks broadcast when
-    it fits).  Result: ``(doc_id, n_tokens, avg_logprob)``.
+    ONE corpus explode: tokens pre-aggregate to ``(doc_id, term, tf)``
+    — both the vocabulary branch and the scoring branch hang off that
+    identical exchange subtree, so Spark's ReusedExchange computes the
+    explode+shuffle once.  The token total is SUM(term_n) over the
+    already-aggregated vocab (a one-row broadcast), never a separate
+    ``count()`` scan of the corpus.  The per-term join moves doc-term
+    pairs, not raw tokens; the vocab side broadcasts when it fits (AQE).
+    Result: ``(doc_id, n_tokens, avg_logprob)``.
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("term")
     )
-    total = toks.count()
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("term_n"))
-    scored = toks.join(vocab, "term").select(
-        "doc_id", F.log(F.col("term_n") / F.lit(float(total))).alias("lp")
+    doc_term = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = doc_term.groupBy("term").agg(F.sum("tf").alias("term_n"))
+    total = vocab.agg(F.sum("term_n").alias("_total"))
+    scored = (
+        doc_term.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "tf",
+            (F.col("tf") * F.log(F.col("term_n") / F.col("_total"))).alias("lp_sum"),
+        )
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_tokens"),
-        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.sum("tf").cast("int").alias("n_tokens"),
+        F.round(F.sum("lp_sum") / F.sum("tf"), 6).alias("avg_logprob"),
     )

@@ -73,6 +73,7 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         new_edges = _star_round(_star_round(edges, large=True), large=False)
         new_edges = new_edges.localCheckpoint(eager=True)
@@ -82,8 +83,16 @@ def connected_components(
             and edges.exceptAll(new_edges).isEmpty()
         ):
             edges = new_edges
+            converged = True
             break
         edges = new_edges
+    if not converged:
+        # returning labels from an unstable edge set would silently
+        # under-merge clusters — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (the alternating-star bound is O(log n))"
+        )
     # converged: every edge points node -> component min (a star);
     # re-derive labels from both directions so the root labels itself
     labels = (

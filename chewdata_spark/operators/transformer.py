@@ -373,14 +373,16 @@ def compile_throw_error(pattern: str | None, input_col: str | None = None) -> Co
         return F.lit(m.group(1))
     mb = _IF_BLOCK.match(pattern)
     if not mb:
-        raise UnsupportedTemplate(
-            f"throw() only compiles standalone or inside a {{% if %}} branch: {pattern!r}"
-        )
+        # 'throw(' appears only as incidental literal text (e.g. inside
+        # a string the template emits) — not a throw template at all
+        return None
     out = None
+    any_throw = False
     branches = [(mb.group("cond"), mb.group("then"))]
     branches += _ELIF.findall(mb.group("elifs") or "")
     for cond_src, body in branches:
         tm = _THROW.match(body)
+        any_throw = any_throw or tm is not None
         msg = F.lit(tm.group(1)) if tm else F.lit(None).cast("string")
         cond = _compile_condition(cond_src, input_col)
         out = F.when(cond, msg) if out is None else out.when(cond, msg)
@@ -388,8 +390,11 @@ def compile_throw_error(pattern: str | None, input_col: str | None = None) -> Co
     if els is not None:
         tm = _THROW.match(els)
         if tm:
+            any_throw = True
             out = out.otherwise(F.lit(tm.group(1)))
-    return out
+    # an if-block where no branch body is an actual throw(...) call:
+    # the substring was incidental — render normally
+    return out if any_throw else None
 
 
 def _split_top_level(s: str, sep: str) -> list[str]:

@@ -193,13 +193,15 @@ WITH h AS (
 ),
 s AS (
     SELECT doc_id, hh,
-           CAST(((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
-                 + strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) % 16
+           CAST(((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) % 16
                 AS INT) AS shard
     FROM h
 )
 SELECT doc_id, shard,
-       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS INT) AS pos
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS pos
 FROM s
 """
 

@@ -159,6 +159,43 @@ def test_shard_shuffle_layout(spark):
     assert sorted(map(tuple, out2.collect())) != sorted(map(tuple, rows))
 
 
+def test_shard_shuffle_matches_naive_global_rank(spark):
+    # the two-level prefix-sum pos must equal the spec: ROW_NUMBER()
+    # OVER (PARTITION BY shard ORDER BY md5, key) — and the shard cap
+    # is 65536 now, so a >256 shard count must work
+    from chewdata_spark.operators.curation import shard_shuffle
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    import pytest
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    for n in (16, 300, 1024):
+        out = shard_shuffle(docs, "doc_id", num_shards=n, seed="0")
+        got = {(r["doc_id"]): (r["shard"], r["pos"]) for r in out.collect()}
+
+        h = F.md5(F.concat_ws(":", F.lit("0"), F.col("doc_id").cast("string")))
+        dig = lambda i: F.expr(
+            f"locate(substring(_h, {i}, 1), '0123456789abcdef') - 1"
+        )
+        naive = (
+            docs.withColumn("_h", h)
+            .withColumn(
+                "shard",
+                ((dig(1) * 4096 + dig(2) * 256 + dig(3) * 16 + dig(4)) % n).cast("int"),
+            )
+            .withColumn(
+                "pos",
+                F.row_number()
+                .over(Window.partitionBy("shard").orderBy("_h", "doc_id"))
+                .cast("bigint"),
+            )
+        )
+        want = {(r["doc_id"]): (r["shard"], r["pos"]) for r in naive.collect()}
+        assert got == want, f"num_shards={n}: prefix-sum pos diverges from spec"
+    with pytest.raises(ValueError):
+        shard_shuffle(docs, "doc_id", num_shards=70000)
+
+
 def test_weighted_mix_saturated_fraction_keeps_all(spark):
     # w % 1 >= 0.9999924 rounds the 16-bit threshold up to 65536, whose
     # "%04x" rendering is the 5-char "10000" — lexicographically BELOW

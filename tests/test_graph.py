@@ -45,6 +45,19 @@ def _check(spark, edges):
     assert got == set(_union_find(edges).items())
 
 
+def test_nonconvergence_raises_not_silent(spark):
+    # exhausting max_iter before edge-set stability must fail loudly:
+    # silent under-merged labels corrupt downstream cluster dedup
+    import pytest
+    from chewdata_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, "id_a", "id_b", max_iter=1)
+
+
 def test_chain_long_diameter(spark):
     # a 40-node path: O(diameter) algorithms need 40 rounds, the
     # star algorithm must finish well inside max_iter=25

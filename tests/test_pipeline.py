@@ -675,3 +675,19 @@ def test_throw_on_scalar_field_sets_error(spark):
     rows = {r["number"]: (r["flag"], r["_error"]) for r in out.collect()}
     assert rows[1] == ("ok", None)
     assert rows[10][0] is None and rows[10][1] == "bad ten"
+
+
+def test_incidental_throw_substring_renders_normally(spark):
+    """A template whose literal TEXT merely contains 'throw(' must not
+    be treated as a throw template (regression: the substring gate used
+    to raise UnsupportedTemplate)."""
+    from chewdata_spark.operators.transformer import apply_actions, compile_throw_error
+
+    assert compile_throw_error("how to call throw(message=...) docs") is None
+    df = spark.createDataFrame([(1,)], "number long")
+    out = apply_actions(
+        df, [{"field": "note", "pattern": "see throw( usage guide"}]
+    )
+    rows = out.collect()
+    assert rows[0]["note"] == "see throw( usage guide"
+    assert "_error" not in out.columns or rows[0]["_error"] is None

@@ -275,6 +275,34 @@ def test_shard_shuffle_no_global_sort(spark, sf_dir):
     assert "Window" in plan
     # exchange is hash on shard, not a range exchange for a total order
     assert "rangepartitioning" not in plan.lower()
+    # the corpus-sized window partitions by the fine _b bucket (16^6
+    # slivers), never by shard alone — a shard-wide window would sort
+    # >=400 GB in one task at 100 TB.  A `shard`-partitioned window is
+    # only allowed above the tiny per-bucket counts aggregate.
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    corpus_specs = [s for s in specs if "_b#" in s]
+    shard_only = [s for s in specs if "shard#" in s and "_b#" not in s]
+    assert corpus_specs, f"expected a _b-partitioned window, specs={specs}"
+    if shard_only:
+        # the offsets window must sit above an Aggregate (tiny input)
+        assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_unigram_logprob_single_corpus_explode(spark, sf_dir):
+    # vocab, token-total and scoring all hang off ONE exploded corpus:
+    # after execution the adaptive plan must show a single Generate
+    # (the others collapse into ReusedExchange) and no separate
+    # count()-style job — the total comes from the vocab aggregate.
+    from chewdata_spark.queries.curation_queries import unigram_logprob
+
+    df = unigram_logprob(spark, sf_dir)
+    df.collect()
+    plan = formatted_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate") == 1, final
+    assert "ReusedExchange" in final, final
 
 
 def test_q11_threshold_is_broadcast_not_collect(spark, sf_dir):
