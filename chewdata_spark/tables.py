@@ -47,16 +47,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # TIMESTAMP so downstream epoch math (unix_micros/unix_timestamp)
     # resolves; with the session pinned to UTC the NTZ→LTZ cast is a
     # numeric identity, matching DuckDB's naive-timestamp view.
-    if name == "events":
+    # ns-typed columns can appear in ANY table between testdata
+    # generations, not just events.ts — detect them from the parquet
+    # footer (one cheap metadata read) so the nanosAsLong conf and the
+    # bigint→timestamp repair always target the right columns.
+    ns_cols: set[str] = set()
+    try:
+        import pyarrow.parquet as pq
+
+        ns_cols = {
+            f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"
+        }
+    except Exception:
+        pass  # directory datasets etc. — fall back to the name rule
+    if ns_cols or name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
-        elif name == "events" and col == "ts" and dtype == "bigint":
+        elif dtype == "bigint" and (col in ns_cols or (name == "events" and col == "ts")):
             # nanos read as long: truncate to micros in integer math —
             # double division would lose precision above 2^53 ns.
-            df = df.withColumn(col, F.expr("timestamp_micros(ts div 1000)"))
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     return df
 
 

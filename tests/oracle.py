@@ -54,7 +54,9 @@ _SPARK_TO_DUCK = {
     "float": {"FLOAT"},
     "string": {"VARCHAR"},
     "date": {"DATE"},
-    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    # TIMESTAMP_NS appears when testdata ships ns-typed parquet; both
+    # engines surface us-precision Python datetimes, so it hashes alike
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE", "TIMESTAMP_NS"},
     "timestamp_ntz": {"TIMESTAMP"},
     "boolean": {"BOOLEAN"},
 }
