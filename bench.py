@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_clean_corpus_lsh",
     "dedup_clean_corpus_lsh_cc",
+    "dedup_duplicate_spans",
+    "fingerprint_winnowing",
     "cosine_topk",
     "embedding_near_dup",
     "embedding_near_dup_clustered",

@@ -305,3 +305,83 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def positional_grams(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(doc_id, pos, g) rows: the word k-gram starting at 0-based token
+    position ``pos`` — one row per valid start (docs shorter than k
+    words yield nothing).  Same codegen shape as :func:`_shingle_rows`
+    (posexplode + window ``lead``); downstream per-doc windows reuse
+    the id hash-partitioning.
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "pos", "w"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w", i).over(w) for i in range(1, k)]
+    return (
+        ex.withColumn("g", F.concat_ws(" ", F.col("w"), *leads))
+        .withColumn("_last", F.lead("w", k - 1).over(w) if k > 1 else F.col("w"))
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "g")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 8
+) -> DataFrame:
+    """Exact duplicated-substring spans: every maximal token span whose
+    k-grams each appear in MORE THAN ONE document — the span-level
+    exact dedup of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (suffix-array substring dedup), re-expressed
+    relationally.
+
+    Plan at 100 TB: positional k-grams (codegen, one window), duplicated
+    grams via the two-step distinct-doc count (groupBy (hash, doc) with
+    map-side combine, then groupBy hash — no count-distinct shuffle
+    blowup), a semi-join back onto the gram stream (AQE broadcasts the
+    dup-gram side when it fits — duplicated grams are the rare case),
+    then per-doc gaps-and-islands to merge overlapping hits into maximal
+    spans.  Gram keys travel as md5 (16 bytes, engine-portable), never
+    the gram text.
+
+    Returns (doc_id, span_start, span_end, span_tokens) with token
+    positions 0-based inclusive.
+    """
+    grams = positional_grams(df, id_col, text_col, k).select(
+        "doc_id", "pos", F.md5("g").alias("gh")
+    )
+    dup = (
+        grams.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        hits.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k), 1
+            ).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_new").over(w))
+    )
+    return (
+        islands.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            (F.max("pos") + k - F.min("pos")).alias("span_tokens"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny per-language marker lists for the n-gram/stopword heuristic.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -277,4 +278,49 @@ def strip_boilerplate(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(lines).cast("int").alias("n_lines"),
         (F.size(lines) - F.size(kept)).cast("int").alias("n_dropped"),
         F.round(F.size(kept) / F.greatest(F.size(lines), F.lit(1)), 6).alias("content_frac"),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word k-gram, slide a
+    window of ``w`` consecutive gram hashes, and keep each window's
+    minimum hash (rightmost position on ties).  Guarantees at least one
+    shared fingerprint for any match of length >= w + k - 1 tokens, at
+    ~2/(w+1) the density of full k-gram hashing.
+
+    Plan: one positional-gram pass (codegen), a per-doc rows-following
+    MIN window for each window start, then the rightmost-min position
+    via a w-fold start->position equi-join (w is a small constant; the
+    join reuses the doc partitioning and the duplicate fingerprints
+    collapse in the final distinct).  Hashes are md5 strings — the
+    lexicographic MIN is engine-portable for the SQL oracle.
+
+    Returns distinct (doc_id, pos, fp): the selected gram's 0-based
+    token position and its hash.
+    """
+    from chewdata_spark.operators.dedup import positional_grams
+
+    grams = positional_grams(df, id_col, text_col, k).select(
+        "doc_id", "pos", F.md5("g").alias("h")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    fwd = win.rowsBetween(Window.currentRow, w - 1)
+    starts = (
+        grams.withColumn("wmin", F.min("h").over(fwd))
+        .withColumn("_full", F.lead("pos", w - 1).over(win))
+        .filter(F.col("_full").isNotNull() | (F.col("pos") == 0))
+        .select("doc_id", F.col("pos").alias("s"), "wmin")
+    )
+    offsets = starts.withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(w - 1))))
+    cand = offsets.withColumn("pos", F.col("s") + F.col("off")).join(
+        grams, ["doc_id", "pos"]
+    ).filter(F.col("h") == F.col("wmin"))
+    return (
+        cand.groupBy("doc_id", "s", "wmin")
+        .agg(F.max("pos").alias("pos"))
+        .select("doc_id", "pos", F.col("wmin").alias("fp"))
+        .distinct()
     )

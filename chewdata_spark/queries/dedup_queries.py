@@ -272,8 +272,56 @@ def dedup_clean_corpus_lsh_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated token spans (Lee et al. exact
+    substring dedup) — see operators/dedup.py::duplicate_spans for the
+    gram/islands plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, "doc_id", "text", k=8)
+
+
+# same construction: positional 8-grams from list_slice, grams present
+# in >1 document, gaps-and-islands merge of overlapping hit positions
+DUPLICATE_SPANS_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, i - 1 AS pos,
+           array_to_string(list_slice(arr, i, i + 7), ' ') AS g
+    FROM (SELECT doc_id, arr,
+                 unnest(generate_series(1, len(arr) - 7)) AS i
+          FROM toks WHERE len(arr) >= 8)
+),
+dup AS (
+    SELECT g FROM (
+        SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+    ) WHERE nd > 1
+),
+hits AS (
+    SELECT doc_id, pos FROM grams JOIN dup USING (g)
+),
+isl AS (
+    SELECT doc_id, pos,
+           SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM (SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM hits)
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + 7 AS span_end,
+       MAX(pos) + 8 - MIN(pos) AS span_tokens
+FROM isl
+GROUP BY doc_id, island
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_duplicate_spans": dedup_duplicate_spans,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_clean_corpus_cc": dedup_clean_corpus_cc,
     "dedup_clean_corpus_lsh_cc": dedup_clean_corpus_lsh_cc,
@@ -287,6 +335,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_duplicate_spans": DUPLICATE_SPANS_SQL,
     "dedup_cluster_components": CLUSTER_COMPONENTS_SQL,
     "dedup_clean_corpus_cc": CLEAN_CORPUS_CC_SQL,
     "dedup_clean_corpus": CLEAN_CORPUS_SQL,

@@ -243,8 +243,56 @@ FROM k
 """
 
 
+def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints of every document — see
+    operators/text.py::winnowing_fingerprints for the window/join plan."""
+    from chewdata_spark.operators.text import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, "doc_id", "text", k=5, w=4)
+
+
+# identical construction: md5 of positional 5-grams, per-start MIN over
+# the next 4 gram hashes (partial trailing windows only at pos 0, the
+# short-doc guarantee), rightmost position of each window's min
+WINNOWING_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, i - 1 AS pos,
+           md5(array_to_string(list_slice(arr, i, i + 4), ' ')) AS h
+    FROM (SELECT doc_id, arr,
+                 unnest(generate_series(1, len(arr) - 4)) AS i
+          FROM toks WHERE len(arr) >= 5)
+),
+starts AS (
+    SELECT doc_id, pos AS s,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+           lead(pos, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS full_w
+    FROM grams
+),
+kept AS (
+    SELECT doc_id, s, wmin FROM starts WHERE full_w IS NOT NULL OR s = 0
+),
+cand AS (
+    SELECT k.doc_id, k.s, k.wmin, g.pos
+    FROM (SELECT doc_id, s, wmin, s + unnest(generate_series(0, 3)) AS pos
+          FROM kept) k
+    JOIN grams g ON g.doc_id = k.doc_id AND g.pos = k.pos AND g.h = k.wmin
+)
+SELECT DISTINCT doc_id, pos, fp FROM (
+    SELECT doc_id, s, wmin AS fp, MAX(pos) AS pos
+    FROM cand GROUP BY doc_id, s, wmin
+)
+"""
+
+
 QUERIES = {
     "chunk_documents": chunk_documents,
+    "fingerprint_winnowing": fingerprint_winnowing,
     "documents_strip_boilerplate": documents_strip_boilerplate,
     "parts_in_price_band": parts_in_price_band,
     "text_stats": text_stats,
@@ -259,6 +307,7 @@ QUERIES = {
 
 ORACLES = {
     "chunk_documents": CHUNK_SQL,
+    "fingerprint_winnowing": WINNOWING_SQL,
     "documents_strip_boilerplate": STRIP_BOILERPLATE_SQL,
     "parts_in_price_band": PRICE_BAND_SQL,
     "text_stats": TEXT_STATS_SQL,

@@ -336,6 +336,10 @@ def append_single_file(
     - ``csv``: the header is written only when the target has no data
       (``has_data`` gate, mod.rs:178-180) — appends drop the fresh part's
       header line.
+    - ``xml``: records splice INSIDE the root element — the reference
+      seeks past the ``</root>`` footer and inserts fresh ``<item>``
+      rows before it (header/footer, src/document/xml.rs:88-116); the
+      target stays one well-formed document across appends.
     - ``jsonl`` / ``text``: terminator-separated, append at EOF.
 
     Single-file output is a single-node concern by construction (the
@@ -344,8 +348,10 @@ def append_single_file(
     Hadoop FS API — any scheme works, including object stores where an
     in-place seek-and-write would not.
     """
-    if fmt not in ("json", "jsonl", "csv", "text"):
-        raise ValueError(f"append_single_file supports json/jsonl/csv/text, got {fmt!r}")
+    if fmt not in ("json", "jsonl", "csv", "text", "xml"):
+        raise ValueError(
+            f"append_single_file supports json/jsonl/csv/text/xml, got {fmt!r}"
+        )
     spark = df.sparkSession
     tmp = path.rstrip("/") + "._append_tmp"
     write_single_file(df, tmp, fmt, options=options)
@@ -368,6 +374,22 @@ def append_single_file(
             head = head[:-1].rstrip()
             sep = "" if head.endswith("[") or not body else ","
             content = head + sep + body + "]"
+    elif fmt == "xml":
+        root = (options or {}).get("rootTag", "root")
+        open_tag, close_tag = f"<{root}>", f"</{root}>"
+        i, j = new.find(open_tag), new.rfind(close_tag)
+        if i < 0 or j < 0:
+            raise ValueError(f"fresh xml part lacks <{root}> envelope")
+        body = new[i + len(open_tag) : j].rstrip("\n")
+        if not existing.strip():
+            content = new
+        else:
+            head = existing.rstrip()
+            if not head.endswith(close_tag):
+                raise ValueError(
+                    f"{path} does not end with {close_tag}; cannot splice"
+                )
+            content = head[: -len(close_tag)].rstrip("\n") + body + "\n" + close_tag + "\n"
     elif fmt == "csv" and existing.strip():
         content = existing
         if not content.endswith("\n"):

@@ -171,6 +171,23 @@ def test_append_single_file_csv_one_header(spark, tmp_path):
     assert lines.count("id,v") == 1 and len(lines) == 3
 
 
+def test_append_single_file_xml_root_splice(spark, tmp_path):
+    """xml appends splice fresh <item> rows before the </root> footer
+    (document/xml.rs:88-116): one well-formed document across appends."""
+    from chewdata_spark.sources.documents import append_single_file, read_document
+
+    target = tmp_path / "appended.xml"
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id int, v string")
+    append_single_file(df1, str(target), "xml")
+    append_single_file(df2, str(target), "xml")
+    text = target.read_text()
+    assert text.count("<root>") == 1 and text.count("</root>") == 1
+    assert text.count("<item>") == 3
+    back = read_document(spark, str(target), "xml")
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 3]
+
+
 def test_pipeline_single_file_writer_appends(spark, tmp_path):
     """Writer with single_file: two pipeline runs splice into one JSON
     array file; an eraser run truncates it first."""

@@ -1,0 +1,115 @@
+"""duplicate_spans (Lee et al. substring dedup) and winnowing
+fingerprints (MOSS) — checked against planted duplicates and a
+pure-Python reference implementation."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from chewdata_spark.operators.dedup import duplicate_spans
+from chewdata_spark.operators.text import winnowing_fingerprints
+
+
+def test_duplicate_spans_finds_planted_passage(spark):
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    passage = " ".join(rng.choice(vocab) for _ in range(20))
+
+    def noise(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    docs = spark.createDataFrame(
+        [
+            (1, noise(30) + " " + passage + " " + noise(25)),
+            (2, passage + " " + noise(40)),
+            (3, noise(60)),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(docs, "doc_id", "text", k=8).collect()}
+    # doc 1: passage occupies tokens 30..49; doc 2: tokens 0..19
+    assert 1 in out and 2 in out and 3 not in out
+    assert out[1]["span_start"] == 30 and out[1]["span_end"] == 49
+    assert out[2]["span_start"] == 0 and out[2]["span_end"] == 19
+    assert out[1]["span_tokens"] == 20 and out[2]["span_tokens"] == 20
+
+
+def test_duplicate_spans_merges_overlapping_hits(spark):
+    # two shared passages separated by < k tokens of noise merge into
+    # one maximal span; separated by > k they stay apart
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(500)]
+    p1 = " ".join(rng.choice(vocab) for _ in range(10))
+    p2 = " ".join(rng.choice(vocab) for _ in range(10))
+    far = " ".join(rng.choice(vocab) for _ in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, p1 + " " + far + " " + p2),
+            (2, p1 + " xxx " + p2),
+            (3, p1),
+            (4, p2),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(docs, "doc_id", "text", k=4).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 2  # far apart -> two spans
+    assert len(by_doc[3]) == 1 and len(by_doc[4]) == 1
+
+
+def _py_winnow(words: list[str], k: int, w: int) -> set[tuple[int, str]]:
+    """Reference winnowing: min of each window of w gram hashes,
+    rightmost on ties; short docs yield the pos-0 partial window."""
+    grams = [
+        hashlib.md5(" ".join(words[i : i + k]).encode()).hexdigest()
+        for i in range(len(words) - k + 1)
+    ]
+    if not grams:
+        return set()
+    out = set()
+    n_starts = len(grams) - w + 1 if len(grams) >= w else 1
+    for s in range(n_starts):
+        win = grams[s : s + w]
+        m = min(win)
+        pos = max(i for i, h in enumerate(win, start=s) if h == m)
+        out.add((pos, m))
+    return out
+
+
+def test_winnowing_matches_python_reference(spark):
+    rng = random.Random(3)
+    vocab = [f"t{i}" for i in range(50)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 60))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(docs, "doc_id", "text", k=5, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for doc_id, text in rows:
+        want = _py_winnow(text.split(), 5, 4)
+        assert got.get(doc_id, set()) == want, f"doc {doc_id}"
+
+
+def test_winnowing_shared_passage_shares_fingerprints(spark):
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(300)]
+    passage = " ".join(rng.choice(vocab) for _ in range(15))
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(rng.choice(vocab) for _ in range(20)) + " " + passage),
+            (2, passage + " " + " ".join(rng.choice(vocab) for _ in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnowing_fingerprints(docs, "doc_id", "text", k=5, w=4).collect()
+    fps = {1: set(), 2: set()}
+    for r in rows:
+        fps[r["doc_id"]].add(r["fp"])
+    # a 15-token shared passage guarantees shared fingerprints for any
+    # match of length >= w + k - 1 = 8 tokens
+    assert fps[1] & fps[2]
