@@ -385,3 +385,70 @@ def duplicate_spans(
         )
         .select("doc_id", "span_start", "span_end", "span_tokens")
     )
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 5,
+) -> DataFrame:
+    """Corpus-global line deduplication (the C4/FineWeb preprocessing
+    step): every duplicated line keeps its FIRST occurrence (ordered by
+    (doc_id, line position)) and disappears everywhere else; documents
+    are reassembled from their surviving lines.  Lines shorter than
+    ``min_words`` words never participate — they are kept verbatim
+    (removing every repeated blank/short line would shred documents).
+
+    Scale shape: posexplode lines → one shuffle on the normalized line
+    hash (16-byte md5 keys) for the first-occurrence row_number →
+    groupBy doc to reassemble (reuses nothing from the line-hash
+    partitioning, so two shuffles total — both map-side combinable;
+    near-uniform keys, no skew: the heaviest possible line-hash group
+    is the most-duplicated line, and those rows collapse to rank
+    comparisons, not data).
+
+    Returns (doc_id, clean_text, n_lines, n_dropped).
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    eligible = (
+        F.size(F.split(F.trim(F.col("line")), r"\s+")) >= min_words
+    ) & (F.trim(F.col("line")) != "")
+    # ineligible lines NEVER enter the line-hash window — putting them
+    # all in one NULL partition would be a single-task sort of every
+    # short/blank line in the corpus
+    ranked_elig = (
+        lines.filter(eligible)
+        .withColumn("_lh", F.md5(F.trim(F.lower(F.col("line")))))
+        .withColumn(
+            "_rank",
+            F.row_number().over(Window.partitionBy("_lh").orderBy("doc_id", "pos")),
+        )
+        .drop("_lh")
+    )
+    ranked = ranked_elig.unionByName(
+        lines.filter(~eligible).withColumn("_rank", F.lit(1))
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_rank") == 1, F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("_rank") > 1, 1).otherwise(0)).alias("n_dropped"),
+        )
+        .select("doc_id", "clean_text", "n_lines", "n_dropped")
+    )

@@ -319,9 +319,50 @@ GROUP BY doc_id, island
 """
 
 
+def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/FineWeb corpus-global line dedup: duplicated lines keep only
+    their first (doc_id, pos) occurrence; docs reassemble from the
+    survivors — see operators/dedup.py::dedup_lines_global."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_lines_global(docs, "doc_id", "text", min_words=5)
+
+
+DEDUP_LINES_SQL = """
+WITH s AS (
+    SELECT doc_id, string_split(text, chr(10)) AS ln FROM documents
+),
+lines AS (
+    SELECT doc_id, i - 1 AS pos, ln[i] AS line
+    FROM (SELECT doc_id, ln, unnest(generate_series(1, len(ln))) AS i FROM s)
+),
+elig AS (
+    SELECT doc_id, pos, line,
+           (len(string_split_regex(trim(line), '\\s+')) >= 5
+            AND trim(line) <> '') AS ok
+    FROM lines
+),
+ranked AS (
+    SELECT doc_id, pos, line,
+           ROW_NUMBER() OVER (PARTITION BY md5(trim(lower(line)))
+                              ORDER BY doc_id, pos) AS rnk
+    FROM elig WHERE ok
+    UNION ALL
+    SELECT doc_id, pos, line, 1 AS rnk FROM elig WHERE NOT ok
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE rnk = 1), '') AS clean_text,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN rnk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_duplicate_spans": dedup_duplicate_spans,
+    "dedup_lines_global": dedup_lines_global,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_clean_corpus_cc": dedup_clean_corpus_cc,
     "dedup_clean_corpus_lsh_cc": dedup_clean_corpus_lsh_cc,
@@ -336,6 +377,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_duplicate_spans": DUPLICATE_SPANS_SQL,
+    "dedup_lines_global": DEDUP_LINES_SQL,
     "dedup_cluster_components": CLUSTER_COMPONENTS_SQL,
     "dedup_clean_corpus_cc": CLEAN_CORPUS_CC_SQL,
     "dedup_clean_corpus": CLEAN_CORPUS_SQL,

@@ -113,3 +113,37 @@ def test_winnowing_shared_passage_shares_fingerprints(spark):
     # a 15-token shared passage guarantees shared fingerprints for any
     # match of length >= w + k - 1 = 8 tokens
     assert fps[1] & fps[2]
+
+
+def test_dedup_lines_global_first_occurrence_wins(spark):
+    from chewdata_spark.operators.dedup import dedup_lines_global
+
+    boiler = "subscribe to our newsletter for more great content today"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique first line of document one\n" + boiler + "\nshort"),
+            (2, boiler + "\nanother unique line in document two here"),
+            (3, "totally distinct content for document three\n" + boiler),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines_global(docs, "doc_id", "text").collect()}
+    # doc 1 holds the first occurrence (lowest doc_id) -> keeps it
+    assert boiler in out[1]["clean_text"] and out[1]["n_dropped"] == 0
+    # docs 2 and 3 lose their copy but keep everything else
+    assert boiler not in out[2]["clean_text"] and out[2]["n_dropped"] == 1
+    assert out[2]["clean_text"] == "another unique line in document two here"
+    assert boiler not in out[3]["clean_text"] and out[3]["n_dropped"] == 1
+    # the short line (< 5 words) never participates in dedup
+    assert out[1]["clean_text"].endswith("short")
+
+
+def test_dedup_lines_global_short_lines_survive_repetition(spark):
+    from chewdata_spark.operators.dedup import dedup_lines_global
+
+    docs = spark.createDataFrame(
+        [(1, "ok\nok\nok"), (2, "ok")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup_lines_global(docs, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "ok\nok\nok" and out[1]["n_dropped"] == 0
+    assert out[2]["clean_text"] == "ok"
