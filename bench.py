@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_clean_corpus_lsh",
     "dedup_clean_corpus_lsh_cc",
     "dedup_duplicate_spans",
+    "dedup_cut_spans_corpus",
     "dedup_lines_global",
     "fingerprint_winnowing",
     "cosine_topk",

@@ -452,3 +452,67 @@ def dedup_lines_global(
         )
         .select("doc_id", "clean_text", "n_lines", "n_dropped")
     )
+
+
+def cut_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 8
+) -> DataFrame:
+    """Deduplicating REMOVAL half of the Lee et al. pipeline
+    (:func:`duplicate_spans` is the detection half): every k-gram
+    occurrence that is not the corpus-global FIRST occurrence of that
+    gram (ordered by (doc_id, position), the same rule as
+    :func:`dedup_lines_global`) marks its k tokens for removal;
+    documents reassemble from the surviving tokens.  Deterministic and
+    well-defined — no arbitrary "keep one copy" tie-break.
+
+    Scale shape: one positional-gram pass, one row_number shuffle on
+    the 16-byte gram hash, a k-fold position explode of ONLY the cut
+    hits (duplicated grams are the rare case), a left-anti join per
+    (doc, pos) that reuses the token stream, and the per-doc
+    reassembly groupBy.
+
+    Returns (doc_id, clean_text, n_tokens, n_cut).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "pos", "w"
+        ),
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+    grams = positional_grams(df, id_col, text_col, k).select(
+        "doc_id", "pos", F.md5("g").alias("gh")
+    )
+    ranked = grams.withColumn(
+        "_rank",
+        F.row_number().over(Window.partitionBy("gh").orderBy("doc_id", "pos")),
+    )
+    covered = (
+        ranked.filter(F.col("_rank") > 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    n_toks = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(n_toks, "doc_id", "right")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_cut"),
+        )
+    )

@@ -359,9 +359,62 @@ GROUP BY doc_id
 """
 
 
+def dedup_cut_spans_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL (the other half of Lee et al. dedup): non-first
+    k-gram occurrences mark their tokens for cutting; docs reassemble
+    from survivors — operators/dedup.py::cut_duplicate_spans."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cut_duplicate_spans(docs, "doc_id", "text", k=8)
+
+
+CUT_SPANS_SQL = """
+WITH s AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, i - 1 AS pos, arr[i] AS w
+    FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM s)
+),
+grams AS (
+    SELECT doc_id, i - 1 AS pos,
+           md5(array_to_string(list_slice(arr, i, i + 7), ' ')) AS gh
+    FROM (SELECT doc_id, arr,
+                 unnest(generate_series(1, len(arr) - 7)) AS i
+          FROM s WHERE len(arr) >= 8)
+),
+ranked AS (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rnk
+    FROM grams
+),
+covered AS (
+    SELECT DISTINCT doc_id, cpos FROM (
+        SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS cpos
+        FROM ranked WHERE rnk > 1
+    )
+),
+kept AS (
+    SELECT t.doc_id, t.pos, t.w
+    FROM toks t LEFT JOIN covered c
+      ON t.doc_id = c.doc_id AND t.pos = c.cpos
+    WHERE c.cpos IS NULL
+)
+SELECT n.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       n.n_tokens,
+       n.n_tokens - COALESCE(k.n_kept, 0) AS n_cut
+FROM (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id) n
+LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+                  COUNT(*) AS n_kept
+           FROM kept GROUP BY doc_id) k USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_duplicate_spans": dedup_duplicate_spans,
+    "dedup_cut_spans_corpus": dedup_cut_spans_corpus,
     "dedup_lines_global": dedup_lines_global,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_clean_corpus_cc": dedup_clean_corpus_cc,
@@ -377,6 +430,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_duplicate_spans": DUPLICATE_SPANS_SQL,
+    "dedup_cut_spans_corpus": CUT_SPANS_SQL,
     "dedup_lines_global": DEDUP_LINES_SQL,
     "dedup_cluster_components": CLUSTER_COMPONENTS_SQL,
     "dedup_clean_corpus_cc": CLEAN_CORPUS_CC_SQL,

@@ -147,3 +147,30 @@ def test_dedup_lines_global_short_lines_survive_repetition(spark):
     out = {r["doc_id"]: r for r in dedup_lines_global(docs, "doc_id", "text").collect()}
     assert out[1]["clean_text"] == "ok\nok\nok" and out[1]["n_dropped"] == 0
     assert out[2]["clean_text"] == "ok"
+
+
+def test_cut_duplicate_spans_first_occurrence_survives(spark):
+    from chewdata_spark.operators.dedup import cut_duplicate_spans
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(500)]
+    passage = " ".join(rng.choice(vocab) for _ in range(12))
+    pre = " ".join(rng.choice(vocab) for _ in range(15))
+    post = " ".join(rng.choice(vocab) for _ in range(15))
+    docs = spark.createDataFrame(
+        [
+            (1, passage + " " + pre),
+            (2, post + " " + passage),
+            (3, pre.upper()),  # case-normalized tokens differ from pre? no — lower() collapses
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cut_duplicate_spans(docs, "doc_id", "text", k=8).collect()}
+    # doc 1 owns the first occurrence: nothing cut
+    assert out[1]["n_cut"] == 0 and passage in out[1]["clean_text"]
+    # doc 2 loses the whole 12-token passage, keeps its own prefix
+    assert out[2]["n_cut"] == 12
+    assert passage not in out[2]["clean_text"]
+    assert out[2]["clean_text"].startswith(post)
+    # every doc appears in the output with its token count
+    assert out[2]["n_tokens"] == 27
