@@ -57,6 +57,7 @@ HEADLINE = [
     "dedup_clean_corpus_cc",
     "mix_corpus_weighted",
     "shard_shuffle_corpus",
+    "source_quota_sample",
     "quantize_embeddings",
     "q2_min_cost_supplier",
     "q6_forecast_revenue",

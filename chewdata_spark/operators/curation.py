@@ -373,3 +373,49 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.sum("tf").cast("int").alias("n_tokens"),
         F.round(F.sum("lp_sum") / F.sum("tf"), 6).alias("avg_logprob"),
     )
+
+
+def stratum_quota(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    *,
+    max_per_stratum: int,
+    seed: str = "0",
+) -> DataFrame:
+    """Cap every stratum at ``max_per_stratum`` rows — the anti-
+    domination step of corpus assembly (no single crawl dump / source
+    may swamp the mix).  Selection is the first N rows per stratum in
+    deterministic ``md5(seed:key)`` order, so re-runs, retries and
+    engines agree on the exact survivor set (no ``rand()``).
+
+    A stratum can hold billions of rows, so the per-stratum rank is the
+    same two-level prefix sum as :func:`shard_shuffle` — row_number
+    inside a 4-hex-char hash bucket plus cumulative bucket offsets from
+    a tiny aggregate — never one window partition per stratum (a
+    single-task sort of the largest source at 100 TB).
+    """
+    if max_per_stratum < 1:
+        raise ValueError(f"max_per_stratum must be >= 1, got {max_per_stratum}")
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
+    hashed = df.withColumn("_h", h).withColumn("_b", F.substring("_h", 1, 4))
+    local = F.row_number().over(
+        Window.partitionBy(strata_col, "_b").orderBy("_h", key_col)
+    )
+    ranked = hashed.withColumn("_r", local)
+    counts = hashed.groupBy(strata_col, "_b").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = (
+        Window.partitionBy(strata_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        strata_col,
+        "_b",
+        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"),
+    )
+    return (
+        ranked.join(offsets, [strata_col, "_b"])
+        .filter(F.col("_off") + F.col("_r") <= max_per_stratum)
+        .drop("_h", "_b", "_r", "_off")
+    )

@@ -295,8 +295,32 @@ GROUP BY 1
 """
 
 
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-domination cap: at most 10 docs per source, chosen in
+    deterministic md5 order — operators/curation.py::stratum_quota
+    (two-level prefix-sum rank, no per-source single-task sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.stratum_quota(docs, "source", "doc_id", max_per_stratum=10)
+    return out.select("doc_id", "lang", "source")
+
+
+# the spec the two-level rank must equal: ROW_NUMBER per source over
+# the seeded md5 order
+SOURCE_QUOTA_SQL = """
+SELECT doc_id, lang, source
+FROM (
+    SELECT doc_id, lang, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+    FROM documents
+) WHERE rnk <= 10
+"""
+
+
 QUERIES = {
     "decontaminate_docs": decontaminate_docs,
+    "source_quota_sample": source_quota_sample,
     "mix_corpus_weighted": mix_corpus_weighted,
     "shard_shuffle_corpus": shard_shuffle_corpus,
     "stream_curate_corpus": stream_curate_corpus,
@@ -308,6 +332,7 @@ QUERIES = {
 
 ORACLES = {
     "decontaminate_docs": DECONTAMINATE_SQL,
+    "source_quota_sample": SOURCE_QUOTA_SQL,
     "mix_corpus_weighted": _mix_sql(),
     "shard_shuffle_corpus": SHARD_SHUFFLE_SQL,
     "stream_curate_corpus": _stream_curate_sql(),

@@ -258,3 +258,35 @@ def test_curation_ops_compose_end_to_end(spark):
     # the pipeline kept both copies distinct
     zh = [r for r in rows if r["lang"] == "zh"]
     assert len(zh) == 60 and len({(r["doc_id"], r["epoch"]) for r in zh}) == 60
+
+
+def test_stratum_quota_matches_naive_rank(spark):
+    # two-level prefix-sum rank must equal ROW_NUMBER per stratum over
+    # md5 order, and respect the cap exactly
+    from chewdata_spark.operators.curation import stratum_quota
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(600)], "doc_id long, source string"
+    )
+    out = stratum_quota(docs, "source", "doc_id", max_per_stratum=50)
+    got = {(r["doc_id"], r["source"]) for r in out.collect()}
+    h = F.md5(F.concat_ws(":", F.lit("0"), F.col("doc_id").cast("string")))
+    naive = (
+        docs.withColumn("_h", h)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("source").orderBy("_h", "doc_id")),
+        )
+        .filter(F.col("rnk") <= 50)
+    )
+    want = {(r["doc_id"], r["source"]) for r in naive.collect()}
+    assert got == want
+    per_src = {}
+    for _, s in got:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert all(v == 50 for v in per_src.values())
+    with pytest.raises(ValueError):
+        stratum_quota(docs, "source", "doc_id", max_per_stratum=0)
