@@ -362,3 +362,83 @@ def fake_frame_sample(
             yield out
 
     return df.mapInPandas(gen, out_schema)
+
+
+_FRAME_SCHEMA = "frame_idx int, frame_ms int, frame binary"
+
+
+def _frame_stage(df: DataFrame, kernel) -> DataFrame:
+    """Arrow plumbing for ONE-TO-MANY media kernels (frame sampling):
+    like :func:`_media_stage` but a kernel may return multiple output
+    rows per input row (each input's columns replicated per frame).
+    Real and fake kernels share this path; only the decode differs."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema += ", " + _FRAME_SCHEMA
+
+    def gen(batches):
+        for pdf in batches:
+            yield kernel(pdf)
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def _av_frame_kernel(content_col: str, n_frames: int):
+    """Real video frame sampler: decode with PyAV/ffmpeg, grab
+    ``n_frames`` uniformly spaced frames."""
+
+    def kernel(pdf):
+        try:
+            import av  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "video frame sampling requires PyAV/ffmpeg; "
+                "use fake_sample_frames for plumbing tests"
+            ) from e
+        raise NotImplementedError("real frame decode not exercised in this sandbox")
+
+    return kernel
+
+
+def _fake_frame_kernel(content_col: str, n_frames: int):
+    """Deterministic stand-in sampler: per-content duration from the
+    hash, ``n_frames`` uniform timestamps, 32-byte pseudo-frames from
+    sha256(content || frame_idx) — same one-to-many row shape as a real
+    decoder."""
+
+    def kernel(pdf):
+        import pandas as pd
+
+        rows = []
+        for _, row in pdf.iterrows():
+            b = bytes(row[content_col])
+            dur = 1000 + int.from_bytes(hashlib.sha256(b).digest()[:3], "big") % 60000
+            for i in range(n_frames):
+                ms = (dur * i) // max(n_frames, 1)
+                frame = hashlib.sha256(b + i.to_bytes(4, "big")).digest()
+                out = dict(row)
+                out["frame_idx"] = i
+                out["frame_ms"] = ms
+                out["frame"] = frame
+                rows.append(out)
+        return pd.DataFrame(rows, columns=list(pdf.columns) + ["frame_idx", "frame_ms", "frame"])
+
+    return kernel
+
+
+def sample_frames(
+    df: DataFrame, content_col: str = "content", *, n_frames: int = 4
+) -> DataFrame:
+    """Video bytes → one row per sampled frame (uniform timestamps):
+    (…, frame_idx, frame_ms, frame).  Real kernel needs PyAV/ffmpeg;
+    raises without them."""
+    return _frame_stage(df, _av_frame_kernel(content_col, n_frames))
+
+
+def fake_sample_frames(
+    df: DataFrame, content_col: str = "content", *, n_frames: int = 4
+) -> DataFrame:
+    """Deterministic stand-in frame sampler — identical one-to-many
+    plumbing (:func:`_frame_stage`), only the kernel differs."""
+    return _frame_stage(df, _fake_frame_kernel(content_col, n_frames))

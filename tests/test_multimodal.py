@@ -237,3 +237,41 @@ def test_resize_image_real_for_ppm(spark):
     # decode_image composes with the resized output
     dims = {r["img_id"]: (r["width"], r["height"]) for r in decode_image(out).collect()}
     assert dims == {1: (4, 4), 2: (4, 4)}
+
+
+def test_sample_frames_twin_contract(spark):
+    """sample_frames / fake_sample_frames share the _frame_stage
+    one-to-many plumbing: identical widened schema, kernel-only diff;
+    the real kernel raises in the kernel body without PyAV."""
+    import importlib.util
+
+    import chewdata_spark.operators.multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"video-bytes-a")), (2, bytearray(b"video-bytes-b"))],
+        "vid_id int, content binary",
+    )
+    real, fake = M.sample_frames(df, n_frames=3), M.fake_sample_frames(df, n_frames=3)
+    assert real.schema == fake.schema
+    rows = fake.collect()
+    assert len(rows) == 6  # one row per (doc, frame)
+    per_vid = {}
+    for r in rows:
+        per_vid.setdefault(r["vid_id"], []).append((r["frame_idx"], r["frame_ms"]))
+    for frames in per_vid.values():
+        idxs = sorted(i for i, _ in frames)
+        assert idxs == [0, 1, 2]
+        ts = [ms for _, ms in sorted(frames)]
+        assert ts[0] == 0 and ts == sorted(ts)  # uniform ascending stamps
+    # deterministic
+    again = {(r["vid_id"], r["frame_idx"], bytes(r["frame"])) for r in fake.collect()}
+    now = {(r["vid_id"], r["frame_idx"], bytes(r["frame"])) for r in rows}
+    assert again == now
+    if importlib.util.find_spec("av") is None:
+        import pandas as pd
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            M._av_frame_kernel("content", 3)(
+                pd.DataFrame({"vid_id": [1], "content": [b"x"]})
+            )
