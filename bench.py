@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_lines_global",
     "fingerprint_winnowing",
     "cosine_topk",
+    "ann_srp_topk",
     "embedding_near_dup",
     "embedding_near_dup_clustered",
     "text_stats",

@@ -81,6 +81,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=TOPK, centroid_stride=50, nprobe=4)
 
 
+def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k (Charikar hyperplane hashing): banded
+    sign-bit buckets propose candidates, exact cosine verifies.  The
+    synthetic embeddings have near-random neighbors, so bands are tuned
+    narrow (5 bits) for recall ≥0.6; real corpora with tighter clusters
+    run wider bands.  Rows-only check; recall vs `cosine_topk` asserted
+    in tests/test_dedup_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.srp_topk(emb, queries, k=TOPK, n_bits=120, band_bits=5)
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean vectors (the k-means M-step / class-prototype
     computation), emitted as (label, dim, c) rows.
@@ -142,6 +154,7 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_clustered": embedding_near_dup_clustered,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_srp_topk": ann_srp_topk,
 }
 
 ORACLES = {

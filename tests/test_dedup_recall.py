@@ -121,3 +121,25 @@ def test_clean_corpus_lsh_cc_recall(spark, docs):
     assert exact
     agree = len(exact & lsh) / len(exact | lsh)
     assert agree >= 0.95, f"survivor-set agreement {agree:.2f} < 0.95"
+
+
+def test_srp_topk_recall_vs_exact(spark, emb):
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.qid, r.vec_id)
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.qid, r.vec_id)
+        for r in similarity.srp_topk(emb, queries, k=10, n_bits=120, band_bits=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"SRP-LSH recall {recall:.2f} < 0.6"
+    # determinism: seeded projections give the identical candidate set
+    again = {
+        (r.qid, r.vec_id)
+        for r in similarity.srp_topk(emb, queries, k=10, n_bits=120, band_bits=5).collect()
+    }
+    assert approx == again
