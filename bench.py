@@ -45,6 +45,7 @@ HEADLINE = [
     "embedding_near_dup",
     "embedding_near_dup_clustered",
     "text_stats",
+    "normalize_documents",
     "quality_score",
     "corpus_top_terms",
     "curate_corpus",

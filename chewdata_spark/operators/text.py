@@ -324,3 +324,37 @@ def winnowing_fingerprints(
         .select("doc_id", "pos", F.col("wmin").alias("fp"))
         .distinct()
     )
+
+
+# unicode punctuation -> ASCII fold pairs, applied as chained replace()
+# (portable: identical semantics in Spark and any SQL oracle engine)
+_PUNCT_FOLD = [
+    ("‘", "'"), ("’", "'"), ("“", '"'), ("”", '"'),
+    ("–", "-"), ("—", "-"), ("…", "..."), (" ", " "),
+]
+
+
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical text cleanup before hashing/dedup/tokenization:
+
+    1. fold curly quotes / en-em dashes / ellipsis / NBSP to ASCII,
+    2. strip C0/C1 control characters (except newline),
+    3. collapse horizontal whitespace runs to one space, trim each
+       line's edges, drop runs of 3+ blank lines to one empty line.
+
+    A pure zero-shuffle projection of chained replace/regexp_replace —
+    pipelines with the scan, composes with every downstream operator.
+    Returns (doc_id, norm_text, changed).
+    """
+    t = F.col(text_col)
+    for src, dst in _PUNCT_FOLD:
+        t = F.replace(t, F.lit(src), F.lit(dst))
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
+    t = F.regexp_replace(t, "[ \\t]+", " ")
+    t = F.regexp_replace(t, " ?\\n ?", "\n")
+    t = F.trim(F.regexp_replace(t, "\\n{3,}", "\n\n"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("norm_text"),
+        (t != F.col(text_col)).alias("changed"),
+    )

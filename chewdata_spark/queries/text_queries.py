@@ -290,9 +290,37 @@ SELECT DISTINCT doc_id, pos, fp FROM (
 """
 
 
+def normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace canonicalization of the corpus — see
+    operators/text.py::normalize_text (zero-shuffle projection)."""
+    from chewdata_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return normalize_text(docs, "doc_id", "text")
+
+
+def _normalize_sql() -> str:
+    from chewdata_spark.operators.text import _PUNCT_FOLD
+
+    expr = "text"
+    for src, dst in _PUNCT_FOLD:
+        s, d = src.replace("'", "''"), dst.replace("'", "''")
+        expr = f"replace({expr}, '{s}', '{d}')"
+    # DuckDB regexp_replace is first-match-only without the 'g' flag
+    expr = f"regexp_replace({expr}, '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g')"
+    expr = f"regexp_replace({expr}, '[ \\t]+', ' ', 'g')"
+    expr = f"regexp_replace({expr}, ' ?\\n ?', '\\n', 'g')"
+    expr = f"trim(regexp_replace({expr}, '\\n{{3,}}', '\\n\\n', 'g'))"
+    return f"""
+SELECT doc_id, {expr} AS norm_text, {expr} <> text AS changed
+FROM documents
+"""
+
+
 QUERIES = {
     "chunk_documents": chunk_documents,
     "fingerprint_winnowing": fingerprint_winnowing,
+    "normalize_documents": normalize_documents,
     "documents_strip_boilerplate": documents_strip_boilerplate,
     "parts_in_price_band": parts_in_price_band,
     "text_stats": text_stats,
@@ -308,6 +336,7 @@ QUERIES = {
 ORACLES = {
     "chunk_documents": CHUNK_SQL,
     "fingerprint_winnowing": WINNOWING_SQL,
+    "normalize_documents": _normalize_sql(),
     "documents_strip_boilerplate": STRIP_BOILERPLATE_SQL,
     "parts_in_price_band": PRICE_BAND_SQL,
     "text_stats": TEXT_STATS_SQL,

@@ -85,3 +85,20 @@ def test_strip_boilerplate_drops_nav_and_junk(spark):
     ]
     assert r["n_lines"] == 6 and r["n_dropped"] == 4
     assert abs(r["content_frac"] - 2 / 6) < 1e-6
+
+
+def test_normalize_text_folds_and_collapses(spark):
+    from chewdata_spark.operators.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "“Hello” — it’s\tfine\x07"),
+            (2, "a  b \n c\n\n\n\n\nd"),
+            (3, "already clean"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in normalize_text(docs, "doc_id", "text").collect()}
+    assert out[1]["norm_text"] == "\"Hello\" - it's fine" and out[1]["changed"]
+    assert out[2]["norm_text"] == "a b\nc\n\nd" and out[2]["changed"]
+    assert out[3]["norm_text"] == "already clean" and not out[3]["changed"]
