@@ -61,6 +61,7 @@ HEADLINE = [
     "shard_shuffle_corpus",
     "source_quota_sample",
     "quantize_embeddings",
+    "pq_code_embeddings",
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",

@@ -486,3 +486,75 @@ def srp_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "sim", "rank")
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    centroid_stride: int = 50,
+) -> DataFrame:
+    """Product quantization (Jégou et al., PAMI'11): the vector splits
+    into ``m`` subspaces and each subvector is coded as its nearest
+    subspace centroid — m bytes per vector instead of 4·dim, the
+    memory layout every billion-scale ANN index uses.
+
+    Codebooks are deterministic (subvectors of the stride-picked
+    vectors, the same convention as IVF here — swap in per-subspace
+    k-means offline for production); they broadcast, and each Arrow
+    batch assigns codes with vectorized numpy distance computation —
+    zero shuffle, nothing data-sized collected.  Distances round to
+    6 dp before the argmin and centroids sort by id, so the
+    lowest-cid-wins tie-break is engine-portable (SQL oracle:
+    ROW_NUMBER over (d2, cid)).
+
+    Returns long-form (vec_id, subspace, code) where ``code`` is the
+    chosen centroid's vector id.
+    """
+    import numpy as np
+
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame([], "vec_id long, subspace int, code long")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    cent_rows = (
+        df.filter((F.col(id_col) % centroid_stride) == 0)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )  # centroid set is small by contract (same bound as IVF)
+    cids = np.array(sorted(r.cid for r in cent_rows))
+    by_id = {r.cid: list(r.cvec) for r in cent_rows}
+    cmat = np.array([by_id[c] for c in cids], dtype=np.float64)  # (C, dim)
+    bc = df.sparkSession.sparkContext.broadcast((cids, cmat))
+    renamed = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as pd
+
+        b_cids, b_cmat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np.array(pdf["vec"].tolist(), dtype=_np.float64)  # (B, dim)
+            ids = pdf["vec_id"].to_numpy()
+            out_id, out_sub, out_code = [], [], []
+            for j in range(m):
+                Vj = V[:, j * sub : (j + 1) * sub]
+                Cj = b_cmat[:, j * sub : (j + 1) * sub]
+                d2 = ((Vj[:, None, :] - Cj[None, :, :]) ** 2).sum(-1)
+                d2 = _np.round(d2, 6)
+                picked = _np.argmin(d2, axis=1)  # first min = lowest cid
+                out_id.extend(ids.tolist())
+                out_sub.extend([j] * len(pdf))
+                out_code.extend(b_cids[picked].tolist())
+            yield pd.DataFrame(
+                {"vec_id": out_id, "subspace": out_sub, "code": out_code}
+            )
+
+    return renamed.mapInPandas(gen, "vec_id long, subspace int, code long")

@@ -147,8 +147,47 @@ FROM e JOIN stats USING (dim)
 """
 
 
+def pq_code_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize the embedding table into 8 one-byte-per-
+    subspace codes — operators/similarity.py::pq_codes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_codes(emb, m=8, centroid_stride=50)
+
+
+PQ_SQL = """
+WITH dims AS (
+    SELECT vec_id,
+           CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+meta AS (SELECT MAX(dim) + 1 AS d FROM dims),
+sub AS (
+    SELECT vec_id, CAST(dim // (d // 8) AS INT) AS subspace, dim, x
+    FROM dims, meta
+),
+cent AS (
+    SELECT vec_id AS cid, dim, x AS cx FROM sub WHERE vec_id % 50 = 0
+),
+d2 AS (
+    SELECT s.vec_id, s.subspace, c.cid,
+           ROUND(SUM((s.x - c.cx) * (s.x - c.cx)), 6) AS dist
+    FROM sub s JOIN cent c ON s.dim = c.dim
+    GROUP BY 1, 2, 3
+),
+r AS (
+    SELECT vec_id, subspace, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY dist, cid) AS rk
+    FROM d2
+)
+SELECT vec_id, subspace, cid AS code FROM r WHERE rk = 1
+"""
+
+
 QUERIES = {
     "embedding_centroids": embedding_centroids,
+    "pq_code_embeddings": pq_code_embeddings,
     "quantize_embeddings": quantize_embeddings,
     "cosine_topk": cosine_topk,
     "embedding_near_dup": embedding_near_dup,
@@ -159,6 +198,7 @@ QUERIES = {
 
 ORACLES = {
     "embedding_centroids": CENTROIDS_SQL,
+    "pq_code_embeddings": PQ_SQL,
     "quantize_embeddings": QUANTIZE_SQL,
     "cosine_topk": COSINE_TOPK_SQL,
     "embedding_near_dup": NEAR_DUP_SQL,

@@ -27,3 +27,27 @@ def test_scalar_quantize_reconstruction(spark):
         .withColumn("step", (F.col("mx") - F.col("mn")) / 255)
     )
     assert joined.filter(F.col("err") > F.col("step") * 0.51).count() == 0
+
+
+def test_pq_codes_pick_nearest_subspace_centroid(spark):
+    import numpy as np
+    from chewdata_spark.operators.similarity import pq_codes
+
+    rng = np.random.default_rng(42)
+    rows = [(i, rng.standard_normal(16).astype("float32").tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_codes(df, m=4, centroid_stride=10)
+    got = {(r["vec_id"], r["subspace"]): r["code"] for r in out.collect()}
+    assert len(got) == 60 * 4
+    vecs = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    cids = sorted(i for i, _ in rows if i % 10 == 0)
+    for (vid, j), code in got.items():
+        v = vecs[vid][j * 4 : (j + 1) * 4]
+        dists = {c: round(float(((vecs[c][j * 4 : (j + 1) * 4] - v) ** 2).sum()), 6) for c in cids}
+        best = min(dists.values())
+        # the chosen code achieves the minimum, lowest cid on ties
+        assert dists[code] == best
+        assert code == min(c for c, d in dists.items() if d == best)
+    # determinism
+    again = {(r["vec_id"], r["subspace"]): r["code"] for r in out.collect()}
+    assert got == again
