@@ -48,6 +48,7 @@ HEADLINE = [
     "normalize_documents",
     "quality_score",
     "corpus_top_terms",
+    "tfidf_keywords",
     "curate_corpus",
     "decontaminate_docs",
     "pack_sequences",

@@ -358,3 +358,41 @@ def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         t.alias("norm_text"),
         (t != F.col(text_col)).alias("changed"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, *, top_n: int = 3
+) -> DataFrame:
+    """Top-``top_n`` characteristic terms per document by tf·idf
+    (idf = ln(N / df)) — the classic keyword-extraction / relevance
+    primitive.
+
+    One corpus explode feeds three branches off the same (doc, term)
+    pre-aggregate (tf, document frequency, and the one-row N — the
+    ReusedExchange shape proven by unigram_logprob); the per-doc top-n
+    is a window over (doc_id), which is the natural fine partition.
+    Returns (doc_id, term, score, rk) with deterministic
+    (score desc, term asc) ranking.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    doc_term = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df_n"))
+    n_docs = doc_term.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    scored = (
+        doc_term.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df_n")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+    )

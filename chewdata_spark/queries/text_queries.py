@@ -317,10 +317,43 @@ FROM documents
 """
 
 
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf·idf keywords per document —
+    operators/text.py::tfidf_top_terms (single-explode reuse shape)."""
+    from chewdata_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", top_n=3)
+
+
+TFIDF_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+),
+dt AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df_n FROM dt GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM dt),
+scored AS (
+    SELECT doc_id, term, ROUND(tf * ln(nd * 1.0 / df_n), 6) AS score
+    FROM dt JOIN dfreq USING (term), n
+),
+r AS (
+    SELECT doc_id, term, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term ASC) AS rk
+    FROM scored
+)
+SELECT doc_id, term, score, CAST(rk AS INT) AS rk FROM r WHERE rk <= 3
+"""
+
+
 QUERIES = {
     "chunk_documents": chunk_documents,
     "fingerprint_winnowing": fingerprint_winnowing,
     "normalize_documents": normalize_documents,
+    "tfidf_keywords": tfidf_keywords,
     "documents_strip_boilerplate": documents_strip_boilerplate,
     "parts_in_price_band": parts_in_price_band,
     "text_stats": text_stats,
@@ -337,6 +370,7 @@ ORACLES = {
     "chunk_documents": CHUNK_SQL,
     "fingerprint_winnowing": WINNOWING_SQL,
     "normalize_documents": _normalize_sql(),
+    "tfidf_keywords": TFIDF_SQL,
     "documents_strip_boilerplate": STRIP_BOILERPLATE_SQL,
     "parts_in_price_band": PRICE_BAND_SQL,
     "text_stats": TEXT_STATS_SQL,
