@@ -50,6 +50,7 @@ HEADLINE = [
     "corpus_top_terms",
     "tfidf_keywords",
     "curate_corpus",
+    "curate_pipeline_full",
     "decontaminate_docs",
     "pack_sequences",
     "unigram_logprob",

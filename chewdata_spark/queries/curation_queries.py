@@ -341,3 +341,117 @@ ORACLES = {
     "stratified_sample": _sample_sql(),
     "unigram_logprob": UNIGRAM_SQL,
 }
+
+
+def curate_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composition: the full pretraining curation pipeline as
+    one lazy plan — normalize (unicode/whitespace) → corpus-global line
+    dedup (first occurrence wins) → duplicated-span cutting (Lee et
+    al.) → per-source anti-domination quota.  Every stage is the
+    already-oracle-backed operator; the composed DuckDB oracle chains
+    the same CTEs, so the END-TO-END result is value-checked, not just
+    the pieces."""
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators import dedup as D
+    from chewdata_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(docs, "doc_id", "text").select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    lined = D.dedup_lines_global(norm, "doc_id", "text", min_words=5).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    cut = D.cut_duplicate_spans(lined, "doc_id", "text", k=8).select(
+        "doc_id", "clean_text"
+    )
+    joined = cut.join(docs.select("doc_id", "lang", "source"), "doc_id")
+    out = curation.stratum_quota(joined, "source", "doc_id", max_per_stratum=15)
+    return out.select("doc_id", "lang", "source", "clean_text")
+
+
+def _curate_pipeline_sql() -> str:
+    from chewdata_spark.queries.text_queries import _normalize_sql
+
+    # stage 1: reuse the generated normalize expression verbatim
+    norm_select = _normalize_sql().strip().rstrip(";")
+    return f"""
+WITH norm0 AS ({norm_select}),
+norm AS (SELECT doc_id, norm_text AS text FROM norm0),
+-- stage 2: corpus-global line dedup (first (doc_id, pos) occurrence wins)
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS ln FROM norm),
+llines AS (
+    SELECT doc_id, i - 1 AS pos, ln[i] AS line
+    FROM (SELECT doc_id, ln, unnest(generate_series(1, len(ln))) AS i FROM ls)
+),
+lelig AS (
+    SELECT doc_id, pos, line,
+           (len(string_split_regex(trim(line), '\\s+')) >= 5
+            AND trim(line) <> '') AS ok
+    FROM llines
+),
+lranked AS (
+    SELECT doc_id, pos, line,
+           ROW_NUMBER() OVER (PARTITION BY md5(trim(lower(line)))
+                              ORDER BY doc_id, pos) AS rnk
+    FROM lelig WHERE ok
+    UNION ALL
+    SELECT doc_id, pos, line, 1 AS rnk FROM lelig WHERE NOT ok
+),
+lined AS (
+    SELECT doc_id,
+           COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE rnk = 1), '') AS text
+    FROM lranked GROUP BY doc_id
+),
+-- stage 3: cut non-first duplicated 8-gram spans
+cs AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr FROM lined),
+ctoks AS (
+    SELECT doc_id, i - 1 AS pos, arr[i] AS w
+    FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM cs)
+),
+cgrams AS (
+    SELECT doc_id, i - 1 AS pos,
+           md5(array_to_string(list_slice(arr, i, i + 7), ' ')) AS gh
+    FROM (SELECT doc_id, arr,
+                 unnest(generate_series(1, len(arr) - 7)) AS i
+          FROM cs WHERE len(arr) >= 8)
+),
+cranked AS (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rnk
+    FROM cgrams
+),
+ccovered AS (
+    SELECT DISTINCT doc_id, cpos FROM (
+        SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS cpos
+        FROM cranked WHERE rnk > 1
+    )
+),
+ckept AS (
+    SELECT t.doc_id, t.pos, t.w
+    FROM ctoks t LEFT JOIN ccovered c
+      ON t.doc_id = c.doc_id AND t.pos = c.cpos
+    WHERE c.cpos IS NULL
+),
+cut AS (
+    SELECT n.doc_id, COALESCE(k.clean_text, '') AS clean_text
+    FROM (SELECT DISTINCT doc_id FROM ctoks) n
+    LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text
+               FROM ckept GROUP BY doc_id) k USING (doc_id)
+),
+-- stage 4: per-source quota (deterministic md5 order, cap 15)
+q AS (
+    SELECT c.doc_id, d.lang, d.source, c.clean_text,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('0:' || CAST(c.doc_id AS VARCHAR)), c.doc_id) AS rnk
+    FROM cut c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, source, clean_text FROM q WHERE rnk <= 15
+"""
+
+
+QUERIES["curate_pipeline_full"] = curate_pipeline_full
+ORACLES["curate_pipeline_full"] = _curate_pipeline_sql()
