@@ -378,10 +378,19 @@ def tfidf_top_terms(
         F.col(id_col).alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("term")
     )
     doc_term = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df_n"))
-    n_docs = doc_term.select("doc_id").distinct().agg(
-        F.count(F.lit(1)).alias("_n")
+    # sum(tf > 0), not count(1): the value is the same (tf >= 1 by
+    # construction) but the tf reference is not statically removable,
+    # so this branch's partial aggregate keeps the same shape as the
+    # probe branch — the exchanges canonicalize identically and the
+    # corpus explode runs ONCE (ReusedExchange), as pinned by the plan
+    # test (plain count(1) let pruning narrow the aggregate → 2 scans)
+    docfreq = doc_term.groupBy("term").agg(
+        F.sum((F.col("tf") > 0).cast("bigint")).alias("df_n")
     )
+    # N from the UNEXPLODED source (one narrow scan, no Generate): a
+    # distinct-over-doc_term branch re-aggregates differently and
+    # breaks the probe/docfreq exchange reuse
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
     scored = (
         doc_term.join(docfreq, "term")
         .crossJoin(F.broadcast(n_docs))

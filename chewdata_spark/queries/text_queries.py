@@ -334,7 +334,7 @@ WITH toks AS (
 ),
 dt AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
 dfreq AS (SELECT term, COUNT(*) AS df_n FROM dt GROUP BY 1),
-n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM dt),
+n AS (SELECT COUNT(*) AS nd FROM documents),
 scored AS (
     SELECT doc_id, term, ROUND(tf * ln(nd * 1.0 / df_n), 6) AS score
     FROM dt JOIN dfreq USING (term), n

@@ -335,3 +335,47 @@ def test_q20_dominance_join_shares_partkey_partitioning(spark, sf_dir):
     # one exchange introduces that partitioning, the dominance join
     # reuses it rather than re-shuffling
     assert plan.count("hashpartitioning(l_partkey") <= 3
+
+
+def test_duplicate_spans_windows_stay_fine_grained(spark, sf_dir):
+    # the gram-rank window partitions by (doc_id) for gram build and by
+    # gram hash for dup discovery — never a corpus-wide partition; and
+    # the dup-gram semi-join side aggregates before joining
+    from chewdata_spark.queries.dedup_queries import dedup_duplicate_spans
+
+    df = dedup_duplicate_spans(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    # dup grams reach the join via an aggregate (count>1), not a raw
+    # self-join of the gram stream
+    assert "HashAggregate" in plan
+
+
+def test_tfidf_single_corpus_explode(spark, sf_dir):
+    # docfreq and the N scalar hang off the same (doc, term)
+    # pre-aggregate: after execution one Generate remains and the other
+    # branches read ReusedExchange (the unigram_logprob shape)
+    from chewdata_spark.queries.text_queries import tfidf_keywords
+
+    df = tfidf_keywords(spark, sf_dir)
+    df.collect()
+    plan = formatted_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate") == 1, final
+    assert "ReusedExchange" in final
+
+
+def test_stratum_quota_no_per_stratum_window(spark, sf_dir):
+    # same discipline as shard_shuffle: the corpus-sized window
+    # partitions by (stratum, bucket), never by the stratum alone
+    from chewdata_spark.queries.curation_queries import source_quota_sample
+    import re
+
+    df = source_quota_sample(spark, sf_dir)
+    plan = formatted_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    corpus = [s for s in specs if "_b#" in s]
+    stratum_only = [s for s in specs if "source#" in s and "_b#" not in s]
+    assert corpus, f"expected a (stratum, _b)-partitioned window: {specs}"
+    if stratum_only:
+        assert "HashAggregate" in plan  # offsets window sits on the tiny aggregate
