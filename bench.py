@@ -46,6 +46,7 @@ HEADLINE = [
     "embedding_near_dup_clustered",
     "text_stats",
     "normalize_documents",
+    "sentence_segments",
     "quality_score",
     "corpus_top_terms",
     "tfidf_keywords",

@@ -405,3 +405,28 @@ def tfidf_top_terms(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= top_n)
     )
+
+
+def segment_sentences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Sentence segmentation: one row per sentence with its 0-based
+    index and word count.  The boundary pattern ``[^.!?]+[.!?]*``
+    (a run of non-terminators plus its trailing terminators) is chosen
+    to be RE2-compatible — no lookbehind — so the SQL oracle evaluates
+    the IDENTICAL regex.  A zero-shuffle posexplode projection.
+
+    Returns (doc_id, sent_idx, sentence, n_words), whitespace-trimmed,
+    empty segments dropped.
+    """
+    sents = F.expr(
+        f"filter(transform(regexp_extract_all({text_col}, '[^.!?]+[.!?]*', 0), "
+        "x -> trim(x)), x -> x != '')"
+    )
+    ex = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(sents).alias("sent_idx", "sentence")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("sent_idx").cast("int").alias("sent_idx"),
+        "sentence",
+        F.size(F.split(F.col("sentence"), r"\s+")).cast("int").alias("n_words"),
+    )

@@ -382,3 +382,31 @@ ORACLES = {
     "corpus_top_terms": TOP_TERMS_SQL,
     "curate_corpus": _curate_sql(),
 }
+
+def sentence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sentence rows with index + word counts —
+    operators/text.py::segment_sentences (RE2-safe boundary regex)."""
+    from chewdata_spark.operators.text import segment_sentences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_sentences(docs, "doc_id", "text")
+
+
+SENTENCES_SQL = """
+WITH segs AS (
+    SELECT doc_id,
+           list_filter(list_transform(
+               regexp_extract_all(text, '[^.!?]+[.!?]*', 0),
+               x -> trim(x)), x -> x <> '') AS ss
+    FROM documents
+)
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS sent_idx,
+       ss[i] AS sentence,
+       CAST(len(string_split_regex(ss[i], '\\s+')) AS INT) AS n_words
+FROM (SELECT doc_id, ss, unnest(generate_series(1, len(ss))) AS i FROM segs)
+"""
+
+
+QUERIES["sentence_segments"] = sentence_segments
+ORACLES["sentence_segments"] = SENTENCES_SQL

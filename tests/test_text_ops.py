@@ -102,3 +102,27 @@ def test_normalize_text_folds_and_collapses(spark):
     assert out[1]["norm_text"] == "\"Hello\" - it's fine" and out[1]["changed"]
     assert out[2]["norm_text"] == "a b\nc\n\nd" and out[2]["changed"]
     assert out[3]["norm_text"] == "already clean" and not out[3]["changed"]
+
+
+def test_segment_sentences_indices_and_trailing(spark):
+    from chewdata_spark.operators.text import segment_sentences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "First sentence. Second one! Third? trailing bit"),
+            (2, "no terminators at all"),
+            (3, "..."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in segment_sentences(docs, "doc_id", "text").collect():
+        out.setdefault(r["doc_id"], []).append((r["sent_idx"], r["sentence"], r["n_words"]))
+    assert [s for _, s, _ in sorted(out[1])] == [
+        "First sentence.", "Second one!", "Third?", "trailing bit",
+    ]
+    assert [i for i, _, _ in sorted(out[1])] == [0, 1, 2, 3]
+    assert out[2] == [(0, "no terminators at all", 4)]
+    # a punctuation-only doc yields no sentences after trimming... the
+    # regex captures '...' as a trailing-terminator run with no words
+    assert 3 not in out or all(s != "" for _, s, _ in out[3])
