@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_duplicate_spans",
     "dedup_cut_spans_corpus",
     "dedup_lines_global",
+    "dedup_incremental_ingest",
     "fingerprint_winnowing",
     "cosine_topk",
     "ann_srp_topk",

@@ -516,3 +516,84 @@ def cut_duplicate_spans(
             (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_cut"),
         )
     )
+
+
+def incremental_ingest_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_size: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Daily-ingest deduplication: drop arriving documents that are
+    exact OR near duplicates of the EXISTING corpus — the incremental
+    form every production pipeline actually runs (re-clustering the
+    full corpus per ingest would be quadratic in history).
+
+    Two gates, cheapest first:
+    1. exact — anti-join of md5(text) against the seen hash set (one
+       16-byte-key shuffle; at scale the seen side is a bucketed hash
+       table on disk, here a DataFrame);
+    2. near — MinHash band buckets of the exact-survivors probe the
+       seen side's buckets (signatures on BOTH sides, one (band, hash)
+       shuffle), candidates verify with exact shingle Jaccard, and
+       confirmed near-dups drop via anti-join.
+
+    New-vs-new duplicates are deliberately kept (they form tomorrow's
+    "seen" cluster) — matching how incremental pipelines stay
+    idempotent per batch.  Returns the surviving new rows.
+    """
+    seen_hashes = seen_df.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    new_hashed = new_df.withColumn("_h", F.md5(F.col(text_col)))
+    exact_survivors = new_hashed.join(seen_hashes, "_h", "left_anti").drop("_h")
+
+    new_sigs = minhash_signatures(
+        exact_survivors, id_col, text_col, num_perm=num_perm, shingle_size=shingle_size
+    )
+    seen_sigs = minhash_signatures(
+        seen_df, id_col, text_col, num_perm=num_perm, shingle_size=shingle_size
+    )
+    rows_per_band = num_perm // bands
+
+    def band_rows(sigs, idn):
+        # ids only through the ×bands explode — shingle arrays would
+        # multiply shuffle volume by `bands`; they join back onto the
+        # (small) candidate set for verification
+        cols = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.xxhash64(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return sigs.select(
+            F.col("id").alias(idn), F.explode(cols).alias("band")
+        ).select(idn, "band.band_idx", "band.band_hash")
+
+    cand = (
+        band_rows(new_sigs, "new_id")
+        .join(band_rows(seen_sigs, "seen_id"), ["band_idx", "band_hash"])
+        .dropDuplicates(["new_id", "seen_id"])
+        .join(
+            new_sigs.select(F.col("id").alias("new_id"), F.col("shingles").alias("new_sh")),
+            "new_id",
+        )
+        .join(
+            seen_sigs.select(F.col("id").alias("seen_id"), F.col("shingles").alias("seen_sh")),
+            "seen_id",
+        )
+    )
+    inter = F.size(F.array_intersect("new_sh", "seen_sh"))
+    union = F.size("new_sh") + F.size("seen_sh") - inter
+    confirmed = cand.filter(
+        F.round(inter / union, 6) >= jaccard_threshold
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return exact_survivors.join(confirmed, id_col, "left_anti")

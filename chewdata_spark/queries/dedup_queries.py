@@ -438,3 +438,20 @@ ORACLES = {
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
 }
+
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: odd doc_ids arrive as the new batch, even
+    doc_ids are the existing corpus; arriving exact/near duplicates of
+    the seen side drop (operators/dedup.py::incremental_ingest_dedup).
+    Rows-only (seeded MinHash); planted-duplicate behavior is pinned in
+    tests/test_span_winnowing.py."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    out = dedup.incremental_ingest_dedup(new, seen, "doc_id", "text")
+    return out.select("doc_id", "lang", "source")
+
+
+QUERIES["dedup_incremental_ingest"] = dedup_incremental_ingest

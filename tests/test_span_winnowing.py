@@ -174,3 +174,41 @@ def test_cut_duplicate_spans_first_occurrence_survives(spark):
     assert out[2]["clean_text"].startswith(post)
     # every doc appears in the output with its token count
     assert out[2]["n_tokens"] == 27
+
+
+def test_incremental_ingest_drops_exact_and_near_dups(spark):
+    import random
+
+    from chewdata_spark.operators.dedup import incremental_ingest_dedup
+
+    rng = random.Random(21)
+    vocab = [f"w{i}" for i in range(400)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    base = doc(60)
+    near = base.rsplit(" ", 3)[0] + " altered tail words"  # high jaccard
+    seen = spark.createDataFrame(
+        [(0, base), (2, doc(50)), (4, doc(50))], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),       # exact dup of seen -> drop
+            (3, near),       # near dup of seen -> drop
+            (5, doc(55)),    # fresh -> keep
+            (7, doc(40)),    # fresh -> keep
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_ingest_dedup(new, seen, "doc_id", "text").collect()
+    )
+    assert kept == [5, 7]
+    # idempotent: re-running over the same inputs is stable
+    again = sorted(
+        r["doc_id"]
+        for r in incremental_ingest_dedup(new, seen, "doc_id", "text").collect()
+    )
+    assert kept == again
