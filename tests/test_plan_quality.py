@@ -379,3 +379,29 @@ def test_stratum_quota_no_per_stratum_window(spark, sf_dir):
     assert corpus, f"expected a (stratum, _b)-partitioned window: {specs}"
     if stratum_only:
         assert "HashAggregate" in plan  # offsets window sits on the tiny aggregate
+
+
+def test_normalize_documents_zero_shuffle(spark, sf_dir):
+    from chewdata_spark.queries.text_queries import normalize_documents
+
+    df = normalize_documents(spark, sf_dir)
+    assert exchange_count(df) == 0
+    assert read_schemas(df) == [["doc_id", "text"]]
+
+
+def test_sentence_segments_zero_shuffle(spark, sf_dir):
+    from chewdata_spark.queries.text_queries import sentence_segments
+
+    df = sentence_segments(spark, sf_dir)
+    assert exchange_count(df) == 0
+
+
+def test_incremental_ingest_no_cartesian(spark, sf_dir):
+    # band-bucket probing and the two anti-join gates must stay
+    # equi-joins; nothing may degrade to a nested-loop over the corpus
+    from chewdata_spark.queries.dedup_queries import dedup_incremental_ingest
+
+    df = dedup_incremental_ingest(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
