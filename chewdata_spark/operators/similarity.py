@@ -126,7 +126,11 @@ def assign_ivf_clusters(
                 continue
             V = np.array(pdf["vec"].tolist(), dtype=np.float64)
             V = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-300)
-            sims = V @ b_cmat.T  # (batch, C)
+            # round to 6 dp before the argsort: numpy GEMM and a SQL
+            # engine's sequential dot differ in the last ulp, and the
+            # rounding collapses those near-ties so the (sim desc, cid
+            # asc) pick is engine-portable (the SQL oracle does the same)
+            sims = np.round(V @ b_cmat.T, 6)  # (batch, C)
             take = min(npr, sims.shape[1])
             # (sim desc, cid asc) — centroids are cid-sorted, so the
             # stable sort's tie-break matches the SQL window's ordering
@@ -160,7 +164,7 @@ def ivf_topk(
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     probes = (
         q.crossJoin(F.broadcast(centroids))
-        .withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
         .withColumn(
             "rk",
             F.row_number().over(

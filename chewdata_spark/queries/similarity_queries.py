@@ -73,12 +73,57 @@ def embedding_near_dup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (probe 4 of ~n/50 clusters).  Rows-only
-    check (approximation is algorithm-specific); recall vs. the exact
-    `cosine_topk` is asserted in tests/."""
+    """IVF approximate top-k (probe 4 of ~n/50 clusters).  Fully
+    oracle-backed since round 5: assignment/probe similarities round to
+    6 dp with lowest-cid tie-break, so the deterministic IVF pipeline
+    (stride centroids → top-1 assignment → top-4 probes → exact rerank)
+    is reproducible in SQL; recall vs `cosine_topk` stays asserted in
+    tests/."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return similarity.ivf_topk(emb, queries, k=TOPK, centroid_stride=50, nprobe=4)
+
+
+IVF_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+asg AS (
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND({_COS.format(a='e.v', b='c.cv')}, 6) DESC,
+                            c.cid ASC) AS rk
+        FROM e, cent c
+    ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERY_VECS}),
+probes AS (
+    SELECT qid, cid AS cluster FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND({_COS.format(a='q.qv', b='c.cv')}, 6) DESC,
+                            c.cid ASC) AS rk
+        FROM q, cent c
+    ) WHERE rk <= 4
+),
+scored AS (
+    SELECT p.qid, a.vec_id,
+           ROUND({_COS.format(a='q.qv', b='e.v')}, 6) AS sim
+    FROM probes p
+    JOIN asg a USING (cluster)
+    JOIN e ON e.vec_id = a.vec_id
+    JOIN q ON q.qid = p.qid
+    WHERE a.vec_id <> p.qid
+)
+SELECT qid, vec_id, sim, CAST(rk AS INT) AS rank FROM (
+    SELECT qid, vec_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id ASC) AS rk
+    FROM scored
+) WHERE rk <= {TOPK}
+"""
 
 
 def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,6 +244,7 @@ QUERIES = {
 ORACLES = {
     "embedding_centroids": CENTROIDS_SQL,
     "pq_code_embeddings": PQ_SQL,
+    "ann_ivf_topk": IVF_TOPK_SQL,
     "quantize_embeddings": QUANTIZE_SQL,
     "cosine_topk": COSINE_TOPK_SQL,
     "embedding_near_dup": NEAR_DUP_SQL,
