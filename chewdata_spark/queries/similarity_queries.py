@@ -63,13 +63,41 @@ WHERE ROUND({_COS.format(a='a.v', b='b.v')}, 6) >= 0.4
 def embedding_near_dup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-quadratic near-dup pairs: IVF cluster blocking with
     multi-probe assignment — the 100-TB path; per-cluster GEMM verify,
-    one shuffle keyed by cluster.  Rows-only check; recall ≥0.9 vs the
-    exact GEMM twin is asserted in tests/test_dedup_recall.py
-    (0.996 at sf0.1, zero false positives)."""
+    one shuffle keyed by cluster.  Oracle-backed since round 5 (the
+    6-dp-rounded assignment makes cluster membership engine-portable);
+    recall ≥0.9 vs the exact GEMM twin stays asserted in
+    tests/test_dedup_recall.py (0.996 at sf0.1, zero false positives)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(
         emb, threshold=0.4, centroid_stride=100, nprobe=6
     )
+
+
+NEAR_DUP_CLUSTERED_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+asg AS (
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND({_COS.format(a='e.v', b='c.cv')}, 6) DESC,
+                            c.cid ASC) AS rk
+        FROM e, cent c
+    ) WHERE rk <= 6
+),
+pairs AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM asg a JOIN asg b USING (cluster)
+    WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       ROUND({_COS.format(a='ea.v', b='eb.v')}, 6) AS sim
+FROM pairs
+JOIN e ea ON ea.vec_id = id_a
+JOIN e eb ON eb.vec_id = id_b
+WHERE ROUND({_COS.format(a='ea.v', b='eb.v')}, 6) >= 0.4
+"""
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,6 +273,7 @@ ORACLES = {
     "embedding_centroids": CENTROIDS_SQL,
     "pq_code_embeddings": PQ_SQL,
     "ann_ivf_topk": IVF_TOPK_SQL,
+    "embedding_near_dup_clustered": NEAR_DUP_CLUSTERED_SQL,
     "quantize_embeddings": QUANTIZE_SQL,
     "cosine_topk": COSINE_TOPK_SQL,
     "embedding_near_dup": NEAR_DUP_SQL,
