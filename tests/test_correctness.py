@@ -36,3 +36,31 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     n = df.count()
     assert n >= 0
+
+
+def test_oracle_output_types_match_spark(spark, sf_dir, con):
+    """The driver's value hasher is TYPE-sensitive: DuckDB's HUGEINT
+    (SUM over integers) hashes differently from Spark's BIGINT even on
+    identical values — round 4's only red row.  compare() enforces the
+    type map on every oracle run; this test sweeps ALL oracles'
+    DuckDB output types against the Spark schemas explicitly so a
+    drift names itself."""
+    from tests.oracle import type_mismatches
+
+    bad = {}
+    for name in sorted(ORACLES):
+        df = QUERIES[name](spark, sf_dir)
+        mm = type_mismatches(df, con.sql(ORACLES[name]))
+        if mm:
+            bad[name] = mm
+    assert not bad, f"Spark/DuckDB output-type drift: {bad}"
+
+
+def test_duck_type_guard_rejects_hugeint():
+    from tests.oracle import duck_type_ok
+
+    assert duck_type_ok("bigint", "BIGINT")
+    assert not duck_type_ok("bigint", "HUGEINT")  # the q12 class
+    assert not duck_type_ok("double", "DECIMAL(18,4)")
+    assert duck_type_ok("array<int>", "INTEGER[]")
+    assert duck_type_ok("timestamp", "TIMESTAMP_NS")
