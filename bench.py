@@ -55,6 +55,7 @@ HEADLINE = [
     "curate_pipeline_full",
     "decontaminate_docs",
     "pack_sequences",
+    "length_bucket_batches",
     "unigram_logprob",
     "repetition_stats",
     "tokenize_documents",

@@ -419,3 +419,58 @@ def stratum_quota(
         .filter(F.col("_off") + F.col("_r") <= max_per_stratum)
         .drop("_h", "_b", "_r", "_off")
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column,
+    *,
+    batch_size: int = 8,
+    seed: str = "0",
+) -> DataFrame:
+    """Length-grouped batching: documents bucket by power-of-two token
+    length, then batch WITHIN their bucket — the padding-efficiency
+    layout (batchmates share a length band, so pad-to-longest wastes
+    <2×, not worst-case) used by training and batch-inference loaders.
+
+    Order within a bucket is seeded-md5 (deterministic shuffle, no
+    rand()); the in-bucket rank is the :func:`shard_shuffle` two-level
+    prefix sum — row_number inside a 4-hex hash sub-bucket plus tiny
+    cumulative offsets — so no single task ever sorts a whole length
+    bucket.  Returns the input plus (n_tokens, len_bucket, batch_idx,
+    slot) where ``batch_idx`` counts batches within the bucket and
+    ``slot`` is the 0-based position inside the batch.
+    """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    hashed = (
+        df.withColumn("n_tokens", token_count_col.cast("bigint"))
+        .withColumn(
+            "len_bucket",
+            F.floor(F.log2(F.greatest(F.col("n_tokens"), F.lit(1)))).cast("int"),
+        )
+        .withColumn("_h", h)
+        .withColumn("_b", F.substring("_h", 1, 4))
+    )
+    local = F.row_number().over(
+        Window.partitionBy("len_bucket", "_b").orderBy("_h", id_col)
+    )
+    ranked = hashed.withColumn("_r", local)
+    counts = hashed.groupBy("len_bucket", "_b").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = (
+        Window.partitionBy("len_bucket")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "len_bucket", "_b", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+    rank = F.col("_off") + F.col("_r") - 1  # 0-based within bucket
+    return (
+        ranked.join(offsets, ["len_bucket", "_b"])
+        .withColumn("batch_idx", F.floor(rank / batch_size).cast("bigint"))
+        .withColumn("slot", (rank % batch_size).cast("int"))
+        .drop("_h", "_b", "_r", "_off")
+    )

@@ -455,3 +455,42 @@ SELECT doc_id, lang, source, clean_text FROM q WHERE rnk <= 15
 
 QUERIES["curate_pipeline_full"] = curate_pipeline_full
 ORACLES["curate_pipeline_full"] = _curate_pipeline_sql()
+
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficient batch layout: power-of-two length buckets,
+    seeded-md5 in-bucket order, batches of 8 —
+    operators/curation.py::length_bucket_batches (two-level rank)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    out = curation.length_bucket_batches(docs, "doc_id", n_tokens, batch_size=8)
+    return out.select("doc_id", "n_tokens", "len_bucket", "batch_idx", "slot")
+
+
+LENGTH_BATCH_SQL = """
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+b AS (
+    SELECT doc_id, n_tokens,
+           CAST(floor(log2(greatest(n_tokens, 1))) AS INT) AS len_bucket,
+           md5('0:' || CAST(doc_id AS VARCHAR)) AS hh
+    FROM t
+),
+r AS (
+    SELECT doc_id, n_tokens, len_bucket,
+           ROW_NUMBER() OVER (PARTITION BY len_bucket ORDER BY hh, doc_id) - 1
+               AS rnk
+    FROM b
+)
+SELECT doc_id, n_tokens, len_bucket,
+       CAST(floor(rnk / 8) AS BIGINT) AS batch_idx,
+       CAST(rnk % 8 AS INT) AS slot
+FROM r
+"""
+
+
+QUERIES["length_bucket_batches"] = length_bucket_batches
+ORACLES["length_bucket_batches"] = LENGTH_BATCH_SQL

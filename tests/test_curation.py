@@ -290,3 +290,34 @@ def test_stratum_quota_matches_naive_rank(spark):
     assert all(v == 50 for v in per_src.values())
     with pytest.raises(ValueError):
         stratum_quota(docs, "source", "doc_id", max_per_stratum=0)
+
+
+def test_length_bucket_batches_padding_bound_and_determinism(spark):
+    from chewdata_spark.operators.curation import length_bucket_batches
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (2 + i % 300)) for i in range(500)], "doc_id long, text string"
+    )
+    tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    out = length_bucket_batches(docs, "doc_id", tok, batch_size=8).collect()
+    assert len(out) == 500
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault((r["len_bucket"], r["batch_idx"]), []).append(r)
+    for (bucket, _), rows in by_batch.items():
+        lens = [r["n_tokens"] for r in rows]
+        # batchmates share the power-of-two band: pad-to-longest < 2x
+        assert max(lens) < 2 * min(lens) or min(lens) == 1
+        assert sorted(r["slot"] for r in rows) == list(range(len(rows)))
+        assert len(rows) <= 8
+    # per bucket: every batch full except possibly the last
+    per_bucket = {}
+    for (bucket, bi), rows in by_batch.items():
+        per_bucket.setdefault(bucket, []).append((bi, len(rows)))
+    for bucket, batches in per_bucket.items():
+        batches.sort()
+        assert all(n == 8 for _, n in batches[:-1])
+    # deterministic
+    again = length_bucket_batches(docs, "doc_id", tok, batch_size=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
