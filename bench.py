@@ -56,6 +56,7 @@ HEADLINE = [
     "decontaminate_docs",
     "pack_sequences",
     "length_bucket_batches",
+    "packed_sequence_layout",
     "unigram_logprob",
     "repetition_stats",
     "tokenize_documents",

@@ -474,3 +474,42 @@ def length_bucket_batches(
         .withColumn("slot", (rank % batch_size).cast("int"))
         .drop("_h", "_b", "_r", "_off")
     )
+
+
+def packed_sequence_map(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column,
+    *,
+    seq_len: int = 512,
+) -> DataFrame:
+    """The consumable form of :func:`pack_sequences`: one row per
+    (sequence, document) fragment — which token range of which doc
+    fills which slots of each fixed-length training sequence.  This is
+    the attention-mask / document-boundary metadata a packed-training
+    loader reads.
+
+    A pure explode over the pack_sequences output (each doc spans
+    ``n_seqs`` sequences): zero additional shuffles.  Returns
+    (seq_id, doc_id, seq_start, doc_offset, length) with seq_start the
+    fragment's first slot inside the sequence and doc_offset its first
+    token inside the document.
+    """
+    packed = pack_sequences(df, id_col, token_count_col, seq_len=seq_len)
+    s = F.col("seq_id")
+    doc_start = F.col("start_offset")
+    doc_end = doc_start + F.col("n_tokens")  # exclusive
+    tok_start = F.greatest(s * seq_len, doc_start)
+    tok_end = F.least((s + 1) * seq_len, doc_end)
+    return (
+        packed.withColumn(
+            "seq_id", F.explode(F.sequence(F.col("first_seq"), F.col("last_seq")))
+        )
+        .select(
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+            "doc_id",
+            (tok_start - s * seq_len).cast("int").alias("seq_start"),
+            (tok_start - doc_start).cast("bigint").alias("doc_offset"),
+            (tok_end - tok_start).cast("int").alias("length"),
+        )
+    )

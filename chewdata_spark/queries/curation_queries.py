@@ -494,3 +494,48 @@ FROM r
 
 QUERIES["length_bucket_batches"] = length_bucket_batches
 ORACLES["length_bucket_batches"] = LENGTH_BATCH_SQL
+
+def packed_sequence_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(sequence, doc) fragment map of the 512-token packing —
+    operators/curation.py::packed_sequence_map."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    return curation.packed_sequence_map(docs, "doc_id", n_tokens, seq_len=512)
+
+
+PACKED_LAYOUT_SQL = """
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+    FROM t
+),
+f AS (
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(floor(start_offset / 512.0) AS BIGINT) AS first_seq,
+           CAST(floor((start_offset + n_tokens - 1) / 512.0) AS BIGINT) AS last_seq
+    FROM c
+),
+x AS (
+    SELECT doc_id, n_tokens, start_offset,
+           unnest(generate_series(first_seq, last_seq)) AS seq_id
+    FROM f
+)
+SELECT seq_id, doc_id,
+       CAST(greatest(seq_id * 512, start_offset) - seq_id * 512 AS INT) AS seq_start,
+       CAST(greatest(seq_id * 512, start_offset) - start_offset AS BIGINT) AS doc_offset,
+       CAST(least((seq_id + 1) * 512, start_offset + n_tokens)
+            - greatest(seq_id * 512, start_offset) AS INT) AS length
+FROM x
+"""
+
+
+QUERIES["packed_sequence_layout"] = packed_sequence_layout
+ORACLES["packed_sequence_layout"] = PACKED_LAYOUT_SQL

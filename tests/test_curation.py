@@ -321,3 +321,39 @@ def test_length_bucket_batches_padding_bound_and_determinism(spark):
     # deterministic
     again = length_bucket_batches(docs, "doc_id", tok, batch_size=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_packed_sequence_map_covers_every_slot_once(spark):
+    # fragments of each sequence must tile it exactly: disjoint, ordered,
+    # summing to seq_len (except the final partial sequence)
+    from chewdata_spark.operators.curation import packed_sequence_map
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (3 + i % 23)) for i in range(200)], "doc_id long, text string"
+    )
+    tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    rows = packed_sequence_map(docs, "doc_id", tok, seq_len=16).collect()
+    total_tokens = sum(3 + i % 23 for i in range(200))
+    assert sum(r["length"] for r in rows) == total_tokens
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    last_seq = max(by_seq)
+    for sid, frags in by_seq.items():
+        frags.sort(key=lambda r: r["seq_start"])
+        at = 0
+        for fr in frags:
+            assert fr["seq_start"] == at, (sid, fr)
+            assert fr["length"] >= 1
+            at += fr["length"]
+        if sid != last_seq:
+            assert at == 16  # fully tiled
+    # fragment doc_offsets are consistent with doc lengths
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, frags in per_doc.items():
+        frags.sort(key=lambda r: r["doc_offset"])
+        assert frags[0]["doc_offset"] == 0
+        assert sum(f["length"] for f in frags) == 3 + doc_id % 23
