@@ -81,6 +81,7 @@ HEADLINE = [
     "documents_profile",
     "stream_view_to_purchase",
     "stream_sessionize_events",
+    "stream_ingest_dedup",
 ]
 
 # Structured Streaming queries run availableNow → memory sink INSIDE the
@@ -88,7 +89,7 @@ HEADLINE = [
 # the returned memory table would time only the final scan.  These are
 # timed end-to-end (stream start, state store, watermark bookkeeping
 # included — that state cost is exactly what needs a number at scale).
-STREAMING = {"stream_view_to_purchase", "stream_sessionize_events"}
+STREAMING = {"stream_view_to_purchase", "stream_sessionize_events", "stream_ingest_dedup"}
 
 
 def main() -> None:

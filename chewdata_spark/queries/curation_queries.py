@@ -539,3 +539,50 @@ FROM x
 
 QUERIES["packed_sequence_layout"] = packed_sequence_layout
 ORACLES["packed_sequence_layout"] = PACKED_LAYOUT_SQL
+
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC anti-join executed by Structured Streaming: odd
+    doc_ids arrive as a file stream (the new batch) and drop when their
+    content hash exists in the STATIC even-id corpus — the streaming
+    form of incremental ingest dedup.  Stream-static joins are
+    stateless (the static side is planned per micro-batch), so this
+    demonstrates the third join class beside stream-stream and
+    stateful aggregation.  availableNow + append to a memory sink; the
+    batch SQL oracle checks the exact same anti-join."""
+    import os
+
+    from chewdata_spark.streaming.ops import run_to_memory
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(path + "*")
+        .filter(F.col("doc_id") % 2 == 1)
+        .withColumn("_h", F.md5("text"))
+    )
+    seen = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("_h"))
+        .distinct()
+    )
+    survivors = stream.join(seen, "_h", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+    _STREAM_RUN["n"] += 1
+    return run_to_memory(survivors, f"_stream_ingest_dedup_{_STREAM_RUN['n']}")
+
+
+STREAM_INGEST_DEDUP_SQL = """
+SELECT n.doc_id, n.lang, n.source
+FROM documents n
+WHERE n.doc_id % 2 = 1
+  AND md5(n.text) NOT IN (
+      SELECT md5(text) FROM documents WHERE doc_id % 2 = 0
+  )
+"""
+
+
+QUERIES["stream_ingest_dedup"] = stream_ingest_dedup
+ORACLES["stream_ingest_dedup"] = STREAM_INGEST_DEDUP_SQL
