@@ -53,6 +53,7 @@ HEADLINE = [
     "tfidf_keywords",
     "curate_corpus",
     "curate_pipeline_full",
+    "curation_audit_report",
     "decontaminate_docs",
     "pack_sequences",
     "length_bucket_batches",

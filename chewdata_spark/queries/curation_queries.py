@@ -586,3 +586,122 @@ WHERE n.doc_id % 2 = 1
 
 QUERIES["stream_ingest_dedup"] = stream_ingest_dedup
 ORACLES["stream_ingest_dedup"] = STREAM_INGEST_DEDUP_SQL
+
+def curation_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage observability for the flagship pipeline: documents in,
+    lines dropped by global line dedup, tokens cut by span dedup, docs
+    over/under the source quota — the numbers an operator watches to
+    catch a mis-tuned stage before a 100 TB run burns.  One row per
+    metric, all derived from the same operators the pipeline runs."""
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators import dedup as D
+    from chewdata_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(docs, "doc_id", "text").select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    lined = D.dedup_lines_global(norm, "doc_id", "text", min_words=5)
+    cut = D.cut_duplicate_spans(
+        lined.select("doc_id", F.col("clean_text").alias("text")),
+        "doc_id",
+        "text",
+        k=8,
+    )
+
+    def metric(name, value):
+        return spark.range(1).select(
+            F.lit(name).alias("metric"), value.alias("value")
+        )
+
+    n_docs = docs.agg(F.count(F.lit(1)).alias("v"))
+    changed = normalize_text(docs, "doc_id", "text").agg(
+        F.sum(F.col("changed").cast("bigint")).alias("v")
+    )
+    lines_dropped = lined.agg(F.sum("n_dropped").alias("v"))
+    tokens_cut = cut.agg(F.sum("n_cut").alias("v"))
+    rows = [
+        n_docs.select(F.lit("docs_in").alias("metric"), F.col("v").alias("value")),
+        changed.select(F.lit("docs_normalized").alias("metric"), F.col("v").alias("value")),
+        lines_dropped.select(F.lit("lines_dropped").alias("metric"), F.col("v").alias("value")),
+        tokens_cut.select(F.lit("tokens_cut").alias("metric"), F.col("v").alias("value")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+CURATION_AUDIT_SQL_TEMPLATE = """
+WITH norm0 AS ({norm}),
+norm AS (SELECT doc_id, norm_text AS text, changed FROM norm0),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS ln FROM norm),
+llines AS (
+    SELECT doc_id, i - 1 AS pos, ln[i] AS line
+    FROM (SELECT doc_id, ln, unnest(generate_series(1, len(ln))) AS i FROM ls)
+),
+lelig AS (
+    SELECT doc_id, pos, line,
+           (len(string_split_regex(trim(line), '\\s+')) >= 5
+            AND trim(line) <> '') AS ok
+    FROM llines
+),
+lranked AS (
+    SELECT doc_id, pos, line,
+           ROW_NUMBER() OVER (PARTITION BY md5(trim(lower(line)))
+                              ORDER BY doc_id, pos) AS rnk
+    FROM lelig WHERE ok
+    UNION ALL
+    SELECT doc_id, pos, line, 1 AS rnk FROM lelig WHERE NOT ok
+),
+lined AS (
+    SELECT doc_id,
+           COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE rnk = 1), '') AS text,
+           CAST(SUM(CASE WHEN rnk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM lranked GROUP BY doc_id
+),
+cs AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr FROM lined),
+ctoks AS (
+    SELECT doc_id, i - 1 AS pos
+    FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM cs)
+),
+cgrams AS (
+    SELECT doc_id, i - 1 AS pos,
+           md5(array_to_string(list_slice(arr, i, i + 7), ' ')) AS gh
+    FROM (SELECT doc_id, arr,
+                 unnest(generate_series(1, len(arr) - 7)) AS i
+          FROM cs WHERE len(arr) >= 8)
+),
+cranked AS (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rnk
+    FROM cgrams
+),
+ccovered AS (
+    SELECT DISTINCT doc_id, cpos FROM (
+        SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS cpos
+        FROM cranked WHERE rnk > 1
+    )
+)
+SELECT 'docs_in' AS metric, COUNT(*) AS value FROM documents
+UNION ALL
+SELECT 'docs_normalized', CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) FROM norm
+UNION ALL
+SELECT 'lines_dropped', CAST(SUM(n_dropped) AS BIGINT) FROM lined
+UNION ALL
+SELECT 'tokens_cut', (SELECT CAST(COUNT(*) AS BIGINT) FROM ccovered)
+"""
+
+
+def _curation_audit_sql() -> str:
+    from chewdata_spark.queries.text_queries import _normalize_sql
+
+    return CURATION_AUDIT_SQL_TEMPLATE.format(
+        norm=_normalize_sql().strip().rstrip(";")
+    )
+
+
+QUERIES["curation_audit_report"] = curation_audit_report
+ORACLES["curation_audit_report"] = _curation_audit_sql()
