@@ -19,7 +19,17 @@ DEFAULT_PROCESSORS = '[{"type": "r"},{"type": "w"}]'
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
-    config = argv[0] if argv else DEFAULT_PROCESSORS
+    # reference CLI: `chewdata -f config.{json,hjson,yaml}` reads the
+    # step list from a file (src/main.rs:73-111); config auto-detects
+    # JSON vs YAML, which also covers common HJSON forms
+    if argv and argv[0] in ("-f", "--file"):
+        if len(argv) < 2:
+            print("usage: python -m chewdata_spark [-f CONFIG_FILE | 'CONFIG_JSON']", file=sys.stderr)
+            return 2
+        with open(argv[1], encoding="utf-8") as fh:
+            config = fh.read()
+    else:
+        config = argv[0] if argv else DEFAULT_PROCESSORS
 
     from chewdata_spark.pipeline import Pipeline
     from chewdata_spark.session import get_spark

@@ -137,3 +137,44 @@ def test_metadata_mime_subtype_path_holes(spark, tmp_path):
     ]
     df = Pipeline(read_cfg, spark).dataframe()
     assert sorted(r.a for r in df.collect()) == [1, 2]
+
+
+def test_main_config_file_flag(tmp_path):
+    """`python -m chewdata_spark -f config.yaml` reads the step list
+    from a file (reference src/main.rs:73-111)."""
+    import json
+    import subprocess
+
+    cfg = tmp_path / "steps.yaml"
+    cfg.write_text(
+        "- type: r\n"
+        "- type: t\n"
+        "  actions:\n"
+        "    - field: doubled\n"
+        "      pattern: '{{ input.a * 2 }}'\n"
+        "- type: w\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "chewdata_spark", "-f", str(cfg)],
+        input='[{"a": 3}]',
+        capture_output=True,
+        text=True,
+        timeout=180,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [json.loads(l) for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    assert rows and rows[0]["doubled"] == 6
+
+
+def test_main_file_flag_missing_arg_errors():
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "chewdata_spark", "--file"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 2 and "usage" in proc.stderr
