@@ -49,6 +49,7 @@ HEADLINE = [
     "normalize_documents",
     "sentence_segments",
     "quality_score",
+    "curriculum_phases",
     "corpus_top_terms",
     "tfidf_keywords",
     "curate_corpus",

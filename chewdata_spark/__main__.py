@@ -22,6 +22,11 @@ def main(argv: list[str] | None = None) -> int:
     # reference CLI: `chewdata -f config.{json,hjson,yaml}` reads the
     # step list from a file (src/main.rs:73-111); config auto-detects
     # JSON vs YAML, which also covers common HJSON forms
+    if argv and argv[0] in ("-V", "--version"):
+        from chewdata_spark import __version__
+
+        print(__version__)
+        return 0
     if argv and argv[0] in ("-f", "--file"):
         if len(argv) < 2:
             print("usage: python -m chewdata_spark [-f CONFIG_FILE | 'CONFIG_JSON']", file=sys.stderr)

@@ -410,3 +410,49 @@ FROM (SELECT doc_id, ss, unnest(generate_series(1, len(ss))) AS i FROM segs)
 
 QUERIES["sentence_segments"] = sentence_segments
 ORACLES["sentence_segments"] = SENTENCES_SQL
+
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: documents band into 3 training phases by
+    quality score (easy/high-quality first).  A pure projection over
+    the quality expression — fixed band edges, no global sort, no
+    ntile (an ntile over the corpus would be a single-partition window
+    at scale)."""
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators.text import _quality_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = _quality_expr("text")
+    phase = (
+        F.when(q >= 0.8, 1).when(q >= 0.6, 2).otherwise(3).cast("int")
+    )
+    return docs.select(
+        "doc_id", q.alias("quality"), phase.alias("phase")
+    )
+
+
+CURRICULUM_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct
+    FROM documents
+),
+q AS (
+    SELECT doc_id,
+           ROUND(0.4 * least(CAST(n_chars AS DOUBLE) / 200.0, 1.0)
+               + 0.3 * (1 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0))
+               + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)), 6) AS quality
+    FROM d
+)
+SELECT doc_id, quality,
+       CAST(CASE WHEN quality >= 0.8 THEN 1
+                 WHEN quality >= 0.6 THEN 2
+                 ELSE 3 END AS INT) AS phase
+FROM q
+"""
+
+
+QUERIES["curriculum_phases"] = curriculum_phases
+ORACLES["curriculum_phases"] = CURRICULUM_SQL

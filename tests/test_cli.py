@@ -178,3 +178,13 @@ def test_main_file_flag_missing_arg_errors():
         cwd="/root/repo",
     )
     assert proc.returncode == 2 and "usage" in proc.stderr
+
+
+def test_main_version_flag():
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "chewdata_spark", "--version"],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+    )
+    assert proc.returncode == 0 and proc.stdout.strip()
