@@ -53,8 +53,12 @@ VARIANTS = {
 # join, sessionization, and a raw-timestamp-output projection
 QUERY_NAMES = [
     "q1_pricing_summary",
-    "q12_ship_delay_priority",
+    "q4_late_order_priority",   # interval arithmetic in a join condition
+    "q6_forecast_revenue",      # timestamp-literal range filters
+    "q12_ship_delay_priority",  # datediff bucketing over both tables
     "events_asof_orders",
+    "events_gap_fill",          # grid resample over ts
+    "running_daily_revenue",    # date_trunc windowing
     "sessionize_events",
     "user_event_gaps",
 ]
