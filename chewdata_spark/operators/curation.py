@@ -275,6 +275,46 @@ def weighted_mix(
     return out.filter(keep).drop("_w")
 
 
+def _bucketed_rank(
+    hashed: DataFrame,
+    part_cols: list[str],
+    key_col: str,
+    *,
+    bucket_len: int = 4,
+) -> DataFrame:
+    """1-based rank within ``part_cols`` ordered by ``(_h, key_col)``
+    as a two-level distributed prefix sum — the shared machinery of
+    :func:`shard_shuffle` / :func:`stratum_quota` /
+    :func:`length_bucket_batches`.
+
+    ``hashed`` must carry a hex ``_h`` column.  The corpus-sized window
+    partitions by (part_cols, ``_b`` = first ``bucket_len`` chars of
+    ``_h``) — a string PREFIX, so bucket order agrees with ``_h``
+    order; the cumulative bucket offsets come from a tiny per-bucket
+    aggregate.  No window partition ever spans a whole part.  Adds
+    ``_rank``; temp columns are dropped (``_h`` is left for callers).
+    """
+    bucketed = hashed.withColumn("_b", F.substring("_h", 1, bucket_len))
+    local = F.row_number().over(
+        Window.partitionBy(*part_cols, "_b").orderBy("_h", key_col)
+    )
+    ranked = bucketed.withColumn("_r", local)
+    counts = bucketed.groupBy(*part_cols, "_b").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *part_cols, "_b", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+    return (
+        ranked.join(offsets, [*part_cols, "_b"])
+        .withColumn("_rank", F.col("_off") + F.col("_r"))
+        .drop("_b", "_r", "_off")
+    )
+
+
 def shard_shuffle(
     df: DataFrame,
     key_col: str,
@@ -315,28 +355,15 @@ def shard_shuffle(
         return F.expr(f"locate(substring(_h, {i}, 1), '0123456789abcdef') - 1")
 
     shard_v = digit(1) * 4096 + digit(2) * 256 + digit(3) * 16 + digit(4)
-    hashed = (
-        df.withColumn("_h", h)
-        .withColumn("shard", (shard_v % num_shards).cast("int"))
-        .withColumn("_b", F.substring("_h", 1, 6))
+    hashed = df.withColumn("_h", h).withColumn(
+        "shard", (shard_v % num_shards).cast("int")
     )
-    local = F.row_number().over(Window.partitionBy("_b").orderBy("_h", key_col))
-    ranked = hashed.withColumn("_r", local)
-    # tiny aggregate: ≤16^6 rows of (bucket, shard, count); the
-    # cumulative sum windows over ≤16^6/num_shards rows per shard
-    counts = hashed.groupBy("_b", "shard").agg(F.count(F.lit(1)).alias("_n"))
-    off_w = (
-        Window.partitionBy("shard")
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "_b", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
-    )
+    # 6-char buckets: extends the 4 shard digits, so bucket → shard and
+    # the (shard, bucket) window partitions stay slivers of a shard
     return (
-        ranked.join(offsets, "_b")
-        .withColumn("pos", (F.col("_off") + F.col("_r")).cast("bigint"))
-        .drop("_h", "_b", "_r", "_off")
+        _bucketed_rank(hashed, ["shard"], key_col, bucket_len=6)
+        .withColumn("pos", F.col("_rank").cast("bigint"))
+        .drop("_h", "_rank")
     )
 
 
@@ -398,26 +425,11 @@ def stratum_quota(
     if max_per_stratum < 1:
         raise ValueError(f"max_per_stratum must be >= 1, got {max_per_stratum}")
     h = F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
-    hashed = df.withColumn("_h", h).withColumn("_b", F.substring("_h", 1, 4))
-    local = F.row_number().over(
-        Window.partitionBy(strata_col, "_b").orderBy("_h", key_col)
-    )
-    ranked = hashed.withColumn("_r", local)
-    counts = hashed.groupBy(strata_col, "_b").agg(F.count(F.lit(1)).alias("_n"))
-    off_w = (
-        Window.partitionBy(strata_col)
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        strata_col,
-        "_b",
-        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"),
-    )
+    hashed = df.withColumn("_h", h)
     return (
-        ranked.join(offsets, [strata_col, "_b"])
-        .filter(F.col("_off") + F.col("_r") <= max_per_stratum)
-        .drop("_h", "_b", "_r", "_off")
+        _bucketed_rank(hashed, [strata_col], key_col)
+        .filter(F.col("_rank") <= max_per_stratum)
+        .drop("_h", "_rank")
     )
 
 
@@ -452,27 +464,13 @@ def length_bucket_batches(
             F.floor(F.log2(F.greatest(F.col("n_tokens"), F.lit(1)))).cast("int"),
         )
         .withColumn("_h", h)
-        .withColumn("_b", F.substring("_h", 1, 4))
     )
-    local = F.row_number().over(
-        Window.partitionBy("len_bucket", "_b").orderBy("_h", id_col)
-    )
-    ranked = hashed.withColumn("_r", local)
-    counts = hashed.groupBy("len_bucket", "_b").agg(F.count(F.lit(1)).alias("_n"))
-    off_w = (
-        Window.partitionBy("len_bucket")
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "len_bucket", "_b", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
-    )
-    rank = F.col("_off") + F.col("_r") - 1  # 0-based within bucket
+    rank = F.col("_rank") - 1  # 0-based within bucket
     return (
-        ranked.join(offsets, ["len_bucket", "_b"])
+        _bucketed_rank(hashed, ["len_bucket"], id_col)
         .withColumn("batch_idx", F.floor(rank / batch_size).cast("bigint"))
         .withColumn("slot", (rank % batch_size).cast("int"))
-        .drop("_h", "_b", "_r", "_off")
+        .drop("_h", "_rank")
     )
 
 
@@ -495,7 +493,11 @@ def packed_sequence_map(
     fragment's first slot inside the sequence and doc_offset its first
     token inside the document.
     """
-    packed = pack_sequences(df, id_col, token_count_col, seq_len=seq_len)
+    # zero-token docs have last_seq < first_seq; sequence() would
+    # DESCEND and emit phantom fragments — they own no slots, drop them
+    packed = pack_sequences(df, id_col, token_count_col, seq_len=seq_len).filter(
+        F.col("n_tokens") > 0
+    )
     s = F.col("seq_id")
     doc_start = F.col("start_offset")
     doc_end = doc_start + F.col("n_tokens")  # exclusive

@@ -386,17 +386,47 @@ def _frame_stage(df: DataFrame, kernel) -> DataFrame:
 
 def _av_frame_kernel(content_col: str, n_frames: int):
     """Real video frame sampler: decode with PyAV/ffmpeg, grab
-    ``n_frames`` uniformly spaced frames."""
+    ``n_frames`` uniformly spaced frames as raw RGB24 bytes.
+
+    Decodes the stream once and indexes uniformly — correct for any
+    codec; keyframe-seek sampling is the optimization when inputs are
+    long (this kernel's contract is the row shape, shared with the
+    fake twin)."""
 
     def kernel(pdf):
         try:
-            import av  # noqa: F401
+            import av
         except ImportError as e:
             raise NotImplementedError(
                 "video frame sampling requires PyAV/ffmpeg; "
                 "use fake_sample_frames for plumbing tests"
             ) from e
-        raise NotImplementedError("real frame decode not exercised in this sandbox")
+        import io
+
+        import pandas as pd
+
+        rows = []
+        for _, row in pdf.iterrows():
+            b = bytes(row[content_col])
+            with av.open(io.BytesIO(b)) as container:
+                stream = container.streams.video[0]
+                frames = list(container.decode(stream))
+            if not frames:
+                continue
+            step_idx = [
+                (len(frames) - 1) * i // max(n_frames - 1, 1)
+                for i in range(min(n_frames, len(frames)))
+            ]
+            for j, fi in enumerate(dict.fromkeys(step_idx)):
+                fr = frames[fi]
+                out = dict(row)
+                out["frame_idx"] = j
+                out["frame_ms"] = int((fr.time or 0.0) * 1000)
+                out["frame"] = fr.to_ndarray(format="rgb24").tobytes()
+                rows.append(out)
+        return pd.DataFrame(
+            rows, columns=list(pdf.columns) + ["frame_idx", "frame_ms", "frame"]
+        )
 
     return kernel
 

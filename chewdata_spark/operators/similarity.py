@@ -403,9 +403,12 @@ def srp_signatures(
 
     first = df.select(vec_col).first()
     if first is None:
-        return df.sparkSession.createDataFrame(
-            [], f"vec_id long, vec array<float>, sig array<int>"
-        )
+        # schema must mirror the non-empty path (input-derived types),
+        # or downstream joins fail only on the empty case
+        empty = df.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+        ).withColumn("sig", F.array().cast("array<int>"))
+        return empty.limit(0)
     dim = len(first[0])
     rng = np.random.default_rng(seed)
     proj = rng.standard_normal((n_bits, dim))
@@ -476,12 +479,15 @@ def srp_topk(
         .select("qid", "vec_id")
         .distinct()
     )
+    # vectors come back from the ORIGINAL inputs, not the signature
+    # stage: mapInPandas subtrees have no exchange to reuse, so pulling
+    # vec out of c_sigs/q_sigs would run the projection GEMM over the
+    # whole corpus a second time per action
+    c_vecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    q_vecs = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     scored = (
-        cand.join(c_sigs.select("vec_id", "vec"), "vec_id")
-        .join(
-            F.broadcast(q_sigs.select(F.col("vec_id").alias("qid"), F.col("vec").alias("qvec"))),
-            "qid",
-        )
+        cand.join(c_vecs, "vec_id")
+        .join(F.broadcast(q_vecs), "qid")
         .select("qid", "vec_id", F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())

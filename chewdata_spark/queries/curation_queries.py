@@ -173,7 +173,8 @@ SELECT doc_id, lang, source, epoch
 FROM c
 WHERE epoch <= CAST(floor(wt) AS INT)
    OR substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), 1, 4)
-      < printf('%04x', CAST(round((wt % 1) * 65536) AS INT))
+      < (CASE WHEN CAST(round((wt % 1) * 65536) AS INT) >= 65536 THEN 'g000'
+              ELSE printf('%04x', CAST(round((wt % 1) * 65536) AS INT)) END)
 """
 
 
@@ -609,11 +610,6 @@ def curation_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         k=8,
     )
-
-    def metric(name, value):
-        return spark.range(1).select(
-            F.lit(name).alias("metric"), value.alias("value")
-        )
 
     n_docs = docs.agg(F.count(F.lit(1)).alias("v"))
     changed = normalize_text(docs, "doc_id", "text").agg(

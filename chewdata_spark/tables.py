@@ -53,10 +53,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # bigint→timestamp repair always target the right columns.
     ns_cols: set[str] = set()
     try:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         ns_cols = {
-            f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"
+            f.name
+            for f in pq.read_schema(path)
+            # unit check, not string match: tz-annotated nanos
+            # ("timestamp[ns, tz=UTC]") must repair too
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
         }
     except Exception:
         pass  # directory datasets etc. — fall back to the name rule
