@@ -31,7 +31,13 @@ def _canon(v):
         if math.isnan(v):
             return "nan"
         return repr(v)
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        # tz-annotated parquet makes DuckDB return aware datetimes while
+        # Spark collects naive (session UTC) — same instant, one form
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return str(v)
+    if isinstance(v, datetime.date):
         return str(v)
     return f"{type(v).__name__}:{v!r}"
 

@@ -47,6 +47,13 @@ VARIANTS = {
         "orders": pa.timestamp("ns"),
         "events": pa.timestamp("ns"),
     },
+    # tz-annotated nanos: detection must key on the arrow unit, not the
+    # exact "timestamp[ns]" string (code-review finding, round 5)
+    "ns_utc": {
+        "lineitem": pa.timestamp("ns", tz="UTC"),
+        "orders": pa.timestamp("ns", tz="UTC"),
+        "events": pa.timestamp("ns", tz="UTC"),
+    },
 }
 
 # date-heavy oracle-backed queries: filters, datediff buckets, as-of
