@@ -43,6 +43,7 @@ HEADLINE = [
     "fingerprint_winnowing",
     "cosine_topk",
     "ann_srp_topk",
+    "hybrid_search_topk",
     "embedding_near_dup",
     "embedding_near_dup_clustered",
     "text_stats",

@@ -278,3 +278,86 @@ ORACLES = {
     "cosine_topk": COSINE_TOPK_SQL,
     "embedding_near_dup": NEAR_DUP_SQL,
 }
+
+def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern retrieval shape, retrieve-then-rerank: lexical recall
+    (candidates share >= 2 distinct terms with the query doc) followed
+    by embedding-cosine re-ranking — documents and embeddings join on
+    their aligned ids.
+
+    Scale shape: distinct doc terms pre-aggregate before the term
+    semi-join (the query side broadcasts — a handful of docs); cosine
+    runs ONLY on candidates; the final top-k is a per-query window.
+    Fully oracle-backed."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("term"),
+    )
+    q_toks = toks.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qid"), "term"
+    )
+    cand = (
+        toks.join(F.broadcast(q_toks), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_terms"))
+        .filter(F.col("n_shared_terms") >= 2)
+    )
+    e_d = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("dv"))
+    e_q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        cand.join(e_d, "doc_id")
+        .join(F.broadcast(e_q), "qid")
+        .select(
+            "qid",
+            "doc_id",
+            "n_shared_terms",
+            F.round(similarity.cosine(F.col("qv"), F.col("dv")), 6).alias("sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+HYBRID_SEARCH_SQL = f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+),
+q AS (SELECT doc_id AS qid, term FROM toks WHERE doc_id < 3),
+cand AS (
+    SELECT q.qid, t.doc_id, COUNT(*) AS n_shared_terms
+    FROM toks t JOIN q ON t.term = q.term AND t.doc_id <> q.qid
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+    SELECT c.qid, c.doc_id, c.n_shared_terms,
+           ROUND({_COS.format(a='eq.v', b='ed.v')}, 6) AS sim
+    FROM cand c
+    JOIN e ed ON ed.vec_id = c.doc_id
+    JOIN e eq ON eq.vec_id = c.qid
+)
+SELECT qid, doc_id, n_shared_terms, sim, CAST(rk AS INT) AS rank FROM (
+    SELECT qid, doc_id, n_shared_terms, sim,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, doc_id ASC) AS rk
+    FROM scored
+) WHERE rk <= 5
+"""
+
+
+QUERIES["hybrid_search_topk"] = hybrid_search_topk
+ORACLES["hybrid_search_topk"] = HYBRID_SEARCH_SQL
