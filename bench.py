@@ -33,6 +33,7 @@ HEADLINE = [
     "transformer_actions",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_md5",
     "dedup_ngram_jaccard",
     "dedup_clean_corpus_lsh",
     "dedup_clean_corpus_lsh_cc",

@@ -133,6 +133,40 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 32,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Cross-engine-reproducible MinHash: permutation ``j``'s hash is
+    ``md5(j || '|' || shingle)`` and the signature element is the
+    lexicographic MIN of the hex digest.
+
+    md5 produces the identical lowercase hex string in every engine, so
+    a SQL oracle (DuckDB/Trino/Postgres) recomputes the signature — and
+    therefore the exact LSH candidate set — verbatim, unlike the
+    xxhash64-seeded :func:`minhash_signatures` fast path.  The plan
+    shape is the same: codegen shingle rows, one groupBy(id) shuffle
+    carrying ``num_perm`` min aggregates with map-side partial
+    aggregation.  Hex-string signatures shuffle 32 bytes/perm instead
+    of 8 — use this as the verification twin, the xxhash64 path at
+    scale.
+    """
+    ex = _shingle_rows(df, id_col, text_col, shingle_size).dropDuplicates(["id", "s"])
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(j)), F.col("s")))).alias(f"m{j}")
+        for j in range(num_perm)
+    ]
+    return ex.groupBy("id").agg(*aggs, F.collect_set("s").alias("shingles")).select(
+        "id",
+        "shingles",
+        F.array(*[F.col(f"m{j}") for j in range(num_perm)]).alias("sig"),
+    )
+
+
 def minhash_candidate_pairs(
     sigs: DataFrame,
     *,
@@ -449,6 +483,67 @@ def dedup_lines_global(
             ).alias("clean_text"),
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(F.when(F.col("_rank") > 1, 1).otherwise(0)).alias("n_dropped"),
+        )
+        .select("doc_id", "clean_text", "n_lines", "n_dropped")
+    )
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 5,
+) -> DataFrame:
+    """Intra-document repeated-line removal (the C4 "three-sentence /
+    repeated-line" rule applied per document): a line that occurs more
+    than once *within the same document* keeps only its first
+    occurrence; other documents are unaffected.  Complements
+    :func:`dedup_lines_global` (nav bars / boilerplate repeated inside
+    one page vs. across the corpus).  Lines shorter than ``min_words``
+    words are kept verbatim — every occurrence.
+
+    Scale shape: one window shuffle keyed on (doc_id, line-hash) — the
+    doc_id component makes partitions bounded by document size, so no
+    corpus-wide hot key is possible — then a groupBy(doc_id) reassembly.
+    Both shuffles are map-side combinable and near-uniform.
+
+    Returns (doc_id, clean_text, n_lines, n_dropped).
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    eligible = (
+        F.size(F.split(F.trim(F.col("line")), r"\s+")) >= min_words
+    ) & (F.trim(F.col("line")) != "")
+    # one unified window is safe here (unlike the global variant): the
+    # partition key includes doc_id, so ineligible lines cannot create
+    # a corpus-sized partition, and they can't share a hash with an
+    # eligible line (eligibility is a function of the line text).
+    ranked = lines.withColumn("_elig", eligible).withColumn(
+        "_rank",
+        F.row_number().over(
+            Window.partitionBy(
+                "doc_id", F.md5(F.trim(F.lower(F.col("line"))))
+            ).orderBy("pos")
+        ),
+    )
+    keep = (F.col("_rank") == 1) | ~F.col("_elig")
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("pos", "line")))
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(~keep, 1).otherwise(0)).alias("n_dropped"),
         )
         .select("doc_id", "clean_text", "n_lines", "n_dropped")
     )

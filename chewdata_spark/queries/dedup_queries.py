@@ -87,6 +87,69 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidate_pairs(sigs, num_perm=64, bands=16, jaccard_threshold=0.5)
 
 
+def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH with the *portable* md5-seeded hash family
+    (operators/dedup.py::minhash_signatures_portable): md5 is identical
+    in every engine, so the DuckDB oracle recomputes signatures, LSH
+    buckets AND the verified pair set verbatim — upgrading MinHash-LSH
+    from a rows-only check to a full value-hash check.  32 perms x 16
+    bands (rows-per-band 2): candidate recall ≈ 99% at Jaccard 0.5,
+    ~100% at 0.8; exact-Jaccard verification then makes the output
+    deterministic regardless of banding recall on true pairs found."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures_portable(
+        docs, "doc_id", "text", num_perm=32, shingle_size=3
+    )
+    return dedup.minhash_candidate_pairs(
+        sigs, num_perm=32, bands=16, jaccard_threshold=0.5
+    )
+
+
+_MD5_SIG_COLS = ",\n           ".join(
+    f"MIN(md5('{j}|' || shingle)) AS m{j}" for j in range(32)
+)
+_MD5_BAND_ROWS = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, {b} AS band_idx, m{2 * b} || '|' || m{2 * b + 1} AS bh FROM sig"
+    for b in range(16)
+)
+# Same trigram shingles as NGRAM_JACCARD_SQL; signature element j =
+# MIN(md5('j|' || shingle)) — bit-identical to the Spark side, so the
+# bucket equalities (bh) reproduce the exact candidate set.
+MINHASH_MD5_SQL = f"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+    FROM d
+), e AS (
+    SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh
+), sig AS (
+    SELECT doc_id,
+           {_MD5_SIG_COLS}
+    FROM e GROUP BY doc_id
+), bands AS (
+{_MD5_BAND_ROWS}
+), cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), inter AS (
+    SELECT c.id_a, c.id_b, ea.n_sh AS n_a, eb.n_sh AS n_b, COUNT(*) AS inter
+    FROM cand c
+    JOIN e ea ON ea.doc_id = c.id_a
+    JOIN e eb ON eb.doc_id = c.id_b AND ea.shingle = eb.shingle
+    GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       ROUND(inter * 1.0 / (n_a + n_b - inter), 6) AS jaccard
+FROM inter
+WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 near-dup candidates (hamming ≤ 6, 8 bands).  Rows-only."""
     docs = load_table(spark, sf_dir, "documents")
@@ -359,6 +422,39 @@ GROUP BY doc_id
 """
 
 
+def dedup_lines_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal (C4's per-page rule) —
+    operators/dedup.py::dedup_lines_within_doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_lines_within_doc(docs, "doc_id", "text", min_words=5)
+
+
+DEDUP_LINES_WITHIN_DOC_SQL = """
+WITH s AS (
+    SELECT doc_id, string_split(text, chr(10)) AS ln FROM documents
+),
+lines AS (
+    SELECT doc_id, i - 1 AS pos, ln[i] AS line
+    FROM (SELECT doc_id, ln, unnest(generate_series(1, len(ln))) AS i FROM s)
+),
+ranked AS (
+    SELECT doc_id, pos, line,
+           (len(string_split_regex(trim(line), '\\s+')) >= 5
+            AND trim(line) <> '') AS ok,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, md5(trim(lower(line)))
+                              ORDER BY pos) AS rnk
+    FROM lines
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE rnk = 1 OR NOT ok), '') AS clean_text,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN ok AND rnk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 def dedup_cut_spans_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span REMOVAL (the other half of Lee et al. dedup): non-first
     k-gram occurrences mark their tokens for cutting; docs reassemble
@@ -416,6 +512,7 @@ QUERIES = {
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "dedup_cut_spans_corpus": dedup_cut_spans_corpus,
     "dedup_lines_global": dedup_lines_global,
+    "dedup_lines_within_doc": dedup_lines_within_doc,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_clean_corpus_cc": dedup_clean_corpus_cc,
     "dedup_clean_corpus_lsh_cc": dedup_clean_corpus_lsh_cc,
@@ -424,6 +521,7 @@ QUERIES = {
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_md5": dedup_minhash_lsh_md5,
     "dedup_simhash": dedup_simhash,
 }
 
@@ -432,11 +530,13 @@ ORACLES = {
     "dedup_duplicate_spans": DUPLICATE_SPANS_SQL,
     "dedup_cut_spans_corpus": CUT_SPANS_SQL,
     "dedup_lines_global": DEDUP_LINES_SQL,
+    "dedup_lines_within_doc": DEDUP_LINES_WITHIN_DOC_SQL,
     "dedup_cluster_components": CLUSTER_COMPONENTS_SQL,
     "dedup_clean_corpus_cc": CLEAN_CORPUS_CC_SQL,
     "dedup_clean_corpus": CLEAN_CORPUS_SQL,
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh_md5": MINHASH_MD5_SQL,
 }
 
 def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
