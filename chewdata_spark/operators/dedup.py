@@ -264,12 +264,47 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sums.select("id", fp.alias("simhash"))
 
 
+def simhash_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash whose per-token hash bits come from the md5 hex
+    digest — bit-identical in every engine with md5, so a SQL oracle
+    reproduces the fingerprints (and the banded candidate pairs)
+    verbatim, unlike the xxhash64 :func:`simhash64` fast path.
+
+    bit i = sign of sum over distinct tokens of (2*b_i - 1), where b_i
+    is bit (3 - i%4) of hex digit i//4 of md5(token).  Same plan shape
+    as :func:`simhash64`: one projection per token row, 32 codegen'd
+    sum aggregates, one groupBy(id) shuffle, no collect.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("t"),
+    ).withColumn("h", F.md5("t"))
+    aggs = []
+    for i in range(32):
+        p, shift = i // 4 + 1, 3 - (i % 4)
+        dv = F.expr(f"instr('0123456789abcdef', substr(h, {p}, 1)) - 1")
+        bit = F.shiftright(dv, shift).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"b{i}"))
+    sums = ex.groupBy("id").agg(*aggs)
+    fp = None
+    for i in range(32):
+        bit = (
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        piece = F.shiftleft(bit, i)
+        fp = piece if fp is None else fp.bitwiseOR(piece)
+    return sums.select("id", fp.alias("simhash"))
+
+
 def simhash_candidate_pairs(
-    fps: DataFrame, *, bands: int = 4, max_hamming: int = 3
+    fps: DataFrame, *, bands: int = 4, max_hamming: int = 3, bits: int = 64
 ) -> DataFrame:
-    """Band the 64-bit fingerprint into ``bands`` chunks; exact match on
-    any chunk → candidate; verify with ``bit_count(a XOR b)``."""
-    width = 64 // bands
+    """Band the ``bits``-bit fingerprint into ``bands`` chunks; exact
+    match on any chunk → candidate; verify with ``bit_count(a XOR b)``."""
+    width = bits // bands
     mask = (1 << width) - 1
     band_cols = F.array(
         *[

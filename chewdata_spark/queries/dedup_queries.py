@@ -157,6 +157,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_candidate_pairs(fps, bands=8, max_hamming=6)
 
 
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 32-bit SimHash (md5-derived bits,
+    operators/dedup.py::simhash_portable) + 4-band bucketing, verified
+    to Hamming ≤ 3 — the fully oracle-backed twin of `dedup_simhash`
+    (whose xxhash64 bits are not reproducible in SQL).  Hamming ≤ 2 of
+    32 bits — tighter than the 64-bit twin's ≤ 6 because half the bits
+    double each bit's collision rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dedup.simhash_portable(docs, "doc_id", "text")
+    return dedup.simhash_candidate_pairs(fps, bands=4, max_hamming=2, bits=32)
+
+
+def _simhash_bit_sql(i: int) -> str:
+    p, shift = i // 4 + 1, 3 - (i % 4)
+    return (
+        f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+        f" >> {shift}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    )
+
+
+_SIMHASH_BIT_SUMS = ",\n           ".join(_simhash_bit_sql(i) for i in range(32))
+_SIMHASH_FP = " | ".join(
+    f"((CASE WHEN b{i} > 0 THEN 1 ELSE 0 END)::BIGINT << {i})" for i in range(32)
+)
+SIMHASH_MD5_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, md5(t) AS h
+    FROM (SELECT doc_id,
+                 unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS t
+          FROM documents)
+), bits AS (
+    SELECT doc_id,
+           {_SIMHASH_BIT_SUMS}
+    FROM toks GROUP BY doc_id
+), fp AS (
+    SELECT doc_id, {_SIMHASH_FP} AS simhash FROM bits
+), bands AS (
+    SELECT doc_id, simhash, b AS band_idx, (simhash >> (b * 8)) & 255 AS band_val
+    FROM fp, (SELECT unnest(generate_series(0, 3)) AS b)
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2
+"""
+
+
 def dedup_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end dedup output: the corpus with near-duplicates
     removed (greedy keep-lowest-id per pair, trigram Jaccard ≥ 0.5).
@@ -523,6 +574,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_md5": dedup_minhash_lsh_md5,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_md5": dedup_simhash_md5,
 }
 
 ORACLES = {
@@ -537,6 +589,7 @@ ORACLES = {
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh_md5": MINHASH_MD5_SQL,
+    "dedup_simhash_md5": SIMHASH_MD5_SQL,
 }
 
 def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
