@@ -402,6 +402,34 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def filter_by_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    drop_frac: float = 0.1,
+) -> DataFrame:
+    """Perplexity-style quality gate: score every document with
+    :func:`unigram_logprob` and drop the worst ``drop_frac`` of the
+    corpus (lowest mean token log-probability — the CCNet/KenLM
+    filtering recipe with the corpus's own unigram LM as the model).
+
+    The threshold is the exact ``drop_frac`` quantile of the per-doc
+    scores: one extra single-row aggregate broadcast back — no sort of
+    the corpus, no collect.  Returns the surviving manifest
+    ``(doc_id, n_tokens, avg_logprob)``.
+    """
+    scores = unigram_logprob(df, id_col, text_col)
+    thr = scores.agg(
+        F.percentile("avg_logprob", F.lit(drop_frac)).alias("_thr")
+    )
+    return (
+        scores.crossJoin(F.broadcast(thr))
+        .filter(F.col("avg_logprob") >= F.col("_thr"))
+        .select("doc_id", "n_tokens", "avg_logprob")
+    )
+
+
 def stratum_quota(
     df: DataFrame,
     strata_col: str,

@@ -228,6 +228,35 @@ GROUP BY t.doc_id
 """
 
 
+def filter_docs_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity gate: drop the worst-scoring 10% of docs
+    under the corpus unigram LM — operators/curation.py::filter_by_logprob."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.filter_by_logprob(docs, "doc_id", "text", drop_frac=0.1)
+
+
+FILTER_LOGPROB_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+),
+vocab AS (SELECT term, COUNT(*) AS term_n FROM toks GROUP BY term),
+total AS (SELECT COUNT(*) AS n FROM toks),
+scores AS (
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS INT) AS n_tokens,
+           ROUND(AVG(ln(v.term_n * 1.0 / total.n)), 6) AS avg_logprob
+    FROM toks t JOIN vocab v USING (term), total
+    GROUP BY t.doc_id
+),
+thr AS (SELECT quantile_cont(avg_logprob, 0.1) AS t FROM scores)
+SELECT doc_id, n_tokens, avg_logprob
+FROM scores, thr
+WHERE avg_logprob >= thr.t
+"""
+
+
 _STREAM_RUN = {"n": 0}
 
 
@@ -329,6 +358,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "stratified_sample": stratified_sample,
     "unigram_logprob": unigram_logprob,
+    "filter_docs_logprob": filter_docs_logprob,
 }
 
 ORACLES = {
@@ -341,6 +371,7 @@ ORACLES = {
     "pack_sequences": PACK_SEQUENCES_SQL,
     "stratified_sample": _sample_sql(),
     "unigram_logprob": UNIGRAM_SQL,
+    "filter_docs_logprob": FILTER_LOGPROB_SQL,
 }
 
 

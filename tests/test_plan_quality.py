@@ -305,6 +305,22 @@ def test_unigram_logprob_single_corpus_explode(spark, sf_dir):
     assert "ReusedExchange" in final, final
 
 
+def test_filter_logprob_reuses_score_pipeline(spark, sf_dir):
+    # the quantile-threshold branch and the filter branch both hang off
+    # the unigram_logprob score pipeline: after execution the adaptive
+    # plan collapses to ONE corpus explode (single Generate) with the
+    # threshold side reading ReusedExchange — no second corpus pass,
+    # no collect.
+    from chewdata_spark.queries.curation_queries import filter_docs_logprob
+
+    df = filter_docs_logprob(spark, sf_dir)
+    df.collect()
+    plan = formatted_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate") == 1, final
+    assert "ReusedExchange" in final, final
+
+
 def test_q11_threshold_is_broadcast_not_collect(spark, sf_dir):
     from chewdata_spark.queries.tpch_rest import q11_important_parts
 
