@@ -402,6 +402,36 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    val_frac: float = 0.025,
+    test_frac: float = 0.025,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic held-out split assignment: every row gains a
+    ``split`` column ('train' | 'val' | 'test') decided by the first
+    16 bits of ``md5(salt | key)`` against the cumulative fraction
+    thresholds — the same engine-independent coin as
+    :func:`stratified_sample`, so re-runs, retries and other engines
+    reproduce the identical split (and a document can never migrate
+    between splits across pipeline runs — the leakage failure mode of
+    ``rand()``-based splitting).  Pure projection: zero shuffle.
+    """
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))), 1, 4
+    )
+    t_test = hex_threshold(test_frac)
+    t_val = hex_threshold(test_frac + val_frac)
+    split = (
+        F.when(h < F.lit(t_test), F.lit("test"))
+        .when(h < F.lit(t_val), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
 def filter_by_logprob(
     df: DataFrame,
     id_col: str,

@@ -72,3 +72,24 @@ def tokenize_corpus(
         )
         .select("doc_id", "n_tokens", F.col("s").getField("tid").alias("token_ids"))
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str, *, top_n: int = 10000) -> DataFrame:
+    """Zipf-law diagnostic: OLS fit of ln(frequency) on ln(rank) over
+    the top-``top_n`` vocabulary — the standard sanity check that a
+    scraped corpus has natural-language token statistics (slope ≈ -1)
+    rather than generated/boilerplate text.
+
+    Reuses :func:`build_vocab`: the global ordering is bounded by
+    TakeOrdered to ``top_n`` rows before any single-partition work, so
+    the fit costs one vocab aggregation regardless of corpus size.
+    Returns one row ``(n_terms, slope, intercept, r2)``.
+    """
+    v = build_vocab(df, text_col, top_k=top_n)
+    lr, lf = F.log(F.col("tid") + 1), F.log("term_n")
+    return v.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(lf, lr), 6).alias("slope"),
+        F.round(F.regr_intercept(lf, lr), 6).alias("intercept"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+    )

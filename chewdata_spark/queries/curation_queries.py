@@ -257,6 +257,27 @@ WHERE avg_logprob >= thr.t
 """
 
 
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 95/2.5/2.5 train/val/test assignment —
+    operators/curation.py::train_val_test_split."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = curation.train_val_test_split(docs, "doc_id")
+    return assigned.select("doc_id", "split")
+
+
+from chewdata_spark.operators.curation import hex_threshold as _hex_thr
+
+SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < '{_hex_thr(0.025)}' THEN 'test'
+            WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < '{_hex_thr(0.05)}' THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
 _STREAM_RUN = {"n": 0}
 
 
@@ -359,6 +380,7 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "unigram_logprob": unigram_logprob,
     "filter_docs_logprob": filter_docs_logprob,
+    "split_train_val_test": split_train_val_test,
 }
 
 ORACLES = {
@@ -372,6 +394,7 @@ ORACLES = {
     "stratified_sample": _sample_sql(),
     "unigram_logprob": UNIGRAM_SQL,
     "filter_docs_logprob": FILTER_LOGPROB_SQL,
+    "split_train_val_test": SPLIT_SQL,
 }
 
 

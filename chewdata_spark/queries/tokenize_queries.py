@@ -63,12 +63,43 @@ GROUP BY t.doc_id
 """
 
 
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law OLS fit over the top-10k vocabulary —
+    operators/tokenize.py::zipf_fit."""
+    from chewdata_spark.operators.tokenize import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", top_n=10000)
+
+
+ZIPF_SQL = """
+WITH toks AS (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+),
+vocab AS (SELECT term, COUNT(*) AS term_n FROM toks GROUP BY term),
+cut AS (SELECT term, term_n FROM vocab ORDER BY term_n DESC, term ASC LIMIT 10000),
+ranked AS (
+    SELECT term_n,
+           ROW_NUMBER() OVER (ORDER BY term_n DESC, term ASC) AS rank
+    FROM cut
+)
+SELECT COUNT(*) AS n_terms,
+       ROUND(regr_slope(ln(term_n), ln(rank)), 6) AS slope,
+       ROUND(regr_intercept(ln(term_n), ln(rank)), 6) AS intercept,
+       ROUND(regr_r2(ln(term_n), ln(rank)), 6) AS r2
+FROM ranked
+"""
+
+
 QUERIES = {
     "corpus_vocab_ids": corpus_vocab_ids,
     "tokenize_documents": tokenize_documents,
+    "corpus_zipf_fit": corpus_zipf_fit,
 }
 
 ORACLES = {
     "corpus_vocab_ids": VOCAB_SQL,
     "tokenize_documents": TOKENIZE_SQL,
+    "corpus_zipf_fit": ZIPF_SQL,
 }
