@@ -74,6 +74,55 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` most-similar corpus vectors whose label DIFFERS
+    from the query's — the examples a retrieval/embedding model most
+    confuses, which is exactly what its next training batch needs.
+
+    Same scale shape as :func:`cosine_topk`: the query batch is
+    broadcast, the corpus is scanned once, and the label filter runs
+    before the rank window so mined negatives never shuffle positives.
+    Output: (qid, vec_id, sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("clabel"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("clabel") != F.col("qlabel"))
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "sim", "rank")
+    )
+
+
 def assign_ivf_clusters(
     corpus: DataFrame,
     *,

@@ -258,8 +258,35 @@ SELECT vec_id, subspace, cid AS code FROM r WHERE rk = 1
 """
 
 
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: top-5 most-similar other-label
+    vectors per query — operators/similarity.py::hard_negative_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.hard_negative_topk(emb, queries, k=5)
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, label AS qlabel
+    FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+), scored AS (
+    SELECT qid, e.vec_id,
+           ROUND({_COS.format(a='qvec', b='e.embedding::DOUBLE[]')}, 6) AS sim
+    FROM q, embeddings e
+    WHERE e.vec_id <> qid AND e.label <> qlabel
+), ranked AS (
+    SELECT qid, vec_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT qid, vec_id, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "embedding_centroids": embedding_centroids,
+    "hard_negatives_topk": hard_negatives_topk,
     "pq_code_embeddings": pq_code_embeddings,
     "quantize_embeddings": quantize_embeddings,
     "cosine_topk": cosine_topk,
@@ -271,6 +298,7 @@ QUERIES = {
 
 ORACLES = {
     "embedding_centroids": CENTROIDS_SQL,
+    "hard_negatives_topk": HARD_NEGATIVES_SQL,
     "pq_code_embeddings": PQ_SQL,
     "ann_ivf_topk": IVF_TOPK_SQL,
     "embedding_near_dup_clustered": NEAR_DUP_CLUSTERED_SQL,
