@@ -658,11 +658,15 @@ def incremental_ingest_dedup(
     num_perm: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Daily-ingest deduplication: drop arriving documents that are
     exact OR near duplicates of the EXISTING corpus — the incremental
     form every production pipeline actually runs (re-clustering the
     full corpus per ingest would be quadratic in history).
+    ``portable=True`` swaps in the md5-seeded
+    :func:`minhash_signatures_portable` family so a SQL oracle can
+    reproduce the run bit-for-bit (use 32/16 perms/bands there).
 
     Two gates, cheapest first:
     1. exact — anti-join of md5(text) against the seen hash set (one
@@ -681,10 +685,11 @@ def incremental_ingest_dedup(
     new_hashed = new_df.withColumn("_h", F.md5(F.col(text_col)))
     exact_survivors = new_hashed.join(seen_hashes, "_h", "left_anti").drop("_h")
 
-    new_sigs = minhash_signatures(
+    sig_fn = minhash_signatures_portable if portable else minhash_signatures
+    new_sigs = sig_fn(
         exact_survivors, id_col, text_col, num_perm=num_perm, shingle_size=shingle_size
     )
-    seen_sigs = minhash_signatures(
+    seen_sigs = sig_fn(
         seen_df, id_col, text_col, num_perm=num_perm, shingle_size=shingle_size
     )
     rows_per_band = num_perm // bands

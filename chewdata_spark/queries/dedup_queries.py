@@ -608,3 +608,73 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_incremental_ingest"] = dedup_incremental_ingest
+
+
+def dedup_incremental_ingest_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same daily-ingest dedup with the portable md5 MinHash family
+    (32 perms / 16 bands) — fully oracle-backed: the SQL replays the
+    exact gate, signatures, band buckets, Jaccard verification and both
+    anti-joins bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    out = dedup.incremental_ingest_dedup(
+        new, seen, "doc_id", "text", num_perm=32, bands=16, portable=True
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+_INC_BAND_ROWS = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, {b} AS band_idx, m{2 * b} || '|' || m{2 * b + 1} AS bh FROM sig"
+    for b in range(16)
+)
+INCREMENTAL_INGEST_MD5_SQL = f"""
+WITH newd AS (
+    SELECT * FROM documents WHERE doc_id % 2 = 1
+), seenh AS (
+    SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+), exact_surv AS (
+    SELECT * FROM newd WHERE md5(text) NOT IN (SELECT h FROM seenh)
+), base AS (
+    SELECT doc_id, text FROM exact_surv
+    UNION ALL
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+), d AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM base
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+    FROM d
+), e AS (
+    SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh
+), sig AS (
+    SELECT doc_id,
+           {_MD5_SIG_COLS}
+    FROM e GROUP BY doc_id
+), bands AS (
+{_INC_BAND_ROWS}
+), cand AS (
+    SELECT a.doc_id AS new_id, b.doc_id AS seen_id
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.bh = b.bh
+    WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    GROUP BY 1, 2
+), inter AS (
+    SELECT c.new_id, ea.n_sh AS n_a, eb.n_sh AS n_b, COUNT(*) AS inter
+    FROM cand c
+    JOIN e ea ON ea.doc_id = c.new_id
+    JOIN e eb ON eb.doc_id = c.seen_id AND ea.shingle = eb.shingle
+    GROUP BY c.new_id, c.seen_id, ea.n_sh, eb.n_sh
+), confirmed AS (
+    SELECT DISTINCT new_id FROM inter
+    WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5
+)
+SELECT doc_id, lang, source FROM exact_surv
+WHERE doc_id NOT IN (SELECT new_id FROM confirmed)
+"""
+
+QUERIES["dedup_incremental_ingest_md5"] = dedup_incremental_ingest_md5
+ORACLES["dedup_incremental_ingest_md5"] = INCREMENTAL_INGEST_MD5_SQL
