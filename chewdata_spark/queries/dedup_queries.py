@@ -386,6 +386,74 @@ def dedup_clean_corpus_lsh_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clean_corpus_lsh_cc_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup path (LSH discovery → connected components
+    → anti-join) with the portable md5 MinHash family — fully
+    oracle-backed end to end: the SQL replays signatures, buckets,
+    verified pairs AND the transitive clustering (recursive CTE), so
+    the driver hash-checks the entire 100 TB-shaped pipeline."""
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators.graph import cluster_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures_portable(
+        docs, "doc_id", "text", num_perm=32, shingle_size=3
+    )
+    pairs = dedup.minhash_candidate_pairs(
+        sigs, num_perm=32, bands=16, jaccard_threshold=0.5
+    )
+    return cluster_dedup(docs, pairs, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+CLEAN_CORPUS_LSH_CC_MD5_SQL = f"""
+WITH RECURSIVE d AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+    FROM d
+), e AS (
+    SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh
+), sig AS (
+    SELECT doc_id,
+           {_MD5_SIG_COLS}
+    FROM e GROUP BY doc_id
+), bands AS (
+{_MD5_BAND_ROWS}
+), cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), inter AS (
+    SELECT c.id_a, c.id_b, ea.n_sh AS n_a, eb.n_sh AS n_b, COUNT(*) AS inter
+    FROM cand c
+    JOIN e ea ON ea.doc_id = c.id_a
+    JOIN e eb ON eb.doc_id = c.id_b AND ea.shingle = eb.shingle
+    GROUP BY 1, 2, 3, 4
+), pairs AS (
+    SELECT id_a, id_b FROM inter WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+), reach(node, lbl) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e2.u, r.lbl FROM edges e2 JOIN reach r ON e2.v = r.node
+), lab AS (
+    SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM lab WHERE node <> cluster_id)
+"""
+
+
 def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cross-document duplicated token spans (Lee et al. exact
     substring dedup) — see operators/dedup.py::duplicate_spans for the
@@ -567,6 +635,7 @@ QUERIES = {
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_clean_corpus_cc": dedup_clean_corpus_cc,
     "dedup_clean_corpus_lsh_cc": dedup_clean_corpus_lsh_cc,
+    "dedup_clean_corpus_lsh_cc_md5": dedup_clean_corpus_lsh_cc_md5,
     "dedup_clean_corpus": dedup_clean_corpus,
     "dedup_clean_corpus_lsh": dedup_clean_corpus_lsh,
     "dedup_fingerprint": dedup_fingerprint,
@@ -585,6 +654,7 @@ ORACLES = {
     "dedup_lines_within_doc": DEDUP_LINES_WITHIN_DOC_SQL,
     "dedup_cluster_components": CLUSTER_COMPONENTS_SQL,
     "dedup_clean_corpus_cc": CLEAN_CORPUS_CC_SQL,
+    "dedup_clean_corpus_lsh_cc_md5": CLEAN_CORPUS_LSH_CC_MD5_SQL,
     "dedup_clean_corpus": CLEAN_CORPUS_SQL,
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
