@@ -418,6 +418,14 @@ def curate_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     lined = D.dedup_lines_global(norm, "doc_id", "text", min_words=5).select(
         "doc_id", F.col("clean_text").alias("text")
     )
+    # stage-materialization boundary: span cutting consumes its input in
+    # several branches (token rows, gram rows, per-doc counts) and
+    # exchange reuse does not collapse them across this Window+Union
+    # shape — truncate lineage so normalize+line-dedup run ONCE
+    # (measured ~25% of the composed runtime at sf0.1; at production
+    # scale this is where the pipeline would persist the intermediate
+    # corpus between major passes anyway)
+    lined = lined.localCheckpoint(eager=False)
     cut = D.cut_duplicate_spans(lined, "doc_id", "text", k=8).select(
         "doc_id", "clean_text"
     )
