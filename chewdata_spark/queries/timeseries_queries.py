@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from chewdata_spark.operators.timeseries import resample_forward_fill
 from chewdata_spark.tables import load_table
@@ -39,5 +40,122 @@ FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
 """
 
 
-QUERIES = {"events_gap_fill": events_gap_fill}
-ORACLES = {"events_gap_fill": EVENTS_GAP_FILL_SQL}
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly OHLC resample (open/high/low/close of `value`):
+    one window (rank + partition count share the same sort) and one
+    aggregation — a single shuffle on (event_type, bucket).  First/last
+    tie-break on (ts, event_id) is total, so the result is
+    deterministic under any partitioning."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wp = Window.partitionBy("event_type", "bucket")
+    w = wp.orderBy("ts", "event_id")
+    ranked = b.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wp)
+    )
+    return ranked.groupBy("event_type", "bucket").agg(
+        F.round(F.max(F.when(F.col("rn") == 1, F.col("value"))), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(
+            F.max(F.when(F.col("rn") == F.col("cnt"), F.col("value"))), 6
+        ).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+EVENTS_OHLC_SQL = """
+WITH r AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type, date_trunc('hour', ts)) AS cnt
+    FROM events
+)
+SELECT event_type, bucket,
+       ROUND(MAX(CASE WHEN rn = 1 THEN value END), 6) AS open,
+       ROUND(MAX(value), 6) AS high,
+       ROUND(MIN(value), 6) AS low,
+       ROUND(MAX(CASE WHEN rn = cnt THEN value END), 6) AS close,
+       COUNT(*) AS n_events
+FROM r
+GROUP BY event_type, bucket
+"""
+
+
+def events_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-24-hour rolling sum of `value` — a RANGE-frame
+    window on microsecond epoch (one shuffle on user_id; the range
+    frame is a single ordered sweep per partition, no self-join)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("rolling_24h_sum"),
+    )
+
+
+EVENTS_ROLLING_SQL = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 86400 SECONDS PRECEDING
+                                        AND CURRENT ROW), 6) AS rolling_24h_sum
+FROM events
+"""
+
+
+def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly flagging: events whose `value` deviates ≥ 3 sample
+    standard deviations from their event_type's mean.  Two passes over
+    one aggregation: per-type stats broadcast back (AQE) — no window
+    over the raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sd")
+    )
+    z = (F.col("value") - F.col("_mu")) / F.col("_sd")
+    return (
+        ev.join(stats, "event_type")
+        .filter(F.abs(z) >= 3.0)
+        .select("event_id", "event_type", F.round(z, 6).alias("zscore"))
+    )
+
+
+EVENTS_ZSCORE_SQL = """
+WITH stats AS (
+    SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+    FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, ROUND((value - mu) / sd, 6) AS zscore
+FROM events e JOIN stats USING (event_type)
+WHERE ABS((value - mu) / sd) >= 3.0
+"""
+
+
+QUERIES = {
+    "events_gap_fill": events_gap_fill,
+    "events_ohlc_hourly": events_ohlc_hourly,
+    "events_rolling_24h": events_rolling_24h,
+    "events_value_zscore": events_value_zscore,
+}
+ORACLES = {
+    "events_gap_fill": EVENTS_GAP_FILL_SQL,
+    "events_ohlc_hourly": EVENTS_OHLC_SQL,
+    "events_rolling_24h": EVENTS_ROLLING_SQL,
+    "events_value_zscore": EVENTS_ZSCORE_SQL,
+}
