@@ -389,3 +389,95 @@ SELECT qid, doc_id, n_shared_terms, sim, CAST(rk AS INT) AS rank FROM (
 
 QUERIES["hybrid_search_topk"] = hybrid_search_topk
 ORACLES["hybrid_search_topk"] = HYBRID_SEARCH_SQL
+
+
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic lexical ranked retrieval: Okapi BM25 (k1=1.2, b=0.75)
+    scoring every corpus document against each query document's
+    distinct terms, top-10 per query.
+
+    Scale shape — one corpus tokenization feeding four branches that
+    all reuse the (doc_id, term) exchange: term frequencies, document
+    lengths, document frequencies and the (broadcast) query term sets;
+    the corpus-level N/avgdl constants ride a one-row broadcast, the
+    per-(qid, doc) score is a single sum aggregation and the top-k is a
+    qid-partitioned window.  No collect, no window over the raw corpus.
+    Fully oracle-backed."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    qterms = tf.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qid"), "term"
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(df_t, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+BM25_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+df_t AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+qterms AS (SELECT DISTINCT doc_id AS qid, term FROM tf WHERE doc_id < 3),
+scored AS (
+    SELECT q.qid, t.doc_id,
+           ROUND(SUM(
+               ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+               * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+           ), 6) AS score
+    FROM tf t
+    JOIN qterms q USING (term)
+    JOIN df_t f USING (term)
+    JOIN dl d ON d.doc_id = t.doc_id
+    CROSS JOIN stats s
+    WHERE t.doc_id <> q.qid
+    GROUP BY q.qid, t.doc_id
+),
+ranked AS (
+    SELECT qid, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT qid, doc_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+"""
+
+QUERIES["bm25_search_topk"] = bm25_search_topk
+ORACLES["bm25_search_topk"] = BM25_SQL
