@@ -40,11 +40,15 @@ HEADLINE = [
     "dedup_duplicate_spans",
     "dedup_cut_spans_corpus",
     "dedup_lines_global",
+    "dedup_lines_within_doc",
     "dedup_incremental_ingest",
+    "dedup_clean_corpus_lsh_cc_md5",
     "fingerprint_winnowing",
     "cosine_topk",
     "ann_srp_topk",
     "hybrid_search_topk",
+    "bm25_search_topk",
+    "hard_negatives_topk",
     "embedding_near_dup",
     "embedding_near_dup_clustered",
     "text_stats",
@@ -62,9 +66,15 @@ HEADLINE = [
     "length_bucket_batches",
     "packed_sequence_layout",
     "unigram_logprob",
+    "filter_docs_logprob",
+    "split_train_val_test",
+    "corpus_zipf_fit",
     "repetition_stats",
     "tokenize_documents",
     "events_gap_fill",
+    "events_ohlc_hourly",
+    "events_rolling_24h",
+    "events_value_zscore",
     "dedup_cluster_components",
     "dedup_clean_corpus_cc",
     "mix_corpus_weighted",
