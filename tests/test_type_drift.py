@@ -68,6 +68,8 @@ QUERY_NAMES = [
     "running_daily_revenue",    # date_trunc windowing
     "sessionize_events",
     "user_event_gaps",
+    "events_ohlc_hourly",       # date_trunc bucket + first/last rank
+    "events_rolling_24h",       # unix_micros RANGE frame
 ]
 
 
