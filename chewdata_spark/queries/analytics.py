@@ -331,3 +331,44 @@ ORACLES = {
     "qty_price_correlation": CORR_SQL,
     "running_daily_revenue": RUNNING_SQL,
 }
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users grouped by first-activity
+    week; each cell counts the cohort's users active N weeks later.
+
+    Scale shape: one user-keyed aggregation for cohort assignment, one
+    distinct (user, week) pre-aggregation (both map-side combinable),
+    then a user-keyed join that AQE broadcasts when the cohort side is
+    small — no window over raw events, no distinct over the join
+    output (the (user, week) grain is already unique)."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    user_weeks = ev.select("user_id", wk.alias("week")).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = user_weeks.join(cohorts, "user_id")
+    offset = (
+        F.datediff(F.col("week"), F.col("cohort_week")) / 7
+    ).cast("int")
+    return (
+        joined.groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH uw AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events
+),
+cohorts AS (
+    SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, uw.week) / 7 AS INT) AS week_offset,
+       COUNT(*) AS n_users
+FROM uw JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+"""
+
+QUERIES["user_retention_cohorts"] = user_retention_cohorts
+ORACLES["user_retention_cohorts"] = RETENTION_SQL
