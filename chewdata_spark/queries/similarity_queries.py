@@ -396,13 +396,17 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring every corpus document against each query document's
     distinct terms, top-10 per query.
 
-    Scale shape — one corpus tokenization feeding four branches that
-    all reuse the (doc_id, term) exchange: term frequencies, document
-    lengths, document frequencies and the (broadcast) query term sets;
-    the corpus-level N/avgdl constants ride a one-row broadcast, the
-    per-(qid, doc) score is a single sum aggregation and the top-k is a
-    qid-partitioned window.  No collect, no window over the raw corpus.
-    Fully oracle-backed."""
+    Scale shape — every branch (term frequencies, document lengths,
+    document frequencies, query term sets) pre-aggregates to the
+    (doc_id, term) grain before joining, so joins move index-sized
+    relations, never raw tokens; the corpus-level N/avgdl constants
+    ride a one-row broadcast, the per-(qid, doc) score is a single sum
+    aggregation and the top-k is a qid-partitioned window.  No collect,
+    no window over the raw corpus.  (Catalyst's differing column prunes
+    keep the branch tokenizations from canonicalizing into one
+    exchange; a production deployment persists the (doc, term, tf)
+    inverted index once and serves every query from it.)  Fully
+    oracle-backed."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
