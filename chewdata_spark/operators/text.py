@@ -430,3 +430,67 @@ def segment_sentences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "sentence",
         F.size(F.split(F.col("sentence"), r"\s+")).cast("int").alias("n_words"),
     )
+
+
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_gate(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021 §A1.1) as ONE
+    projection — word-count band, mean word length band, symbol-to-word
+    ratio, bullet/ellipsis line fractions, alphabetic-word fraction and
+    the required-stopword count, plus the conjunctive ``passed`` gate.
+
+    Zero shuffle: every rule is a per-row expression over the token and
+    line arrays (higher-order filters run on short arrays, outside any
+    hot join path).  The gate booleans derive from the ROUNDED metrics
+    so an oracle reproduces the decision bit-for-bit.
+    """
+    t = F.trim(F.col(text_col))
+    toks = F.split(F.lower(t), r"\s+")
+    n_words = F.size(toks)
+    non_ws = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_wl = F.round(non_ws / n_words, 6)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = F.round((n_hash + n_ell) / n_words, 6)
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    is_bullet = lambda l: (
+        F.trim(l).startswith("-")
+        | F.trim(l).startswith("•")
+        | F.trim(l).startswith("*")
+    )
+    bullet_frac = F.round(F.size(F.filter(lines, is_bullet)) / n_lines, 6)
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: F.trim(l).endswith("..."))) / n_lines, 6
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))) / n_words, 6
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+    )
+    passed = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_stopwords") >= 2)
+    )
+    return out.withColumn("passed", passed)

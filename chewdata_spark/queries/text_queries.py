@@ -456,3 +456,54 @@ FROM q
 
 QUERIES["curriculum_phases"] = curriculum_phases
 ORACLES["curriculum_phases"] = CURRICULUM_SQL
+
+
+def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule metrics + conjunctive gate per document —
+    operators/text.py::gopher_quality_gate."""
+    from chewdata_spark.operators.text import gopher_quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_gate(docs, "doc_id", "text")
+
+
+GOPHER_SQL = """
+WITH m AS (
+    SELECT doc_id,
+           len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+           length(regexp_replace(trim(text), '\\s+', '', 'g')) AS non_ws,
+           length(trim(text)) - length(replace(trim(text), '#', '')) AS n_hash,
+           (length(trim(text)) - length(replace(trim(text), '...', ''))) / 3 AS n_ell,
+           string_split(text, chr(10)) AS lines,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks
+    FROM documents
+), r AS (
+    SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           ROUND(non_ws * 1.0 / n_words, 6) AS mean_word_len,
+           ROUND((n_hash + n_ell) * 1.0 / n_words, 6) AS symbol_ratio,
+           ROUND(len(list_filter(lines, l -> starts_with(trim(l), '-')
+                                         OR starts_with(trim(l), '•')
+                                         OR starts_with(trim(l), '*')))
+                 * 1.0 / len(lines), 6) AS bullet_line_frac,
+           ROUND(len(list_filter(lines, l -> trim(l) LIKE '%...'))
+                 * 1.0 / len(lines), 6) AS ellipsis_line_frac,
+           ROUND(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                 * 1.0 / n_words, 6) AS alpha_word_frac,
+           CAST(len(list_intersect(list_distinct(toks),
+                ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS INT)
+               AS n_stopwords
+    FROM m
+)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND symbol_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND n_stopwords >= 2) AS passed
+FROM r
+"""
+
+QUERIES["gopher_quality_report"] = gopher_quality_report
+ORACLES["gopher_quality_report"] = GOPHER_SQL
