@@ -52,6 +52,8 @@ HEADLINE = [
     "embedding_near_dup",
     "embedding_near_dup_clustered",
     "text_stats",
+    "gopher_quality_report",
+    "user_retention_cohorts",
     "normalize_documents",
     "sentence_segments",
     "quality_score",

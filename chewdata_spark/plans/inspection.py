@@ -56,8 +56,17 @@ def join_counts(df: DataFrame) -> dict[str, int]:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges (lower is better; broadcasts excluded)."""
-    return len(re.findall(r"\bExchange hashpartitioning", formatted_plan(df)))
+    """Number of shuffle exchanges (lower is better; broadcasts excluded).
+
+    Counts both layouts: "Exchange hashpartitioning(...)" (simple mode /
+    single-line) and the formatted-mode detail entry "(n) Exchange"
+    whose partitioning argument sits on the following line.
+    BroadcastExchange never matches either pattern.
+    """
+    plan = formatted_plan(df)
+    detail = len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
+    inline = len(re.findall(r"\bExchange hashpartitioning", plan))
+    return max(detail, inline)
 
 
 def assert_filter_pushed(df: DataFrame, fragment: str) -> None:

@@ -421,3 +421,50 @@ def test_incremental_ingest_no_cartesian(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_24h_single_shuffle_no_self_join(spark, sf_dir):
+    # a trailing time window must be ONE range-frame window sweep —
+    # one exchange on user_id, zero joins (the self-join formulation
+    # would shuffle events twice and explode intermediate rows)
+    from chewdata_spark.queries.timeseries_queries import events_rolling_24h
+
+    df = events_rolling_24h(spark, sf_dir)
+    assert exchange_count(df) == 1
+    jc = join_counts(df)
+    assert sum(jc.values()) == 0, jc
+    plan = formatted_plan(df)
+    assert "Window" in plan
+
+
+def test_ohlc_one_shuffle_shared_by_rank_and_agg(spark, sf_dir):
+    # rank window, partition count and the final aggregate all key on
+    # (event_type, bucket): a single exchange feeds all three
+    from chewdata_spark.queries.timeseries_queries import events_ohlc_hourly
+
+    df = events_ohlc_hourly(spark, sf_dir)
+    assert exchange_count(df) == 1, formatted_plan(df)
+
+
+def test_gopher_gate_zero_shuffle(spark, sf_dir):
+    from chewdata_spark.queries.text_queries import gopher_quality_report
+
+    df = gopher_quality_report(spark, sf_dir)
+    assert exchange_count(df) == 0, formatted_plan(df)
+
+
+def test_split_train_val_test_zero_shuffle(spark, sf_dir):
+    from chewdata_spark.queries.curation_queries import split_train_val_test
+
+    df = split_train_val_test(spark, sf_dir)
+    assert exchange_count(df) == 0, formatted_plan(df)
+
+
+def test_bm25_joins_move_aggregated_relations(spark, sf_dir):
+    # every join input is a (doc, term)-grain aggregate or a broadcast
+    # one-row stats relation: no sort-merge join may appear, and the
+    # raw-token Generate feeds an aggregate before any join
+    from chewdata_spark.queries.similarity_queries import bm25_search_topk
+
+    df = bm25_search_topk(spark, sf_dir)
+    assert_no_sort_merge_join(df)
