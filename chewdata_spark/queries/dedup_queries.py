@@ -748,3 +748,93 @@ WHERE doc_id NOT IN (SELECT new_id FROM confirmed)
 
 QUERIES["dedup_incremental_ingest_md5"] = dedup_incremental_ingest_md5
 ORACLES["dedup_incremental_ingest_md5"] = INCREMENTAL_INGEST_MD5_SQL
+
+
+def dedup_consensus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consensus near-dup: pairs flagged by BOTH the lexical path
+    (portable MinHash-LSH, verified trigram Jaccard ≥ 0.5) AND the
+    embedding path (cosine ≥ 0.4 over the aligned embeddings table) —
+    the high-precision gate a production semantic-dedup run applies
+    before destructive removal.  Every lexical pair is annotated with
+    its embedding cosine and the `confirmed` verdict (the synthetic
+    embeddings are uncorrelated with the planted text dups, so the
+    verdict column is the informative part here).  Each side keeps its
+    own sub-quadratic discovery plan; the consensus join moves only
+    pair rows."""
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators import similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = dedup.minhash_signatures_portable(
+        docs, "doc_id", "text", num_perm=32, shingle_size=3
+    )
+    text_pairs = dedup.minhash_candidate_pairs(
+        sigs, num_perm=32, bands=16, jaccard_threshold=0.5
+    )
+    e = emb.select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    both = (
+        text_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(similarity.cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+    )
+    return both.select(
+        "id_a", "id_b", "jaccard", "sim", (F.col("sim") >= 0.4).alias("confirmed")
+    )
+
+
+CONSENSUS_SQL = f"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+    FROM d
+), e AS (
+    SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh
+), sig AS (
+    SELECT doc_id,
+           {_MD5_SIG_COLS}
+    FROM e GROUP BY doc_id
+), bands AS (
+{_MD5_BAND_ROWS}
+), cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), inter AS (
+    SELECT c.id_a, c.id_b, ea.n_sh AS n_a, eb.n_sh AS n_b, COUNT(*) AS inter
+    FROM cand c
+    JOIN e ea ON ea.doc_id = c.id_a
+    JOIN e eb ON eb.doc_id = c.id_b AND ea.shingle = eb.shingle
+    GROUP BY 1, 2, 3, 4
+), tp AS (
+    SELECT id_a, id_b,
+           ROUND(inter * 1.0 / (n_a + n_b - inter), 6) AS jaccard
+    FROM inter
+    WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5
+), ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT tp.id_a, tp.id_b, tp.jaccard,
+       ROUND(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS sim,
+       ROUND(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) >= 0.4 AS confirmed
+FROM tp
+JOIN ev a ON a.vec_id = tp.id_a
+JOIN ev b ON b.vec_id = tp.id_b
+"""
+
+QUERIES["dedup_consensus_pairs"] = dedup_consensus_pairs
+ORACLES["dedup_consensus_pairs"] = CONSENSUS_SQL
