@@ -455,3 +455,40 @@ FROM documents
 
 QUERIES["documents_profile"] = documents_profile
 ORACLES["documents_profile"] = DOCUMENTS_PROFILE_SQL
+
+
+def media_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable exercise of the REAL image-decode kernel: each
+    document synthesizes a binary P6 PPM whose dimensions are derived
+    from its own columns, and the Arrow-batched decode stage
+    (operators/multimodal.py::decode_image — the same mapInPandas
+    `_media_stage` every production kernel shares) parses them back.
+    The oracle re-derives (width, height) independently from the
+    document columns, so a header-parser or batching bug fails the
+    value hash, not just a unit test."""
+    from chewdata_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.col("n_chars") % 64 + 1).cast("int")
+    h = (F.col("doc_id") % 32 + 1).cast("int")
+    header = F.concat(
+        F.lit("P6\n"),
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    media = docs.select("doc_id", F.encode(header, "UTF-8").alias("content"))
+    out = multimodal.decode_image(media, "content")
+    return out.select("doc_id", "width", "height")
+
+
+MEDIA_DECODE_SQL = """
+SELECT doc_id,
+       CAST(n_chars % 64 + 1 AS INT) AS width,
+       CAST(doc_id % 32 + 1 AS INT) AS height
+FROM documents
+"""
+
+QUERIES["media_decode_dims"] = media_decode_dims
+ORACLES["media_decode_dims"] = MEDIA_DECODE_SQL
