@@ -270,6 +270,10 @@ class Pipeline:
                     if wr.fmt == "http":
                         mine = wr.rows_df
                 df = mine.unionByName(other, allowMissingColumns=True)
+            elif kind == "curate":
+                if df is None:
+                    raise ValueError("step 'curate' has no upstream data")
+                df = self._record_history(self._curate(step, df), step)
             elif kind is None:
                 raise ValueError(f"step missing 'type': {step}")
             else:
@@ -544,6 +548,109 @@ class Pipeline:
                 continue
             actions.append(Action(field, pattern, a.get("type", a.get("action", "merge"))))
         return apply_actions(df, actions, route_errors=True) if actions else df
+
+    def _curate(self, step: dict, df: DataFrame) -> DataFrame:
+        """Beyond-reference ``curate`` step: the training-data curation
+        operators exposed in the reference's JSON step language (the
+        reference has no dedup/quality operators at all — SURVEY §2),
+        so a config-driven chewdata user can run corpus curation with
+        zero code:
+
+            {"type": "curate", "method": "minhash_dedup",
+             "key": "doc_id", "field": "text", "threshold": 0.5}
+
+        methods: exact_dedup | minhash_dedup | quality_filter |
+        language_filter | gopher_filter | logprob_filter | sample |
+        split.  Every method is the same operator the query registry
+        exposes; determinism rules (md5 coins, min-key survivors)
+        carry over unchanged.
+        """
+        from pyspark.sql.window import Window
+
+        method = step.get("method")
+        key = step.get("key")
+        field = step.get("field", "text")
+        if method == "exact_dedup":
+            if not key:
+                raise ValueError("curate.exact_dedup needs 'key' (deterministic survivor)")
+            fields = step.get("fields") or [field]
+            content = F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in fields]
+            )
+            w = Window.partitionBy(F.md5(content)).orderBy(F.col(key).asc())
+            return (
+                df.withColumn("_cur_rn", F.row_number().over(w))
+                .filter(F.col("_cur_rn") == 1)
+                .drop("_cur_rn")
+            )
+        if method == "minhash_dedup":
+            from chewdata_spark.operators.dedup import (
+                minhash_candidate_pairs,
+                minhash_signatures_portable,
+            )
+            from chewdata_spark.operators.graph import cluster_dedup
+
+            if not key:
+                raise ValueError("curate.minhash_dedup needs 'key'")
+            thr = float(step.get("threshold", 0.5))
+            sigs = minhash_signatures_portable(df, key, field, num_perm=32)
+            pairs = minhash_candidate_pairs(
+                sigs, num_perm=32, bands=16, jaccard_threshold=thr
+            )
+            return cluster_dedup(df, pairs, key)
+        if method == "quality_filter":
+            from chewdata_spark.operators.text import _quality_expr
+
+            return df.filter(
+                _quality_expr(field) >= float(step.get("min_quality", 0.5))
+            )
+        if method == "language_filter":
+            from chewdata_spark.operators.text import _lang_pred_expr
+
+            return df.filter(_lang_pred_expr(field) == step.get("lang", "en"))
+        if method == "gopher_filter":
+            from chewdata_spark.operators.text import gopher_quality_gate
+
+            if not key:
+                raise ValueError("curate.gopher_filter needs 'key'")
+            gate = gopher_quality_gate(df, key, field)
+            passing = gate.filter(F.col("passed")).select(
+                F.col("doc_id").alias(key)
+            )
+            return df.join(passing, key, "left_semi")
+        if method == "logprob_filter":
+            from chewdata_spark.operators.curation import filter_by_logprob
+
+            if not key:
+                raise ValueError("curate.logprob_filter needs 'key'")
+            kept = filter_by_logprob(
+                df, key, field, drop_frac=float(step.get("drop_frac", 0.1))
+            ).select(F.col("doc_id").alias(key))
+            return df.join(kept, key, "left_semi")
+        if method == "sample":
+            from chewdata_spark.operators.curation import stratified_sample
+
+            if not key:
+                raise ValueError("curate.sample needs 'key'")
+            return stratified_sample(
+                df,
+                step.get("strata", "source"),
+                {k: float(v) for k, v in (step.get("rates") or {}).items()},
+                key,
+                default_rate=float(step.get("default_rate", 1.0)),
+            )
+        if method == "split":
+            from chewdata_spark.operators.curation import train_val_test_split
+
+            if not key:
+                raise ValueError("curate.split needs 'key'")
+            return train_val_test_split(
+                df,
+                key,
+                val_frac=float(step.get("val", 0.025)),
+                test_frac=float(step.get("test", 0.025)),
+            )
+        raise ValueError(f"unsupported curate method {method!r}")
 
     def _validate(self, spark: SparkSession, step: dict, df: DataFrame) -> DataFrame:
         refs_cfg = step.get("referentials") or step.get("refs") or {}

@@ -691,3 +691,73 @@ def test_incidental_throw_substring_renders_normally(spark):
     rows = out.collect()
     assert rows[0]["note"] == "see throw( usage guide"
     assert "_error" not in out.columns or rows[0]["_error"] is None
+
+
+def test_curate_step_exact_dedup(spark):
+    import json
+
+    from chewdata_spark.pipeline import Pipeline
+
+    rows = [{"id": 1, "text": "a b c"}, {"id": 2, "text": "a b c"}, {"id": 3, "text": "x y z"}]
+    cfg = [
+        {"type": "reader", "connector": {"type": "in_memory", "data": json.dumps(rows)}},
+        {"type": "curate", "method": "exact_dedup", "key": "id", "fields": ["text"]},
+    ]
+    out = Pipeline(cfg, spark).dataframe().orderBy("id").collect()
+    assert [r.id for r in out] == [1, 3]  # min-key survivor per content
+
+
+def test_curate_step_minhash_dedup_and_split(spark):
+    import json
+
+    from chewdata_spark.pipeline import Pipeline
+
+    base = "the quick brown fox jumps over the lazy dog near the river today again"
+    rows = [
+        {"id": 1, "text": base},
+        {"id": 2, "text": base + " extra"},
+        {"id": 3, "text": "completely different words about spark catalyst tungsten"},
+    ]
+    cfg = [
+        {"type": "reader", "connector": {"type": "in_memory", "data": json.dumps(rows)}},
+        {"type": "curate", "method": "minhash_dedup", "key": "id", "field": "text"},
+        {"type": "curate", "method": "split", "key": "id"},
+    ]
+    out = Pipeline(cfg, spark).dataframe().collect()
+    ids = sorted(r.id for r in out)
+    assert ids == [1, 3]  # near-dup 2 clustered with 1, min-id survives
+    assert all(r.split in ("train", "val", "test") for r in out)
+
+
+def test_curate_step_sample_deterministic(spark):
+    import json
+
+    from chewdata_spark.pipeline import Pipeline
+
+    rows = [{"id": i, "src": "a" if i % 2 else "b", "text": "w"} for i in range(200)]
+    cfg = [
+        {"type": "reader", "connector": {"type": "in_memory", "data": json.dumps(rows)}},
+        {"type": "curate", "method": "sample", "key": "id",
+         "strata": "src", "rates": {"a": 0.5}, "default_rate": 1.0},
+    ]
+    out1 = {r.id for r in Pipeline(cfg, spark).dataframe().collect()}
+    out2 = {r.id for r in Pipeline(cfg, spark).dataframe().collect()}
+    assert out1 == out2  # md5 coin, not rand()
+    assert all(i in out1 for i in range(0, 200, 2))  # stratum b fully kept
+    n_a = sum(1 for i in out1 if i % 2)
+    assert 25 <= n_a <= 75  # ~50% of stratum a
+
+
+def test_curate_step_rejects_unknown_method(spark):
+    import json
+
+    import pytest as _pytest
+
+    from chewdata_spark.pipeline import Pipeline
+
+    cfg = [
+        {"type": "reader", "connector": {"type": "in_memory", "data": json.dumps([{"a": 1}])}},
+        {"type": "curate", "method": "nope"},
+    ]
+    with _pytest.raises(ValueError, match="unsupported curate method"):
+        Pipeline(cfg, spark).dataframe()
