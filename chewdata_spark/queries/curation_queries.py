@@ -763,3 +763,50 @@ def _curation_audit_sql() -> str:
 
 QUERIES["curation_audit_report"] = curation_audit_report
 ORACLES["curation_audit_report"] = _curation_audit_sql()
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out-split leakage audit: after the deterministic
+    train/val/test assignment, flag TRAIN documents sharing any word
+    4-gram with the TEST split — the check a training pipeline runs
+    before shipping a split (decontaminate's plan: test grams broadcast
+    because the held-out side is small by construction, one token-level
+    shuffle over train)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = curation.train_val_test_split(docs, "doc_id")
+    train = assigned.filter(F.col("split") == "train")
+    test = assigned.filter(F.col("split") == "test")
+    return curation.decontaminate(train, test, "doc_id", "text", n=4)
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH assigned AS (
+    SELECT doc_id, text,
+           CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                     < '{_hex_thr(0.025)}' THEN 'test'
+                WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                     < '{_hex_thr(0.05)}' THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, split,
+           {_NGRAMS.format(top=3)} AS g
+    FROM (SELECT doc_id, split,
+                 string_split_regex(trim(lower(text)), '\\s+') AS w
+          FROM assigned)
+),
+test_g AS (
+    SELECT DISTINCT md5(unnest(g)) AS gram_key FROM grams WHERE split = 'test'
+),
+train_g AS (
+    SELECT doc_id, md5(unnest(list_distinct(g))) AS gram_key
+    FROM grams WHERE split = 'train'
+)
+SELECT t.doc_id, COUNT(*) AS n_hit_grams
+FROM train_g t JOIN test_g b USING (gram_key)
+GROUP BY t.doc_id
+"""
+
+QUERIES["split_leakage_audit"] = split_leakage_audit
+ORACLES["split_leakage_audit"] = SPLIT_LEAKAGE_SQL
