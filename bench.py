@@ -111,7 +111,7 @@ STREAMING = {"stream_view_to_purchase", "stream_sessionize_events", "stream_inge
 # (localCheckpoint): re-running noop on one constructed DataFrame would
 # read the warmup's checkpointed blocks and hide the truncated stage's
 # compute, so these rebuild the query per measured run like STREAMING.
-CONSTRUCT_EACH = STREAMING | {"curate_pipeline_full"}
+CONSTRUCT_EACH = STREAMING | {"curate_pipeline_full", "curation_audit_report"}
 
 
 def main() -> None:

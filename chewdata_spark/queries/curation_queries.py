@@ -666,6 +666,10 @@ def curation_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("norm_text").alias("text")
     )
     lined = D.dedup_lines_global(norm, "doc_id", "text", min_words=5)
+    # same stage-materialization boundary as curate_pipeline_full: the
+    # span-cut branches and the lines_dropped aggregate all re-enter
+    # `lined`; truncate lineage so normalize+line-dedup run once
+    lined = lined.localCheckpoint(eager=False)
     cut = D.cut_duplicate_spans(
         lined.select("doc_id", F.col("clean_text").alias("text")),
         "doc_id",
