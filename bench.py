@@ -98,6 +98,7 @@ HEADLINE = [
     "stream_view_to_purchase",
     "stream_sessionize_events",
     "stream_ingest_dedup",
+    "stream_events_zscore",
 ]
 
 # Structured Streaming queries run availableNow → memory sink INSIDE the
@@ -105,7 +106,12 @@ HEADLINE = [
 # the returned memory table would time only the final scan.  These are
 # timed end-to-end (stream start, state store, watermark bookkeeping
 # included — that state cost is exactly what needs a number at scale).
-STREAMING = {"stream_view_to_purchase", "stream_sessionize_events", "stream_ingest_dedup"}
+STREAMING = {
+    "stream_view_to_purchase",
+    "stream_sessionize_events",
+    "stream_ingest_dedup",
+    "stream_events_zscore",
+}
 
 # Queries that truncate lineage inside the query function
 # (localCheckpoint): re-running noop on one constructed DataFrame would

@@ -492,3 +492,51 @@ FROM documents
 
 QUERIES["media_decode_dims"] = media_decode_dims
 ORACLES["media_decode_dims"] = MEDIA_DECODE_SQL
+
+
+_STREAM_Z_RUN = {"n": 0}
+
+
+def stream_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detection via a STREAM-STATIC broadcast join:
+    events arrive as a file stream; per-type mean/stddev come from the
+    static reference table (the deployed-model pattern — stats frozen
+    at training time, scored on live traffic); events ≥ 3σ emit.
+    Stateless (no watermark needed: the static side is planned per
+    micro-batch, the filter is a projection).  availableNow + memory
+    sink; the batch SQL oracle replays the identical stats + filter."""
+    import os
+
+    from chewdata_spark.streaming.ops import run_to_memory
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path + "*")
+    stats = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sd"))
+    )
+    z = (F.col("value") - F.col("_mu")) / F.col("_sd")
+    flagged = (
+        stream.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) >= 3.0)
+        .select("event_id", "event_type", F.round(z, 6).alias("zscore"))
+    )
+    _STREAM_Z_RUN["n"] += 1
+    return run_to_memory(flagged, f"_stream_events_zscore_{_STREAM_Z_RUN['n']}")
+
+
+STREAM_ZSCORE_SQL = """
+WITH stats AS (
+    SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+    FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, ROUND((value - mu) / sd, 6) AS zscore
+FROM events e JOIN stats USING (event_type)
+WHERE ABS((value - mu) / sd) >= 3.0
+"""
+
+QUERIES["stream_events_zscore"] = stream_events_zscore
+ORACLES["stream_events_zscore"] = STREAM_ZSCORE_SQL
