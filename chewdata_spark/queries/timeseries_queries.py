@@ -159,3 +159,47 @@ ORACLES = {
     "events_rolling_24h": EVENTS_ROLLING_SQL,
     "events_value_zscore": EVENTS_ZSCORE_SQL,
 }
+
+
+def events_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type SLIDING-window rate (1-hour windows every 15 minutes):
+    the overlap factor is fixed (4 windows per event), so the explode
+    is a bounded map-side fan-out into ONE (type, window) shuffle with
+    map-side partial aggregation — Spark's `window()` generates exactly
+    this plan; no self-join, no per-window rescan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy("event_type", w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# every event belongs to exactly 4 sliding windows: starts at
+# bucket15(ts) - k*15min for k in 0..3 (epoch-aligned boundaries agree
+# between Spark's 1970 origin and DuckDB's 2000 origin for 15-minute
+# buckets — both are integer multiples apart)
+EVENTS_SLIDING_SQL = """
+WITH ex AS (
+    SELECT event_type, value,
+           time_bucket(INTERVAL '15 minutes', ts)
+             - k.k * INTERVAL '15 minutes' AS win_start
+    FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
+)
+SELECT event_type, CAST(win_start AS TIMESTAMP) AS win_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM ex
+GROUP BY 1, 2
+"""
+
+QUERIES["events_sliding_rate"] = events_sliding_rate
+ORACLES["events_sliding_rate"] = EVENTS_SLIDING_SQL
