@@ -70,6 +70,7 @@ QUERY_NAMES = [
     "user_event_gaps",
     "events_ohlc_hourly",       # date_trunc bucket + first/last rank
     "events_rolling_24h",       # unix_micros RANGE frame
+    "events_sliding_rate",      # F.window() sliding buckets
 ]
 
 
