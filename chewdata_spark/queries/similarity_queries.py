@@ -485,3 +485,60 @@ SELECT qid, doc_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 1
 
 QUERIES["bm25_search_topk"] = bm25_search_topk
 ORACLES["bm25_search_topk"] = BM25_SQL
+
+
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the two retrieval paths (the standard
+    hybrid-search combiner): RRF(d) = Σ 1/(60 + rank_i(d)) over the
+    BM25 ranking and the embedding-cosine ranking, top-10 per query.
+    A full-outer join of two already-top-k lists — the fusion moves
+    only k-sized rankings, never corpus rows."""
+    from pyspark.sql.window import Window
+
+    bm = bm25_search_topk(spark, sf_dir).select(
+        "qid", F.col("doc_id").alias("did"), F.col("rank").alias("br")
+    )
+    cos = (
+        cosine_topk(spark, sf_dir)
+        .filter(F.col("qid") < 3)
+        .select("qid", F.col("vec_id").alias("did"), F.col("rank").alias("cr"))
+    )
+    fused = bm.join(cos, ["qid", "did"], "full_outer").select(
+        "qid",
+        "did",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("br")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("cr")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rrf_score").desc(), F.col("did").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "did", "rrf_score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+RRF_SQL = f"""
+WITH bm AS ({BM25_SQL}),
+cos AS ({COSINE_TOPK_SQL}),
+fused AS (
+    SELECT COALESCE(b.qid, c.qid) AS qid,
+           COALESCE(b.doc_id, c.vec_id) AS did,
+           ROUND(COALESCE(1.0 / (60 + b.rank), 0.0)
+                 + COALESCE(1.0 / (60 + c.rank), 0.0), 6) AS rrf_score
+    FROM bm b
+    FULL OUTER JOIN (SELECT * FROM cos WHERE qid < 3) c
+      ON b.qid = c.qid AND b.doc_id = c.vec_id
+)
+SELECT qid, did, rrf_score, CAST(rk AS INT) AS rank FROM (
+    SELECT qid, did, rrf_score,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY rrf_score DESC, did ASC) AS rk
+    FROM fused
+) WHERE rk <= 10
+"""
+
+QUERIES["rrf_fusion_topk"] = rrf_fusion_topk
+ORACLES["rrf_fusion_topk"] = RRF_SQL

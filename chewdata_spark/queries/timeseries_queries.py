@@ -203,3 +203,40 @@ GROUP BY 1, 2
 
 QUERIES["events_sliding_rate"] = events_sliding_rate
 ORACLES["events_sliding_rate"] = EVENTS_SLIDING_SQL
+
+
+def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clamping (winsorization): per-type p1/p99 exact
+    percentiles clamp every event's `value` — the standard robustness
+    preprocessing before statistical features.  One stats aggregation
+    broadcast back onto one corpus pass (AQE); clamped values round to
+    6 dp so both engines agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.01), F.lit(0.99)))
+    stats = ev.groupBy("event_type").agg(
+        F.element_at(pct, 1).alias("_lo"), F.element_at(pct, 2).alias("_hi")
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi"))
+    return ev.join(stats, "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(clamped, 6).alias("value_winsorized"),
+        (F.col("value") != clamped).alias("was_clamped"),
+    )
+
+
+EVENTS_WINSORIZE_SQL = """
+WITH stats AS (
+    SELECT event_type,
+           quantile_cont(value, 0.01) AS lo,
+           quantile_cont(value, 0.99) AS hi
+    FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type,
+       ROUND(LEAST(GREATEST(value, lo), hi), 6) AS value_winsorized,
+       (value <> LEAST(GREATEST(value, lo), hi)) AS was_clamped
+FROM events e JOIN stats USING (event_type)
+"""
+
+QUERIES["events_winsorized"] = events_winsorized
+ORACLES["events_winsorized"] = EVENTS_WINSORIZE_SQL
