@@ -7,6 +7,7 @@ DuckDB type notes: len()/length() return BIGINT there but INT in Spark
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from chewdata_spark.operators import text
 from chewdata_spark.tables import load_table
@@ -507,3 +508,27 @@ FROM r
 
 QUERIES["gopher_quality_report"] = gopher_quality_report
 ORACLES["gopher_quality_report"] = GOPHER_SQL
+
+
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language identifier against the
+    labeled `lang` column — the eval a pipeline runs before trusting
+    lang-id for filtering.  One projection + one (lang, lang_pred)
+    aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.language_id(docs, "doc_id", "text")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return joined.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH pred AS ({_language_id_sql()})
+SELECT d.lang, p.lang_pred, COUNT(*) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang, p.lang_pred
+"""
+
+QUERIES["language_id_confusion"] = language_id_confusion
+ORACLES["language_id_confusion"] = LANG_CONFUSION_SQL
