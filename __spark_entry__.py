@@ -5,9 +5,11 @@
 - ``queries()`` — every implemented operator from SURVEY.md §2 plus the
   training-data operators, as (spark, sf_dir) -> DataFrame callables.
 - ``oracle_sql()`` — DuckDB-equivalent SQL per query.  Queries built on
-  seeded-xxhash64 algorithms (MinHash/SimHash LSH, IVF probing) are
-  deliberately absent here → rows-only checks; their recall against the
-  exact oracle-backed variants is asserted in tests/.
+  seeded-xxhash64 algorithms (MinHash/SimHash LSH, SRP) are
+  deliberately absent here → rows-only checks; each has a portable
+  md5-hash twin (``*_md5``) whose oracle replays the full pipeline —
+  signatures, buckets, verification, clustering — bit-for-bit, and
+  recall against the exact variants is asserted in tests/.
 """
 
 from __future__ import annotations

@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_srp_topk",
     "hybrid_search_topk",
     "bm25_search_topk",
+    "rrf_fusion_topk",
     "hard_negatives_topk",
     "embedding_near_dup",
     "embedding_near_dup_clustered",
@@ -77,6 +78,8 @@ HEADLINE = [
     "events_ohlc_hourly",
     "events_rolling_24h",
     "events_value_zscore",
+    "events_sliding_rate",
+    "split_leakage_audit",
     "dedup_cluster_components",
     "dedup_clean_corpus_cc",
     "mix_corpus_weighted",
