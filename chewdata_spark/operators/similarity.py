@@ -617,3 +617,65 @@ def pq_codes(
             )
 
     return renamed.mapInPandas(gen, "vec_id long, subspace int, code long")
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stride: int = 100,
+    iters: int = 2,
+) -> DataFrame:
+    """Spherical k-means, ``iters`` Lloyd rounds: stride-seeded
+    centroids → cosine top-1 assignment → per-(cluster, dim) means →
+    repeat.  Returns the final centroids as (cluster, dim, c) rows.
+
+    Engine-portable determinism: assignment similarities and the
+    centroid means round to 6 dp (ties break on lowest centroid id),
+    so after every round both engines hold bit-identical centroids —
+    an iterative ML algorithm a SQL oracle replays exactly.
+
+    Scale shape per round: centroid batch broadcasts (k ≈ N/stride by
+    construction, capped in production by training k-means|| offline);
+    assignment is one corpus scan; the mean is one (cluster, dim)-keyed
+    aggregation with map-side partials — rows never exceed k×d.  The
+    expression-level cosine here is the oracle-matching form; swap in
+    the Arrow GEMM assignment (assign_ivf_clusters) when k×d×batch
+    justifies BLAS.
+    """
+    e = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cent = e.filter(F.col("vid") % stride == 0).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    means = None
+    for _ in range(iters):
+        scored = e.crossJoin(F.broadcast(cent)).select(
+            "vid",
+            "v",
+            "cid",
+            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+        )
+        w = Window.partitionBy("vid").orderBy(
+            F.col("sim").desc(), F.col("cid").asc()
+        )
+        assign = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vid", "v", F.col("cid").alias("cluster"))
+        )
+        rows = assign.select("cluster", F.posexplode("v").alias("dim", "x"))
+        means = rows.groupBy("cluster", "dim").agg(
+            (F.round(F.avg("x"), 6) + 0.0).alias("c")
+        )
+        cent = (
+            means.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("s"))
+            .select(F.col("cluster").alias("cid"), F.col("s.c").alias("cv"))
+        )
+    return means.select(
+        "cluster", F.col("dim").cast("int").alias("dim"), "c"
+    )

@@ -542,3 +542,56 @@ SELECT qid, did, rrf_score, CAST(rk AS INT) AS rank FROM (
 
 QUERIES["rrf_fusion_topk"] = rrf_fusion_topk
 ORACLES["rrf_fusion_topk"] = RRF_SQL
+
+
+def kmeans_centroids_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds of spherical k-means over the embedding table —
+    operators/similarity.py::kmeans_lloyd.  An ITERATIVE ML algorithm
+    the SQL oracle replays exactly: 6-dp-rounded assignments and means
+    keep both engines' centroids bit-identical between rounds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_lloyd(emb, stride=100, iters=2)
+
+
+_KM_COS = _COS.format(a="e.v", b="c.cv")
+KMEANS_SQL = f"""
+WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vid AS cid, v AS cv FROM e WHERE vid % 100 = 0),
+a1 AS (
+    SELECT vid, v, cid AS cluster FROM (
+        SELECT e.vid, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vid
+                   ORDER BY ROUND({_COS.format(a='e.v', b='c.cv')}, 6) DESC,
+                            c.cid ASC) AS rk
+        FROM e, c0 c
+    ) WHERE rk = 1
+),
+r1 AS (
+    SELECT cluster, CAST(unnest(range(0, len(v))) AS INT) AS dim,
+           unnest(v) AS x
+    FROM a1
+),
+m1 AS (SELECT cluster, dim, ROUND(AVG(x), 6) + 0.0 AS c FROM r1 GROUP BY 1, 2),
+c1 AS (SELECT cluster AS cid, list(c ORDER BY dim) AS cv FROM m1 GROUP BY 1),
+a2 AS (
+    SELECT vid, v, cid AS cluster FROM (
+        SELECT e.vid, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vid
+                   ORDER BY ROUND({_COS.format(a='e.v', b='c.cv')}, 6) DESC,
+                            c.cid ASC) AS rk
+        FROM e, c1 c
+    ) WHERE rk = 1
+),
+r2 AS (
+    SELECT cluster, CAST(unnest(range(0, len(v))) AS INT) AS dim,
+           unnest(v) AS x
+    FROM a2
+),
+m2 AS (SELECT cluster, dim, ROUND(AVG(x), 6) + 0.0 AS c FROM r2 GROUP BY 1, 2)
+SELECT cluster, dim, c FROM m2
+"""
+
+QUERIES["kmeans_centroids_2iter"] = kmeans_centroids_2iter
+ORACLES["kmeans_centroids_2iter"] = KMEANS_SQL
