@@ -462,3 +462,43 @@ ORACLES = {
     "events_props_extract": EVENTS_PROPS_SQL,
     "sessionize_events": SESSIONIZE_SQL,
 }
+
+
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining: part pairs co-ordered in the same order,
+    with co-occurrence count ≥ 2 — the classic basket analysis.
+
+    Scale shape: the pair fan-out is a SELF-JOIN ON l_orderkey with
+    p_a < p_b — bounded by per-order line count (≤ 7 in TPC-H data,
+    small by schema design), so intermediate rows ≈ |lineitem| × avg
+    basket size, then one (p_a, p_b)-keyed count with map-side
+    partials.  A per-order collect_list + explode-pairs plan would
+    build the same rows with extra array materialization."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("p_a"), F.col("b.l_partkey").alias("p_b")
+    )
+    return (
+        pairs.groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+MARKET_BASKET_SQL = """
+SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, COUNT(*) AS n_orders
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+QUERIES["market_basket_pairs"] = market_basket_pairs
+ORACLES["market_basket_pairs"] = MARKET_BASKET_SQL
