@@ -121,3 +121,57 @@ def cluster_dedup(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a directed edge list, ``iters`` power iterations
+    from the uniform distribution.  Ranks round to 6 dp after every
+    iteration, so the computation is engine-portable and a SQL oracle
+    replays each round bit-for-bit (the same determinism device as
+    :func:`~chewdata_spark.operators.similarity.kmeans_lloyd`).
+
+    Scale shape per iteration: one (node)-keyed aggregation of
+    contributions joined back through the edge list — the standard
+    DataFrame PageRank; the edge relation is the only large operand and
+    it shuffles once per round on src.  Dangling mass is redistributed
+    implicitly via the (1-d)/N teleport only (matching the common
+    simplified formulation).  Returns (node, pr).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+    pr = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", F.round(F.lit(1.0) / F.col("_n"), 6).alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", src), src)
+            .join(out_deg, src)
+            .select(F.col(dst).alias("node"), (F.col("pr") / F.col("_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("_n")
+                    + damping * F.coalesce(F.col("in_sum"), F.lit(0.0)),
+                    6,
+                ).alias("pr"),
+            )
+        )
+    return pr

@@ -372,3 +372,72 @@ GROUP BY 1, 2
 
 QUERIES["user_retention_cohorts"] = user_retention_cohorts
 ORACLES["user_retention_cohorts"] = RETENTION_SQL
+
+
+def pagerank_order_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 damped power iterations) over the customer↔supplier
+    order graph — edges are distinct (customer, supplier) trade links
+    from orders⋈lineitem, in both directions (undirected influence).
+    The third iterative-algorithm class beside connected components and
+    Lloyd k-means, and like them the SQL oracle replays every round
+    exactly (6-dp rank rounding per iteration) —
+    operators/graph.py::pagerank."""
+    from chewdata_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    trade = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = trade.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        trade.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iters=2, damping=0.85)
+
+
+PAGERANK_SQL = """
+WITH trade AS (
+    SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                    's' || CAST(l_suppkey AS VARCHAR) AS s
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+    SELECT c AS src, s AS dst FROM trade
+    UNION ALL
+    SELECT s AS src, c AS dst FROM trade
+),
+nodes AS (
+    SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+    )
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+pr0 AS (SELECT node, ROUND(1.0 / nn.n, 6) AS pr FROM nodes, nn),
+c1 AS (
+    SELECT e.dst AS node, SUM(p.pr / g.d) AS in_sum
+    FROM edges e JOIN pr0 p ON p.node = e.src JOIN deg g ON g.src = e.src
+    GROUP BY e.dst
+),
+pr1 AS (
+    SELECT nodes.node,
+           ROUND(0.15 / nn.n + 0.85 * COALESCE(c1.in_sum, 0.0), 6) AS pr
+    FROM nodes LEFT JOIN c1 ON c1.node = nodes.node, nn
+),
+c2 AS (
+    SELECT e.dst AS node, SUM(p.pr / g.d) AS in_sum
+    FROM edges e JOIN pr1 p ON p.node = e.src JOIN deg g ON g.src = e.src
+    GROUP BY e.dst
+)
+SELECT nodes.node,
+       ROUND(0.15 / nn.n + 0.85 * COALESCE(c2.in_sum, 0.0), 6) AS pr
+FROM nodes LEFT JOIN c2 ON c2.node = nodes.node, nn
+"""
+
+QUERIES["pagerank_order_graph"] = pagerank_order_graph
+ORACLES["pagerank_order_graph"] = PAGERANK_SQL
