@@ -463,12 +463,14 @@ class Pipeline:
                     spark, path, checksum["value"], checksum.get("algo", "sha256")
                 ):
                     raise ValueError(f"checksum mismatch for {path}")
+            from chewdata_spark.sources.documents import metadata_options
+
             df = read_document(
                 spark,
                 path,
                 doc.get("type", _guess_format(path)),
                 entry_path=doc.get("entry_path"),
-                options=doc.get("options"),
+                options={**metadata_options(doc), **(doc.get("options") or {})},
                 resolve_types=bool(doc.get("resolve_types", False)),
             )
             if conn.get("cache"):
@@ -762,15 +764,24 @@ class Pipeline:
                     _, fs, dest = _hadoop_fs(out.sparkSession, path)
                     if fs.exists(dest):
                         fs.delete(dest, False)
-                append_single_file(out, path, fmt, options=doc.get("options"))
+                from chewdata_spark.sources.documents import metadata_options
+
+                append_single_file(
+                    out,
+                    path,
+                    fmt,
+                    options={**metadata_options(doc), **(doc.get("options") or {})},
+                )
             else:
+                from chewdata_spark.sources.documents import metadata_options
+
                 write_document(
                     out,
                     path,
                     fmt,
                     mode=mode,
                     partition_by=partition_cols or None,
-                    options=doc.get("options"),
+                    options={**metadata_options(doc), **(doc.get("options") or {})},
                 )
         return WriteResult(path, fmt, out)
 

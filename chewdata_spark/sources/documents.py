@@ -100,6 +100,35 @@ def _parse_documents_to_json_lines(fmt: str):
     return gen
 
 
+_METADATA_TO_SPARK = {
+    "delimiter": "sep",
+    "quote": "quote",
+    "escape": "escape",
+    "comment": "comment",
+    "terminator": "lineSep",
+    "charset": "encoding",
+    "compression": "compression",
+}
+
+
+def metadata_options(doc: dict) -> dict[str, str]:
+    """Translate the reference's ``Metadata`` block (src/lib.rs:100-114,
+    configured as ``document.metadata`` / ``document.meta`` — e.g.
+    ``{"has_headers": true, "delimiter": ";", "charset": "utf-8"}``)
+    into the equivalent Spark reader/writer options.  Keys the target
+    format ignores (e.g. ``sep`` on json) are harmless — Spark drops
+    unknown options silently, matching the reference's merge-then-use
+    semantics (src/lib.rs:118-132)."""
+    meta = dict(doc.get("metadata") or doc.get("meta") or {})
+    out: dict[str, str] = {}
+    if meta.get("has_headers") is not None:
+        out["header"] = "true" if meta["has_headers"] else "false"
+    for k, spark_k in _METADATA_TO_SPARK.items():
+        if meta.get(k) is not None:
+            out[spark_k] = str(meta[k])
+    return out
+
+
 def read_document(
     spark: SparkSession,
     path: str | list[str],

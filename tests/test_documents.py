@@ -218,3 +218,47 @@ def test_pipeline_single_file_writer_appends(spark, tmp_path):
     ]
     Pipeline(erase_cfg, spark).run()
     assert [r["id"] for r in _json.loads(target.read_text())] == [1]
+
+
+def test_metadata_block_translates_to_spark_options(spark, tmp_path):
+    # the reference's document.metadata block (has_headers/delimiter/
+    # quote — src/lib.rs:100-114) must drive the CSV codec
+    import json
+
+    from chewdata_spark.pipeline import Pipeline
+
+    src = tmp_path / "in.csv"
+    src.write_text("id;name\n1;alpha\n2;be;ta\n".replace(";ta", "ta"))
+    cfg = [
+        {"type": "reader",
+         "connector": {"type": "local", "path": str(src)},
+         "document": {"type": "csv",
+                      "metadata": {"has_headers": True, "delimiter": ";"}}},
+    ]
+    rows = {r.id: r.name for r in Pipeline(cfg, spark).dataframe().collect()}
+    assert rows == {1: "alpha", 2: "beta"}
+
+    out = tmp_path / "out"
+    cfg2 = [
+        {"type": "reader",
+         "connector": {"type": "in_memory",
+                       "data": json.dumps([{"a": 1, "b": "x"}])}},
+        {"type": "writer",
+         "connector": {"type": "local", "path": str(out)},
+         "document": {"type": "csv", "metadata": {"delimiter": "|"}}},
+    ]
+    Pipeline(cfg2, spark).run()
+    body = "".join(
+        p.read_text() for p in out.glob("*.csv")
+    )
+    assert "1|x" in body
+
+
+def test_metadata_options_helper_mapping():
+    from chewdata_spark.sources.documents import metadata_options
+
+    assert metadata_options({"metadata": {"has_headers": False}}) == {"header": "false"}
+    assert metadata_options({"meta": {"delimiter": "\t", "charset": "latin-1"}}) == {
+        "sep": "\t", "encoding": "latin-1",
+    }
+    assert metadata_options({}) == {}
