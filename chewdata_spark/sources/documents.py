@@ -126,6 +126,22 @@ def metadata_options(doc: dict) -> dict[str, str]:
     for k, spark_k in _METADATA_TO_SPARK.items():
         if meta.get(k) is not None:
             out[spark_k] = str(meta[k])
+    # csv-document-level knobs (src/document/csv.rs:8-33):
+    # quote_style ALWAYS/NOT_NUMERIC → quoteAll (Spark has no
+    # numeric-only quoting — quoting everything is the safe superset);
+    # NEVER → empty quote char disables quoting.  trim ALL/FIELDS →
+    # whitespace-ignoring reads.  is_flexible → PERMISSIVE vs FAILFAST.
+    qs = str(doc.get("quote_style") or "").upper()
+    if qs in ("ALWAYS", "NOT_NUMERIC"):
+        out["quoteAll"] = "true"
+    elif qs == "NEVER":
+        out["quote"] = ""
+    tr = str(doc.get("trim") or "").upper()
+    if tr in ("ALL", "FIELDS"):
+        out["ignoreLeadingWhiteSpace"] = "true"
+        out["ignoreTrailingWhiteSpace"] = "true"
+    if doc.get("is_flexible") is not None:
+        out["mode"] = "PERMISSIVE" if doc["is_flexible"] else "FAILFAST"
     return out
 
 

@@ -262,3 +262,16 @@ def test_metadata_options_helper_mapping():
         "sep": "\t", "encoding": "latin-1",
     }
     assert metadata_options({}) == {}
+
+
+def test_metadata_options_csv_doc_level_keys():
+    from chewdata_spark.sources.documents import metadata_options
+
+    assert metadata_options({"quote_style": "ALWAYS"}) == {"quoteAll": "true"}
+    assert metadata_options({"quote_style": "NEVER"}) == {"quote": ""}
+    assert metadata_options({"trim": "ALL"}) == {
+        "ignoreLeadingWhiteSpace": "true",
+        "ignoreTrailingWhiteSpace": "true",
+    }
+    assert metadata_options({"is_flexible": True}) == {"mode": "PERMISSIVE"}
+    assert metadata_options({"is_flexible": False}) == {"mode": "FAILFAST"}
