@@ -142,6 +142,10 @@ def metadata_options(doc: dict) -> dict[str, str]:
         out["ignoreTrailingWhiteSpace"] = "true"
     if doc.get("is_flexible") is not None:
         out["mode"] = "PERMISSIVE" if doc["is_flexible"] else "FAILFAST"
+    if doc.get("is_pretty") is not None:
+        # honored by the single-file json/jsonl writers; Spark's
+        # directory writers ignore it (they have no pretty mode)
+        out["is_pretty"] = "true" if doc["is_pretty"] else "false"
     return out
 
 
@@ -403,6 +407,17 @@ def append_single_file(
     jvm, fs, tmp_p = _hadoop_fs(spark, tmp)
     new = _fs_read_fully(jvm, fs, tmp_p).decode("utf-8")
     fs.delete(tmp_p, False)
+    if str((options or {}).get("is_pretty", "")).lower() == "true" and fmt == "jsonl":
+        # reference jsonl is_pretty: concatenated multi-line objects —
+        # pretty-render the fresh records only (existing content may
+        # already be pretty and must splice untouched)
+        import json as _json
+
+        new = "\n".join(
+            _json.dumps(_json.loads(line), indent=2, ensure_ascii=False)
+            for line in new.splitlines()
+            if line.strip()
+        ) + ("\n" if new.strip() else "")
     dest_p = jvm.org.apache.hadoop.fs.Path(path)
     existing = (
         _fs_read_fully(jvm, fs, dest_p).decode("utf-8") if fs.exists(dest_p) else ""
@@ -445,6 +460,13 @@ def append_single_file(
         if content and not content.endswith("\n"):
             content += "\n"
         content += new
+    if str((options or {}).get("is_pretty", "")).lower() == "true" and fmt == "json":
+        # reference is_pretty (src/document/json.rs:238): human-readable
+        # output — the single-file path is driver-side and bounded by
+        # construction, so re-rendering the array is safe
+        import json as _json
+
+        content = _json.dumps(_json.loads(content), indent=2, ensure_ascii=False)
     out = fs.create(dest_p, True)
     try:
         out.write(bytearray(content.encode("utf-8")))

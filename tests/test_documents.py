@@ -275,3 +275,41 @@ def test_metadata_options_csv_doc_level_keys():
     }
     assert metadata_options({"is_flexible": True}) == {"mode": "PERMISSIVE"}
     assert metadata_options({"is_flexible": False}) == {"mode": "FAILFAST"}
+
+
+def test_is_pretty_single_file_json_and_jsonl(spark, tmp_path):
+    import json
+
+    from chewdata_spark.pipeline import Pipeline
+
+    out = tmp_path / "pretty.json"
+    cfg = [
+        {"type": "reader",
+         "connector": {"type": "in_memory",
+                       "data": json.dumps([{"a": 1}, {"a": 2}])}},
+        {"type": "writer",
+         "connector": {"type": "local", "path": str(out), "single_file": True},
+         "document": {"type": "json", "is_pretty": True}},
+    ]
+    Pipeline(cfg, spark).run()
+    body = out.read_text()
+    assert body.count("\n") >= 3  # human-readable, not one line
+    assert json.loads(body) == [{"a": 1}, {"a": 2}]
+    # pretty file stays readable by the json reader
+    cfg_read = [
+        {"type": "reader",
+         "connector": {"type": "local", "path": str(out)},
+         "document": {"type": "json"}},
+    ]
+    assert Pipeline(cfg_read, spark).dataframe().count() == 2
+
+    out2 = tmp_path / "pretty.jsonl"
+    cfg2 = [
+        {"type": "reader",
+         "connector": {"type": "in_memory", "data": json.dumps([{"b": 1}])}},
+        {"type": "writer",
+         "connector": {"type": "local", "path": str(out2), "single_file": True},
+         "document": {"type": "jsonl", "is_pretty": True}},
+    ]
+    Pipeline(cfg2, spark).run()
+    assert out2.read_text().count("\n") >= 2
