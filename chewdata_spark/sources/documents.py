@@ -146,6 +146,16 @@ def metadata_options(doc: dict) -> dict[str, str]:
         # honored by the single-file json/jsonl writers; Spark's
         # directory writers ignore it (they have no pretty mode)
         out["is_pretty"] = "true" if doc["is_pretty"] else "false"
+    # xml-document-level keys (src/document/xml.rs:13-15): the
+    # reference's attribute/text markers and fallback root element map
+    # onto spark-xml's option names (our defaults already match the
+    # reference's @ / $ / root)
+    if doc.get("attribute_key"):
+        out["attributePrefix"] = str(doc["attribute_key"])
+    if doc.get("text_key"):
+        out["valueTag"] = str(doc["text_key"])
+    if doc.get("root"):
+        out["rootTag"] = str(doc["root"])
     return out
 
 

@@ -313,3 +313,11 @@ def test_is_pretty_single_file_json_and_jsonl(spark, tmp_path):
     ]
     Pipeline(cfg2, spark).run()
     assert out2.read_text().count("\n") >= 2
+
+
+def test_metadata_options_xml_doc_keys():
+    from chewdata_spark.sources.documents import metadata_options
+
+    assert metadata_options(
+        {"attribute_key": "~", "text_key": "#", "root": "data"}
+    ) == {"attributePrefix": "~", "valueTag": "#", "rootTag": "data"}
