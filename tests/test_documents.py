@@ -321,3 +321,27 @@ def test_metadata_options_xml_doc_keys():
     assert metadata_options(
         {"attribute_key": "~", "text_key": "#", "root": "data"}
     ) == {"attributePrefix": "~", "valueTag": "#", "rootTag": "data"}
+
+
+def test_metadata_compression_roundtrip(spark, tmp_path):
+    import json
+
+    from chewdata_spark.pipeline import Pipeline
+
+    out = tmp_path / "gz"
+    cfg = [
+        {"type": "reader",
+         "connector": {"type": "in_memory",
+                       "data": json.dumps([{"a": i} for i in range(10)])}},
+        {"type": "writer",
+         "connector": {"type": "local", "path": str(out)},
+         "document": {"type": "csv", "metadata": {"compression": "gzip"}}},
+    ]
+    Pipeline(cfg, spark).run()
+    assert list(out.glob("*.csv.gz")), list(out.iterdir())
+    cfg_read = [
+        {"type": "reader",
+         "connector": {"type": "local", "path": str(out)},
+         "document": {"type": "csv"}},
+    ]
+    assert Pipeline(cfg_read, spark).dataframe().count() == 10
