@@ -761,3 +761,17 @@ def test_curate_step_rejects_unknown_method(spark):
     ]
     with _pytest.raises(ValueError, match="unsupported curate method"):
         Pipeline(cfg, spark).dataframe()
+
+
+def test_example_configs_compile_and_run(spark):
+    import json
+    import pathlib
+
+    from chewdata_spark.pipeline import Pipeline
+
+    for cfg_path in sorted(pathlib.Path("examples").glob("*.json")):
+        cfg = json.loads(cfg_path.read_text())
+        # drop the trailing stdout writer so the test stays quiet
+        steps = [s for s in cfg if s.get("type") not in ("writer", "w")]
+        df = Pipeline(steps, spark).dataframe()
+        assert df.count() > 0, cfg_path
