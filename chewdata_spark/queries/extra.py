@@ -540,3 +540,47 @@ WHERE ABS((value - mu) / sd) >= 3.0
 
 QUERIES["stream_events_zscore"] = stream_events_zscore
 ORACLES["stream_events_zscore"] = STREAM_ZSCORE_SQL
+
+
+def docs_embeddings_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-integrity audit between the aligned tables: documents
+    without an embedding, embeddings without a document, and the
+    matched count — the referential check a multimodal corpus runs
+    before training.  Two anti-join counts + one semi count over a
+    single pair of id projections (16-byte keys, map-side combinable)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    missing_emb = docs.join(
+        emb, docs.doc_id == emb.vec_id, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("value"))
+    orphan_emb = emb.join(
+        docs, docs.doc_id == emb.vec_id, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("value"))
+    matched = docs.join(
+        emb, docs.doc_id == emb.vec_id, "left_semi"
+    ).agg(F.count(F.lit(1)).alias("value"))
+    return (
+        missing_emb.select(F.lit("docs_without_embedding").alias("metric"), "value")
+        .unionByName(
+            orphan_emb.select(F.lit("embeddings_without_doc").alias("metric"), "value")
+        )
+        .unionByName(matched.select(F.lit("matched").alias("metric"), "value"))
+    )
+
+
+ALIGNMENT_SQL = """
+SELECT 'docs_without_embedding' AS metric,
+       (SELECT COUNT(*) FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) AS value
+UNION ALL
+SELECT 'embeddings_without_doc',
+       (SELECT COUNT(*) FROM embeddings e
+        WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+UNION ALL
+SELECT 'matched',
+       (SELECT COUNT(*) FROM documents d
+        WHERE EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
+"""
+
+QUERIES["docs_embeddings_alignment"] = docs_embeddings_alignment
+ORACLES["docs_embeddings_alignment"] = ALIGNMENT_SQL
