@@ -814,3 +814,59 @@ GROUP BY t.doc_id
 
 QUERIES["split_leakage_audit"] = split_leakage_audit
 ORACLES["split_leakage_audit"] = SPLIT_LEAKAGE_SQL
+
+
+def corpus_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus overview: document/token totals, exact-duplicate
+    rate, and the language-distribution Shannon entropy (nats) — the
+    first dashboard a corpus owner looks at.  Three aggregations over
+    two scans (token count rides the doc scan; dup rate reuses the
+    md5 groupBy), all map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("n_tokens"),
+    )
+    dups = (
+        docs.groupBy(F.md5("text").alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.round(
+                (F.sum("_n") - F.count(F.lit(1))) / F.sum("_n"), 6
+            ).alias("dup_rate")
+        )
+    )
+    lang_p = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("_t"))))
+        .select((F.col("_n") / F.col("_t")).alias("_p"))
+    )
+    entropy = lang_p.agg(
+        F.round(-F.sum(F.col("_p") * F.log(F.col("_p"))), 6).alias("lang_entropy")
+    )
+    return base.crossJoin(dups).crossJoin(entropy)
+
+
+CORPUS_SUMMARY_SQL = """
+WITH base AS (
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS n_tokens
+    FROM documents
+),
+dups AS (
+    SELECT ROUND((SUM(n) - COUNT(*)) * 1.0 / SUM(n), 6) AS dup_rate
+    FROM (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY 1)
+),
+ent AS (
+    SELECT ROUND(-SUM(p * ln(p)), 6) AS lang_entropy
+    FROM (SELECT COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents) AS p
+          FROM documents GROUP BY lang)
+)
+SELECT n_docs, n_tokens, dup_rate, lang_entropy FROM base, dups, ent
+"""
+
+QUERIES["corpus_summary_report"] = corpus_summary_report
+ORACLES["corpus_summary_report"] = CORPUS_SUMMARY_SQL
