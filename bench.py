@@ -42,7 +42,10 @@ HEADLINE = [
     "dedup_lines_global",
     "dedup_lines_within_doc",
     "dedup_incremental_ingest",
+    "dedup_incremental_ingest_md5",
     "dedup_clean_corpus_lsh_cc_md5",
+    "dedup_simhash_md5",
+    "dedup_consensus_pairs",
     "fingerprint_winnowing",
     "cosine_topk",
     "ann_srp_topk",
@@ -87,6 +90,14 @@ HEADLINE = [
     "source_quota_sample",
     "quantize_embeddings",
     "pq_code_embeddings",
+    "kmeans_centroids_2iter",
+    "pagerank_order_graph",
+    "market_basket_pairs",
+    "corpus_summary_report",
+    "docs_embeddings_alignment",
+    "media_decode_dims",
+    "events_winsorized",
+    "language_id_confusion",
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
