@@ -240,3 +240,51 @@ FROM events e JOIN stats USING (event_type)
 
 QUERIES["events_winsorized"] = events_winsorized
 ORACLES["events_winsorized"] = EVENTS_WINSORIZE_SQL
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | prev_type) with counts — the behavioral
+    model behind next-action prediction and funnel design.  One lag
+    window keyed on user_id (bounded partitions) and one
+    (prev, next)-keyed count; probabilities divide by a prev-keyed
+    window sum — |types|² rows, no second scan."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH steps AS (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+           event_type AS next_type
+    FROM events
+),
+counts AS (
+    SELECT prev_type, next_type, COUNT(*) AS n
+    FROM steps WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM counts
+"""
+
+QUERIES["event_transition_matrix"] = event_transition_matrix
+ORACLES["event_transition_matrix"] = EVENT_TRANSITIONS_SQL
