@@ -573,3 +573,40 @@ def packed_sequence_map(
             (tok_end - tok_start).cast("int").alias("length"),
         )
     )
+
+
+def weighted_sample_es(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    *,
+    strata_col: str | None = None,
+    k: int = 20,
+    salt: str = "es",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): each row draws the deterministic uniform
+    ``u = (hex16(md5(salt|key)) + 1) / 65537`` and scores
+    ``ln(u) / weight``; the top-``k`` scores (per stratum if given) are
+    the sample — rows with higher weight win proportionally more often,
+    yet the draw is an md5 coin, so retries, re-runs and other engines
+    select the identical sample (the ``rand()``-free analogue of
+    reservoir sampling).  Scores round to 6 dp with a total
+    (score, key) tie-break before ranking.
+
+    One projection + one top-k window per stratum (bounded partitions);
+    at corpus scale the per-stratum rank is TakeOrdered-shaped, never a
+    global sort.  Adds ``es_key`` and ``sample_rank``.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))), 1, 4), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / 65537.0
+    scored = df.withColumn("es_key", F.round(F.log(u) / weight, 6))
+    part = [strata_col] if strata_col else []
+    w = Window.partitionBy(*part).orderBy(F.col("es_key").desc(), F.col(key_col).asc())
+    return (
+        scored.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+    )

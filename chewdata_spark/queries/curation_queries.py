@@ -870,3 +870,58 @@ SELECT n_docs, n_tokens, dup_rate, lang_entropy FROM base, dups, ent
 
 QUERIES["corpus_summary_report"] = corpus_summary_report
 ORACLES["corpus_summary_report"] = CORPUS_SUMMARY_SQL
+
+
+def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling without replacement: top-20 docs per
+    language under Efraimidis–Spirakis keys with weight = quality+0.01
+    — operators/curation.py::weighted_sample_es."""
+    from chewdata_spark.operators.text import _quality_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.weighted_sample_es(
+        docs, "doc_id", _quality_expr("text") + F.lit(0.01),
+        strata_col="lang", k=20,
+    )
+    return out.select("doc_id", "lang", "es_key", "sample_rank")
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH d AS (
+    SELECT doc_id, lang,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct
+    FROM documents
+),
+q AS (
+    SELECT doc_id, lang,
+           ROUND(0.4 * least(CAST(n_chars AS DOUBLE) / 200.0, 1.0)
+               + 0.3 * (1 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0))
+               + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)), 6)
+               + 0.01 AS w
+    FROM d
+),
+scored AS (
+    SELECT doc_id, lang,
+           ROUND(ln((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                      + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                      + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) + 1.0)
+                    / 65537.0) / w, 6) AS es_key
+    FROM (SELECT doc_id, lang, w,
+                 md5('es|' || CAST(doc_id AS VARCHAR)) AS h
+          FROM q)
+)
+SELECT doc_id, lang, es_key,
+       CAST(rk AS INT) AS sample_rank
+FROM (
+    SELECT doc_id, lang, es_key,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY es_key DESC, doc_id ASC) AS rk
+    FROM scored
+) WHERE rk <= 20
+"""
+
+QUERIES["weighted_sample_quality"] = weighted_sample_quality
+ORACLES["weighted_sample_quality"] = WEIGHTED_SAMPLE_SQL
