@@ -532,3 +532,45 @@ GROUP BY d.lang, p.lang_pred
 
 QUERIES["language_id_confusion"] = language_id_confusion
 ORACLES["language_id_confusion"] = LANG_CONFUSION_SQL
+
+
+def hashed_bow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (the scikit "hashing trick"): each
+    term maps to dimension ``hex16(md5(term)) % 128`` and contributes
+    its term frequency — a deterministic, vocabulary-free text
+    featurization that feeds the similarity stack without any ML
+    library.  One explode → one (doc, dim) aggregation; the md5 dim
+    assignment makes the features bit-identical in every engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    dim = (
+        F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("int") % 128
+    )
+    return (
+        toks.groupBy("doc_id", dim.alias("dim"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+
+
+HASHED_BOW_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+)
+SELECT doc_id,
+       CAST(((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(term), 3, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(md5(term), 4, 1)) - 1) % 128
+            AS INT) AS dim,
+       COUNT(*) AS v
+FROM toks
+GROUP BY 1, 2
+"""
+
+QUERIES["hashed_bow_features"] = hashed_bow_features
+ORACLES["hashed_bow_features"] = HASHED_BOW_SQL
