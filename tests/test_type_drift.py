@@ -71,6 +71,8 @@ QUERY_NAMES = [
     "events_ohlc_hourly",       # date_trunc bucket + first/last rank
     "events_rolling_24h",       # unix_micros RANGE frame
     "events_sliding_rate",      # F.window() sliding buckets
+    "event_transition_matrix",  # lag over ts ordering
+    "user_retention_cohorts",   # date_trunc('week') + datediff
 ]
 
 
