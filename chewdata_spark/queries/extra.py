@@ -584,3 +584,117 @@ SELECT 'matched',
 
 QUERIES["docs_embeddings_alignment"] = docs_embeddings_alignment
 ORACLES["docs_embeddings_alignment"] = ALIGNMENT_SQL
+
+
+def orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics on plain DataFrames (the Delta/Iceberg
+    upsert, expressed engine-agnostically): an updates batch (every
+    order with o_orderkey % 10 = 0 gets +5% totalprice; synthetic new
+    orders appear above the max key) merges into orders — matched rows
+    take the update, unmatched keep the target, inserts append.  One
+    full-outer join on the key; at production scale this is the MERGE
+    a table format executes with file-level pruning, and the
+    row-level semantics here are exactly what it must produce."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    # +10.00 exactly (a x1.05 update lands on .005 midpoints where
+    # Spark's BigDecimal HALF_UP and DuckDB's multiply-round disagree
+    # on the double's decimal rendering)
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") + 10.0, 2).alias("o_totalprice"),
+    )
+    inserts = orders.agg(F.max("o_orderkey").alias("m")).select(
+        (F.col("m") + 1).alias("o_orderkey"),
+        F.lit(1).cast("long").alias("o_custkey"),
+        F.lit(100.0).alias("o_totalprice"),
+    )
+    batch = updates.unionByName(inserts)
+    t = orders.alias("t")
+    s = batch.alias("s")
+    merged = t.join(s, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        F.coalesce(F.col("s.o_custkey"), F.col("t.o_custkey")).alias("o_custkey"),
+        F.round(
+            F.coalesce(F.col("s.o_totalprice"), F.col("t.o_totalprice")), 2
+        ).alias("o_totalprice"),
+        (F.col("s.o_orderkey").isNotNull() & F.col("t.o_orderkey").isNotNull()).alias("was_updated"),
+        F.col("t.o_orderkey").isNull().alias("was_inserted"),
+    )
+    return merged.filter(F.col("was_updated") | F.col("was_inserted"))
+
+
+UPSERT_MERGE_SQL = """
+WITH orders_d AS (
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+),
+updates AS (
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice + 10.0, 2) AS o_totalprice
+    FROM orders_d WHERE o_orderkey % 10 = 0
+),
+inserts AS (
+    SELECT MAX(o_orderkey) + 1 AS o_orderkey,
+           CAST(1 AS BIGINT) AS o_custkey, 100.0 AS o_totalprice
+    FROM orders_d
+),
+batch AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+       ROUND(COALESCE(s.o_totalprice, t.o_totalprice), 2) AS o_totalprice,
+       (s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL) AS was_updated,
+       (t.o_orderkey IS NULL) AS was_inserted
+FROM orders_d t FULL OUTER JOIN batch s USING (o_orderkey)
+WHERE (s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL)
+   OR t.o_orderkey IS NULL
+"""
+
+QUERIES["orders_upsert_merge"] = orders_upsert_merge
+ORACLES["orders_upsert_merge"] = UPSERT_MERGE_SQL
+
+
+def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history builder: each user's event_type changes open
+    a validity interval [valid_from, valid_to) closed by the next
+    change (NULL = current) — the warehousing pattern for tracking
+    attribute history.  Change detection and interval close are two
+    expressions over ONE user-keyed window sort."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (F.lag("event_type").over(w).isNull()
+         | (F.lag("event_type").over(w) != F.col("event_type"))).alias("_chg"),
+    )
+    changes = marked.filter(F.col("_chg"))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+
+
+SCD2_SQL = """
+WITH marked AS (
+    SELECT user_id, event_type, ts, event_id,
+           (LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS DISTINCT FROM event_type) AS chg
+    FROM events
+),
+changes AS (SELECT * FROM marked WHERE chg)
+SELECT user_id, event_type AS state, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM changes
+"""
+
+QUERIES["user_state_history"] = user_state_history
+ORACLES["user_state_history"] = SCD2_SQL
