@@ -73,6 +73,7 @@ QUERY_NAMES = [
     "events_sliding_rate",      # F.window() sliding buckets
     "event_transition_matrix",  # lag over ts ordering
     "user_retention_cohorts",   # date_trunc('week') + datediff
+    "user_state_history",       # SCD2 valid_from/valid_to intervals
 ]
 
 
