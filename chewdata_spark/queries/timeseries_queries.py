@@ -288,3 +288,88 @@ FROM counts
 
 QUERIES["event_transition_matrix"] = event_transition_matrix
 ORACLES["event_transition_matrix"] = EVENT_TRANSITIONS_SQL
+
+
+def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of `value`: exact p10..p90 edges
+    from ONE aggregation broadcast back, bucket = 1 + #edges below the
+    value — a pure projection, NO global sort (ntile would single-
+    partition the corpus; this is the scale-correct equi-depth shape).
+    Returns per-bucket count and value span."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile(
+        "value", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    )
+    edges = ev.agg(pct.alias("_edges"))
+    bucket = F.lit(1)
+    for i in range(9):
+        bucket = bucket + F.when(
+            F.col("value") > F.element_at("_edges", i + 1), 1
+        ).otherwise(0)
+    return (
+        ev.crossJoin(F.broadcast(edges))
+        .select(bucket.cast("int").alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+HISTOGRAM_SQL = """
+WITH edges AS (
+    SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+            quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+            quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+            quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+            quantile_cont(value, 0.9)] AS e
+    FROM events
+),
+b AS (
+    SELECT CAST(1 + (CASE WHEN value > e[1] THEN 1 ELSE 0 END)
+                  + (CASE WHEN value > e[2] THEN 1 ELSE 0 END)
+                  + (CASE WHEN value > e[3] THEN 1 ELSE 0 END)
+                  + (CASE WHEN value > e[4] THEN 1 ELSE 0 END)
+                  + (CASE WHEN value > e[5] THEN 1 ELSE 0 END)
+                  + (CASE WHEN value > e[6] THEN 1 ELSE 0 END)
+                  + (CASE WHEN value > e[7] THEN 1 ELSE 0 END)
+                  + (CASE WHEN value > e[8] THEN 1 ELSE 0 END)
+                  + (CASE WHEN value > e[9] THEN 1 ELSE 0 END) AS INT) AS bucket,
+           value
+    FROM events, edges
+)
+SELECT bucket, COUNT(*) AS n,
+       ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+FROM b GROUP BY bucket
+"""
+
+QUERIES["events_histogram_equidepth"] = events_histogram_equidepth
+ORACLES["events_histogram_equidepth"] = HISTOGRAM_SQL
+
+
+def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: event counts by ISO weekday × hour — the
+    operational view of traffic seasonality.  One projection + one
+    (dow, hour) aggregation (168 groups max)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.weekday("ts") + 1).alias("isodow"),
+            F.hour("ts").alias("hour"),
+        )
+        .groupBy("isodow", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+HEATMAP_SQL = """
+SELECT CAST(isodow(ts) AS INT) AS isodow, CAST(hour(ts) AS INT) AS hour,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES["events_heatmap_dow_hour"] = events_heatmap_dow_hour
+ORACLES["events_heatmap_dow_hour"] = HEATMAP_SQL
