@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from chewdata_spark.operators.tokenize import build_vocab, tokenize_corpus
 from chewdata_spark.tables import load_table
@@ -103,3 +104,62 @@ ORACLES = {
     "tokenize_documents": TOKENIZE_SQL,
     "corpus_zipf_fit": ZIPF_SQL,
 }
+
+
+def countmin_sketch_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch of the corpus term frequencies (4 rows × 256
+    counters, md5-derived hash per row) — the mergeable streaming
+    sketch behind heavy-hitter detection at 100 TB, built as ONE
+    aggregation: explode tokens ×4 hash rows (map-side), groupBy
+    (row, col) with partial sums; every engine derives identical
+    counters because the hash is md5.  Output: (sketch_row, col, cnt)
+    — 1024 cells regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    )
+    rows = toks.select(
+        "term",
+        F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("sketch_row"),
+    )
+    col = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("sketch_row").cast("string"), F.col("term"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 256
+    )
+    return (
+        rows.groupBy("sketch_row", col.alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+COUNTMIN_SQL = """
+WITH toks AS (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+),
+ex AS (
+    SELECT term, j.j AS sketch_row,
+           md5(CAST(j.j AS VARCHAR) || '|' || term) AS h
+    FROM toks, (SELECT unnest(generate_series(0, 3)) AS j) j
+)
+SELECT CAST(sketch_row AS INT) AS sketch_row,
+       CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) % 256
+            AS INT) AS col,
+       COUNT(*) AS cnt
+FROM ex
+GROUP BY 1, 2
+"""
+
+QUERIES["countmin_sketch_terms"] = countmin_sketch_terms
+ORACLES["countmin_sketch_terms"] = COUNTMIN_SQL

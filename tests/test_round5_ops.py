@@ -134,3 +134,31 @@ def test_hard_negatives_exclude_same_label_and_self(spark, emb):
         per_q.setdefault(r.qid, []).append(r.rank)
     for qid, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_countmin_overestimates_never_under(spark, docs):
+    # CMS guarantee: min over rows of the term's counters >= true count
+    import hashlib
+
+    from chewdata_spark.queries.tokenize_queries import countmin_sketch_terms
+
+    cells = {
+        (r.sketch_row, r.col): r.cnt
+        for r in countmin_sketch_terms(spark, SF01).collect()
+    }
+    toks = (
+        docs.selectExpr("explode(split(trim(lower(text)), '\\\\s+')) AS term")
+        .groupBy("term")
+        .count()
+        .collect()
+    )
+    true_counts = {r.term: r["count"] for r in toks}
+    for term in list(true_counts)[:30]:
+        est = min(
+            cells.get(
+                (j, int(hashlib.md5(f"{j}|{term}".encode()).hexdigest()[:4], 16) % 256),
+                0,
+            )
+            for j in range(4)
+        )
+        assert est >= true_counts[term], term
