@@ -82,7 +82,13 @@ HEADLINE = [
     "events_rolling_24h",
     "events_value_zscore",
     "events_sliding_rate",
+    "event_transition_matrix",
+    "user_state_history",
+    "orders_upsert_merge",
     "split_leakage_audit",
+    "weighted_sample_quality",
+    "hashed_bow_features",
+    "countmin_sketch_terms",
     "dedup_cluster_components",
     "dedup_clean_corpus_cc",
     "mix_corpus_weighted",
