@@ -838,3 +838,53 @@ JOIN ev b ON b.vec_id = tp.id_b
 
 QUERIES["dedup_consensus_pairs"] = dedup_consensus_pairs
 ORACLES["dedup_consensus_pairs"] = CONSENSUS_SQL
+
+
+def bloom_seen_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter of the seen-corpus content hashes (k=3 md5-derived
+    probes into m=4096 bits) — the broadcastable membership prefilter
+    that replaces the exact-gate distinct join of incremental ingest
+    when the seen side is 100 TB: false positives only re-check, never
+    lose data.  Built as one explode ×3 + a distinct on bit positions
+    (≤ m rows out regardless of corpus size); the md5 probes make the
+    bit set engine-portable."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("h")
+    )
+    probes = seen.select(
+        "h",
+        F.explode(F.array(*[F.lit(j) for j in range(3)])).alias("j"),
+    )
+    bit = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col("j").cast("string"), F.col("h"))), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % 4096
+    )
+    return probes.select(bit.alias("bit")).distinct()
+
+
+BLOOM_SQL = """
+WITH seen AS (
+    SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+),
+probes AS (
+    SELECT md5(CAST(j.j AS VARCHAR) || '|' || h) AS ph
+    FROM seen, (SELECT unnest(generate_series(0, 2)) AS j) j
+)
+SELECT DISTINCT
+       CAST(((strpos('0123456789abcdef', substr(ph, 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(ph, 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(ph, 3, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(ph, 4, 1)) - 1) % 4096
+            AS INT) AS bit
+FROM probes
+"""
+
+QUERIES["bloom_seen_hashes"] = bloom_seen_hashes
+ORACLES["bloom_seen_hashes"] = BLOOM_SQL
