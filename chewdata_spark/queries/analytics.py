@@ -441,3 +441,60 @@ FROM nodes LEFT JOIN c2 ON c2.node = nodes.node, nn
 
 QUERIES["pagerank_order_graph"] = pagerank_order_graph
 ORACLES["pagerank_order_graph"] = PAGERANK_SQL
+
+
+def distinct_users_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear Counting distinct estimate (Whang et al.): hash every
+    user into an m=4096-bit map; estimate = -m·ln(empty/m).  Unlike
+    HLL (whose sketch internals are engine-specific — see
+    approx_distinct_users, rows-only), the md5 bitmap is bit-identical
+    in every engine, so this approximate algorithm is fully
+    value-verified.  One distinct on bit positions (≤ m rows) + the
+    exact count for the observed relative error."""
+    ev = load_table(spark, sf_dir, "events")
+    bit = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 4096
+    )
+    n_bits = ev.select(bit.alias("b")).distinct().agg(
+        F.count(F.lit(1)).alias("n_set_bits")
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    est = F.round(
+        -4096.0 * F.log((4096.0 - F.col("n_set_bits")) / 4096.0), 2
+    )
+    return (
+        n_bits.crossJoin(exact)
+        .select(
+            "n_set_bits",
+            est.alias("lc_estimate"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+            ).alias("rel_error"),
+        )
+    )
+
+
+LINEAR_COUNT_SQL = """
+WITH bits AS (
+    SELECT DISTINCT
+           ((strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 16
+            + strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 4, 1)) - 1) % 4096 AS b
+    FROM events
+),
+nb AS (SELECT COUNT(*) AS n_set_bits FROM bits),
+ex AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events)
+SELECT n_set_bits,
+       ROUND(-4096.0 * ln((4096.0 - n_set_bits) / 4096.0), 2) AS lc_estimate,
+       exact_distinct,
+       ROUND(ABS(ROUND(-4096.0 * ln((4096.0 - n_set_bits) / 4096.0), 2)
+                 - exact_distinct) * 1.0 / exact_distinct, 4) AS rel_error
+FROM nb, ex
+"""
+
+QUERIES["distinct_users_linear_count"] = distinct_users_linear_count
+ORACLES["distinct_users_linear_count"] = LINEAR_COUNT_SQL
