@@ -502,3 +502,60 @@ HAVING COUNT(*) >= 2
 
 QUERIES["market_basket_pairs"] = market_basket_pairs
 ORACLES["market_basket_pairs"] = MARKET_BASKET_SQL
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-purchase graph (edges = part pairs
+    co-ordered ≥ 2 times): the standard two-join formulation on
+    canonically ordered edges (u < v < w), so each triangle is counted
+    exactly once and the join fan-out is bounded by the ordered
+    adjacency lists — the distributed-graph classic.  Returns one row
+    (n_edges, n_triangles)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
+
+
+TRIANGLES_SQL = """
+WITH edges AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+)
+SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT COUNT(*)
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles
+"""
+
+QUERIES["copurchase_triangles"] = copurchase_triangles
+ORACLES["copurchase_triangles"] = TRIANGLES_SQL
