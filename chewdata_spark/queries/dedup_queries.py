@@ -888,3 +888,76 @@ FROM probes
 
 QUERIES["bloom_seen_hashes"] = bloom_seen_hashes
 ORACLES["bloom_seen_hashes"] = BLOOM_SQL
+
+
+def dedup_clean_corpus_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: embedding near-dup pairs from the
+    sub-quadratic clustered GEMM (cosine ≥ 0.4, multi-probe IVF
+    blocking) → connected components → anti-join keeping the min-id
+    survivor per semantic cluster.  The embedding-space analogue of
+    `dedup_clean_corpus_lsh_cc_md5`, and like it fully oracle-backed —
+    the SQL replays cluster assignment, pair verification AND the
+    transitive clustering (recursive CTE)."""
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators import similarity
+    from chewdata_spark.operators.graph import cluster_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.4, centroid_stride=100, nprobe=6
+    )
+    return cluster_dedup(docs, pairs, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_SEM_COS = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+CLEAN_CORPUS_SEMANTIC_SQL = f"""
+WITH RECURSIVE e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+asg AS (
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND({_SEM_COS.format(a='e.v', b='c.cv')}, 6) DESC,
+                            c.cid ASC) AS rk
+        FROM e, cent c
+    ) WHERE rk <= 6
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM asg a JOIN asg b USING (cluster)
+    WHERE a.vec_id < b.vec_id
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM cand
+    JOIN e ea ON ea.vec_id = id_a
+    JOIN e eb ON eb.vec_id = id_b
+    WHERE ROUND({_SEM_COS.format(a='ea.v', b='eb.v')}, 6) >= 0.4
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, lbl) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e2.u, r.lbl FROM edges e2 JOIN reach r ON e2.v = r.node
+),
+lab AS (
+    SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM lab WHERE node <> cluster_id)
+"""
+
+QUERIES["dedup_clean_corpus_semantic"] = dedup_clean_corpus_semantic
+ORACLES["dedup_clean_corpus_semantic"] = CLEAN_CORPUS_SEMANTIC_SQL
