@@ -46,6 +46,8 @@ HEADLINE = [
     "dedup_clean_corpus_lsh_cc_md5",
     "dedup_simhash_md5",
     "dedup_consensus_pairs",
+    "dedup_clean_corpus_semantic",
+    "bloom_seen_hashes",
     "fingerprint_winnowing",
     "cosine_topk",
     "ann_srp_topk",
@@ -104,6 +106,10 @@ HEADLINE = [
     "media_decode_dims",
     "events_winsorized",
     "language_id_confusion",
+    "copurchase_triangles",
+    "distinct_users_linear_count",
+    "events_histogram_equidepth",
+    "events_heatmap_dow_hour",
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
