@@ -652,6 +652,53 @@ class Pipeline:
                 val_frac=float(step.get("val", 0.025)),
                 test_frac=float(step.get("test", 0.025)),
             )
+        if method in ("lines_dedup", "span_cut"):
+            from chewdata_spark.operators import dedup as D
+
+            if not key:
+                raise ValueError(f"curate.{method} needs 'key'")
+            if method == "lines_dedup":
+                cleaned = D.dedup_lines_global(
+                    df.select(key, field),
+                    key,
+                    field,
+                    min_words=int(step.get("min_words", 5)),
+                )
+            else:
+                cleaned = D.cut_duplicate_spans(
+                    df.select(key, field), key, field, k=int(step.get("k", 8))
+                )
+            repl = cleaned.select(
+                F.col("doc_id").alias(key), F.col("clean_text").alias(field)
+            )
+            return df.drop(field).join(repl, key)
+        if method == "decontaminate":
+            from chewdata_spark.operators.curation import decontaminate
+
+            if not key:
+                raise ValueError("curate.decontaminate needs 'key'")
+            bench_cfg = step.get("benchmark")
+            if not bench_cfg:
+                raise ValueError(
+                    "curate.decontaminate needs a 'benchmark' reader config"
+                )
+            bench = self._read(df.sparkSession, _normalize_step(
+                {"type": "reader", **bench_cfg}
+            ))
+            bench_field = step.get("benchmark_field", field)
+            hits = decontaminate(
+                df.select(F.col(key), F.col(field)),
+                bench.select(F.col(key).alias(key) if key in bench.columns
+                             else F.monotonically_increasing_id().alias(key),
+                             F.col(bench_field).alias(field)),
+                key,
+                field,
+                n=int(step.get("n", 4)),
+            )
+            flagged = hits.filter(
+                F.col("n_hit_grams") >= int(step.get("min_hits", 1))
+            ).select(F.col("doc_id").alias(key))
+            return df.join(flagged, key, "left_anti")
         raise ValueError(f"unsupported curate method {method!r}")
 
     def _validate(self, spark: SparkSession, step: dict, df: DataFrame) -> DataFrame:

@@ -775,3 +775,45 @@ def test_example_configs_compile_and_run(spark):
         steps = [s for s in cfg if s.get("type") not in ("writer", "w")]
         df = Pipeline(steps, spark).dataframe()
         assert df.count() > 0, cfg_path
+
+
+def test_curate_step_lines_dedup_and_span_cut(spark):
+    import json
+
+    from chewdata_spark.pipeline import Pipeline
+
+    line = "this exact same long line appears in two documents here"
+    rows = [
+        {"id": 1, "text": line + "\nunique one two three four five"},
+        {"id": 2, "text": line + "\nanother unique line with words"},
+    ]
+    cfg = [
+        {"type": "reader", "connector": {"type": "in_memory", "data": json.dumps(rows)}},
+        {"type": "curate", "method": "lines_dedup", "key": "id", "field": "text"},
+    ]
+    out = {r.id: r.text for r in Pipeline(cfg, spark).dataframe().collect()}
+    assert line in out[1]
+    assert line not in out[2]  # global first-occurrence wins
+
+
+def test_curate_step_decontaminate_with_benchmark_reader(spark, tmp_path):
+    import json
+
+    from chewdata_spark.pipeline import Pipeline
+
+    bench_path = tmp_path / "bench.json"
+    bench_path.write_text(json.dumps(
+        [{"id": 100, "text": "secret benchmark phrase alpha beta gamma delta"}]
+    ))
+    rows = [
+        {"id": 1, "text": "contains the secret benchmark phrase alpha beta gamma delta inside"},
+        {"id": 2, "text": "totally clean document with unrelated words only"},
+    ]
+    cfg = [
+        {"type": "reader", "connector": {"type": "in_memory", "data": json.dumps(rows)}},
+        {"type": "curate", "method": "decontaminate", "key": "id", "field": "text",
+         "n": 4, "benchmark": {"connector": {"type": "local", "path": str(bench_path)},
+                                "document": {"type": "json"}}},
+    ]
+    out = [r.id for r in Pipeline(cfg, spark).dataframe().collect()]
+    assert out == [2]
