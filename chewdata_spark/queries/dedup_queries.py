@@ -161,12 +161,19 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable 32-bit SimHash (md5-derived bits,
     operators/dedup.py::simhash_portable) + 4-band bucketing, verified
     to Hamming ≤ 3 — the fully oracle-backed twin of `dedup_simhash`
-    (whose xxhash64 bits are not reproducible in SQL).  Hamming ≤ 2 of
-    32 bits — tighter than the 64-bit twin's ≤ 6 because half the bits
-    double each bit's collision rate."""
+    (whose xxhash64 bits are not reproducible in SQL).  Hamming ≤ 1 of
+    32 bits — far tighter than the 64-bit twin's ≤ 6: with half the
+    bits each bit carries double the collision rate, and the synthetic
+    template corpus makes loose thresholds flag O(n²) pairs (≤ 2
+    produced 777k pairs from 5k docs at sf0.1 — output volume, not the
+    plan, dominated its runtime).  2 bands × 16 bits: by pigeonhole a
+    single differing bit leaves the other band identical, so banding
+    recall at hamming ≤ 1 is exactly 100% — and 16-bit band values
+    collide ~256× less than 8-bit ones (bucket sizes, and therefore
+    candidate volume, drop accordingly)."""
     docs = load_table(spark, sf_dir, "documents")
     fps = dedup.simhash_portable(docs, "doc_id", "text")
-    return dedup.simhash_candidate_pairs(fps, bands=4, max_hamming=2, bits=32)
+    return dedup.simhash_candidate_pairs(fps, bands=2, max_hamming=1, bits=32)
 
 
 def _simhash_bit_sql(i: int) -> str:
@@ -194,8 +201,8 @@ WITH toks AS (
 ), fp AS (
     SELECT doc_id, {_SIMHASH_FP} AS simhash FROM bits
 ), bands AS (
-    SELECT doc_id, simhash, b AS band_idx, (simhash >> (b * 8)) & 255 AS band_val
-    FROM fp, (SELECT unnest(generate_series(0, 3)) AS b)
+    SELECT doc_id, simhash, b AS band_idx, (simhash >> (b * 16)) & 65535 AS band_val
+    FROM fp, (SELECT unnest(generate_series(0, 1)) AS b)
 ), pairs AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
@@ -204,7 +211,7 @@ WITH toks AS (
      AND a.doc_id < b.doc_id
     GROUP BY 1, 2, 3
 )
-SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1
 """
 
 
