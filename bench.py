@@ -143,7 +143,11 @@ STREAMING = {
 # (localCheckpoint): re-running noop on one constructed DataFrame would
 # read the warmup's checkpointed blocks and hide the truncated stage's
 # compute, so these rebuild the query per measured run like STREAMING.
-CONSTRUCT_EACH = STREAMING | {"curate_pipeline_full", "curation_audit_report"}
+CONSTRUCT_EACH = STREAMING | {
+    "curate_pipeline_full",
+    "curation_audit_report",
+    "pagerank_order_graph",
+}
 
 
 def main() -> None:

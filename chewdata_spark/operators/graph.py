@@ -144,6 +144,11 @@ def pagerank(
     implicitly via the (1-d)/N teleport only (matching the common
     simplified formulation).  Returns (node, pr).
     """
+    # the edge relation feeds nodes, out-degrees and every iteration's
+    # contribution join — truncate lineage so an expensive edge
+    # derivation (join + distinct upstream) runs ONCE, exactly like the
+    # per-round checkpoints in connected_components
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
