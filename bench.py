@@ -147,6 +147,8 @@ CONSTRUCT_EACH = STREAMING | {
     "curate_pipeline_full",
     "curation_audit_report",
     "pagerank_order_graph",
+    "dedup_incremental_ingest",
+    "dedup_incremental_ingest_md5",
 }
 
 

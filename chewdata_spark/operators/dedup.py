@@ -695,12 +695,38 @@ def incremental_ingest_dedup(
     exact_survivors = new_hashed.join(seen_hashes, "_h", "left_anti").drop("_h")
 
     sig_fn = minhash_signatures_portable if portable else minhash_signatures
-    new_sigs = sig_fn(
-        exact_survivors, id_col, text_col, num_perm=num_perm, shingle_size=shingle_size
+    # ONE signature pass over both sides: tag each row's id with its
+    # side ("n#"/"s#") and union before the shingle pipeline, so the
+    # tokenize → window → num_perm min-aggs chain executes once instead
+    # of once per side (measured ~1.7× on the md5 family at sf0.1 —
+    # the signature pipeline is the dominant cost, not the joins)
+    id_type = dict(new_df.dtypes)[id_col]
+
+    def _tag(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.concat_ws("#", F.lit(side), F.col(id_col).cast("string")).alias(
+                "__tid"
+            ),
+            F.col(text_col),
+        )
+
+    tagged = _tag(exact_survivors, "n").unionByName(_tag(seen_df, "s"))
+    sigs_all = sig_fn(
+        tagged, "__tid", text_col, num_perm=num_perm, shingle_size=shingle_size
     )
-    seen_sigs = sig_fn(
-        seen_df, id_col, text_col, num_perm=num_perm, shingle_size=shingle_size
-    )
+    # four consumers read the signature relation (each side's band
+    # explode + each side's verification join): materialize it once —
+    # at production scale this is the persisted signature table every
+    # incremental-ingest pipeline keeps between daily runs anyway
+    sigs_all = sigs_all.localCheckpoint(eager=False)
+
+    def _side(side: str) -> DataFrame:
+        return sigs_all.filter(F.col("id").startswith(side + "#")).withColumn(
+            "id", F.expr("substring(id, 3)").cast(id_type)
+        )
+
+    new_sigs = _side("n")
+    seen_sigs = _side("s")
     rows_per_band = num_perm // bands
 
     def band_rows(sigs, idn):
