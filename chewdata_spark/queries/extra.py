@@ -698,3 +698,47 @@ FROM changes
 
 QUERIES["user_state_history"] = user_state_history
 ORACLES["user_state_history"] = SCD2_SQL
+
+
+def video_frame_sample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable exercise of the one-to-many frame-sampling
+    plumbing: each document's bytes act as a synthetic video; the
+    deterministic stand-in kernel (sha256-derived duration and frame
+    bytes — operators/multimodal.py::fake_sample_frames) runs through
+    the REAL Arrow mapInPandas `_frame_stage`, and the oracle re-derives
+    duration and the uniform timestamps in SQL — so batching or
+    row-replication bugs in the media path fail the value hash.  (The
+    frame-byte digests stay pytest-contract-checked: DuckDB's sha256
+    only accepts VARCHAR, and the 4-byte frame-index suffix contains
+    NULs.)"""
+    from chewdata_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    frames = multimodal.fake_sample_frames(media, "content", n_frames=4)
+    return frames.select("doc_id", "frame_idx", "frame_ms")
+
+
+_HEX6 = (
+    "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576"
+    " + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536"
+    " + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(h, 6, 1)) - 1)"
+)
+VIDEO_FRAMES_SQL = f"""
+WITH d AS (
+    SELECT doc_id, sha256(text) AS h FROM documents
+),
+dur AS (
+    SELECT doc_id, 1000 + {_HEX6} % 60000 AS duration_ms FROM d
+)
+SELECT doc_id,
+       CAST(i.i AS INT) AS frame_idx,
+       CAST((duration_ms * i.i) // 4 AS INT) AS frame_ms
+FROM dur, (SELECT unnest(generate_series(0, 3)) AS i) i
+"""
+
+QUERIES["video_frame_sample_report"] = video_frame_sample_report
+ORACLES["video_frame_sample_report"] = VIDEO_FRAMES_SQL
