@@ -16,6 +16,7 @@ from chewdata_spark.tables import load_table
 
 # --- ROLLUP with grouping indicator ------------------------------------------
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (year, status) revenue with subtotals and grand total."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
@@ -41,6 +42,7 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 # --- CUBE --------------------------------------------------------------------
 def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all grouping-set combinations."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
@@ -64,6 +66,7 @@ PIVOT_STATUSES = ["F", "O", "P"]
 
 
 def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts pivoted to one column per status."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
@@ -85,6 +88,7 @@ GROUP BY o_orderpriority
 
 # --- Exact percentiles (linear interpolation) --------------------------------
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 of extendedprice per returnflag."""
     li = load_table(spark, sf_dir, "lineitem")
     pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     return (
@@ -109,6 +113,7 @@ GROUP BY l_returnflag
 
 # --- Exact + approximate distinct counting -----------------------------------
 def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
@@ -136,6 +141,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Correlation / covariance -------------------------------------------------
 def qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + covariance of quantity vs price per flag."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")

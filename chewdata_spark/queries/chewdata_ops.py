@@ -55,6 +55,7 @@ def _validated_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def validator_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference validator semantics: named boolean rules assemble _error per record."""
     return _validated_lineitem(spark, sf_dir).select("l_orderkey", "l_linenumber", "_error")
 
 

@@ -56,6 +56,7 @@ GROUP BY t.doc_id
 
 
 def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals: dup-line/dup-trigram/top-bigram fractions."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.repetition_stats(docs, "doc_id", "text")
 
@@ -124,6 +125,7 @@ SAMPLE_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.1}
 
 
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling via md5 thresholds."""
     docs = load_table(spark, sf_dir, "documents")
     out = curation.stratified_sample(docs, "lang", SAMPLE_RATES, "doc_id")
     return out.select("doc_id", "lang", "source")
@@ -208,6 +210,7 @@ FROM s
 
 
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean token log-probability under the corpus unigram LM per document."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.unigram_logprob(docs, "doc_id", "text")
 

@@ -14,6 +14,7 @@ from chewdata_spark.tables import load_table
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups by content md5 (min-id representative per group)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs, "doc_id", ["text"])
 
@@ -47,6 +48,7 @@ GROUP BY 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard near-dup pairs (the quadratic verification twin)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 

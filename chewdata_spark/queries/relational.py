@@ -165,6 +165,7 @@ WHERE rn <= 3
 
 # --- Aggregation + HAVING -----------------------------------------------------
 def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order count / total / avg (HAVING-gated aggregation)."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_custkey")
@@ -224,6 +225,7 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with zero orders (the null-safe NOT IN)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
@@ -269,6 +271,7 @@ GROUP BY n_name, r_name
 
 # --- Sort + limit -------------------------------------------------------------
 def top_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 orders by totalprice (TakeOrderedAndProject, no full sort)."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
@@ -287,6 +290,7 @@ LIMIT 20
 
 # --- Event-time rollup (batch shape of the streaming tumbling window) --------
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling hourly counts+sums per event type (batch twin of the streaming window)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")

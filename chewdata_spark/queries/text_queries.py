@@ -14,6 +14,7 @@ from chewdata_spark.tables import load_table
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics (chars, tokens, punctuation, uniques)."""
     return text.text_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
@@ -35,6 +36,7 @@ FROM d
 
 
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language identification per document."""
     return text.language_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
@@ -63,6 +65,7 @@ FROM s
 
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite 0-1 surface quality score (length / punctuation / diversity)."""
     return text.quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
@@ -83,6 +86,7 @@ FROM d
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counts per document."""
     return text.token_counts(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
@@ -95,6 +99,7 @@ FROM documents
 
 
 def content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive bag-of-words md5 fingerprint per document."""
     return text.content_fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
@@ -107,6 +112,7 @@ FROM documents
 
 
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunks per document (RAG windowing)."""
     return text.chunk_documents(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", chunk_size=50, overlap=10
     )

@@ -14,6 +14,7 @@ UNK_ID = VOCAB_K  # one past the largest vocab id
 
 
 def corpus_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K frequency vocabulary with dense ids (count desc, term asc)."""
     docs = load_table(spark, sf_dir, "documents")
     return build_vocab(docs, "text", top_k=VOCAB_K)
 
