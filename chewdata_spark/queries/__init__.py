@@ -60,3 +60,37 @@ def all_oracles() -> dict[str, str]:
     for mod in _modules():
         out.update(mod.ORACLES)
     return out
+
+
+def query_index_markdown() -> str:
+    """docs/QUERIES.md content: the grouped index of every registered
+    query with oracle status and first docstring line (regenerate with
+    `python scripts/gen_query_index.py`; tests assert freshness)."""
+    oracles = set(all_oracles())
+    out = [
+        "# Query index (auto-generated — `python scripts/gen_query_index.py`)",
+        "",
+        "`oracle` = full DuckDB value-hash check; `rows` = rows-only driver",
+        "check (recall-tested against an exact or portable twin — see",
+        "docs/VERIFICATION.md).",
+        "",
+    ]
+    body = []
+    total = n_oracle = 0
+    for mod in _modules():
+        body.append(f"## {mod.__name__.split('.')[-1]}")
+        body.append("")
+        body.append("| query | check | what |")
+        body.append("|---|---|---|")
+        for qname in sorted(mod.QUERIES):
+            doc = (mod.QUERIES[qname].__doc__ or "").strip()
+            line = doc.split("\n")[0].strip().rstrip(".") or "—"
+            kind = "oracle" if qname in oracles else "rows"
+            total += 1
+            n_oracle += qname in oracles
+            body.append(f"| `{qname}` | {kind} | {line} |")
+        body.append("")
+    out.append(f"**{total} queries, {n_oracle} oracle-backed.**")
+    out.append("")
+    out.extend(body)
+    return "\n".join(out) + "\n"

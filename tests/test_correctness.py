@@ -64,3 +64,14 @@ def test_duck_type_guard_rejects_hugeint():
     assert not duck_type_ok("double", "DECIMAL(18,4)")
     assert duck_type_ok("array<int>", "INTEGER[]")
     assert duck_type_ok("timestamp", "TIMESTAMP_NS")
+
+
+def test_query_index_doc_is_current():
+    # docs/QUERIES.md must match the live registry — regenerate with
+    # `python scripts/gen_query_index.py` after adding a query
+    import pathlib
+
+    from chewdata_spark.queries import query_index_markdown
+
+    committed = pathlib.Path("docs/QUERIES.md").read_text()
+    assert committed == query_index_markdown()
