@@ -504,3 +504,123 @@ FROM nb, ex
 
 QUERIES["distinct_users_linear_count"] = distinct_users_linear_count
 ORACLES["distinct_users_linear_count"] = LINEAR_COUNT_SQL
+
+
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive seasonal decomposition of monthly revenue: the trailing
+    12-month moving average (trend) and the deviation from it
+    (seasonal+noise).  The window runs AFTER aggregation to month
+    cardinality — a documented deliberate single-reducer over ~84 rows,
+    never over raw lineitem."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(-11, 0)
+    # 6 dp, not 2: a 12-month average of 2-decimal revenues lands on
+    # .xx5 midpoints where engines' double-rounding modes disagree
+    trend = F.round(F.avg("revenue").over(w), 6)
+    return monthly.select(
+        F.col("month").cast("timestamp").alias("month"),
+        "revenue",
+        trend.alias("trend_12m"),
+        F.round(F.col("revenue") - trend, 6).alias("deviation"),
+    )
+
+
+MONTHLY_TREND_SQL = """
+WITH monthly AS (
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem GROUP BY 1
+)
+SELECT month, revenue,
+       ROUND(AVG(revenue) OVER (ORDER BY month
+                                ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 6)
+           AS trend_12m,
+       ROUND(revenue - ROUND(AVG(revenue) OVER (ORDER BY month
+                                ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 6), 6)
+           AS deviation
+FROM monthly
+"""
+
+QUERIES["monthly_revenue_trend"] = monthly_revenue_trend
+ORACLES["monthly_revenue_trend"] = MONTHLY_TREND_SQL
+
+
+def supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier late-shipment ranking by the Wilson score lower bound
+    (95%): the small-sample-honest way to rank binomial rates — a
+    supplier with 1/1 on-time must not outrank one with 98/100.
+    On-time = shipped within 90 days of the order date (the testdata
+    carries no commit/receipt dates — same ship-vs-order delay
+    convention as q12/q21).  One join + one aggregation per supplier +
+    a pure-expression bound; suppliers with ≥ 10 shipments, worst 25
+    by on-time lower bound."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    agg = j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 90, 1
+            ).otherwise(0)
+        ).alias("on_time"),
+    ).filter(F.col("n") >= 10)
+    z = 1.959964
+    p = F.col("on_time") / F.col("n")
+    n = F.col("n").cast("double")
+    lb = (
+        (p + z * z / (2 * n) - z * F.sqrt((p * (1 - p) + z * z / (4 * n)) / n))
+        / (1 + z * z / n)
+    )
+    scored = agg.select(
+        "l_suppkey",
+        "n",
+        "on_time",
+        F.round(lb, 6).alias("wilson_lb"),
+    )
+    w = Window.orderBy(F.col("wilson_lb").asc(), F.col("l_suppkey").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 25)
+    )
+
+
+WILSON_SQL = """
+WITH agg AS (
+    SELECT l_suppkey, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS on_time
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_suppkey
+    HAVING COUNT(*) >= 10
+),
+scored AS (
+    SELECT l_suppkey, n, on_time,
+           ROUND(
+             ((on_time * 1.0 / n) + 1.959964 * 1.959964 / (2.0 * n)
+              - 1.959964 * sqrt((((on_time * 1.0 / n) * (1 - on_time * 1.0 / n))
+                                 + 1.959964 * 1.959964 / (4.0 * n)) / n))
+             / (1 + 1.959964 * 1.959964 / n), 6) AS wilson_lb
+    FROM agg
+)
+SELECT l_suppkey, n, on_time, wilson_lb, CAST(rk AS INT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY wilson_lb ASC, l_suppkey ASC) AS rk
+    FROM scored
+) WHERE rk <= 25
+"""
+
+QUERIES["supplier_reliability"] = supplier_reliability
+ORACLES["supplier_reliability"] = WILSON_SQL
