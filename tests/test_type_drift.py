@@ -74,6 +74,8 @@ QUERY_NAMES = [
     "event_transition_matrix",  # lag over ts ordering
     "user_retention_cohorts",   # date_trunc('week') + datediff
     "user_state_history",       # SCD2 valid_from/valid_to intervals
+    "monthly_revenue_trend",    # month truncation + moving window
+    "supplier_reliability",     # ship-vs-order datediff gate
 ]
 
 
