@@ -110,6 +110,9 @@ HEADLINE = [
     "distinct_users_linear_count",
     "events_histogram_equidepth",
     "events_heatmap_dow_hour",
+    "monthly_revenue_trend",
+    "supplier_reliability",
+    "video_frame_sample_report",
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
