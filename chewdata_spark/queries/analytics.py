@@ -624,3 +624,141 @@ FROM (
 
 QUERIES["supplier_reliability"] = supplier_reliability
 ORACLES["supplier_reliability"] = WILSON_SQL
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency (days since last order), frequency
+    (order count) and monetary (total spend) per customer, each scored
+    1-4 against exact quartile edges — the marketing-analytics classic.
+    Edges come from ONE aggregation broadcast back (the equi-depth
+    pattern — no ntile, no global sort); scoring is a projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("_ref"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("_ref"), F.col("o_orderdate"))).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    pct = lambda c: F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    edges = per_cust.agg(
+        pct("recency_days").alias("_re"),
+        pct("frequency").alias("_fe"),
+        pct("monetary").alias("_me"),
+    )
+
+    def score(col, e, invert=False):
+        s = F.lit(1)
+        for i in range(3):
+            s = s + F.when(F.col(col) > F.element_at(e, i + 1), 1).otherwise(0)
+        return (F.lit(5) - s) if invert else s
+
+    scored = per_cust.crossJoin(F.broadcast(edges)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score("recency_days", "_re", invert=True).cast("int").alias("r_score"),
+        score("frequency", "_fe").cast("int").alias("f_score"),
+        score("monetary", "_me").cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "champion")
+        .when(F.col("r_score") >= 3, "recent")
+        .when(F.col("f_score") >= 3, "loyal_lapsing")
+        .otherwise("hibernating"),
+    )
+
+
+RFM_SQL = """
+WITH ref AS (SELECT MAX(o_orderdate) AS r FROM orders),
+per_cust AS (
+    SELECT o_custkey,
+           CAST(MIN(date_diff('day', o_orderdate, ref.r)) AS INT) AS recency_days,
+           COUNT(*) AS frequency,
+           ROUND(SUM(o_totalprice), 2) AS monetary
+    FROM orders, ref GROUP BY o_custkey, ref.r
+),
+edges AS (
+    SELECT [quantile_cont(recency_days, 0.25), quantile_cont(recency_days, 0.5),
+            quantile_cont(recency_days, 0.75)] AS re,
+           [quantile_cont(frequency, 0.25), quantile_cont(frequency, 0.5),
+            quantile_cont(frequency, 0.75)] AS fe,
+           [quantile_cont(monetary, 0.25), quantile_cont(monetary, 0.5),
+            quantile_cont(monetary, 0.75)] AS me
+    FROM per_cust
+),
+scored AS (
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(5 - (1 + (CASE WHEN recency_days > re[1] THEN 1 ELSE 0 END)
+                       + (CASE WHEN recency_days > re[2] THEN 1 ELSE 0 END)
+                       + (CASE WHEN recency_days > re[3] THEN 1 ELSE 0 END)) AS INT) AS r_score,
+           CAST(1 + (CASE WHEN frequency > fe[1] THEN 1 ELSE 0 END)
+                  + (CASE WHEN frequency > fe[2] THEN 1 ELSE 0 END)
+                  + (CASE WHEN frequency > fe[3] THEN 1 ELSE 0 END) AS INT) AS f_score,
+           CAST(1 + (CASE WHEN monetary > me[1] THEN 1 ELSE 0 END)
+                  + (CASE WHEN monetary > me[2] THEN 1 ELSE 0 END)
+                  + (CASE WHEN monetary > me[3] THEN 1 ELSE 0 END) AS INT) AS m_score
+    FROM per_cust, edges
+)
+SELECT *,
+       CASE WHEN r_score >= 3 AND f_score >= 3 THEN 'champion'
+            WHEN r_score >= 3 THEN 'recent'
+            WHEN f_score >= 3 THEN 'loyal_lapsing'
+            ELSE 'hibernating' END AS segment
+FROM scored
+"""
+
+QUERIES["customer_rfm_segments"] = customer_rfm_segments
+ORACLES["customer_rfm_segments"] = RFM_SQL
+
+
+def parts_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: how many parts produce 80% of revenue.
+    Parts aggregate first (bounded cardinality), then ONE deliberate
+    single-reducer running-share window over the aggregated rows —
+    the documented exception class, never over raw lineitem."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+    ranked = per_part.withColumn("_cum", F.sum("rev").over(w)).crossJoin(
+        F.broadcast(per_part.agg(F.sum("rev").alias("_tot")))
+    )
+    needed = ranked.filter(
+        (F.col("_cum") - F.col("rev")) / F.col("_tot") < 0.8
+    )
+    return needed.agg(
+        F.count(F.lit(1)).alias("parts_for_80pct"),
+        F.round(F.max(F.col("_cum") / F.col("_tot")), 6).alias("share_reached"),
+    ).crossJoin(
+        F.broadcast(per_part.agg(F.count(F.lit(1)).alias("total_parts")))
+    )
+
+
+PARETO_SQL = """
+WITH per_part AS (
+    SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS rev
+    FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+    SELECT l_partkey, rev,
+           SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC) AS cum,
+           (SELECT SUM(rev) FROM per_part) AS tot
+    FROM per_part
+),
+needed AS (SELECT * FROM ranked WHERE (cum - rev) / tot < 0.8)
+SELECT (SELECT COUNT(*) FROM needed) AS parts_for_80pct,
+       (SELECT ROUND(MAX(cum / tot), 6) FROM needed) AS share_reached,
+       (SELECT COUNT(*) FROM per_part) AS total_parts
+"""
+
+QUERIES["parts_pareto_8020"] = parts_pareto_8020
+ORACLES["parts_pareto_8020"] = PARETO_SQL
