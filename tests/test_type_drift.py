@@ -76,6 +76,7 @@ QUERY_NAMES = [
     "user_state_history",       # SCD2 valid_from/valid_to intervals
     "monthly_revenue_trend",    # month truncation + moving window
     "supplier_reliability",     # ship-vs-order datediff gate
+    "customer_rfm_segments",    # recency datediff vs max orderdate
 ]
 
 
