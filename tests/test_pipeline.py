@@ -817,3 +817,43 @@ def test_curate_step_decontaminate_with_benchmark_reader(spark, tmp_path):
     ]
     out = [r.id for r in Pipeline(cfg, spark).dataframe().collect()]
     assert out == [2]
+
+
+def test_curate_step_quality_and_gopher_filters(spark):
+    import json
+
+    from chewdata_spark.pipeline import Pipeline
+
+    good = ("the quick brown fox jumps over the lazy dog and that have with "
+            "be to of many various words indeed " * 3)
+    bad = "!!! ??? ### !!!"
+    rows = [{"id": 1, "text": good}, {"id": 2, "text": bad}]
+    cfg_q = [
+        {"type": "reader", "connector": {"type": "in_memory", "data": json.dumps(rows)}},
+        {"type": "curate", "method": "quality_filter", "field": "text", "min_quality": 0.5},
+    ]
+    assert [r.id for r in Pipeline(cfg_q, spark).dataframe().collect()] == [1]
+    cfg_g = [
+        {"type": "reader", "connector": {"type": "in_memory", "data": json.dumps(rows)}},
+        {"type": "curate", "method": "gopher_filter", "key": "id", "field": "text"},
+    ]
+    assert [r.id for r in Pipeline(cfg_g, spark).dataframe().collect()] == [1]
+
+
+def test_curate_step_span_cut(spark):
+    import json
+
+    from chewdata_spark.pipeline import Pipeline
+
+    span = "one two three four five six seven eight"
+    rows = [
+        {"id": 1, "text": span + " first unique tail words here"},
+        {"id": 2, "text": span + " second unique tail words here"},
+    ]
+    cfg = [
+        {"type": "reader", "connector": {"type": "in_memory", "data": json.dumps(rows)}},
+        {"type": "curate", "method": "span_cut", "key": "id", "field": "text", "k": 8},
+    ]
+    out = {r.id: r.text for r in Pipeline(cfg, spark).dataframe().collect()}
+    assert span in out[1]       # first occurrence survives
+    assert span not in out[2]   # duplicated 8-gram span cut from doc 2
