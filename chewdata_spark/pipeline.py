@@ -273,7 +273,17 @@ class Pipeline:
             elif kind == "curate":
                 if df is None:
                     raise ValueError("step 'curate' has no upstream data")
-                df = self._record_history(self._curate(step, df), step)
+                if has_err:
+                    # error-channel semantics match transformer/validator:
+                    # curation applies to the ok stream; Err records pass
+                    # through untouched (they are routed, not curated)
+                    df = with_error_col(df)
+                    ok = self._record_history(
+                        self._curate(step, ok_stream(df)), step
+                    )
+                    df = ok.unionByName(err_stream(df), allowMissingColumns=True)
+                else:
+                    df = self._record_history(self._curate(step, df), step)
             elif kind is None:
                 raise ValueError(f"step missing 'type': {step}")
             else:

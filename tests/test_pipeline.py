@@ -857,3 +857,24 @@ def test_curate_step_span_cut(spark):
     out = {r.id: r.text for r in Pipeline(cfg, spark).dataframe().collect()}
     assert span in out[1]       # first occurrence survives
     assert span not in out[2]   # duplicated 8-gram span cut from doc 2
+
+
+def test_curate_step_preserves_err_channel(spark):
+    import json
+
+    from chewdata_spark.pipeline import Pipeline
+
+    rows = [{"id": 1, "text": "a b c"}, {"id": 2, "text": "a b c"}, {"id": 3, "text": ""}]
+    cfg = [
+        {"type": "reader", "connector": {"type": "in_memory", "data": json.dumps(rows)}},
+        {"type": "validator",
+         "rules": {"nonempty": {"pattern": "{{ input.text != '' }}",
+                                 "message": "empty text"}}},
+        {"type": "curate", "method": "exact_dedup", "key": "id", "fields": ["text"]},
+    ]
+    out = Pipeline(cfg, spark).dataframe().collect()
+    by_id = {r.id: r for r in out}
+    # dup id=2 curated away from the ok stream; err record id=3 passes through
+    assert set(by_id) == {1, 3}
+    assert by_id[3]._error is not None
+    assert by_id[1]._error is None
