@@ -204,6 +204,15 @@ def hex_threshold(rate: float) -> str:
     return "g000" if v >= 65536 else format(max(v, 0), "04x")
 
 
+def md5_hex16(col: Column) -> Column:
+    """First 16 bits of ``md5(col)`` as an int (0..65535) — the single
+    engine-portable coin behind every deterministic sampling / sketch /
+    split decision here; the SQL oracles mirror it with strpos
+    arithmetic over the first 4 hex chars.  Centralized so a future
+    widening/salting change happens in exactly one place."""
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int")
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -599,8 +608,9 @@ def weighted_sample_es(
     global sort.  Adds ``es_key`` and ``sample_rank``.
     """
     u = (
-        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))), 1, 4), 16, 10)
-        .cast("double")
+        md5_hex16(
+            F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))
+        ).cast("double")
         + 1.0
     ) / 65537.0
     scored = df.withColumn("es_key", F.round(F.log(u) / weight, 6))

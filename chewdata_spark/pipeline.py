@@ -679,9 +679,16 @@ class Pipeline:
                     df.select(key, field), key, field, k=int(step.get("k", 8))
                 )
             repl = cleaned.select(
-                F.col("doc_id").alias(key), F.col("clean_text").alias(field)
+                F.col("doc_id").alias(key), F.col("clean_text").alias("__clean")
             )
-            return df.drop(field).join(repl, key)
+            # LEFT join + coalesce: a NULL/empty text produces no rows in
+            # the rewrite operator — the record must keep its original
+            # value, not vanish through an inner join
+            return (
+                df.join(repl, key, "left")
+                .withColumn(field, F.coalesce(F.col("__clean"), F.col(field)))
+                .drop("__clean")
+            )
         if method == "decontaminate":
             from chewdata_spark.operators.curation import decontaminate
 

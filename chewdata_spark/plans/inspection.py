@@ -58,14 +58,18 @@ def join_counts(df: DataFrame) -> dict[str, int]:
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges (lower is better; broadcasts excluded).
 
-    Counts both layouts: "Exchange hashpartitioning(...)" (simple mode /
-    single-line) and the formatted-mode detail entry "(n) Exchange"
-    whose partitioning argument sits on the following line.
+    Counts both layouts: "Exchange hash/rangepartitioning(...)" (simple
+    mode / single-line) and the formatted-mode detail entry
+    "(n) Exchange" whose partitioning argument sits on the following
+    line.  On executed AQE plans the formatted output repeats nodes
+    under "== Initial Plan ==" — only the final section is counted.
     BroadcastExchange never matches either pattern.
     """
-    plan = formatted_plan(df)
+    plan = formatted_plan(df).split("== Initial Plan ==")[0]
     detail = len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
-    inline = len(re.findall(r"\bExchange hashpartitioning", plan))
+    inline = len(
+        re.findall(r"\bExchange (?:hash|range)partitioning|\bExchange SinglePartition", plan)
+    )
     return max(detail, inline)
 
 

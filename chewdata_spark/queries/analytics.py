@@ -457,19 +457,20 @@ def distinct_users_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     in every engine, so this approximate algorithm is fully
     value-verified.  One distinct on bit positions (≤ m rows) + the
     exact count for the observed relative error."""
+    from chewdata_spark.operators.curation import md5_hex16
+
     ev = load_table(spark, sf_dir, "events")
-    bit = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % 4096
-    )
+    bit = md5_hex16(F.col("user_id").cast("string")) % 4096
     n_bits = ev.select(bit.alias("b")).distinct().agg(
         F.count(F.lit(1)).alias("n_set_bits")
     )
     exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
-    est = F.round(
-        -4096.0 * F.log((4096.0 - F.col("n_set_bits")) / 4096.0), 2
-    )
+    # saturation guard: with every bit set ln(0) would be NULL here and
+    # an error in the oracle; clamp to m-1 (the estimator's ceiling —
+    # at that point Linear Counting is out of range anyway and a larger
+    # m or HLL is the right tool)
+    clamped = F.least(F.col("n_set_bits"), F.lit(4095))
+    est = F.round(-4096.0 * F.log((4096.0 - clamped) / 4096.0), 2)
     return (
         n_bits.crossJoin(exact)
         .select(
@@ -495,9 +496,9 @@ WITH bits AS (
 nb AS (SELECT COUNT(*) AS n_set_bits FROM bits),
 ex AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events)
 SELECT n_set_bits,
-       ROUND(-4096.0 * ln((4096.0 - n_set_bits) / 4096.0), 2) AS lc_estimate,
+       ROUND(-4096.0 * ln((4096.0 - LEAST(n_set_bits, 4095)) / 4096.0), 2) AS lc_estimate,
        exact_distinct,
-       ROUND(ABS(ROUND(-4096.0 * ln((4096.0 - n_set_bits) / 4096.0), 2)
+       ROUND(ABS(ROUND(-4096.0 * ln((4096.0 - LEAST(n_set_bits, 4095)) / 4096.0), 2)
                  - exact_distinct) * 1.0 / exact_distinct, 4) AS rel_error
 FROM nb, ex
 """
@@ -726,7 +727,11 @@ def parts_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        # round-before-decide: unrounded double sums differ in the last
+        # ulp between engines and would flip rank order at ties
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("rev")
     )
     w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
     ranked = per_part.withColumn("_cum", F.sum("rev").over(w)).crossJoin(
@@ -745,7 +750,7 @@ def parts_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PARETO_SQL = """
 WITH per_part AS (
-    SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS rev
+    SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS rev
     FROM lineitem GROUP BY l_partkey
 ),
 ranked AS (

@@ -161,8 +161,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable 32-bit SimHash (md5-derived bits,
-    operators/dedup.py::simhash_portable) + 4-band bucketing, verified
-    to Hamming ≤ 3 — the fully oracle-backed twin of `dedup_simhash`
+    operators/dedup.py::simhash_portable) + 2×16-bit bucketing,
+    verified to Hamming ≤ 1 — the fully oracle-backed twin of `dedup_simhash`
     (whose xxhash64 bits are not reproducible in SQL).  Hamming ≤ 1 of
     32 bits — far tighter than the 64-bit twin's ≤ 6: with half the
     bits each bit carries double the collision rate, and the synthetic
@@ -867,13 +867,10 @@ def bloom_seen_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         F.explode(F.array(*[F.lit(j) for j in range(3)])).alias("j"),
     )
+    from chewdata_spark.operators.curation import md5_hex16
+
     bit = (
-        F.conv(
-            F.substring(F.md5(F.concat_ws("|", F.col("j").cast("string"), F.col("h"))), 1, 4),
-            16,
-            10,
-        ).cast("int")
-        % 4096
+        md5_hex16(F.concat_ws("|", F.col("j").cast("string"), F.col("h"))) % 4096
     )
     return probes.select(bit.alias("bit")).distinct()
 

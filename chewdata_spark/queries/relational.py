@@ -476,9 +476,16 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_a < p_b — bounded by per-order line count (≤ 7 in TPC-H data,
     small by schema design), so intermediate rows ≈ |lineitem| × avg
     basket size, then one (p_a, p_b)-keyed count with map-side
-    partials.  A per-order collect_list + explode-pairs plan would
-    build the same rows with extra array materialization."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    partials.  The (order, part) grain is DISTINCT first — a part on
+    several lines of one order must not let the pair clear the
+    ≥2-orders threshold from a single order.  A per-order collect_list
+    + explode-pairs plan would build the same rows with extra array
+    materialization."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
     a = li.alias("a")
     b = li.alias("b")
     pairs = a.join(
@@ -496,9 +503,10 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MARKET_BASKET_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
 SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, COUNT(*) AS n_orders
-FROM lineitem a
-JOIN lineitem b
+FROM li a
+JOIN li b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 GROUP BY 1, 2
 HAVING COUNT(*) >= 2
@@ -514,8 +522,13 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonically ordered edges (u < v < w), so each triangle is counted
     exactly once and the join fan-out is bounded by the ordered
     adjacency lists — the distributed-graph classic.  Returns one row
-    (n_edges, n_triangles)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    (n_edges, n_triangles).  Edges inherit market_basket_pairs' grain:
+    DISTINCT (order, part) first."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
     a = li.alias("a")
     b = li.alias("b")
     edges = (
@@ -546,10 +559,11 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRIANGLES_SQL = """
-WITH edges AS (
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
     SELECT a.l_partkey AS u, b.l_partkey AS v
-    FROM lineitem a
-    JOIN lineitem b
+    FROM li a
+    JOIN li b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
     HAVING COUNT(*) >= 2

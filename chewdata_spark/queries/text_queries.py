@@ -552,9 +552,9 @@ def hashed_bow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
     )
-    dim = (
-        F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("int") % 128
-    )
+    from chewdata_spark.operators.curation import md5_hex16
+
+    dim = md5_hex16(F.col("term")) % 128
     return (
         toks.groupBy("doc_id", dim.alias("dim"))
         .agg(F.count(F.lit(1)).alias("v"))

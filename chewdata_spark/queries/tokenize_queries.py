@@ -123,16 +123,12 @@ def countmin_sketch_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("sketch_row"),
     )
+    from chewdata_spark.operators.curation import md5_hex16
+
     col = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.col("sketch_row").cast("string"), F.col("term"))),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("int")
+        md5_hex16(
+            F.concat_ws("|", F.col("sketch_row").cast("string"), F.col("term"))
+        )
         % 256
     )
     return (

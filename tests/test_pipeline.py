@@ -878,3 +878,21 @@ def test_curate_step_preserves_err_channel(spark):
     assert set(by_id) == {1, 3}
     assert by_id[3]._error is not None
     assert by_id[1]._error is None
+
+
+def test_curate_rewrite_methods_keep_null_text_rows(spark):
+    import json
+
+    from chewdata_spark.pipeline import Pipeline
+
+    rows = [
+        {"id": 1, "text": "long enough line with five words\nlong enough line with five words"},
+        {"id": 2, "text": None},
+    ]
+    cfg = [
+        {"type": "reader", "connector": {"type": "in_memory", "data": json.dumps(rows)}},
+        {"type": "curate", "method": "lines_dedup", "key": "id", "field": "text"},
+    ]
+    out = {r.id: r.text for r in Pipeline(cfg, spark).dataframe().collect()}
+    assert set(out) == {1, 2}  # NULL-text record survives the rewrite
+    assert out[2] is None
