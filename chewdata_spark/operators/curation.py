@@ -614,8 +614,20 @@ def weighted_sample_es(
         + 1.0
     ) / 65537.0
     scored = df.withColumn("es_key", F.round(F.log(u) / weight, 6))
-    part = [strata_col] if strata_col else []
-    w = Window.partitionBy(*part).orderBy(F.col("es_key").desc(), F.col(key_col).asc())
+    if strata_col is None:
+        # global sample: TakeOrdered bounds the sort to k rows before
+        # the rank window (which then runs over k rows, not the corpus
+        # — a strata-less partitionBy would be a single-reducer window)
+        scored = scored.orderBy(
+            F.col("es_key").desc(), F.col(key_col).asc()
+        ).limit(k)
+        w = Window.orderBy(F.col("es_key").desc(), F.col(key_col).asc())
+        return scored.withColumn(
+            "sample_rank", F.row_number().over(w).cast("int")
+        )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("es_key").desc(), F.col(key_col).asc()
+    )
     return (
         scored.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("sample_rank") <= k)
