@@ -113,6 +113,8 @@ HEADLINE = [
     "monthly_revenue_trend",
     "supplier_reliability",
     "video_frame_sample_report",
+    "customer_rfm_segments",
+    "parts_pareto_8020",
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
