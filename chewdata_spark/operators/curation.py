@@ -632,3 +632,139 @@ def weighted_sample_es(
         scored.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def synthetic_classifier_weights(
+    spark, *, dim: int = 256, salt: str = "qw"
+) -> DataFrame:
+    """Deterministic stand-in for a TRAINED linear-classifier weight
+    table ``(dim, w)`` with ``w ∈ (-1, 1)``: ``w = hex16(md5(salt|dim))
+    / 65535 * 2 - 1``.  Real pipelines load fasttext/logreg weights
+    from a table; this generates a bit-reproducible fake with the same
+    shape so the scoring plumbing (broadcast join, hashed features) is
+    exercised end-to-end and SQL oracles can replay it exactly."""
+    return spark.range(dim).select(
+        F.col("id").cast("int").alias("dim"),
+        F.round(
+            md5_hex16(F.concat_ws("|", F.lit(salt), F.col("id").cast("string")))
+            / 65535.0
+            * 2
+            - 1,
+            6,
+        ).alias("w"),
+    )
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    *,
+    dim: int = 256,
+) -> DataFrame:
+    """Linear text-classifier scoring over hashed bag-of-words features
+    — the fasttext-style quality-filter inference step of a pretraining
+    pipeline, without any ML library at inference time.
+
+    Each token maps to feature ``hex16(md5(token)) % dim`` with sign
+    ``±1`` from the token hash's 5th hex digit (the hashing trick's
+    collision-bias correction); the document score is
+    ``sigmoid(Σ sign·w[feature] / n_tokens)``.
+
+    Plan: one token explode → pre-aggregate to (doc, feature, signed
+    tf) — partitioning reused by the final doc aggregate — then a
+    BROADCAST join against the ``dim``-row weight table.  No UDFs, no
+    collect; scores round to 6 dp so any engine replays them.
+    Returns ``(doc_id, n_tokens, clf_score, keep)`` with
+    ``keep = clf_score >= 0.5``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    sign_digit = F.expr(
+        "instr('0123456789abcdef', substring(md5(term), 5, 1)) - 1"
+    )
+    feat = toks.select(
+        "doc_id",
+        (md5_hex16(F.col("term")) % dim).alias("dim"),
+        F.when(sign_digit % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+    )
+    doc_feat = feat.groupBy("doc_id", "dim").agg(
+        F.sum("sign").alias("s"), F.count(F.lit(1)).alias("tf")
+    )
+    scored = doc_feat.join(F.broadcast(weights), "dim").groupBy("doc_id").agg(
+        F.sum("tf").cast("int").alias("n_tokens"),
+        F.sum(F.col("s") * F.col("w")).alias("_dot"),
+    )
+    logit = F.col("_dot") / F.col("n_tokens")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("clf_score"),
+    ).withColumn("keep", F.col("clf_score") >= 0.5)
+
+
+def dsir_log_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    *,
+    dim: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like it is under hashed unigram LMs —
+    ``log w(x) = Σ_tokens [log p_target(b) - log p_raw(b)]`` where
+    ``b = hex16(md5(token)) % dim`` and both distributions are add-1
+    smoothed over the ``dim`` hashed buckets.
+
+    Plan: ONE token explode pre-aggregated to (doc, bucket, tf); the
+    raw and target bucket distributions re-aggregate that same subtree
+    (ReusedExchange) into two ≤``dim``-row relations that broadcast
+    back onto the (doc, bucket) grain.  No vocabulary is materialized
+    (the hashed-LM trick bounds state at ``dim`` regardless of corpus
+    size).  Returns ``(doc_id, n_tokens, log_importance)`` rounded to
+    6 dp, higher = more target-like.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.alias("_tgt"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    ).select("doc_id", "_tgt", (md5_hex16(F.col("term")) % dim).alias("b"))
+    doc_bucket = toks.groupBy("doc_id", "_tgt", "b").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    bucket_raw = doc_bucket.groupBy("b").agg(F.sum("tf").alias("n_raw"))
+    bucket_tgt = (
+        doc_bucket.filter(F.col("_tgt"))
+        .groupBy("b")
+        .agg(F.sum("tf").alias("n_tgt"))
+    )
+    tot_raw = bucket_raw.agg(F.sum("n_raw").alias("_traw"))
+    tot_tgt = bucket_tgt.agg(F.sum("n_tgt").alias("_ttgt"))
+    stats = (
+        bucket_raw.join(bucket_tgt, "b", "left")
+        .crossJoin(F.broadcast(tot_raw))
+        .crossJoin(F.broadcast(tot_tgt))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("n_tgt"), F.lit(0)) + 1)
+                    / (F.col("_ttgt") + dim)
+                )
+                - F.log((F.col("n_raw") + 1) / (F.col("_traw") + dim))
+            ).alias("lr"),
+        )
+    )
+    return (
+        doc_bucket.join(F.broadcast(stats), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("int").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("lr")), 6).alias("log_importance"),
+        )
+    )

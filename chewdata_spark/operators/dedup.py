@@ -23,9 +23,16 @@ All functions are pure DataFrame transformations (no collect).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# observe() names must be unique within one query plan; a query that
+# composes two capped LSH calls (e.g. consensus dedup) would otherwise
+# collide.  Deterministic within a session; no wall-clock involved.
+_OBS_SEQ = itertools.count()
 
 
 def _word_shingles(text: Column, n: int) -> Column:
@@ -173,8 +180,17 @@ def minhash_candidate_pairs(
     num_perm: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.5,
+    max_bucket: int = 10_000,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """LSH banding → candidate pairs → exact-Jaccard verification.
+
+    ``metric='containment'`` verifies with the asymmetric containment
+    coefficient ``|A∩B| / min(|A|,|B|)`` instead of Jaccard — the
+    measure that catches a short document embedded inside a long one
+    (quote/boilerplate inclusion), which Jaccard's union denominator
+    dilutes below any usable threshold; the output column is then
+    ``containment``.
 
     Plan shape: explode bands (map-side), ONE shuffle on
     (band_idx, band_hash) into a collect_set-per-bucket, pairs exploded
@@ -185,9 +201,16 @@ def minhash_candidate_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, deduplicated across
     bands.
 
-    A pathologically hot bucket (low-entropy band over near-identical
-    docs) makes |bucket|² pairs — inherent to LSH; the collect_set per
-    bucket is bounded by the same factor that bounds the pair blowup.
+    A pathologically hot bucket (a low-entropy band over boilerplate-
+    heavy shards) concentrates one aggregation buffer AND |bucket|²
+    exploded pairs on one task.  Buckets with more than ``max_bucket``
+    ids are DROPPED before the pair explode — a bucket that hot is not
+    discriminating (its members collide on other bands too if truly
+    near-dup, and a 10k-id bucket already means ~50M pairs).  The cap
+    is NOT silent: the plan carries an ``observe`` metric
+    ``minhash_lsh_<n>/dropped_hot_buckets`` (count of capped buckets, free
+    at execution — no extra job) and the behavior is pinned in
+    tests/test_dedup.py.  Pass ``max_bucket=None`` to disable.
     """
     rows_per_band = num_perm // bands
     band_cols = F.array(
@@ -210,6 +233,13 @@ def minhash_candidate_pairs(
         .agg(F.collect_set("id").alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket is not None:
+        bucket_ids = bucket_ids.observe(
+            f"minhash_lsh_{next(_OBS_SEQ)}",
+            F.sum(
+                F.when(F.size("ids") > max_bucket, 1).otherwise(0)
+            ).alias("dropped_hot_buckets"),
+        ).filter(F.size("ids") <= max_bucket)
     pairs = (
         bucket_ids.select(F.explode("ids").alias("id_a"), F.col("ids"))
         .select("id_a", F.explode("ids").alias("id_b"))
@@ -231,11 +261,18 @@ def minhash_candidate_pairs(
         )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    if metric == "containment":
+        denom = F.least(F.size("sh_a"), F.size("sh_b"))
+        out_col = "containment"
+    elif metric == "jaccard":
+        denom = F.size("sh_a") + F.size("sh_b") - inter
+        out_col = "jaccard"
+    else:
+        raise ValueError(f"metric must be 'jaccard' or 'containment', got {metric!r}")
     return (
-        verified.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
+        verified.withColumn(out_col, F.round(inter / denom, 6))
+        .filter(F.col(out_col) >= jaccard_threshold)
+        .select("id_a", "id_b", out_col)
     )
 
 
@@ -300,7 +337,12 @@ def simhash_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_candidate_pairs(
-    fps: DataFrame, *, bands: int = 4, max_hamming: int = 3, bits: int = 64
+    fps: DataFrame,
+    *,
+    bands: int = 4,
+    max_hamming: int = 3,
+    bits: int = 64,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Band the ``bits``-bit fingerprint into ``bands`` chunks; exact
     match on any chunk → candidate; verify with ``bit_count(a XOR b)``.
@@ -309,9 +351,33 @@ def simhash_candidate_pairs(
     (band_idx, band_val) into a collect_set per bucket, pairs exploded
     from each bucket's (id, fp) set — not a bucket self-join, which
     would execute the whole fingerprint pipeline a second time as the
-    join's other side (measured ~2.5× on the md5 twin at sf0.1)."""
+    join's other side (measured ~2.5× on the md5 twin at sf0.1).
+
+    Guards: (1) fingerprints are asserted to FIT ``bits`` — a 32-bit
+    :func:`simhash_portable` fingerprint banded with the default
+    bits=64 would leave the upper bands constant zero and put every
+    document in one bucket (silent O(n²) blowup); the misfit now raises
+    at execution.  (2) Buckets with more than ``max_bucket`` members
+    are dropped before the quadratic pair explode (hot low-entropy band
+    values otherwise concentrate the whole bucket and its |bucket|²
+    pairs on one task); the cap is surfaced as an ``observe`` metric
+    ``simhash_lsh_<n>/dropped_hot_buckets`` — never silent.  Pass
+    ``max_bucket=None`` to disable."""
     width = bits // bands
     mask = (1 << width) - 1
+    if bits < 64:
+        # loud failure instead of silent one-bucket degeneration: the
+        # assert rides a filter (assert_true → NULL on success, raise on
+        # misfit) so Catalyst cannot prune it
+        fit = F.assert_true(
+            F.shiftright(F.col("simhash"), bits) == 0,
+            F.lit(
+                f"simhash fingerprint exceeds bits={bits}: pass the "
+                "fingerprint's actual width (e.g. bits=32 for "
+                "simhash_portable)"
+            ),
+        )
+        fps = fps.filter(fit.isNull())
     band_cols = F.array(
         *[
             F.struct(
@@ -329,6 +395,13 @@ def simhash_candidate_pairs(
         .agg(F.collect_set(F.struct("id", "simhash")).alias("xs"))
         .filter(F.size("xs") >= 2)
     )
+    if max_bucket is not None:
+        bucket_sets = bucket_sets.observe(
+            f"simhash_lsh_{next(_OBS_SEQ)}",
+            F.sum(
+                F.when(F.size("xs") > max_bucket, 1).otherwise(0)
+            ).alias("dropped_hot_buckets"),
+        ).filter(F.size("xs") <= max_bucket)
     pairs = (
         bucket_sets.select(F.explode("xs").alias("a"), F.col("xs"))
         .select("a", F.explode("xs").alias("b"))

@@ -266,17 +266,27 @@ def near_dup_pairs_exact(
     (2N·d·8 bytes / ~256 MB per task — at N=10⁸, d=64 that's nb≈400)
     and a PARALLELISM floor (enough block pairs to feed ~¼ of the
     cores; GEMM tasks are BLAS-bound, so modest task counts amortize
-    scheduling).  One count + one head job — metadata-cheap on parquet.
+    scheduling).  The byte estimate comes from Catalyst's plan
+    statistics (free — no job); only if statistics are unavailable does
+    it fall back to one count job.  Block sizing is a heuristic — a 2×
+    size misestimate moves nb, not correctness.
     """
     spark = corpus.sparkSession
     nb = num_blocks
     if nb is None:
         import math
 
-        n = corpus.count()
-        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        d = int(first["d"]) if first and first["d"] else 64
-        mem_nb = math.ceil(n * d * 8 * 2 / (256 << 20))
+        try:
+            # sizeInBytes is always populated (parquet footer / relation
+            # stats) — vectors dominate the relation, so bytes ≈ N·d·8
+            size = int(
+                corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+            d = int(first["d"]) if first and first["d"] else 64
+            size = corpus.count() * d * 8
+        mem_nb = math.ceil(size * 2 / (256 << 20))
         par = max(1, spark.sparkContext.defaultParallelism // 4)
         par_nb = math.ceil((math.sqrt(8 * par + 1) - 1) / 2)
         nb = min(1024, max(2, mem_nb, par_nb))

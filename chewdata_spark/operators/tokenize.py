@@ -43,6 +43,8 @@ def build_vocab(df: DataFrame, text_col: str, *, top_k: int = 1000) -> DataFrame
         .orderBy(F.col("term_n").desc(), F.col("term").asc())
         .limit(top_k)
     )
+    # unpartitioned window is bounded: it runs AFTER .limit(top_k), so
+    # the single partition holds ≤ top_k rows regardless of corpus size
     w = Window.orderBy(F.col("term_n").desc(), F.col("term").asc())
     return counts.select(
         "term", (F.row_number().over(w) - 1).cast("int").alias("tid"), "term_n"

@@ -699,8 +699,11 @@ class Pipeline:
                 raise ValueError(
                     "curate.decontaminate needs a 'benchmark' reader config"
                 )
+            # spread first, force type last: a stray `type` key inside
+            # the benchmark config must not silently turn the step into
+            # something other than a reader
             bench = self._read(df.sparkSession, _normalize_step(
-                {"type": "reader", **bench_cfg}
+                {**bench_cfg, "type": "reader"}
             ))
             bench_field = step.get("benchmark_field", field)
             hits = decontaminate(

@@ -591,11 +591,13 @@ def supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "on_time",
         F.round(lb, 6).alias("wilson_lb"),
     )
+    # TakeOrderedAndProject bounds the sort to 25 rows BEFORE the rank
+    # window runs (over 25 rows, not all suppliers) — the
+    # weighted_sample_es strata-less pattern; a global row_number window
+    # here would be a single-reducer sort over the supplier dimension.
+    top = scored.orderBy(F.col("wilson_lb").asc(), F.col("l_suppkey").asc()).limit(25)
     w = Window.orderBy(F.col("wilson_lb").asc(), F.col("l_suppkey").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 25)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 WILSON_SQL = """
@@ -720,9 +722,18 @@ ORACLES["customer_rfm_segments"] = RFM_SQL
 
 def parts_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration: how many parts produce 80% of revenue.
-    Parts aggregate first (bounded cardinality), then ONE deliberate
-    single-reducer running-share window over the aggregated rows —
-    the documented exception class, never over raw lineitem."""
+
+    The running revenue share over ``rev DESC`` is computed WITHOUT any
+    window spanning the part dimension (parts is unbounded — 20M rows at
+    sf100): rows bucket by equi-depth ``rev`` ranges (255 sketch
+    quantile edges, broadcast), each window partitions by bucket, and
+    cumulative bucket offsets come from a 256-row aggregate — the
+    two-level distributed prefix sum of ``_bucketed_rank``
+    (operators/curation.py) generalized to SUM.  The bucket id is a
+    monotone function of ``rev`` alone, so the exact total order
+    (rev DESC, partkey ASC) is preserved and the cumulative values match
+    the single-window formulation bit-for-bit at the 6-dp output
+    rounding."""
     from pyspark.sql.window import Window
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -733,9 +744,36 @@ def parts_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("rev")
     )
-    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
-    ranked = per_part.withColumn("_cum", F.sum("rev").over(w)).crossJoin(
-        F.broadcast(per_part.agg(F.sum("rev").alias("_tot")))
+    # equi-depth edges: approx sketch (distributed, no exact-percentile
+    # single-reducer collect), broadcast back as one row
+    edges = per_part.agg(
+        F.percentile_approx(
+            "rev", F.array(*[F.lit(i / 256.0) for i in range(1, 256)]), F.lit(10000)
+        ).alias("_edges"),
+        F.sum("rev").alias("_tot"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    # bucket = number of edges ABOVE rev → ascending bucket ↔ descending
+    # rev; equal revs share a bucket, so (rev DESC, partkey ASC) order
+    # is exactly the concatenation of buckets in _bkt order
+    bucketed = per_part.crossJoin(F.broadcast(edges)).withColumn(
+        "_bkt",
+        F.size(F.filter("_edges", lambda e: e > F.col("rev"))).cast("int"),
+    )
+    in_bucket = Window.partitionBy("_bkt").orderBy(
+        F.col("rev").desc(), F.col("l_partkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    local = bucketed.withColumn(
+        "_local", F.coalesce(F.sum("rev").over(in_bucket), F.lit(0.0))
+    )
+    btot = bucketed.groupBy("_bkt").agg(F.sum("rev").alias("_bsum"))
+    # unpartitioned window bounded by construction: btot has ≤256 rows
+    off_w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btot.select(
+        "_bkt", F.coalesce(F.sum("_bsum").over(off_w), F.lit(0.0)).alias("_off")
+    )
+    ranked = local.join(F.broadcast(offsets), "_bkt").withColumn(
+        "_cum", F.col("_off") + F.col("_local") + F.col("rev")
     )
     needed = ranked.filter(
         (F.col("_cum") - F.col("rev")) / F.col("_tot") < 0.8
@@ -743,8 +781,7 @@ def parts_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     return needed.agg(
         F.count(F.lit(1)).alias("parts_for_80pct"),
         F.round(F.max(F.col("_cum") / F.col("_tot")), 6).alias("share_reached"),
-    ).crossJoin(
-        F.broadcast(per_part.agg(F.count(F.lit(1)).alias("total_parts")))
+        F.first("_n").alias("total_parts"),
     )
 
 

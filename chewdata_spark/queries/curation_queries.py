@@ -928,3 +928,152 @@ FROM (
 
 QUERIES["weighted_sample_quality"] = weighted_sample_quality
 ORACLES["weighted_sample_quality"] = WEIGHTED_SAMPLE_SQL
+
+
+def _hex16_sql(h: str) -> str:
+    """DuckDB expression: first 16 bits of the hex digest ``h`` as int
+    (mirrors operators.curation.md5_hex16)."""
+    return (
+        f"((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 4096"
+        f" + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1) * 256"
+        f" + (strpos('0123456789abcdef', substr({h}, 3, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr({h}, 4, 1)) - 1)"
+    )
+
+
+def classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-style quality-classifier inference: hashed-BOW features
+    × a broadcast linear weight table → sigmoid score per document —
+    the learned-filter step of a pretraining pipeline, scored without
+    any ML library (operators/curation.py::hashed_classifier_score).
+    Weights are the deterministic md5 stand-in for a trained model
+    (synthetic_classifier_weights), so the oracle replays inference
+    bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = curation.synthetic_classifier_weights(spark, dim=256, salt="qw")
+    return curation.hashed_classifier_score(docs, "doc_id", "text", w, dim=256)
+
+
+CLASSIFIER_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+), f AS (
+    SELECT doc_id,
+           CAST({_hex16_sql("md5(term)")} % 256 AS INT) AS dim,
+           CASE WHEN (strpos('0123456789abcdef', substr(md5(term), 5, 1)) - 1) % 2 = 0
+                THEN 1 ELSE -1 END AS sign
+    FROM toks
+), doc_feat AS (
+    SELECT doc_id, dim, SUM(sign) AS s, COUNT(*) AS tf FROM f GROUP BY 1, 2
+), wts AS (
+    SELECT CAST(i AS INT) AS dim,
+           ROUND({_hex16_sql("md5('qw|' || CAST(i AS VARCHAR))")} / 65535.0 * 2 - 1, 6) AS w
+    FROM range(256) t(i)
+), scored AS (
+    SELECT doc_id, CAST(SUM(tf) AS INT) AS n_tokens, SUM(s * w) AS dot
+    FROM doc_feat JOIN wts USING (dim) GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       ROUND(1.0 / (1.0 + exp(-(dot / n_tokens))), 6) AS clf_score,
+       ROUND(1.0 / (1.0 + exp(-(dot / n_tokens))), 6) >= 0.5 AS keep
+FROM scored
+"""
+
+QUERIES["classifier_quality_filter"] = classifier_quality_filter
+ORACLES["classifier_quality_filter"] = CLASSIFIER_SQL
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every document scored
+    by how 'en'-like it is under hashed unigram LMs — log p_target minus
+    log p_raw summed over tokens, both LMs add-1 smoothed over 4096
+    hashed buckets (operators/curation.py::dsir_log_ratio).  The
+    importance-resampling data-selection recipe with state bounded at
+    `dim` buckets regardless of corpus size; fully oracle-backed."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dsir_log_ratio(
+        docs, "doc_id", "text", F.col("lang") == "en", dim=4096
+    )
+
+
+DSIR_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, tgt,
+           CAST({_hex16_sql("md5(term)")} % 4096 AS INT) AS b
+    FROM (SELECT doc_id, lang = 'en' AS tgt,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+          FROM documents)
+), db AS (
+    SELECT doc_id, tgt, b, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3
+), braw AS (
+    SELECT b, SUM(tf) AS n_raw FROM db GROUP BY 1
+), btgt AS (
+    SELECT b, SUM(tf) AS n_tgt FROM db WHERE tgt GROUP BY 1
+), tots AS (
+    SELECT (SELECT SUM(n_raw) FROM braw) AS traw,
+           (SELECT SUM(n_tgt) FROM btgt) AS ttgt
+), stats AS (
+    SELECT b, ln((COALESCE(n_tgt, 0) + 1) * 1.0 / (ttgt + 4096))
+              - ln((n_raw + 1) * 1.0 / (traw + 4096)) AS lr
+    FROM braw LEFT JOIN btgt USING (b), tots
+)
+SELECT doc_id, CAST(SUM(tf) AS INT) AS n_tokens,
+       ROUND(SUM(tf * lr), 6) AS log_importance
+FROM db JOIN stats USING (b)
+GROUP BY 1
+"""
+
+QUERIES["dsir_importance"] = dsir_importance
+ORACLES["dsir_importance"] = DSIR_SQL
+
+
+def best_of_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked per-source selection: the top-5 documents of every
+    source by composite quality score — the 'best of each domain'
+    curation step (quota by QUALITY, where stratum_quota samples by
+    hash).  One zero-shuffle score projection + one rank window
+    partitioned by source (bounded strata, never a global sort)."""
+    from chewdata_spark.operators import text as text_ops
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_ops.quality_score(docs, "doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "source", "quality", "rank")
+    )
+
+
+BEST_OF_SOURCE_SQL = """
+WITH d AS (
+    SELECT doc_id, source,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct
+    FROM documents
+), scored AS (
+    SELECT doc_id, source,
+           ROUND(0.4 * least(CAST(n_chars AS DOUBLE) / 200.0, 1.0)
+               + 0.3 * (1 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0))
+               + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)), 6) AS quality
+    FROM d
+)
+SELECT doc_id, source, quality, CAST(rk AS INT) AS rank
+FROM (
+    SELECT doc_id, source, quality,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY quality DESC, doc_id ASC) AS rk
+    FROM scored
+) WHERE rk <= 5
+"""
+
+QUERIES["best_of_source_sample"] = best_of_source_sample
+ORACLES["best_of_source_sample"] = BEST_OF_SOURCE_SQL

@@ -152,6 +152,57 @@ WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5
 """
 
 
+def dedup_containment_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs (|A∩B| / min(|A|,|B|) ≥ 0.7) via the
+    portable md5 MinHash-LSH front-end — catches a short document
+    embedded inside a long one (quote / boilerplate inclusion), which
+    Jaccard's union denominator dilutes below threshold.  Same
+    sub-quadratic plan as `dedup_minhash_lsh_md5` (one band shuffle,
+    candidate-only verification); fully oracle-backed."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures_portable(
+        docs, "doc_id", "text", num_perm=32, shingle_size=3
+    )
+    return dedup.minhash_candidate_pairs(
+        sigs, num_perm=32, bands=16, jaccard_threshold=0.7, metric="containment"
+    )
+
+
+CONTAINMENT_MD5_SQL = f"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+    FROM d
+), e AS (
+    SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh
+), sig AS (
+    SELECT doc_id,
+           {_MD5_SIG_COLS}
+    FROM e GROUP BY doc_id
+), bands AS (
+{_MD5_BAND_ROWS}
+), cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), inter AS (
+    SELECT c.id_a, c.id_b, ea.n_sh AS n_a, eb.n_sh AS n_b, COUNT(*) AS inter
+    FROM cand c
+    JOIN e ea ON ea.doc_id = c.id_a
+    JOIN e eb ON eb.doc_id = c.id_b AND ea.shingle = eb.shingle
+    GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       ROUND(inter * 1.0 / least(n_a, n_b), 6) AS containment
+FROM inter
+WHERE ROUND(inter * 1.0 / least(n_a, n_b), 6) >= 0.7
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 near-dup candidates (hamming ≤ 6, 8 bands).  Rows-only."""
     docs = load_table(spark, sf_dir, "documents")
@@ -651,6 +702,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_md5": dedup_minhash_lsh_md5,
+    "dedup_containment_md5": dedup_containment_md5,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_md5": dedup_simhash_md5,
 }
@@ -668,6 +720,7 @@ ORACLES = {
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh_md5": MINHASH_MD5_SQL,
+    "dedup_containment_md5": CONTAINMENT_MD5_SQL,
     "dedup_simhash_md5": SIMHASH_MD5_SQL,
 }
 
@@ -713,9 +766,14 @@ INCREMENTAL_INGEST_MD5_SQL = f"""
 WITH newd AS (
     SELECT * FROM documents WHERE doc_id % 2 = 1
 ), seenh AS (
-    SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    -- h IS NOT NULL: NOT IN over a set containing NULL returns no rows,
+    -- which would diverge from Spark's left_anti (NULL-text new docs
+    -- must SURVIVE, matching the anti-join)
+    SELECT DISTINCT md5(text) AS h FROM documents
+    WHERE doc_id % 2 = 0 AND md5(text) IS NOT NULL
 ), exact_surv AS (
     SELECT * FROM newd WHERE md5(text) NOT IN (SELECT h FROM seenh)
+                         OR md5(text) IS NULL
 ), base AS (
     SELECT doc_id, text FROM exact_surv
     UNION ALL

@@ -670,8 +670,10 @@ def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "ts",
         "event_id",
-        (F.lag("event_type").over(w).isNull()
-         | (F.lag("event_type").over(w) != F.col("event_type"))).alias("_chg"),
+        # null-safe inequality (≡ IS DISTINCT FROM): a NULL event_type
+        # after a non-NULL one is a CHANGE; plain != would yield NULL
+        # and silently drop the row that the oracle keeps
+        (~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))).alias("_chg"),
     )
     changes = marked.filter(F.col("_chg"))
     w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -373,3 +373,57 @@ GROUP BY 1, 2
 
 QUERIES["events_heatmap_dow_hour"] = events_heatmap_dow_hour
 ORACLES["events_heatmap_dow_hour"] = HEATMAP_SQL
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via the Median Absolute Deviation: per
+    event_type, flag values with |x − median| > 3·1.4826·MAD — the
+    outlier rule that (unlike z-scores) is not itself corrupted by the
+    outliers it hunts.  Two per-type aggregations (median, then MAD of
+    the deviations) broadcast back; the flag compares against
+    6-dp-ROUNDED med/MAD (round-before-decide) so both engines agree.
+    Exact medians keep the oracle bit-replayable; at 100 TB swap in
+    approx_percentile (same plan shape, documented trade)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.round(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 6
+        ).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "_anom",
+        F.when(
+            F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"), 1
+        ).otherwise(0),
+    )
+    return flagged.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_anom").alias("n_anomalies"),
+    )
+
+
+EVENTS_MAD_SQL = """
+WITH med AS (
+    SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+    FROM events GROUP BY event_type
+), dev AS (
+    SELECT e.event_type, e.value, m.med
+    FROM events e JOIN med m USING (event_type)
+), mad AS (
+    SELECT event_type, ROUND(quantile_cont(abs(value - med), 0.5), 6) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.med, m.mad,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN abs(d.value - d.med) > 3 * 1.4826 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["events_anomaly_mad"] = events_anomaly_mad
+ORACLES["events_anomaly_mad"] = EVENTS_MAD_SQL

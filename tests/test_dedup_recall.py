@@ -143,3 +143,67 @@ def test_srp_topk_recall_vs_exact(spark, emb):
         for r in similarity.srp_topk(emb, queries, k=10, n_bits=120, band_bits=5).collect()
     }
     assert approx == again
+
+
+def test_lsh_recall_survives_realistic_bucket_cap(spark, docs):
+    """Planted near-dups must survive a production hot-bucket cap: with
+    max_bucket far below the corpus size but above real near-dup group
+    sizes, the capped candidate set keeps >=0.9 recall vs exact."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidate_pairs(
+            dedup.minhash_signatures(docs, "doc_id", "text", num_perm=64, shingle_size=3),
+            num_perm=64,
+            bands=16,
+            jaccard_threshold=0.5,
+            max_bucket=50,
+        ).collect()
+    }
+    assert exact, "no planted near-dup pairs at sf0.01?"
+    recall = len(exact & capped) / len(exact)
+    assert recall >= 0.9, f"capped LSH recall {recall:.2f} < 0.9"
+
+
+def test_hot_bucket_cap_drops_degenerate_buckets(spark):
+    """A boilerplate bucket larger than max_bucket is dropped (its
+    quadratic pair explode never runs); distinct near-dup groups under
+    the cap still pair up."""
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(30)]
+    rows += [(100, "a unique document about distributed query engines"),
+             (101, "a unique document about distributed query engine")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(df, "doc_id", "text", num_perm=64, shingle_size=3)
+    uncapped = dedup.minhash_candidate_pairs(
+        sigs, num_perm=64, bands=16, jaccard_threshold=0.5, max_bucket=None
+    ).collect()
+    capped = dedup.minhash_candidate_pairs(
+        sigs, num_perm=64, bands=16, jaccard_threshold=0.5, max_bucket=10
+    ).collect()
+    uncapped_pairs = {(r.id_a, r.id_b) for r in uncapped}
+    capped_pairs = {(r.id_a, r.id_b) for r in capped}
+    assert (0, 1) in uncapped_pairs and len(uncapped_pairs) > 400
+    # the 30-member boilerplate bucket exceeds the cap -> dropped
+    assert all(a >= 100 for a, _ in capped_pairs), capped_pairs
+    # the small near-dup group survives the cap
+    assert (100, 101) in capped_pairs
+
+
+def test_simhash_bits_misfit_raises(spark):
+    """A 32-bit portable fingerprint banded with the default bits=64
+    must fail loudly (it would silently one-bucket the corpus)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    fps = dedup.simhash_portable(df, "doc_id", "text")
+    ok = dedup.simhash_candidate_pairs(fps, bands=4, max_hamming=8, bits=32)
+    ok.collect()  # correct bits: runs
+    bad = dedup.simhash_candidate_pairs(fps, bands=4, max_hamming=8, bits=16)
+    with pytest.raises(Exception, match="simhash fingerprint exceeds bits"):
+        bad.collect()

@@ -468,3 +468,29 @@ def test_bm25_joins_move_aggregated_relations(spark, sf_dir):
 
     df = bm25_search_topk(spark, sf_dir)
     assert_no_sort_merge_join(df)
+
+
+def test_pareto_no_unpartitioned_part_window(spark, sf_dir):
+    """parts_pareto_8020's running share must come from the two-level
+    prefix sum: every window over per-part rows partitions by the value
+    bucket.  An unpartitioned window ordered by rev (the r5 shape —
+    one task sorting 20M parts at sf100) shows up as a
+    windowspecdefinition whose FIRST argument is the rev sort column."""
+    from chewdata_spark.queries.analytics import parts_pareto_8020
+
+    df = parts_pareto_8020(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(rev#" not in plan, plan
+    # the per-part window is bucket-partitioned
+    assert "windowspecdefinition(_bkt#" in plan, plan
+
+
+def test_supplier_reliability_take_ordered(spark, sf_dir):
+    """The Wilson top-25 must bound the sort to 25 rows via
+    TakeOrderedAndProject BEFORE any rank window runs (the r5 shape
+    ranked ALL suppliers through one unpartitioned row_number)."""
+    from chewdata_spark.queries.analytics import supplier_reliability
+
+    df = supplier_reliability(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
