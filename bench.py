@@ -139,6 +139,17 @@ HEADLINE = [
     "stream_sessionize_events",
     "stream_ingest_dedup",
     "stream_events_zscore",
+    # round-6 additions
+    "bigram_logprob_score",
+    "bpe_merge_rules",
+    "dsir_importance",
+    "classifier_quality_filter",
+    "dedup_containment_md5",
+    "embedding_pc1",
+    "embedding_debias_abtt",
+    "doremi_source_weights",
+    "events_anomaly_mad",
+    "best_of_source_sample",
 ]
 
 # How many non-headline registry queries get timed per run (rotating

@@ -721,13 +721,15 @@ def dsir_log_ratio(
     ``b = hex16(md5(token)) % dim`` and both distributions are add-1
     smoothed over the ``dim`` hashed buckets.
 
-    Plan: ONE token explode pre-aggregated to (doc, bucket, tf); the
-    raw and target bucket distributions re-aggregate that same subtree
-    (ReusedExchange) into two ≤``dim``-row relations that broadcast
-    back onto the (doc, bucket) grain.  No vocabulary is materialized
-    (the hashed-LM trick bounds state at ``dim`` regardless of corpus
-    size).  Returns ``(doc_id, n_tokens, log_importance)`` rounded to
-    6 dp, higher = more target-like.
+    Plan: the token explode pre-aggregates to (doc, bucket, tf); BOTH
+    LM distributions come from ONE conditional bucket aggregate of that
+    subtree, whose totals branch collapses to a ReusedExchange — the
+    corpus is exploded twice total (scoring + stats; pinned ≤ 2 in
+    tests/test_plan_quality.py), never per-distribution.  No vocabulary
+    is materialized (the hashed-LM trick bounds state at ``dim``
+    regardless of corpus size).  Returns
+    ``(doc_id, n_tokens, log_importance)`` rounded to 6 dp, higher =
+    more target-like.
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -737,34 +739,130 @@ def dsir_log_ratio(
     doc_bucket = toks.groupBy("doc_id", "_tgt", "b").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    bucket_raw = doc_bucket.groupBy("b").agg(F.sum("tf").alias("n_raw"))
-    bucket_tgt = (
-        doc_bucket.filter(F.col("_tgt"))
-        .groupBy("b")
-        .agg(F.sum("tf").alias("n_tgt"))
+    # ONE bucket aggregate carries both distributions (a filtered
+    # target branch would let Catalyst push the _tgt filter below the
+    # exchange, making the subtrees non-identical and defeating
+    # ReusedExchange — measured: 4 corpus explodes instead of 1)
+    bucket = doc_bucket.groupBy("b").agg(
+        F.sum("tf").alias("n_raw"),
+        F.sum(F.when(F.col("_tgt"), F.col("tf")).otherwise(0)).alias("n_tgt"),
     )
-    tot_raw = bucket_raw.agg(F.sum("n_raw").alias("_traw"))
-    tot_tgt = bucket_tgt.agg(F.sum("n_tgt").alias("_ttgt"))
-    stats = (
-        bucket_raw.join(bucket_tgt, "b", "left")
-        .crossJoin(F.broadcast(tot_raw))
-        .crossJoin(F.broadcast(tot_tgt))
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("n_tgt"), F.lit(0)) + 1)
-                    / (F.col("_ttgt") + dim)
-                )
-                - F.log((F.col("n_raw") + 1) / (F.col("_traw") + dim))
-            ).alias("lr"),
-        )
+    tots = bucket.agg(
+        F.sum("n_raw").alias("_traw"), F.sum("n_tgt").alias("_ttgt")
     )
+    stats = bucket.crossJoin(F.broadcast(tots)).select(
+        "b",
+        (
+            F.log((F.col("n_tgt") + 1) / (F.col("_ttgt") + dim))
+            - F.log((F.col("n_raw") + 1) / (F.col("_traw") + dim))
+        ).alias("lr"),
+    )
+    # LEFT join (stats covers every bucket, so ≡ inner) + grouping by
+    # (doc_id, _tgt): an inner join would push isnotnull(b) below the
+    # aggregate and the pruned column set would differ — either breaks
+    # canonical equality of the (doc_id, _tgt, b) exchange and defeats
+    # ReusedExchange (measured: extra corpus explodes)
     return (
-        doc_bucket.join(F.broadcast(stats), "b")
-        .groupBy("doc_id")
+        doc_bucket.join(F.broadcast(stats), "b", "left")
+        .groupBy("doc_id", "_tgt")
         .agg(
             F.sum("tf").cast("int").alias("n_tokens"),
             F.round(F.sum(F.col("tf") * F.col("lr")), 6).alias("log_importance"),
         )
+        .select("doc_id", "n_tokens", "log_importance")
+    )
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Bigram-LM quality score with add-1 smoothing — one step closer
+    to the KenLM perplexity filter than :func:`unigram_logprob`:
+    ``score(doc) = mean over positions of log p(w_i | w_{i-1})`` with
+    ``p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)``, V = vocabulary size.
+
+    Plan: ONE token explode; bigrams form from a per-doc ``lead``
+    window (doc-keyed partitions, no self-join), pre-aggregated to
+    (doc, w1, w2, tf) so the bigram-count join moves doc-bigram pairs
+    — never raw positions.  Unigram counts and V ride a ≤vocab-sized
+    relation (AQE broadcasts when it fits).  Returns
+    ``(doc_id, n_bigrams, avg_bigram_logprob)`` rounded to 6 dp.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.withColumn("w2", F.lead("w").over(win))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("doc_id", F.col("w").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    uni = toks.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    vocab_n = uni.agg(F.count(F.lit(1)).alias("_v"))
+    bic = bi.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    scored = (
+        bi.join(bic, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "doc_id",
+            "tf",
+            (
+                F.col("tf")
+                * F.log((F.col("c12") + 1) / (F.col("c1") + F.col("_v")))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("int").alias("n_bigrams"),
+        F.round(F.sum("lp") / F.sum("tf"), 6).alias("avg_bigram_logprob"),
+    )
+
+
+def doremi_source_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    strata_col: str,
+    *,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, "Doremi:
+    Optimizing Data Mixtures"): upweight the domains the reference
+    model finds HARD.  The excess-loss proxy here is the corpus's own
+    unigram LM — a domain's deficit is (corpus mean avg_logprob −
+    domain mean avg_logprob), and mixture weights are the softmax
+    ``exp(deficit / T) / Σ`` over domains.
+
+    Plan: the per-doc score pipeline is :func:`unigram_logprob` (one
+    token explode); everything after is domain-grain (bounded strata) —
+    two tiny aggregates ride one-row / |domains|-row broadcasts.
+    Deficits derive from 6-dp-ROUNDED means (round-before-decide) so
+    any engine replays the weights.  Returns
+    ``(stratum, n_docs, mean_logprob, weight)``.
+    """
+    scores = unigram_logprob(df, id_col, text_col)
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(strata_col).alias("stratum")
+    )
+    per_src = (
+        scores.join(src, "doc_id")
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_logprob"), 6).alias("mean_logprob"),
+        )
+    )
+    corpus = scores.agg(F.round(F.avg("avg_logprob"), 6).alias("_cm"))
+    raw = per_src.crossJoin(F.broadcast(corpus)).withColumn(
+        "_raw", F.exp((F.col("_cm") - F.col("mean_logprob")) / temperature)
+    )
+    tot = raw.agg(F.sum("_raw").alias("_tot"))
+    return raw.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_docs",
+        "mean_logprob",
+        F.round(F.col("_raw") / F.col("_tot"), 6).alias("weight"),
     )

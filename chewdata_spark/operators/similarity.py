@@ -689,3 +689,101 @@ def kmeans_lloyd(
     return means.select(
         "cluster", F.col("dim").cast("int").alias("dim"), "c"
     )
+
+
+def pc1_power_iteration(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    iters: int = 2,
+) -> DataFrame:
+    """Top principal direction of the embedding corpus by power
+    iteration — the zero-ML-library PCA primitive behind whitening,
+    anisotropy diagnostics and ABTT ("all-but-the-top") embedding
+    post-processing.
+
+    Each iteration is y = Σ_rows x·(xᵀv) followed by normalization —
+    ONE corpus pass: the current direction rides a one-row broadcast,
+    per-row dots are a sequential array fold (deterministic order, so
+    engines agree bitwise), and the d per-dimension sums aggregate
+    map-side into d rows.  Nothing is collected to the driver — the
+    next direction is again a one-row relation.  Per-dim sums and
+    normalized components round to 6 dp each iteration (the
+    kmeans/pagerank lockstep device), making the whole iteration
+    SQL-replayable.  Returns ``(dim_idx, loading)``, d rows.
+    """
+    import math
+
+    spark = corpus.sparkSession
+    xs = corpus.select(F.col(vec_col).cast("array<double>").alias("x"))
+    v0 = round(1.0 / math.sqrt(dim), 6)
+    v_df = spark.range(1).select(F.array_repeat(F.lit(v0), dim).alias("v"))
+    for _ in range(iters):
+        dotted = xs.crossJoin(F.broadcast(v_df)).select(
+            "x",
+            F.aggregate(
+                F.zip_with("x", "v", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            ).alias("dot"),
+        )
+        comps = dotted.select(
+            F.posexplode(F.transform("x", lambda e: e * F.col("dot"))).alias(
+                "d", "val"
+            )
+        )
+        y = comps.groupBy("d").agg(F.round(F.sum("val"), 6).alias("s"))
+        y_row = y.agg(
+            F.array_sort(F.collect_list(F.struct("d", "s"))).alias("ys")
+        ).select(F.col("ys").getField("s").alias("y"))
+        norm = F.sqrt(
+            F.aggregate("y", F.lit(0.0), lambda a, e: a + e * e)
+        )
+        v_df = y_row.select(
+            F.transform("y", lambda e: F.round(e / norm, 6)).alias("v")
+        )
+    return v_df.select(F.posexplode("v").alias("dim_idx", "loading")).select(
+        F.col("dim_idx").cast("int").alias("dim_idx"), "loading"
+    )
+
+
+def abtt_debias(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    iters: int = 2,
+) -> DataFrame:
+    """All-but-the-top embedding post-processing (Mu & Viswanath 2018):
+    remove the corpus's dominant direction from every vector —
+    ``x' = x − (x·v₁)v₁`` with v₁ from :func:`pc1_power_iteration` —
+    the cheap fix for anisotropic embedding spaces that inflate all
+    cosine similarities.
+
+    One corpus pass: v₁ is a one-row broadcast; the projection is a
+    sequential array fold + ``zip_with`` (bitwise engine-portable);
+    components round to 6 dp.  Returns ``(vec_id, debiased)``.
+    """
+    v1 = (
+        pc1_power_iteration(corpus, vec_col=vec_col, dim=dim, iters=iters)
+        .agg(F.array_sort(F.collect_list(F.struct("dim_idx", "loading"))).alias("s"))
+        .select(F.col("s").getField("loading").alias("v"))
+    )
+    xs = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("x")
+    )
+    dot = F.aggregate(
+        F.zip_with("x", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, e: acc + e
+    )
+    return (
+        xs.crossJoin(F.broadcast(v1))
+        .withColumn("_dot", dot)
+        .select(
+            "vec_id",
+            F.zip_with(
+                "x", "v", lambda a, b: F.round(a - F.col("_dot") * b, 6)
+            ).alias("debiased"),
+        )
+    )

@@ -95,3 +95,105 @@ def zipf_fit(df: DataFrame, text_col: str, *, top_n: int = 10000) -> DataFrame:
         F.round(F.regr_intercept(lf, lr), 6).alias("intercept"),
         F.round(F.regr_r2(lf, lr), 6).alias("r2"),
     )
+
+
+def bpe_merges(df: DataFrame, text_col: str, *, iters: int = 2) -> DataFrame:
+    """Byte-pair-encoding merge training — the first ``iters`` merge
+    rules learned from the corpus (the core loop of GPT-2/SentencePiece
+    vocabulary construction): repeatedly count adjacent symbol pairs
+    (frequency-weighted over the distinct-word vocabulary) and fuse the
+    most frequent pair everywhere it occurs, greedily left-to-right.
+
+    Everything past the one corpus token explode runs on the
+    VOCAB-grain symbol relation ``(word, freq, pos, sym)`` — bounded by
+    vocabulary size, never corpus size — with every window partitioned
+    by word.  The only driver-visible value per iteration is the single
+    winning pair (``limit(1)`` broadcast back).  Greedy left-to-right
+    overlap resolution (aab + (a,a) merges positions 0-1, not 1-2) is
+    the gaps-and-islands parity rule: among match positions of a word,
+    consecutive runs keep their 1st, 3rd, ... member — overlapping
+    matches only exist when left == right, and then alternation IS the
+    greedy answer.  Symbol chars come from codepoint-safe
+    ``substring`` (not code-unit regex splits), so multilingual text
+    agrees with any engine.  Returns
+    ``(merge_rank, lhs, rhs, pair_count)``, one row per merge.
+    """
+    words = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        # empty-string tokens (from empty docs) would make
+        # sequence(1, 0) DESCEND ([1, 0]) instead of being empty
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(
+        "word",
+        "freq",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        ).alias("pos", "sym"),
+    )
+    win = Window.partitionBy("word").orderBy("pos")
+    merges = []
+    for it in range(iters):
+        paired = cur.withColumn("nxt", F.lead("sym").over(win))
+        counts = (
+            paired.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = (
+            counts.orderBy(
+                F.col("pair_count").desc(), F.col("sym").asc(), F.col("nxt").asc()
+            )
+            .limit(1)
+            .select(
+                F.lit(it + 1).alias("merge_rank"),
+                F.col("sym").alias("_L"),
+                F.col("nxt").alias("_R"),
+                "pair_count",
+            )
+        )
+        merges.append(
+            top.select(
+                "merge_rank",
+                F.col("_L").alias("lhs"),
+                F.col("_R").alias("rhs"),
+                "pair_count",
+            )
+        )
+        m = paired.crossJoin(F.broadcast(top.select("_L", "_R"))).withColumn(
+            "_match", (F.col("sym") == F.col("_L")) & (F.col("nxt") == F.col("_R"))
+        )
+        matches = m.filter("_match").select("word", "pos")
+        isl = matches.withColumn("_rn", F.row_number().over(win)).withColumn(
+            "_isl", F.col("pos") - F.col("_rn")
+        )
+        wi = Window.partitionBy("word", "_isl").orderBy("pos")
+        starts = (
+            isl.withColumn("_k", F.row_number().over(wi))
+            .filter(F.col("_k") % 2 == 1)
+            .select("word", "pos")
+        )
+        marks = starts.select("word", "pos", F.lit(1).alias("_mk")).union(
+            starts.select("word", (F.col("pos") + 1).alias("pos"), F.lit(2).alias("_mk"))
+        )
+        survivors = (
+            m.join(marks, ["word", "pos"], "left")
+            .filter(F.col("_mk").isNull() | (F.col("_mk") == 1))
+            .select(
+                "word",
+                "freq",
+                "pos",
+                F.when(
+                    F.col("_mk") == 1, F.concat(F.col("_L"), F.col("_R"))
+                ).otherwise(F.col("sym")).alias("sym"),
+            )
+        )
+        cur = survivors.select(
+            "word", "freq", F.row_number().over(win).alias("pos"), "sym"
+        )
+    out = merges[0]
+    for t in merges[1:]:
+        out = out.unionByName(t)
+    return out

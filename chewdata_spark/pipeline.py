@@ -630,6 +630,48 @@ class Pipeline:
                 F.col("doc_id").alias(key)
             )
             return df.join(passing, key, "left_semi")
+        if method == "classifier_filter":
+            from chewdata_spark.operators.curation import (
+                hashed_classifier_score,
+                synthetic_classifier_weights,
+            )
+
+            if not key:
+                raise ValueError("curate.classifier_filter needs 'key'")
+            dim = int(step.get("dim", 256))
+            w_cfg = step.get("weights")
+            if w_cfg:
+                # trained weights arrive as a table (dim, w) via any reader
+                weights = self._read(
+                    df.sparkSession, _normalize_step({**w_cfg, "type": "reader"})
+                ).select(F.col("dim").cast("int"), F.col("w").cast("double"))
+            else:
+                weights = synthetic_classifier_weights(
+                    df.sparkSession, dim=dim, salt=str(step.get("salt", "qw"))
+                )
+            scores = hashed_classifier_score(df, key, field, weights, dim=dim)
+            kept = scores.filter(
+                F.col("clf_score") >= float(step.get("min_score", 0.5))
+            ).select(F.col("doc_id").alias(key))
+            return df.join(kept, key, "left_semi")
+        if method == "dsir_select":
+            from chewdata_spark.operators.curation import dsir_log_ratio
+
+            if not key:
+                raise ValueError("curate.dsir_select needs 'key'")
+            tgt_field = step.get("target_field", "lang")
+            tgt_value = step.get("target_value", "en")
+            scored = dsir_log_ratio(
+                df,
+                key,
+                field,
+                F.col(tgt_field) == tgt_value,
+                dim=int(step.get("dim", 4096)),
+            )
+            kept = scored.filter(
+                F.col("log_importance") >= float(step.get("min_log_importance", 0.0))
+            ).select(F.col("doc_id").alias(key))
+            return df.join(kept, key, "left_semi")
         if method == "logprob_filter":
             from chewdata_spark.operators.curation import filter_by_logprob
 

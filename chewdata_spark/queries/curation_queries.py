@@ -1007,17 +1007,16 @@ WITH toks AS (
           FROM documents)
 ), db AS (
     SELECT doc_id, tgt, b, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3
-), braw AS (
-    SELECT b, SUM(tf) AS n_raw FROM db GROUP BY 1
-), btgt AS (
-    SELECT b, SUM(tf) AS n_tgt FROM db WHERE tgt GROUP BY 1
+), bucket AS (
+    SELECT b, SUM(tf) AS n_raw,
+           SUM(CASE WHEN tgt THEN tf ELSE 0 END) AS n_tgt
+    FROM db GROUP BY 1
 ), tots AS (
-    SELECT (SELECT SUM(n_raw) FROM braw) AS traw,
-           (SELECT SUM(n_tgt) FROM btgt) AS ttgt
+    SELECT SUM(n_raw) AS traw, SUM(n_tgt) AS ttgt FROM bucket
 ), stats AS (
-    SELECT b, ln((COALESCE(n_tgt, 0) + 1) * 1.0 / (ttgt + 4096))
+    SELECT b, ln((n_tgt + 1) * 1.0 / (ttgt + 4096))
               - ln((n_raw + 1) * 1.0 / (traw + 4096)) AS lr
-    FROM braw LEFT JOIN btgt USING (b), tots
+    FROM bucket, tots
 )
 SELECT doc_id, CAST(SUM(tf) AS INT) AS n_tokens,
        ROUND(SUM(tf * lr), 6) AS log_importance
@@ -1077,3 +1076,85 @@ FROM (
 
 QUERIES["best_of_source_sample"] = best_of_source_sample
 ORACLES["best_of_source_sample"] = BEST_OF_SOURCE_SQL
+
+
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scores with add-1 smoothing over the corpus's
+    own bigram counts (operators/curation.py::bigram_logprob) — the
+    KenLM-style perplexity-filter shape with a real conditional model,
+    where `unigram_logprob` is the order-1 baseline.  Docs with fewer
+    than 2 tokens have no bigrams and drop out (both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.bigram_logprob(docs, "doc_id", "text")
+
+
+BIGRAM_LP_SQL = """
+WITH d AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+    FROM documents
+), bi0 AS (
+    SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+          FROM d WHERE len(w) >= 2)
+), bi AS (
+    SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bi0 GROUP BY 1, 2, 3
+), toks AS (
+    SELECT doc_id, unnest(w) AS w1 FROM d
+), uni AS (
+    SELECT w1, COUNT(*) AS c1 FROM toks GROUP BY 1
+), v AS (
+    SELECT COUNT(*) AS vn FROM uni
+), bic AS (
+    SELECT w1, w2, SUM(tf) AS c12 FROM bi GROUP BY 1, 2
+)
+SELECT doc_id, CAST(SUM(tf) AS INT) AS n_bigrams,
+       ROUND(SUM(tf * ln((c12 + 1) * 1.0 / (c1 + vn))) / SUM(tf), 6)
+           AS avg_bigram_logprob
+FROM bi JOIN bic USING (w1, w2) JOIN uni USING (w1), v
+GROUP BY doc_id
+"""
+
+QUERIES["bigram_logprob_score"] = bigram_logprob_score
+ORACLES["bigram_logprob_score"] = BIGRAM_LP_SQL
+
+
+def doremi_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style training-mix weights per source: softmax over each
+    source's unigram-LM hardness deficit
+    (operators/curation.py::doremi_source_weights)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.doremi_source_weights(docs, "doc_id", "text", "source")
+
+
+DOREMI_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+),
+vocab AS (SELECT term, COUNT(*) AS term_n FROM toks GROUP BY term),
+total AS (SELECT COUNT(*) AS n FROM toks),
+scores AS (
+    SELECT t.doc_id, ROUND(AVG(ln(v.term_n * 1.0 / total.n)), 6) AS avg_logprob
+    FROM toks t JOIN vocab v USING (term), total
+    GROUP BY t.doc_id
+),
+per_src AS (
+    SELECT d.source AS stratum, COUNT(*) AS n_docs,
+           ROUND(AVG(s.avg_logprob), 6) AS mean_logprob
+    FROM scores s JOIN documents d USING (doc_id)
+    GROUP BY 1
+),
+corpus AS (SELECT ROUND(AVG(avg_logprob), 6) AS cm FROM scores),
+raw AS (
+    SELECT stratum, n_docs, mean_logprob,
+           exp((corpus.cm - mean_logprob) / 1.0) AS r
+    FROM per_src, corpus
+),
+tot AS (SELECT SUM(r) AS t FROM raw)
+SELECT stratum, n_docs, mean_logprob, ROUND(r / tot.t, 6) AS weight
+FROM raw, tot
+"""
+
+QUERIES["doremi_source_weights"] = doremi_source_weights
+ORACLES["doremi_source_weights"] = DOREMI_SQL

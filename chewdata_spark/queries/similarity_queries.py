@@ -595,3 +595,68 @@ SELECT cluster, dim, c FROM m2
 
 QUERIES["kmeans_centroids_2iter"] = kmeans_centroids_2iter
 ORACLES["kmeans_centroids_2iter"] = KMEANS_SQL
+
+
+def embedding_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus (2 power
+    iterations, 6-dp lockstep rounding) —
+    operators/similarity.py::pc1_power_iteration.  The oracle replays
+    both iterations: per-row fold dots are sequential in both engines,
+    per-dim sums round before normalization."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pc1_power_iteration(emb, vec_col="embedding", dim=64, iters=2)
+
+
+def _pc1_iter_sql(i: int) -> str:
+    """One power iteration: v{i} -> y{i} (rounded per-dim sums) -> v{i+1}."""
+    return f"""d{i} AS (
+    SELECT x, list_sum([x[j] * v[j] for j in range(1, 65)]) AS dot
+    FROM xs, v{i}
+), c{i} AS (
+    SELECT j, ROUND(SUM(x[j] * dot), 6) AS s
+    FROM d{i}, (SELECT unnest(generate_series(1, 64)) AS j)
+    GROUP BY j
+), y{i} AS (
+    SELECT list(s ORDER BY j) AS y FROM c{i}
+), v{i + 1} AS (
+    SELECT [ROUND(e / sqrt(list_sum([f * f for f in y])), 6) for e in y] AS v
+    FROM y{i}
+)"""
+
+
+PC1_SQL = f"""
+WITH xs AS (
+    SELECT embedding::DOUBLE[] AS x FROM embeddings
+), v1 AS (
+    SELECT [ROUND(1.0 / sqrt(64), 6) for j in range(1, 65)] AS v
+), {_pc1_iter_sql(1)}, {_pc1_iter_sql(2)}
+SELECT CAST(j - 1 AS INT) AS dim_idx, v[j] AS loading
+FROM v3, (SELECT unnest(generate_series(1, 64)) AS j)
+"""
+
+QUERIES["embedding_pc1"] = embedding_pc1
+ORACLES["embedding_pc1"] = PC1_SQL
+
+
+def embedding_debias_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top debiasing: every embedding minus its projection
+    onto the corpus PC1 (operators/similarity.py::abtt_debias) — the
+    anisotropy correction applied before cosine retrieval."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.abtt_debias(emb, vec_col="embedding", dim=64, iters=2)
+
+
+ABTT_SQL = f"""
+WITH xs AS (
+    SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+), v1 AS (
+    SELECT [ROUND(1.0 / sqrt(64), 6) for j in range(1, 65)] AS v
+), {_pc1_iter_sql(1)}, {_pc1_iter_sql(2)}
+SELECT vec_id,
+       [ROUND(x[j] - list_sum([x[i] * v[i] for i in range(1, 65)]) * v[j], 6)
+        for j in range(1, 65)] AS debiased
+FROM xs, v3
+"""
+
+QUERIES["embedding_debias_abtt"] = embedding_debias_abtt
+ORACLES["embedding_debias_abtt"] = ABTT_SQL

@@ -160,3 +160,74 @@ GROUP BY 1, 2
 
 QUERIES["countmin_sketch_terms"] = countmin_sketch_terms
 ORACLES["countmin_sketch_terms"] = COUNTMIN_SQL
+
+
+def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 2 BPE merge rules trained on the corpus (frequency-weighted
+    char-pair counting + greedy left-to-right fusion over the vocab-grain
+    symbol relation) — operators/tokenize.py::bpe_merges.  The oracle
+    replays both iterations: pair counts, the argmax rule, and the
+    gaps-and-islands parity merge."""
+    from chewdata_spark.operators.tokenize import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges(docs, "text", iters=2)
+
+
+def _bpe_iter_sql(i: int) -> str:
+    """CTE block for BPE iteration ``i`` over symbol relation syms{i}:
+    pair counts c{i}, winning rule t{i}, merged relation syms{i+1}."""
+    return f"""p{i} AS (
+    SELECT word, freq, pos, sym,
+           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM syms{i}
+), c{i} AS (
+    SELECT sym, nxt, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM p{i} WHERE nxt IS NOT NULL GROUP BY 1, 2
+), t{i} AS (
+    SELECT {i} AS merge_rank, sym AS lhs, nxt AS rhs, pair_count
+    FROM c{i} ORDER BY pair_count DESC, sym ASC, nxt ASC LIMIT 1
+), m{i} AS (
+    SELECT p.word, p.freq, p.pos, p.sym, t.lhs, t.rhs,
+           (p.sym = t.lhs AND p.nxt = t.rhs) AS mt
+    FROM p{i} p, t{i} t
+), st{i} AS (
+    SELECT word, pos FROM (
+        SELECT word, pos,
+               ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY pos) AS k
+        FROM (SELECT word, pos,
+                     pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS isl
+              FROM m{i} WHERE mt)
+    ) WHERE k % 2 = 1
+), mk{i} AS (
+    SELECT word, pos, 1 AS mk FROM st{i}
+    UNION ALL
+    SELECT word, pos + 1, 2 FROM st{i}
+), syms{i + 1} AS (
+    SELECT word, freq,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+           CASE WHEN mk = 1 THEN lhs || rhs ELSE sym END AS sym
+    FROM (SELECT m.word, m.freq, m.pos, m.sym, m.lhs, m.rhs, k.mk
+          FROM m{i} m LEFT JOIN mk{i} k USING (word, pos)
+          WHERE k.mk IS NULL OR k.mk = 1)
+)"""
+
+
+BPE_SQL = f"""
+WITH words AS (
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+          FROM documents)
+    WHERE word <> '' GROUP BY 1
+), syms1 AS (
+    SELECT word, freq, i AS pos, word[i] AS sym
+    FROM (SELECT word, freq, unnest(generate_series(1, len(word))) AS i
+          FROM words)
+), {_bpe_iter_sql(1)}, {_bpe_iter_sql(2)}
+SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs, pair_count FROM t1
+UNION ALL
+SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs, pair_count FROM t2
+"""
+
+QUERIES["bpe_merge_rules"] = bpe_merge_rules
+ORACLES["bpe_merge_rules"] = BPE_SQL

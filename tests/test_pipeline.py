@@ -896,3 +896,51 @@ def test_curate_rewrite_methods_keep_null_text_rows(spark):
     out = {r.id: r.text for r in Pipeline(cfg, spark).dataframe().collect()}
     assert set(out) == {1, 2}  # NULL-text record survives the rewrite
     assert out[2] is None
+
+
+def test_curate_step_classifier_filter(spark):
+    import json
+
+    from chewdata_spark.operators.curation import (
+        hashed_classifier_score,
+        synthetic_classifier_weights,
+    )
+    from chewdata_spark.pipeline import Pipeline
+
+    rows = [{"id": i, "text": f"doc number {i} with some words here"} for i in range(20)]
+    cfg = [
+        {"type": "reader", "connector": {"type": "in_memory", "data": json.dumps(rows)}},
+        {"type": "curate", "method": "classifier_filter", "key": "id",
+         "field": "text", "min_score": 0.53},
+    ]
+    out = {r.id for r in Pipeline(cfg, spark).dataframe().collect()}
+    # must equal direct operator output with the same synthetic weights
+    df = spark.createDataFrame([(r["id"], r["text"]) for r in rows], ["id", "text"])
+    w = synthetic_classifier_weights(spark, dim=256, salt="qw")
+    expect = {
+        r.doc_id
+        for r in hashed_classifier_score(df, "id", "text", w, dim=256)
+        .filter("clf_score >= 0.53")
+        .collect()
+    }
+    assert out == expect and 0 < len(out) < 20
+
+
+def test_curate_step_dsir_select(spark):
+    import json
+
+    from chewdata_spark.pipeline import Pipeline
+
+    rows = [
+        {"id": i, "lang": "en" if i % 2 else "de",
+         "text": ("the quick brown fox " if i % 2 else "der schnelle braune fuchs ") * 3}
+        for i in range(40)
+    ]
+    cfg = [
+        {"type": "reader", "connector": {"type": "in_memory", "data": json.dumps(rows)}},
+        {"type": "curate", "method": "dsir_select", "key": "id", "field": "text",
+         "target_field": "lang", "target_value": "en", "min_log_importance": 0.0},
+    ]
+    out = {r.id for r in Pipeline(cfg, spark).dataframe().collect()}
+    # en docs score target-like (positive log ratio), de docs negative
+    assert out == {i for i in range(40) if i % 2}

@@ -494,3 +494,31 @@ def test_supplier_reliability_take_ordered(spark, sf_dir):
     df = supplier_reliability(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_classifier_weights_join_is_broadcast(spark, sf_dir):
+    """Classifier inference must join the dim-row weight table as a
+    broadcast — an SMJ here would shuffle the (doc, feature) relation
+    on the feature key for nothing."""
+    from chewdata_spark.queries.curation_queries import classifier_quality_filter
+
+    df = classifier_quality_filter(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert_no_sort_merge_join(df)
+
+
+def test_dsir_bounded_token_explodes(spark, sf_dir):
+    """DSIR derives BOTH LM distributions from one conditional bucket
+    aggregate: the executed adaptive plan explodes the corpus at most
+    twice (scoring + stats — never once per distribution; the naive
+    filtered-branch form measured 4) and the totals branch collapses to
+    a ReusedExchange."""
+    from chewdata_spark.queries.curation_queries import dsir_importance
+
+    df = dsir_importance(spark, sf_dir)
+    df.collect()
+    plan = formatted_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate") <= 2, final
+    assert "ReusedExchange" in final, final

@@ -39,3 +39,30 @@ def test_tokenize_feeds_pack_sequences(spark):
     assert got[0].start_offset == 0 and got[9].start_offset == 45
     # 50 tokens / 8 per seq → last doc ends in seq 6
     assert got[9].last_seq == 6
+
+
+def test_bpe_merges_greedy_parity(spark):
+    """aaaa + rule (a,a) must merge greedily left-to-right into
+    aa|aa (two pairs), never the overlapping middle; second iteration
+    then fuses (aa,aa)."""
+    from chewdata_spark.operators.tokenize import bpe_merges
+
+    df = spark.createDataFrame([("aaaa aaaa b",)], ["text"])
+    rules = {r.merge_rank: r for r in bpe_merges(df, "text", iters=2).collect()}
+    assert (rules[1].lhs, rules[1].rhs) == ("a", "a")
+    # pair_count is the PRE-merge adjacency count: "aaaa" has 3 (a,a)
+    # adjacencies and occurs with freq 2 -> 6
+    assert rules[1].pair_count == 6
+    assert (rules[2].lhs, rules[2].rhs) == ("aa", "aa")
+    assert rules[2].pair_count == 2
+
+
+def test_bpe_merges_distinct_pair_no_overlap(spark):
+    from chewdata_spark.operators.tokenize import bpe_merges
+
+    df = spark.createDataFrame([("abab abab",)], ["text"])
+    rules = {r.merge_rank: r for r in bpe_merges(df, "text", iters=2).collect()}
+    # "abab" (freq 2): (a,b) x2 adjacencies beats (b,a) x1 -> count 4
+    assert (rules[1].lhs, rules[1].rhs) == ("a", "b") and rules[1].pair_count == 4
+    # after merge: [ab, ab] -> (ab, ab) count 2
+    assert (rules[2].lhs, rules[2].rhs) == ("ab", "ab") and rules[2].pair_count == 2
