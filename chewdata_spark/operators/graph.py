@@ -180,3 +180,46 @@ def pagerank(
             )
         )
     return pr
+
+
+def kcore_peel(
+    edges: DataFrame, *, k: int = 4, rounds: int = 3
+) -> DataFrame:
+    """k-core peeling trajectory: ``rounds`` iterations of "drop every
+    node with degree < k, then drop orphaned edges" over an undirected
+    (u < v) edge relation — the standard dense-subgraph / spam-cluster
+    extraction primitive.  A fixed round count (not run-to-convergence)
+    keeps the computation engine-replayable; each round is one degree
+    aggregation + two semi-joins on the shrinking edge relation, the
+    same O(rounds × |E|) shape as the large-star/small-star rounds of
+    :func:`connected_components`.  Returns one row per round:
+    ``(round, n_nodes, n_edges)`` of the surviving subgraph (n_nodes
+    counts nodes still carrying an edge).
+    """
+    out = None
+    cur = edges.select("u", "v")
+    for r in range(1, rounds + 1):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .union(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        cur = cur.join(
+            keep.withColumnRenamed("node", "u"), "u", "left_semi"
+        ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+        nodes_r = (
+            cur.select(F.col("u").alias("n"))
+            .union(cur.select(F.col("v").alias("n")))
+            .agg(F.count_distinct("n").alias("n_nodes"))
+        )
+        row = (
+            cur.agg(F.count(F.lit(1)).alias("n_edges"))
+            .crossJoin(F.broadcast(nodes_r))
+            .select(
+                F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

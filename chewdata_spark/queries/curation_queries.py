@@ -1158,3 +1158,63 @@ FROM raw, tot
 
 QUERIES["doremi_source_weights"] = doremi_source_weights
 ORACLES["doremi_source_weights"] = DOREMI_SQL
+
+
+def stream_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier inference executed BY STRUCTURED STREAMING: hashed
+    token features from the file stream join the STATIC broadcast
+    weight table at token grain (stream-static join), then ONE
+    stateful aggregation per doc_id produces the score (complete mode,
+    availableNow, memory sink) — Structured Streaming forbids cascaded
+    aggregations, so the per-token contribution is computed pre-agg
+    rather than via the batch operator's (doc, dim) pre-aggregate.
+    Scores match the batch `classifier_quality_filter` bit-for-bit
+    (same oracle), proving the op streams."""
+    import os
+
+    from chewdata_spark.operators.curation import (
+        md5_hex16,
+        synthetic_classifier_weights,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path + "*")
+    weights = synthetic_classifier_weights(spark, dim=256, salt="qw")
+    toks = stream.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    sign_digit = F.expr("instr('0123456789abcdef', substring(md5(term), 5, 1)) - 1")
+    feat = toks.select(
+        "doc_id",
+        (md5_hex16(F.col("term")) % 256).alias("dim"),
+        F.when(sign_digit % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+    )
+    contrib = feat.join(F.broadcast(weights), "dim").select(
+        "doc_id", (F.col("sign") * F.col("w")).alias("c")
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.sum("c").alias("_dot"),
+    )
+    _STREAM_RUN["n"] += 1
+    name = f"_stream_classifier_{_STREAM_RUN['n']}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    logit = F.col("_dot") / F.col("n_tokens")
+    return spark.table(name).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("clf_score"),
+    ).withColumn("keep", F.col("clf_score") >= 0.5)
+
+
+QUERIES["stream_classifier_scores"] = stream_classifier_scores
+ORACLES["stream_classifier_scores"] = CLASSIFIER_SQL

@@ -577,3 +577,69 @@ SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
 
 QUERIES["copurchase_triangles"] = copurchase_triangles
 ORACLES["copurchase_triangles"] = TRIANGLES_SQL
+
+
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling trajectory (k=4, 3 rounds) over the co-purchase
+    graph — operators/graph.py::kcore_peel on market_basket_pairs'
+    edge grain (part pairs co-ordered ≥ 2 times)."""
+    from chewdata_spark.operators.graph import kcore_peel
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    return kcore_peel(edges, k=4, rounds=3)
+
+
+def _kcore_round_sql(r: int, k: int) -> str:
+    return f"""deg{r} AS (
+    SELECT node, COUNT(*) AS d
+    FROM (SELECT u AS node FROM edges{r - 1}
+          UNION ALL SELECT v FROM edges{r - 1})
+    GROUP BY 1
+), keep{r} AS (
+    SELECT node FROM deg{r} WHERE d >= {k}
+), edges{r} AS (
+    SELECT u, v FROM edges{r - 1}
+    WHERE u IN (SELECT node FROM keep{r})
+      AND v IN (SELECT node FROM keep{r})
+)"""
+
+
+def _kcore_row_sql(r: int) -> str:
+    return f"""SELECT {r} AS round,
+       (SELECT COUNT(DISTINCT n)
+        FROM (SELECT u AS n FROM edges{r} UNION ALL SELECT v FROM edges{r})) AS n_nodes,
+       (SELECT COUNT(*) FROM edges{r}) AS n_edges"""
+
+
+KCORE_SQL = f"""
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges0 AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), {_kcore_round_sql(1, 4)}, {_kcore_round_sql(2, 4)}, {_kcore_round_sql(3, 4)}
+SELECT CAST(round AS INT) AS round, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges
+FROM ({_kcore_row_sql(1)} UNION ALL {_kcore_row_sql(2)} UNION ALL {_kcore_row_sql(3)})
+"""
+
+QUERIES["copurchase_kcore"] = copurchase_kcore
+ORACLES["copurchase_kcore"] = KCORE_SQL

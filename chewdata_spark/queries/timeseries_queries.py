@@ -427,3 +427,57 @@ GROUP BY 1, 2, 3
 
 QUERIES["events_anomaly_mad"] = events_anomaly_mad
 ORACLES["events_anomaly_mad"] = EVENTS_MAD_SQL
+
+
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of `value` per event_type from the bounded-state
+    equal-width histogram sketch (operators/timeseries.py::
+    sketch_quantiles) — the deterministic, mergeable, oracle-checkable
+    scale path that replaces exact per-key percentiles at 100 TB."""
+    from chewdata_spark.operators.timeseries import sketch_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketch_quantiles(
+        ev, "event_type", "value", probs=(0.5, 0.95, 0.99), bins=1024
+    )
+
+
+def _sketch_q_sql(p: float) -> str:
+    return f"""SELECT c.key, CAST({p} AS DOUBLE) AS p,
+       ROUND(r.lo + (r.hi - r.lo) / 1024.0
+             * (c.b + ({p} * r.n - (c.cum - c.c)) * 1.0 / c.c), 6) AS est,
+       r.n
+FROM (SELECT cum.key, MIN(b) AS b
+      FROM cum JOIN rng ON cum.key = rng.key
+      WHERE cum.cum >= {p} * rng.n GROUP BY cum.key) m
+JOIN cum c ON c.key = m.key AND c.b = m.b
+JOIN rng r ON r.key = m.key"""
+
+
+QUANTILE_SKETCH_SQL = f"""
+WITH vals AS (
+    SELECT event_type AS key, value AS v FROM events WHERE value IS NOT NULL
+), rng AS (
+    SELECT key, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+    FROM vals GROUP BY 1
+), binned AS (
+    SELECT vals.key,
+           CASE WHEN hi = lo THEN 0
+                ELSE LEAST(GREATEST(CAST(FLOOR((v - lo) / ((hi - lo) / 1024)) AS INT), 0), 1023)
+           END AS b,
+           COUNT(*) AS c
+    FROM vals JOIN rng ON vals.key = rng.key
+    GROUP BY 1, 2
+), cum AS (
+    SELECT key, b, c, SUM(c) OVER (PARTITION BY key ORDER BY b) AS cum
+    FROM binned
+)
+{_sketch_q_sql(0.5)}
+UNION ALL
+{_sketch_q_sql(0.95)}
+UNION ALL
+{_sketch_q_sql(0.99)}
+"""
+
+QUERIES["events_quantile_sketch"] = events_quantile_sketch
+ORACLES["events_quantile_sketch"] = QUANTILE_SKETCH_SQL

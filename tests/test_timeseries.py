@@ -55,3 +55,32 @@ def test_gap_fill_keys_independent(spark):
         (1, 0, 1.0),
         (2, 5, 5.0),
     ]
+
+
+def test_quantile_sketch_tracks_order_statistics(spark, sf_dir):
+    """The histogram estimate interpolates INSIDE the bin holding the
+    ceil(p*n)-th order statistic, so it must land within one bin width
+    of that discrete quantile for every (type, p) — the sketch's actual
+    guarantee (the continuous interpolated quantile can sit a data-gap
+    away in sparse tails)."""
+    import math
+
+    from chewdata_spark.operators.timeseries import sketch_quantiles
+    from chewdata_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    est = {
+        (r.key, r.p): r.est
+        for r in sketch_quantiles(
+            ev, "event_type", "value", probs=(0.5, 0.95), bins=1024
+        ).collect()
+    }
+    by_type: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        if r.value is not None:
+            by_type.setdefault(r.event_type, []).append(r.value)
+    for (k, p), e in est.items():
+        vals = sorted(by_type[k])
+        disc = vals[math.ceil(p * len(vals)) - 1]
+        bin_w = (vals[-1] - vals[0]) / 1024 + 1e-9
+        assert abs(e - disc) <= bin_w, (k, p, e, disc)
