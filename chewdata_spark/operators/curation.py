@@ -694,9 +694,16 @@ def hashed_classifier_score(
     doc_feat = feat.groupBy("doc_id", "dim").agg(
         F.sum("sign").alias("s"), F.count(F.lit(1)).alias("tf")
     )
-    scored = doc_feat.join(F.broadcast(weights), "dim").groupBy("doc_id").agg(
-        F.sum("tf").cast("int").alias("n_tokens"),
-        F.sum(F.col("s") * F.col("w")).alias("_dot"),
+    # LEFT join + zero default: a trained weight table may legitimately
+    # omit pruned dims — an inner join would silently drop those tokens
+    # from BOTH the dot product and n_tokens, biasing every score
+    scored = (
+        doc_feat.join(F.broadcast(weights), "dim", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("int").alias("n_tokens"),
+            F.sum(F.col("s") * F.coalesce(F.col("w"), F.lit(0.0))).alias("_dot"),
+        )
     )
     logit = F.col("_dot") / F.col("n_tokens")
     return scored.select(

@@ -210,7 +210,7 @@ def minhash_candidate_pairs(
     is NOT silent: the plan carries an ``observe`` metric
     ``minhash_lsh_<n>/dropped_hot_buckets`` (count of capped buckets, free
     at execution — no extra job) and the behavior is pinned in
-    tests/test_dedup.py.  Pass ``max_bucket=None`` to disable.
+    tests/test_dedup_recall.py.  Pass ``max_bucket=None`` to disable.
     """
     rows_per_band = num_perm // bands
     band_cols = F.array(
@@ -378,6 +378,33 @@ def simhash_candidate_pairs(
             ),
         )
         fps = fps.filter(fit.isNull())
+    top_shift = bits - width
+    if top_shift > 0:
+        # the OPPOSITE misfit — a family NARROWER than `bits` (the
+        # classic trap: 32-bit simhash_portable banded with the default
+        # bits=64) — leaves the top band constant zero and one bucket
+        # swallows the corpus.  Per-row checks can't see it (a narrow
+        # value never "exceeds" bits), so probe a 1000-row sample: if
+        # every sampled fingerprint is non-negative and below 2^(bits -
+        # width), the top band is all-zero and we raise.  False-positive
+        # odds for a genuine bits-wide family: (2^-width)^sample.
+        probe = fps.limit(1000).agg(
+            F.max("simhash").alias("_mx"), F.min("simhash").alias("_mn")
+        )
+        ok = F.assert_true(
+            ~((F.col("_mn") >= 0) & (F.col("_mx") < F.lit(1 << top_shift))),
+            F.lit(
+                f"simhash fingerprints all fit below 2^{top_shift} — "
+                f"bits={bits} overstates the hash family's width (e.g. "
+                "pass bits=32 for simhash_portable); banding would "
+                "degenerate to one bucket"
+            ),
+        )
+        fps = (
+            fps.crossJoin(F.broadcast(probe))
+            .filter(ok.isNull())
+            .drop("_mx", "_mn")
+        )
     band_cols = F.array(
         *[
             F.struct(

@@ -199,6 +199,11 @@ def kcore_peel(
     out = None
     cur = edges.select("u", "v")
     for r in range(1, rounds + 1):
+        # truncate iterative lineage: round r's snapshot row and the
+        # next round's degree pass otherwise RECOMPUTE rounds 1..r-1
+        # from scratch per consumer (O(rounds² × |E|)) — same device as
+        # connected_components / the persisted incremental-ingest sigs
+        cur = cur.localCheckpoint(eager=False)
         deg = (
             cur.select(F.col("u").alias("node"))
             .union(cur.select(F.col("v").alias("node")))

@@ -277,11 +277,15 @@ def near_dup_pairs_exact(
         import math
 
         try:
-            # sizeInBytes is always populated (parquet footer / relation
-            # stats) — vectors dominate the relation, so bytes ≈ N·d·8
+            # file-backed plans report real bytes (vectors dominate, so
+            # bytes ≈ N·d·8); RDD-backed/derived plans report the
+            # Long.MaxValue sentinel or join-multiplied garbage — treat
+            # anything implausibly large (> 1 PiB) as unavailable
             size = int(
                 corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
             )
+            if size <= 0 or size > (1 << 50):
+                raise ValueError("no usable size statistic")
         except Exception:
             first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
             d = int(first["d"]) if first and first["d"] else 64

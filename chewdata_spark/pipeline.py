@@ -668,9 +668,24 @@ class Pipeline:
                 F.col(tgt_field) == tgt_value,
                 dim=int(step.get("dim", 4096)),
             )
-            kept = scored.filter(
-                F.col("log_importance") >= float(step.get("min_log_importance", 0.0))
-            ).select(F.col("doc_id").alias(key))
+            if "top_frac" in step:
+                # the actual DSIR recipe keeps the most target-like
+                # slice of the corpus — an absolute threshold is only
+                # meaningful when the target vocabulary is distinctive
+                frac = float(step["top_frac"])
+                thr = scored.agg(
+                    F.percentile("log_importance", F.lit(1.0 - frac)).alias("_t")
+                )
+                kept = (
+                    scored.crossJoin(F.broadcast(thr))
+                    .filter(F.col("log_importance") >= F.col("_t"))
+                    .select(F.col("doc_id").alias(key))
+                )
+            else:
+                kept = scored.filter(
+                    F.col("log_importance")
+                    >= float(step.get("min_log_importance", 0.0))
+                ).select(F.col("doc_id").alias(key))
             return df.join(kept, key, "left_semi")
         if method == "logprob_filter":
             from chewdata_spark.operators.curation import filter_by_logprob

@@ -1051,19 +1051,15 @@ def best_of_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BEST_OF_SOURCE_SQL = """
-WITH d AS (
-    SELECT doc_id, source,
-           string_split_regex(lower(trim(text)), '\\s+') AS toks,
-           length(text) AS n_chars,
-           length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct
-    FROM documents
-), scored AS (
-    SELECT doc_id, source,
-           ROUND(0.4 * least(CAST(n_chars AS DOUBLE) / 200.0, 1.0)
-               + 0.3 * (1 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0))
-               + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)), 6) AS quality
-    FROM d
+# composes text_queries.QUALITY_SQL (the single source of truth for the
+# quality formula) rather than duplicating the weights/caps inline
+def _best_of_source_sql() -> str:
+    from chewdata_spark.queries.text_queries import QUALITY_SQL
+
+    return f"""
+WITH scored AS (
+    SELECT q.doc_id, d.source, q.quality
+    FROM ({QUALITY_SQL}) q JOIN documents d USING (doc_id)
 )
 SELECT doc_id, source, quality, CAST(rk AS INT) AS rank
 FROM (
@@ -1075,7 +1071,7 @@ FROM (
 """
 
 QUERIES["best_of_source_sample"] = best_of_source_sample
-ORACLES["best_of_source_sample"] = BEST_OF_SOURCE_SQL
+ORACLES["best_of_source_sample"] = _best_of_source_sql()
 
 
 def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1191,8 +1187,9 @@ def stream_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (md5_hex16(F.col("term")) % 256).alias("dim"),
         F.when(sign_digit % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
     )
-    contrib = feat.join(F.broadcast(weights), "dim").select(
-        "doc_id", (F.col("sign") * F.col("w")).alias("c")
+    contrib = feat.join(F.broadcast(weights), "dim", "left").select(
+        "doc_id",
+        (F.col("sign") * F.coalesce(F.col("w"), F.lit(0.0))).alias("c"),
     )
     scored = contrib.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_tokens"),

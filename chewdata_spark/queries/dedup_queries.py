@@ -133,10 +133,16 @@ WITH d AS (
     FROM e GROUP BY doc_id
 ), bands AS (
 {_MD5_BAND_ROWS}
+), okb AS (
+    -- mirror of the Spark hot-bucket cap (max_bucket=10000): buckets
+    -- larger than the cap are dropped before pair generation
+    SELECT band_idx, bh FROM bands GROUP BY 1, 2
+    HAVING COUNT(*) BETWEEN 2 AND 10000
 ), cand AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+    JOIN okb ON okb.band_idx = a.band_idx AND okb.bh = a.bh
     GROUP BY 1, 2
 ), inter AS (
     SELECT c.id_a, c.id_b, ea.n_sh AS n_a, eb.n_sh AS n_b, COUNT(*) AS inter
@@ -184,10 +190,16 @@ WITH d AS (
     FROM e GROUP BY doc_id
 ), bands AS (
 {_MD5_BAND_ROWS}
+), okb AS (
+    -- mirror of the Spark hot-bucket cap (max_bucket=10000): buckets
+    -- larger than the cap are dropped before pair generation
+    SELECT band_idx, bh FROM bands GROUP BY 1, 2
+    HAVING COUNT(*) BETWEEN 2 AND 10000
 ), cand AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+    JOIN okb ON okb.band_idx = a.band_idx AND okb.bh = a.bh
     GROUP BY 1, 2
 ), inter AS (
     SELECT c.id_a, c.id_b, ea.n_sh AS n_a, eb.n_sh AS n_b, COUNT(*) AS inter
@@ -256,12 +268,17 @@ WITH toks AS (
 ), bands AS (
     SELECT doc_id, simhash, b AS band_idx, (simhash >> (b * 16)) & 65535 AS band_val
     FROM fp, (SELECT unnest(generate_series(0, 1)) AS b)
+), okb AS (
+    -- mirror of the Spark hot-bucket cap (max_bucket=10000)
+    SELECT band_idx, band_val FROM bands GROUP BY 1, 2
+    HAVING COUNT(*) BETWEEN 2 AND 10000
 ), pairs AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val
      AND a.doc_id < b.doc_id
+    JOIN okb ON okb.band_idx = a.band_idx AND okb.band_val = a.band_val
     GROUP BY 1, 2, 3
 )
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1
@@ -484,10 +501,16 @@ WITH RECURSIVE d AS (
     FROM e GROUP BY doc_id
 ), bands AS (
 {_MD5_BAND_ROWS}
+), okb AS (
+    -- mirror of the Spark hot-bucket cap (max_bucket=10000): buckets
+    -- larger than the cap are dropped before pair generation
+    SELECT band_idx, bh FROM bands GROUP BY 1, 2
+    HAVING COUNT(*) BETWEEN 2 AND 10000
 ), cand AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+    JOIN okb ON okb.band_idx = a.band_idx AND okb.bh = a.bh
     GROUP BY 1, 2
 ), inter AS (
     SELECT c.id_a, c.id_b, ea.n_sh AS n_a, eb.n_sh AS n_b, COUNT(*) AS inter
@@ -874,10 +897,16 @@ WITH d AS (
     FROM e GROUP BY doc_id
 ), bands AS (
 {_MD5_BAND_ROWS}
+), okb AS (
+    -- mirror of the Spark hot-bucket cap (max_bucket=10000): buckets
+    -- larger than the cap are dropped before pair generation
+    SELECT band_idx, bh FROM bands GROUP BY 1, 2
+    HAVING COUNT(*) BETWEEN 2 AND 10000
 ), cand AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+    JOIN okb ON okb.band_idx = a.band_idx AND okb.bh = a.bh
     GROUP BY 1, 2
 ), inter AS (
     SELECT c.id_a, c.id_b, ea.n_sh AS n_a, eb.n_sh AS n_b, COUNT(*) AS inter

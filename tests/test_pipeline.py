@@ -944,3 +944,23 @@ def test_curate_step_dsir_select(spark):
     out = {r.id for r in Pipeline(cfg, spark).dataframe().collect()}
     # en docs score target-like (positive log ratio), de docs negative
     assert out == {i for i in range(40) if i % 2}
+
+
+def test_curate_step_dsir_top_frac(spark):
+    import json
+
+    from chewdata_spark.pipeline import Pipeline
+
+    rows = [
+        {"id": i, "lang": "en" if i % 2 else "de",
+         "text": ("the quick brown fox " if i % 2 else "der schnelle braune fuchs ") * 3}
+        for i in range(40)
+    ]
+    cfg = [
+        {"type": "reader", "connector": {"type": "in_memory", "data": json.dumps(rows)}},
+        {"type": "curate", "method": "dsir_select", "key": "id", "field": "text",
+         "target_field": "lang", "target_value": "en", "top_frac": 0.5},
+    ]
+    out = {r.id for r in Pipeline(cfg, spark).dataframe().collect()}
+    # the top half by en-likeness is exactly the en half
+    assert out == {i for i in range(40) if i % 2}
