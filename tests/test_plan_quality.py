@@ -522,3 +522,13 @@ def test_dsir_bounded_token_explodes(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Generate") <= 2, final
     assert "ReusedExchange" in final, final
+
+
+def test_pareto_invariants(spark, sf_dir):
+    """Whatever the prefix-sum plumbing does, the Pareto answer must
+    satisfy its defining inequalities."""
+    from chewdata_spark.queries.analytics import parts_pareto_8020
+
+    row = parts_pareto_8020(spark, sf_dir).collect()[0]
+    assert 0 < row.parts_for_80pct <= row.total_parts
+    assert 0.8 <= row.share_reached <= 1.0

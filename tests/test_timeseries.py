@@ -84,3 +84,27 @@ def test_quantile_sketch_tracks_order_statistics(spark, sf_dir):
         disc = vals[math.ceil(p * len(vals)) - 1]
         bin_w = (vals[-1] - vals[0]) / 1024 + 1e-9
         assert abs(e - disc) <= bin_w, (k, p, e, disc)
+
+
+def test_quantile_sketch_monotone_and_bounded(spark, sf_dir):
+    from chewdata_spark.operators.timeseries import sketch_quantiles
+    from chewdata_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = sketch_quantiles(
+        ev, "event_type", "value", probs=(0.5, 0.95, 0.99), bins=1024
+    ).collect()
+    rng = {
+        r.event_type: (r.lo, r.hi)
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.key, {})[r.p] = r.est
+        lo, hi = rng[r.key]
+        assert lo - 1e-9 <= r.est <= hi + 1e-9, (r.key, r.p, r.est)
+    for k, ests in by_key.items():
+        assert ests[0.5] <= ests[0.95] <= ests[0.99], (k, ests)

@@ -66,3 +66,60 @@ def test_bpe_merges_distinct_pair_no_overlap(spark):
     assert (rules[1].lhs, rules[1].rhs) == ("a", "b") and rules[1].pair_count == 4
     # after merge: [ab, ab] -> (ab, ab) count 2
     assert (rules[2].lhs, rules[2].rhs) == ("ab", "ab") and rules[2].pair_count == 2
+
+
+def _ref_bpe(words_freq, iters):
+    """Pure-Python reference BPE (greedy left-to-right merges)."""
+    seqs = {w: list(w) for w in words_freq}
+    rules = []
+    for it in range(iters):
+        counts: dict = {}
+        for w, f in words_freq.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (L, R), c = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        rules.append((it + 1, L, R, c))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == L and s[i + 1] == R:
+                    out.append(L + R)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return rules
+
+
+import pytest as _pt
+
+
+@_pt.mark.parametrize(
+    "corpus",
+    [
+        "aaaa aaaa b",
+        "abab abab baba",
+        "the theme there then the the",
+        "xxxx xxx xx x",
+        "héllo héllo wörld wörld wörld",
+        "ab ab ab ba ba ba",  # count tie -> lexicographic rule pick
+        "mississippi mississippi miss",
+        "aa aaa aaaa aaaaa",
+    ],
+)
+def test_bpe_matches_python_reference(spark, corpus):
+    from collections import Counter
+
+    from chewdata_spark.operators.tokenize import bpe_merges
+
+    df = spark.createDataFrame([(corpus,)], ["text"])
+    got = sorted(
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_merges(df, "text", iters=2).collect()
+    )
+    want = sorted(_ref_bpe(Counter(corpus.lower().split()), 2))
+    assert got == want, (got, want)
