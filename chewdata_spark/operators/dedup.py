@@ -365,6 +365,38 @@ def simhash_candidate_pairs(
     ``max_bucket=None`` to disable."""
     width = bits // bands
     mask = (1 << width) - 1
+    top_shift = bits - width
+    if top_shift > 0:
+        # the OPPOSITE misfit — a family NARROWER than `bits` (the
+        # classic trap: 32-bit simhash_portable banded with the default
+        # bits=64) — leaves the top band constant zero and one bucket
+        # swallows the corpus.  Per-row checks can't see it (a narrow
+        # value never "exceeds" bits), so probe a 256-fingerprint
+        # sample: all non-negative and below 2^(bits - width) ⇒ the top
+        # band is all-zero ⇒ raise.  False-positive odds for a genuine
+        # bits-wide family: (2^-width)^256 — nil.  The probe runs
+        # EAGERLY at plan-construction (one bounded job): riding it in
+        # the query as a crossJoin'd assert would re-execute the full
+        # fingerprint pipeline on every run (measured +0.5 s/run at
+        # sf0.1), where the eager form prices it once per plan build.
+        probe = (
+            fps.select("simhash")
+            .limit(256)
+            .agg(F.max("simhash").alias("mx"), F.min("simhash").alias("mn"))
+            .first()
+        )
+        if (
+            probe is not None
+            and probe["mx"] is not None
+            and probe["mn"] >= 0
+            and probe["mx"] < (1 << top_shift)
+        ):
+            raise ValueError(
+                f"simhash fingerprints all fit below 2^{top_shift} — "
+                f"bits={bits} overstates the hash family's width (e.g. "
+                "pass bits=32 for simhash_portable); banding would "
+                "degenerate to one bucket"
+            )
     if bits < 64:
         # loud failure instead of silent one-bucket degeneration: the
         # assert rides a filter (assert_true → NULL on success, raise on
@@ -378,33 +410,6 @@ def simhash_candidate_pairs(
             ),
         )
         fps = fps.filter(fit.isNull())
-    top_shift = bits - width
-    if top_shift > 0:
-        # the OPPOSITE misfit — a family NARROWER than `bits` (the
-        # classic trap: 32-bit simhash_portable banded with the default
-        # bits=64) — leaves the top band constant zero and one bucket
-        # swallows the corpus.  Per-row checks can't see it (a narrow
-        # value never "exceeds" bits), so probe a 1000-row sample: if
-        # every sampled fingerprint is non-negative and below 2^(bits -
-        # width), the top band is all-zero and we raise.  False-positive
-        # odds for a genuine bits-wide family: (2^-width)^sample.
-        probe = fps.limit(1000).agg(
-            F.max("simhash").alias("_mx"), F.min("simhash").alias("_mn")
-        )
-        ok = F.assert_true(
-            ~((F.col("_mn") >= 0) & (F.col("_mx") < F.lit(1 << top_shift))),
-            F.lit(
-                f"simhash fingerprints all fit below 2^{top_shift} — "
-                f"bits={bits} overstates the hash family's width (e.g. "
-                "pass bits=32 for simhash_portable); banding would "
-                "degenerate to one bucket"
-            ),
-        )
-        fps = (
-            fps.crossJoin(F.broadcast(probe))
-            .filter(ok.isNull())
-            .drop("_mx", "_mn")
-        )
     band_cols = F.array(
         *[
             F.struct(
