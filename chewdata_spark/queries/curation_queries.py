@@ -1215,3 +1215,75 @@ def stream_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["stream_classifier_scores"] = stream_classifier_scores
 ORACLES["stream_classifier_scores"] = CLASSIFIER_SQL
+
+
+def training_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture schedule: turn the DoReMi domain weights
+    into the plan a training run consumes — per source, how many FULL
+    epochs plus what partial-epoch sampling rate hits its share of a
+    1M-token budget.  `weighted_mix` then executes exactly this plan
+    (`floor(epochs)` copies + an md5-sampled `partial_rate` slice).
+    All domain-grain arithmetic on broadcast one-row totals; rates
+    round to 6 dp (round-before-decide)."""
+    BUDGET = 1_000_000
+    docs = load_table(spark, sf_dir, "documents")
+    weights = curation.doremi_source_weights(docs, "doc_id", "text", "source")
+    toks = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))).alias(
+            "n_tokens"
+        )
+    )
+    joined = weights.select(F.col("stratum").alias("source"), "weight").join(
+        toks, "source"
+    )
+    epochs = (F.col("weight") * BUDGET) / F.col("n_tokens")
+    return joined.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("weight") * BUDGET).cast("bigint").alias("target_tokens"),
+        F.floor(epochs).cast("int").alias("full_epochs"),
+        F.round(epochs - F.floor(epochs), 6).alias("partial_rate"),
+    )
+
+
+MIX_SCHEDULE_SQL = f"""
+WITH toks0 AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+),
+vocab AS (SELECT term, COUNT(*) AS term_n FROM toks0 GROUP BY term),
+total AS (SELECT COUNT(*) AS n FROM toks0),
+scores AS (
+    SELECT t.doc_id, ROUND(AVG(ln(v.term_n * 1.0 / total.n)), 6) AS avg_logprob
+    FROM toks0 t JOIN vocab v USING (term), total
+    GROUP BY t.doc_id
+),
+per_src AS (
+    SELECT d.source AS stratum, ROUND(AVG(s.avg_logprob), 6) AS mean_logprob
+    FROM scores s JOIN documents d USING (doc_id)
+    GROUP BY 1
+),
+corpus AS (SELECT ROUND(AVG(avg_logprob), 6) AS cm FROM scores),
+raw AS (
+    SELECT stratum, exp((corpus.cm - mean_logprob) / 1.0) AS r
+    FROM per_src, corpus
+),
+tot AS (SELECT SUM(r) AS t FROM raw),
+w AS (SELECT stratum AS source, ROUND(r / tot.t, 6) AS weight FROM raw, tot),
+st AS (
+    SELECT source,
+           CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT)
+               AS n_tokens
+    FROM documents GROUP BY 1
+)
+SELECT w.source, st.n_tokens,
+       CAST(ROUND(weight * 1000000) AS BIGINT) AS target_tokens,
+       CAST(FLOOR(weight * 1000000 / n_tokens) AS INT) AS full_epochs,
+       ROUND(weight * 1000000 / n_tokens
+             - FLOOR(weight * 1000000 / n_tokens), 6) AS partial_rate
+FROM w JOIN st USING (source)
+"""
+
+QUERIES["training_mix_schedule"] = training_mix_schedule
+ORACLES["training_mix_schedule"] = MIX_SCHEDULE_SQL
