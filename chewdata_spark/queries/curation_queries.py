@@ -1287,3 +1287,126 @@ FROM w JOIN st USING (source)
 
 QUERIES["training_mix_schedule"] = training_mix_schedule
 ORACLES["training_mix_schedule"] = MIX_SCHEDULE_SQL
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplicate overlap: for every source pair, how
+    many distinct content hashes appear in both — the diagnostic that
+    tells a curation run WHERE its duplication comes from (mirrors vs
+    independent crawls).  One md5 pre-aggregate to (hash, source)
+    grain, then a hash-keyed self-join that only moves duplicated
+    hashes (the non-shared majority never joins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = docs.select(
+        F.md5("text").alias("h"), F.col("source")
+    ).dropDuplicates(["h", "source"])
+    a, b = hs.alias("a"), hs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+SOURCE_OVERLAP_SQL = """
+WITH hs AS (
+    SELECT DISTINCT md5(text) AS h, source FROM documents
+)
+SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+QUERIES["source_overlap_matrix"] = source_overlap_matrix
+ORACLES["source_overlap_matrix"] = SOURCE_OVERLAP_SQL
+
+
+def source_vocab_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary health: token volume, distinct terms,
+    hapax (once-only) count and type-token ratio — the cheap signal
+    that a source is templated boilerplate (low TTR) or OCR noise
+    (hapax-heavy).  One token explode; the (source, term) aggregate's
+    partitioning feeds both the distinct and the hapax counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return st.groupBy("source").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.round(F.count(F.lit(1)) / F.sum("tf"), 6).alias("type_token_ratio"),
+    )
+
+
+SOURCE_VOCAB_SQL = """
+WITH toks AS (
+    SELECT source,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+),
+st AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_terms,
+       CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(COUNT(*) * 1.0 / SUM(tf), 6) AS type_token_ratio
+FROM st GROUP BY source
+"""
+
+QUERIES["source_vocab_health"] = source_vocab_health
+ORACLES["source_vocab_health"] = SOURCE_VOCAB_SQL
+
+
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-level integrity manifest: per 16-way hash shard, row count
+    and an ORDER-INSENSITIVE content digest (sum of hex16(md5(id|text))
+    — commutative, so any engine, partitioning or arrival order yields
+    the same digest).  The artifact a transfer/ingest job checks before
+    trusting a copied corpus; shards re-verify independently and in
+    parallel.  One projection + one 16-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    row_key = F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))
+    shard = curation.md5_hex16(F.col("doc_id").cast("string")) % 16
+    return (
+        docs.select(
+            shard.alias("shard"),
+            curation.md5_hex16(row_key).cast("bigint").alias("_d"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_d").alias("content_digest"),
+        )
+    )
+
+
+def _manifest_hex16(expr: str) -> str:
+    return (
+        f"((strpos('0123456789abcdef', substr({expr}, 1, 1)) - 1) * 4096"
+        f" + (strpos('0123456789abcdef', substr({expr}, 2, 1)) - 1) * 256"
+        f" + (strpos('0123456789abcdef', substr({expr}, 3, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr({expr}, 4, 1)) - 1)"
+    )
+
+
+CORPUS_MANIFEST_SQL = f"""
+WITH rows_h AS (
+    SELECT CAST({_manifest_hex16("md5(CAST(doc_id AS VARCHAR))")} % 16 AS INT) AS shard,
+           CAST({_manifest_hex16("md5(CAST(doc_id AS VARCHAR) || '|' || text)")} AS BIGINT) AS d
+    FROM documents
+)
+SELECT shard, COUNT(*) AS n_rows, CAST(SUM(d) AS BIGINT) AS content_digest
+FROM rows_h GROUP BY shard
+"""
+
+QUERIES["corpus_manifest"] = corpus_manifest
+ORACLES["corpus_manifest"] = CORPUS_MANIFEST_SQL
