@@ -1061,3 +1061,132 @@ WHERE doc_id NOT IN (SELECT node FROM lab WHERE node <> cluster_id)
 
 QUERIES["dedup_clean_corpus_semantic"] = dedup_clean_corpus_semantic
 ORACLES["dedup_clean_corpus_semantic"] = CLEAN_CORPUS_SEMANTIC_SQL
+
+
+def contamination_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked benchmark-contamination pairs: for every eval doc
+    (doc_id % 97 == 0), the top-3 most lexically similar TRAIN docs
+    (portable MinHash-LSH candidates, exact trigram Jaccard ≥ 0.3) —
+    `decontaminate_docs` flags overlap; this names the offending pairs
+    and how strong each is, which is what an exclusion review reads.
+
+    Plan: ONE tagged signature pass over bench ∪ train (the
+    incremental-ingest device), bench band rows probe train band rows
+    (one (band, bh) shuffle, never bench × train), verification joins
+    shingles only for candidates, and the top-3 window partitions by
+    bench doc (bounded).  Fully oracle-backed."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+
+    def _tag(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.concat_ws("#", F.lit(side), F.col("doc_id").cast("string")).alias(
+                "__tid"
+            ),
+            F.col("text"),
+        )
+
+    tagged = _tag(bench, "b").unionByName(_tag(train, "t"))
+    sigs = dedup.minhash_signatures_portable(
+        tagged, "__tid", "text", num_perm=32, shingle_size=3
+    ).localCheckpoint(eager=False)
+
+    def _side(side: str) -> DataFrame:
+        return sigs.filter(F.col("id").startswith(side + "#")).withColumn(
+            "id", F.expr("substring(id, 3)").cast("bigint")
+        )
+
+    def _bands(s: DataFrame, idn: str) -> DataFrame:
+        cols = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.concat_ws(
+                        "|",
+                        F.element_at("sig", 2 * b + 1),
+                        F.element_at("sig", 2 * b + 2),
+                    ).alias("bh"),
+                )
+                for b in range(16)
+            ]
+        )
+        return s.select(F.col("id").alias(idn), F.explode(cols).alias("band")).select(
+            idn, "band.band_idx", "band.bh"
+        )
+
+    bench_sigs, train_sigs = _side("b"), _side("t")
+    cand = (
+        _bands(bench_sigs, "bench_id")
+        .join(_bands(train_sigs, "train_id"), ["band_idx", "bh"])
+        .select("bench_id", "train_id")
+        .dropDuplicates(["bench_id", "train_id"])
+    )
+    sh_b = bench_sigs.select(F.col("id").alias("bench_id"), F.col("shingles").alias("sh_a"))
+    sh_t = train_sigs.select(F.col("id").alias("train_id"), F.col("shingles").alias("sh_b"))
+    verified = cand.join(sh_b, "bench_id").join(sh_t, "train_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    scored = verified.select(
+        "bench_id",
+        "train_id",
+        F.round(inter / union, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.3)
+    w = Window.partitionBy("bench_id").orderBy(
+        F.col("jaccard").desc(), F.col("train_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+CONTAMINATION_RANKED_SQL = f"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+    FROM d
+), e AS (
+    SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh
+), sig AS (
+    SELECT doc_id,
+           {_MD5_SIG_COLS}
+    FROM e GROUP BY doc_id
+), bands AS (
+{_MD5_BAND_ROWS}
+), cand AS (
+    SELECT a.doc_id AS bench_id, b.doc_id AS train_id
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.bh = b.bh
+    WHERE a.doc_id % 97 = 0 AND b.doc_id % 97 <> 0
+    GROUP BY 1, 2
+), inter AS (
+    SELECT c.bench_id, c.train_id, ea.n_sh AS n_a, eb.n_sh AS n_b,
+           COUNT(*) AS inter
+    FROM cand c
+    JOIN e ea ON ea.doc_id = c.bench_id
+    JOIN e eb ON eb.doc_id = c.train_id AND ea.shingle = eb.shingle
+    GROUP BY 1, 2, 3, 4
+), scored AS (
+    SELECT bench_id, train_id,
+           ROUND(inter * 1.0 / (n_a + n_b - inter), 6) AS jaccard
+    FROM inter
+    WHERE ROUND(inter * 1.0 / (n_a + n_b - inter), 6) >= 0.3
+)
+SELECT bench_id, train_id, jaccard, CAST(rk AS INT) AS rank
+FROM (
+    SELECT bench_id, train_id, jaccard,
+           ROW_NUMBER() OVER (PARTITION BY bench_id
+                              ORDER BY jaccard DESC, train_id ASC) AS rk
+    FROM scored
+) WHERE rk <= 3
+"""
+
+QUERIES["contamination_ranked_pairs"] = contamination_ranked_pairs
+ORACLES["contamination_ranked_pairs"] = CONTAMINATION_RANKED_SQL
