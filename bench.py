@@ -150,6 +150,11 @@ HEADLINE = [
     "doremi_source_weights",
     "events_anomaly_mad",
     "best_of_source_sample",
+    "training_mix_schedule",
+    "source_overlap_matrix",
+    "source_vocab_health",
+    "corpus_manifest",
+    "contamination_ranked_pairs",
 ]
 
 # How many non-headline registry queries get timed per run (rotating
