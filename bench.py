@@ -174,6 +174,7 @@ STREAMING_PREFIX = "stream_"
 # read the warmup's checkpointed blocks and hide the truncated stage's
 # compute, so these rebuild the query per measured run like STREAMING.
 CONSTRUCT_EACH = {
+    "contamination_ranked_pairs",
     "copurchase_kcore",
     "curate_pipeline_full",
     "curation_audit_report",

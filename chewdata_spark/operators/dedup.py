@@ -18,7 +18,11 @@ Beyond the reference surface (chewdata has no dedup); designed for the
   self-join (quadratic in bucket size; use for verification / small
   buckets — MinHash is the at-scale front-end).
 
-All functions are pure DataFrame transformations (no collect).
+All functions are pure DataFrame transformations (no collect), with
+ONE documented exception: :func:`simhash_candidate_pairs` runs a
+bounded 256-fingerprint degeneracy probe EAGERLY at plan construction
+(skipped for streaming inputs) — see its docstring for why the check
+cannot ride in the plan.
 """
 
 from __future__ import annotations
@@ -379,15 +383,27 @@ def simhash_candidate_pairs(
         # the query as a crossJoin'd assert would re-execute the full
         # fingerprint pipeline on every run (measured +0.5 s/run at
         # sf0.1), where the eager form prices it once per plan build.
+        # skipped for streaming inputs (no eager job possible) and for
+        # corpora under 16 fingerprints, where a genuine bits-wide
+        # family could plausibly have an all-zero top band by chance
+        # ((2^-width)^n is no longer negligible at tiny n) — and where
+        # the quadratic blowup the guard prevents is harmless anyway
         probe = (
-            fps.select("simhash")
+            None
+            if fps.isStreaming
+            else fps.select("simhash")
             .limit(256)
-            .agg(F.max("simhash").alias("mx"), F.min("simhash").alias("mn"))
+            .agg(
+                F.max("simhash").alias("mx"),
+                F.min("simhash").alias("mn"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .first()
         )
         if (
             probe is not None
             and probe["mx"] is not None
+            and probe["n"] >= 16
             and probe["mn"] >= 0
             and probe["mx"] < (1 << top_shift)
         ):
@@ -762,6 +778,52 @@ def cut_duplicate_spans(
     )
 
 
+def two_sided_signatures(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    portable: bool = False,
+    num_perm: int = 64,
+    shingle_size: int = 3,
+    tags: tuple[str, str] = ("n", "s"),
+) -> tuple[DataFrame, DataFrame]:
+    """ONE MinHash signature pass over two relations: tag each row's id
+    with its side, union, sign once, split back — the tokenize → window
+    → num_perm min-aggs chain executes once instead of once per side
+    (measured ~1.7× on the md5 family at sf0.1; the signature pipeline
+    dominates, not the joins).  The shared signature relation is lazily
+    ``localCheckpoint``'ed because both sides' band explodes AND both
+    sides' verification joins read it — at production scale this is the
+    persisted signature table kept between runs.  Ids come back in
+    their original type.  Shared by :func:`incremental_ingest_dedup`
+    and the contamination-ranking query."""
+    sig_fn = minhash_signatures_portable if portable else minhash_signatures
+    id_type = dict(a_df.dtypes)[id_col]
+    ta, tb = tags
+
+    def _tag(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.concat_ws("#", F.lit(side), F.col(id_col).cast("string")).alias(
+                "__tid"
+            ),
+            F.col(text_col),
+        )
+
+    tagged = _tag(a_df, ta).unionByName(_tag(b_df, tb))
+    sigs_all = sig_fn(
+        tagged, "__tid", text_col, num_perm=num_perm, shingle_size=shingle_size
+    ).localCheckpoint(eager=False)
+
+    def _side(side: str) -> DataFrame:
+        return sigs_all.filter(F.col("id").startswith(side + "#")).withColumn(
+            "id", F.expr("substring(id, 3)").cast(id_type)
+        )
+
+    return _side(ta), _side(tb)
+
+
 def incremental_ingest_dedup(
     new_df: DataFrame,
     seen_df: DataFrame,
@@ -799,39 +861,15 @@ def incremental_ingest_dedup(
     new_hashed = new_df.withColumn("_h", F.md5(F.col(text_col)))
     exact_survivors = new_hashed.join(seen_hashes, "_h", "left_anti").drop("_h")
 
-    sig_fn = minhash_signatures_portable if portable else minhash_signatures
-    # ONE signature pass over both sides: tag each row's id with its
-    # side ("n#"/"s#") and union before the shingle pipeline, so the
-    # tokenize → window → num_perm min-aggs chain executes once instead
-    # of once per side (measured ~1.7× on the md5 family at sf0.1 —
-    # the signature pipeline is the dominant cost, not the joins)
-    id_type = dict(new_df.dtypes)[id_col]
-
-    def _tag(df: DataFrame, side: str) -> DataFrame:
-        return df.select(
-            F.concat_ws("#", F.lit(side), F.col(id_col).cast("string")).alias(
-                "__tid"
-            ),
-            F.col(text_col),
-        )
-
-    tagged = _tag(exact_survivors, "n").unionByName(_tag(seen_df, "s"))
-    sigs_all = sig_fn(
-        tagged, "__tid", text_col, num_perm=num_perm, shingle_size=shingle_size
+    new_sigs, seen_sigs = two_sided_signatures(
+        exact_survivors.select(id_col, text_col),
+        seen_df,
+        id_col,
+        text_col,
+        portable=portable,
+        num_perm=num_perm,
+        shingle_size=shingle_size,
     )
-    # four consumers read the signature relation (each side's band
-    # explode + each side's verification join): materialize it once —
-    # at production scale this is the persisted signature table every
-    # incremental-ingest pipeline keeps between daily runs anyway
-    sigs_all = sigs_all.localCheckpoint(eager=False)
-
-    def _side(side: str) -> DataFrame:
-        return sigs_all.filter(F.col("id").startswith(side + "#")).withColumn(
-            "id", F.expr("substring(id, 3)").cast(id_type)
-        )
-
-    new_sigs = _side("n")
-    seen_sigs = _side("s")
     rows_per_band = num_perm // bands
 
     def band_rows(sigs, idn):

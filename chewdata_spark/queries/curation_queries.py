@@ -1247,30 +1247,9 @@ def training_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIX_SCHEDULE_SQL = f"""
-WITH toks0 AS (
-    SELECT doc_id,
-           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
-    FROM documents
+WITH w AS (
+    SELECT stratum AS source, weight FROM ({DOREMI_SQL})
 ),
-vocab AS (SELECT term, COUNT(*) AS term_n FROM toks0 GROUP BY term),
-total AS (SELECT COUNT(*) AS n FROM toks0),
-scores AS (
-    SELECT t.doc_id, ROUND(AVG(ln(v.term_n * 1.0 / total.n)), 6) AS avg_logprob
-    FROM toks0 t JOIN vocab v USING (term), total
-    GROUP BY t.doc_id
-),
-per_src AS (
-    SELECT d.source AS stratum, ROUND(AVG(s.avg_logprob), 6) AS mean_logprob
-    FROM scores s JOIN documents d USING (doc_id)
-    GROUP BY 1
-),
-corpus AS (SELECT ROUND(AVG(avg_logprob), 6) AS cm FROM scores),
-raw AS (
-    SELECT stratum, exp((corpus.cm - mean_logprob) / 1.0) AS r
-    FROM per_src, corpus
-),
-tot AS (SELECT SUM(r) AS t FROM raw),
-w AS (SELECT stratum AS source, ROUND(r / tot.t, 6) AS weight FROM raw, tot),
 st AS (
     SELECT source,
            CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT)
@@ -1374,7 +1353,12 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusting a copied corpus; shards re-verify independently and in
     parallel.  One projection + one 16-group aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    row_key = F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))
+    # explicit NULL policy: digest NULL text as '' (concat_ws would
+    # silently DROP the null and its separator, making "id" and
+    # "id|<empty>" collide and diverging from any || '|' || oracle)
+    row_key = F.concat_ws(
+        "|", F.col("doc_id").cast("string"), F.coalesce(F.col("text"), F.lit(""))
+    )
     shard = curation.md5_hex16(F.col("doc_id").cast("string")) % 16
     return (
         docs.select(
@@ -1389,19 +1373,10 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _manifest_hex16(expr: str) -> str:
-    return (
-        f"((strpos('0123456789abcdef', substr({expr}, 1, 1)) - 1) * 4096"
-        f" + (strpos('0123456789abcdef', substr({expr}, 2, 1)) - 1) * 256"
-        f" + (strpos('0123456789abcdef', substr({expr}, 3, 1)) - 1) * 16"
-        f" + strpos('0123456789abcdef', substr({expr}, 4, 1)) - 1)"
-    )
-
-
 CORPUS_MANIFEST_SQL = f"""
 WITH rows_h AS (
-    SELECT CAST({_manifest_hex16("md5(CAST(doc_id AS VARCHAR))")} % 16 AS INT) AS shard,
-           CAST({_manifest_hex16("md5(CAST(doc_id AS VARCHAR) || '|' || text)")} AS BIGINT) AS d
+    SELECT CAST({_hex16_sql("md5(CAST(doc_id AS VARCHAR))")} % 16 AS INT) AS shard,
+           CAST({_hex16_sql("md5(CAST(doc_id AS VARCHAR) || '|' || COALESCE(text, ''))")} AS BIGINT) AS d
     FROM documents
 )
 SELECT shard, COUNT(*) AS n_rows, CAST(SUM(d) AS BIGINT) AS content_digest

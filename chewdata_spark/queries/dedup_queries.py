@@ -1081,24 +1081,15 @@ def contamination_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
-
-    def _tag(df: DataFrame, side: str) -> DataFrame:
-        return df.select(
-            F.concat_ws("#", F.lit(side), F.col("doc_id").cast("string")).alias(
-                "__tid"
-            ),
-            F.col("text"),
-        )
-
-    tagged = _tag(bench, "b").unionByName(_tag(train, "t"))
-    sigs = dedup.minhash_signatures_portable(
-        tagged, "__tid", "text", num_perm=32, shingle_size=3
-    ).localCheckpoint(eager=False)
-
-    def _side(side: str) -> DataFrame:
-        return sigs.filter(F.col("id").startswith(side + "#")).withColumn(
-            "id", F.expr("substring(id, 3)").cast("bigint")
-        )
+    bench_sigs, train_sigs = dedup.two_sided_signatures(
+        bench.select("doc_id", "text"),
+        train.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        portable=True,
+        num_perm=32,
+        tags=("b", "t"),
+    )
 
     def _bands(s: DataFrame, idn: str) -> DataFrame:
         cols = F.array(
@@ -1118,7 +1109,6 @@ def contamination_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             idn, "band.band_idx", "band.bh"
         )
 
-    bench_sigs, train_sigs = _side("b"), _side("t")
     cand = (
         _bands(bench_sigs, "bench_id")
         .join(_bands(train_sigs, "train_id"), ["band_idx", "bh"])

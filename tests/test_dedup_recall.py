@@ -207,3 +207,14 @@ def test_simhash_bits_misfit_raises(spark):
     bad = dedup.simhash_candidate_pairs(fps, bands=4, max_hamming=8, bits=16)
     with pytest.raises(Exception, match="simhash fingerprint exceeds bits"):
         bad.collect()
+
+
+def test_simhash_default_bits_with_portable_fp_raises(spark):
+    """The classic trap: 32-bit simhash_portable fingerprints banded
+    with the DEFAULT bits=64 must fail loudly at plan construction
+    (the top bands would be constant zero -> one bucket)."""
+    rows = [(i, f"document number {i} about engines and data") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = dedup.simhash_portable(df, "doc_id", "text")
+    with pytest.raises(ValueError, match="overstates the hash family's width"):
+        dedup.simhash_candidate_pairs(fps, bands=4, max_hamming=3)  # bits=64 default
