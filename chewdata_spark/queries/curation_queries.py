@@ -1385,3 +1385,46 @@ FROM rows_h GROUP BY shard
 
 QUERIES["corpus_manifest"] = corpus_manifest
 ORACLES["corpus_manifest"] = CORPUS_MANIFEST_SQL
+
+
+def stream_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integrity manifest computed BY STRUCTURED STREAMING: shard
+    digests are commutative sums, so they aggregate correctly under any
+    micro-batch arrival order (complete mode, availableNow) — the form
+    an always-on ingest keeps live instead of re-scanning.  Matches the
+    batch `corpus_manifest` oracle bit-for-bit."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path + "*")
+    row_key = F.concat_ws(
+        "|", F.col("doc_id").cast("string"), F.coalesce(F.col("text"), F.lit(""))
+    )
+    shard = curation.md5_hex16(F.col("doc_id").cast("string")) % 16
+    agg = (
+        stream.select(
+            shard.alias("shard"),
+            curation.md5_hex16(row_key).cast("bigint").alias("_d"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_d").alias("content_digest"),
+        )
+    )
+    _STREAM_RUN["n"] += 1
+    name = f"_stream_manifest_{_STREAM_RUN['n']}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+QUERIES["stream_corpus_manifest"] = stream_corpus_manifest
+ORACLES["stream_corpus_manifest"] = CORPUS_MANIFEST_SQL
