@@ -1428,3 +1428,44 @@ def stream_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["stream_corpus_manifest"] = stream_corpus_manifest
 ORACLES["stream_corpus_manifest"] = CORPUS_MANIFEST_SQL
+
+
+def filter_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rules-vs-learned-filter agreement: the 2×2 contingency of the
+    Gopher conjunctive gate against the hashed-classifier keep decision
+    — the meta-evaluation a team runs before swapping hand rules for a
+    model (off-diagonal cells are exactly the docs whose fate would
+    change).  Both score pipelines are the existing single-pass plans;
+    the join is doc-keyed; output is 4 rows."""
+    from chewdata_spark.operators.text import gopher_quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = gopher_quality_gate(docs, "doc_id", "text").select("doc_id", "passed")
+    w = curation.synthetic_classifier_weights(spark, dim=256, salt="qw")
+    clf = curation.hashed_classifier_score(docs, "doc_id", "text", w, dim=256).select(
+        "doc_id", "keep"
+    )
+    return (
+        gate.join(clf, "doc_id")
+        .groupBy(
+            F.col("passed").alias("gopher_passed"),
+            F.col("keep").alias("clf_keep"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _filter_agreement_sql() -> str:
+    from chewdata_spark.queries.text_queries import GOPHER_SQL
+
+    return f"""
+WITH gate AS (SELECT doc_id, passed FROM ({GOPHER_SQL})),
+clf AS (SELECT doc_id, keep FROM ({CLASSIFIER_SQL}))
+SELECT g.passed AS gopher_passed, c.keep AS clf_keep, COUNT(*) AS n_docs
+FROM gate g JOIN clf c USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+QUERIES["filter_agreement_matrix"] = filter_agreement_matrix
+ORACLES["filter_agreement_matrix"] = _filter_agreement_sql()
