@@ -1345,17 +1345,13 @@ QUERIES["source_vocab_health"] = source_vocab_health
 ORACLES["source_vocab_health"] = SOURCE_VOCAB_SQL
 
 
-def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shard-level integrity manifest: per 16-way hash shard, row count
-    and an ORDER-INSENSITIVE content digest (sum of hex16(md5(id|text))
-    — commutative, so any engine, partitioning or arrival order yields
-    the same digest).  The artifact a transfer/ingest job checks before
-    trusting a copied corpus; shards re-verify independently and in
-    parallel.  One projection + one 16-group aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
-    # explicit NULL policy: digest NULL text as '' (concat_ws would
-    # silently DROP the null and its separator, making "id" and
-    # "id|<empty>" collide and diverging from any || '|' || oracle)
+def _manifest_agg(docs: DataFrame) -> DataFrame:
+    """Shared shard/digest aggregate of `corpus_manifest` and its
+    streaming twin (both pinned to CORPUS_MANIFEST_SQL — one builder so
+    they cannot drift).  Explicit NULL policy: digest NULL text as ''
+    (concat_ws would silently DROP the null and its separator, making
+    "id" and "id|<empty>" collide and diverging from any || '|' ||
+    oracle)."""
     row_key = F.concat_ws(
         "|", F.col("doc_id").cast("string"), F.coalesce(F.col("text"), F.lit(""))
     )
@@ -1371,6 +1367,16 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_d").alias("content_digest"),
         )
     )
+
+
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-level integrity manifest: per 16-way hash shard, row count
+    and an ORDER-INSENSITIVE content digest (sum of hex16(md5(id|text))
+    — commutative, so any engine, partitioning or arrival order yields
+    the same digest).  The artifact a transfer/ingest job checks before
+    trusting a copied corpus; shards re-verify independently and in
+    parallel.  One projection + one 16-group aggregate."""
+    return _manifest_agg(load_table(spark, sf_dir, "documents"))
 
 
 CORPUS_MANIFEST_SQL = f"""
@@ -1395,35 +1401,16 @@ def stream_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch `corpus_manifest` oracle bit-for-bit."""
     import os
 
+    from chewdata_spark.streaming.ops import run_to_memory
+
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path + "*")
-    row_key = F.concat_ws(
-        "|", F.col("doc_id").cast("string"), F.coalesce(F.col("text"), F.lit(""))
-    )
-    shard = curation.md5_hex16(F.col("doc_id").cast("string")) % 16
-    agg = (
-        stream.select(
-            shard.alias("shard"),
-            curation.md5_hex16(row_key).cast("bigint").alias("_d"),
-        )
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("_d").alias("content_digest"),
-        )
-    )
+    agg = _manifest_agg(stream)
     _STREAM_RUN["n"] += 1
-    name = f"_stream_manifest_{_STREAM_RUN['n']}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return run_to_memory(
+        agg, f"_stream_manifest_{_STREAM_RUN['n']}", output_mode="complete"
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 QUERIES["stream_corpus_manifest"] = stream_corpus_manifest

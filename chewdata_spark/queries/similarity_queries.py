@@ -671,24 +671,24 @@ def embedding_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dimension aggregate for the mean direction (64 rows; per-dim
     means round to 6 dp before the norm so both engines agree)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    xs = emb.select(F.col("embedding").cast("array<double>").alias("x"))
+    # NULL embeddings excluded explicitly on BOTH sides (the oracle
+    # filters identically), so n_vecs is symmetric by construction
+    xs = emb.filter(F.col("embedding").isNotNull()).select(
+        F.col("embedding").cast("array<double>").alias("x")
+    )
     norm = F.sqrt(
         F.aggregate("x", F.lit(0.0), lambda a, e: a + e * e)
     )
     normed = xs.select(
-        norm.alias("_n"),
-        F.posexplode(F.transform("x", lambda e: e / norm)).alias("d", "u"),
+        F.posexplode(F.transform("x", lambda e: e / norm)).alias("d", "u")
     )
-    per_dim = normed.groupBy("d").agg(
-        F.round(F.avg("u"), 6).alias("mu"),
-        F.count(F.lit(1)).alias("_c"),
-    )
+    per_dim = normed.groupBy("d").agg(F.round(F.avg("u"), 6).alias("mu"))
     mu_norm_sq = per_dim.agg(
-        F.round(F.sum(F.col("mu") * F.col("mu")), 6).alias("anisotropy"),
-        F.first("_c").alias("n_vecs"),
+        F.round(F.sum(F.col("mu") * F.col("mu")), 6).alias("anisotropy")
     )
-    norms = xs.select(norm.alias("_n")).agg(
-        F.round(F.avg("_n"), 6).alias("mean_norm")
+    norms = xs.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(norm), 6).alias("mean_norm"),
     )
     return mu_norm_sq.crossJoin(F.broadcast(norms)).select(
         F.col("n_vecs").cast("bigint"), "mean_norm", "anisotropy"
@@ -697,16 +697,17 @@ def embedding_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANISOTROPY_SQL = """
 WITH xs AS (
-    SELECT embedding::DOUBLE[] AS x FROM embeddings
+    SELECT embedding::DOUBLE[] AS x FROM embeddings WHERE embedding IS NOT NULL
 ), withn AS (
     SELECT x, sqrt(list_sum([e * e for e in x])) AS n FROM xs
 ), dims AS (
-    SELECT i AS d, x[i] / n AS u
-    FROM withn, (SELECT unnest(generate_series(1, 64)) AS i)
+    -- dimension bound from the row's own array length, not a constant
+    SELECT u.i AS d, x[u.i] / n AS u
+    FROM withn, unnest(generate_series(1, len(x))) AS u(i)
 ), per_dim AS (
-    SELECT d, ROUND(AVG(u), 6) AS mu, COUNT(*) AS c FROM dims GROUP BY d
+    SELECT d, ROUND(AVG(u), 6) AS mu FROM dims GROUP BY d
 )
-SELECT (SELECT CAST(MIN(c) AS BIGINT) FROM per_dim) AS n_vecs,
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM withn) AS n_vecs,
        (SELECT ROUND(AVG(n), 6) FROM withn) AS mean_norm,
        (SELECT ROUND(SUM(mu * mu), 6) FROM per_dim) AS anisotropy
 """
