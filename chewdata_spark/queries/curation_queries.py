@@ -1456,3 +1456,38 @@ GROUP BY 1, 2
 
 QUERIES["filter_agreement_matrix"] = filter_agreement_matrix
 ORACLES["filter_agreement_matrix"] = _filter_agreement_sql()
+
+
+def source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication rate: fraction of a source's docs
+    whose content hash appears earlier-or-again within the source —
+    the per-domain breakdown of what `dedup_exact` removes.  One md5
+    (source, hash) aggregate; rates from bounded per-source rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.md5("text").alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            (F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 6
+        ).alias("dup_rate"),
+    )
+
+
+SOURCE_DUP_RATE_SQL = """
+WITH per AS (
+    SELECT source, md5(text) AS h, COUNT(*) AS c
+    FROM documents GROUP BY 1, 2
+)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_distinct,
+       ROUND((SUM(c) - COUNT(*)) * 1.0 / SUM(c), 6) AS dup_rate
+FROM per GROUP BY source
+"""
+
+QUERIES["source_dup_rate"] = source_dup_rate
+ORACLES["source_dup_rate"] = SOURCE_DUP_RATE_SQL

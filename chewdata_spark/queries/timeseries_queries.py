@@ -481,3 +481,94 @@ UNION ALL
 
 QUERIES["events_quantile_sketch"] = events_quantile_sketch
 ORACLES["events_quantile_sketch"] = QUANTILE_SKETCH_SQL
+
+
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift monitor per event_type: one-sided cumulative sums
+    S⁺/S⁻ of standardized deviations (k = 0.5 allowance) flag the
+    points where the value stream's mean has shifted — the classic
+    sequential change detector a pipeline runs over ingest metrics.
+    Per-type stats broadcast back; the recursion Sₜ = max(0, Sₜ₋₁ + zₜ
+    − k) is NOT window-expressible, but on the deviation stream it
+    equals prefix(t) − min over s ≤ t of prefix(s) (running-min
+    identity), so it computes as two per-type running windows ordered
+    by (ts, event_id) — bounded per type like every rolling query here.
+    Output: per type, the count of alarm points (S⁺ or S⁻ > h = 4) and
+    the max excursions, 6-dp rounded."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"), F.stddev_pop("value").alias("_sd")
+    )
+    z = (F.col("value") - F.col("_mu")) / F.col("_sd")
+    base = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(z - 0.5, 6).alias("dev_up"),
+        F.round(-z - 0.5, 6).alias("dev_dn"),
+    )
+    # S⁺ₜ = prefixₜ − min(0, running-min of prefix): the running-min
+    # identity that turns the max(0, ·) recursion into two windows over
+    # the SAME (ts, event_id) order
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w2 = w
+    cum = base.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("dev_up").over(w).alias("p_up"),
+        F.sum("dev_dn").over(w).alias("p_dn"),
+    ).select(
+        "event_type",
+        (F.col("p_up") - F.least(F.lit(0.0), F.min("p_up").over(w2))).alias("s_up"),
+        (F.col("p_dn") - F.least(F.lit(0.0), F.min("p_dn").over(w2))).alias("s_dn"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.sum(
+            F.when((F.col("s_up") > 4) | (F.col("s_dn") > 4), 1).otherwise(0)
+        ).alias("n_alarms"),
+        F.round(F.max("s_up"), 6).alias("max_s_up"),
+        F.round(F.max("s_dn"), 6).alias("max_s_dn"),
+    )
+
+
+EVENTS_CUSUM_SQL = """
+WITH stats AS (
+    SELECT event_type, AVG(value) AS mu, stddev_pop(value) AS sd
+    FROM events GROUP BY event_type
+), base AS (
+    SELECT e.event_type, e.ts, e.event_id,
+           ROUND((value - mu) / sd - 0.5, 6) AS dev_up,
+           ROUND(-((value - mu) / sd) - 0.5, 6) AS dev_dn
+    FROM events e JOIN stats USING (event_type)
+), cum AS (
+    SELECT event_type, ts, event_id,
+           SUM(dev_up) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS p_up,
+           SUM(dev_dn) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS p_dn
+    FROM base
+), s AS (
+    SELECT event_type,
+           p_up - LEAST(0.0, MIN(p_up) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+               AS s_up,
+           p_dn - LEAST(0.0, MIN(p_dn) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+               AS s_dn
+    FROM cum
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN s_up > 4 OR s_dn > 4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_alarms,
+       ROUND(MAX(s_up), 6) AS max_s_up,
+       ROUND(MAX(s_dn), 6) AS max_s_dn
+FROM s GROUP BY event_type
+"""
+
+QUERIES["events_cusum_drift"] = events_cusum_drift
+ORACLES["events_cusum_drift"] = EVENTS_CUSUM_SQL
