@@ -54,24 +54,38 @@ def _modules():
 # NOT in this set — never-sampled queries get driver coverage first and
 # the backlog drains round over round.  Update after each round.
 _DRIVER_CHECKED = {
-    "ann_ivf_topk", "approx_distinct_users", "chunk_documents",
-    "churned_customers", "content_fingerprint", "copurchase_triangles",
-    "cosine_topk", "cube_order_stats", "customer_order_stats",
+    "ann_ivf_topk", "ann_srp_topk", "approx_distinct_users",
+    "bloom_seen_hashes", "bm25_search_topk", "chunk_documents",
+    "churned_customers", "contamination_ranked_pairs",
+    "content_fingerprint", "copurchase_kcore", "copurchase_triangles",
+    "corpus_top_terms", "cosine_topk", "cube_order_stats",
+    "curate_corpus", "curate_pipeline_full", "curation_audit_report",
+    "curriculum_phases", "customer_order_stats",
     "customers_with_open_orders", "customers_without_orders",
-    "dedup_clean_corpus", "dedup_clean_corpus_cc",
+    "decontaminate_docs", "dedup_clean_corpus", "dedup_clean_corpus_cc",
     "dedup_clean_corpus_lsh", "dedup_clean_corpus_lsh_cc",
-    "dedup_cluster_components", "dedup_cut_spans_corpus",
+    "dedup_clean_corpus_lsh_cc_md5", "dedup_clean_corpus_semantic",
+    "dedup_cluster_components", "dedup_consensus_pairs",
+    "dedup_containment_md5", "dedup_cut_spans_corpus",
     "dedup_duplicate_spans", "dedup_exact", "dedup_fingerprint",
+    "dedup_incremental_ingest", "dedup_incremental_ingest_md5",
     "dedup_lines_global", "dedup_lines_within_doc", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash", "distinct_users_by_type",
-    "embedding_centroids", "embedding_near_dup",
-    "embedding_near_dup_clustered", "error_channel_split",
-    "events_asof_orders", "events_hourly_rollup", "events_missing_props",
-    "events_props_extract", "events_props_variant",
-    "generator_duplicate", "generator_faker", "language_id",
-    "loyal_customers", "market_basket_pairs", "part_name_similarity",
-    "parts_in_price_band", "pivot_order_status", "price_percentiles",
-    "q10_returned_items", "q11_important_parts",
+    "dedup_minhash_lsh_md5", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash_md5", "distinct_users_by_type", "documents_redact_pii",
+    "documents_strip_boilerplate", "embedding_anisotropy_report",
+    "embedding_centroids", "embedding_debias_abtt", "embedding_near_dup",
+    "embedding_near_dup_clustered", "embedding_pc1",
+    "error_channel_split", "events_asof_orders", "events_hourly_rollup",
+    "events_missing_props", "events_props_extract",
+    "events_props_variant", "filter_docs_logprob",
+    "fingerprint_winnowing", "generator_duplicate", "generator_faker",
+    "gopher_quality_report", "hard_negatives_topk", "hashed_bow_features",
+    "hybrid_search_topk", "kmeans_centroids_2iter", "language_id",
+    "language_id_confusion", "length_bucket_batches", "loyal_customers",
+    "market_basket_pairs", "mix_corpus_weighted", "normalize_documents",
+    "pack_sequences", "packed_sequence_layout", "part_name_similarity",
+    "parts_in_price_band", "pivot_order_status", "pq_code_embeddings",
+    "price_percentiles", "q10_returned_items", "q11_important_parts",
     "q12_ship_delay_priority", "q13_customer_order_distribution",
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count",
     "q17_small_quantity_revenue", "q18_large_volume_customers",
@@ -81,11 +95,15 @@ _DRIVER_CHECKED = {
     "q3_shipping_priority", "q4_late_order_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue",
     "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
-    "qty_price_correlation", "quality_score", "referential_lookup",
-    "rollup_revenue", "running_daily_revenue", "salted_event_stats",
-    "sessionize_events", "stream_events_hourly", "text_stats",
-    "token_counts", "top_orders_per_customer", "top_value_orders",
-    "transformer_actions", "validator_rules",
+    "qty_price_correlation", "quality_score", "quantize_embeddings",
+    "referential_lookup", "repetition_stats", "rollup_revenue",
+    "rrf_fusion_topk", "running_daily_revenue", "salted_event_stats",
+    "sentence_segments", "sessionize_events", "shard_shuffle_corpus",
+    "source_quota_sample", "split_train_val_test", "stratified_sample",
+    "stream_curate_corpus", "stream_events_hourly", "stream_ingest_dedup",
+    "text_stats", "tfidf_keywords", "token_counts",
+    "top_orders_per_customer", "top_value_orders", "transformer_actions",
+    "unigram_logprob", "validator_rules",
 }
 
 

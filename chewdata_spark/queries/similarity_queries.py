@@ -641,9 +641,15 @@ ORACLES["embedding_pc1"] = PC1_SQL
 def embedding_debias_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-but-the-top debiasing: every embedding minus its projection
     onto the corpus PC1 (operators/similarity.py::abtt_debias) — the
-    anisotropy correction applied before cosine retrieval."""
+    anisotropy correction applied before cosine retrieval.  Output is
+    driver-canonical scalar rows ``(vec_id, dim, value)`` (posexplode of
+    the debiased vector — the `embedding_pc1` convention; the driver's
+    pandas canonicalizer cannot sort array-valued columns)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.abtt_debias(emb, vec_col="embedding", dim=64, iters=2)
+    deb = similarity.abtt_debias(emb, vec_col="embedding", dim=64, iters=2)
+    return deb.select(
+        "vec_id", F.posexplode("debiased").alias("dim", "value")
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "value")
 
 
 ABTT_SQL = f"""
@@ -652,10 +658,10 @@ WITH xs AS (
 ), v1 AS (
     SELECT [ROUND(1.0 / sqrt(64), 6) for j in range(1, 65)] AS v
 ), {_pc1_iter_sql(1)}, {_pc1_iter_sql(2)}
-SELECT vec_id,
-       [ROUND(x[j] - list_sum([x[i] * v[i] for i in range(1, 65)]) * v[j], 6)
-        for j in range(1, 65)] AS debiased
-FROM xs, v3
+SELECT vec_id, CAST(j - 1 AS INT) AS dim,
+       ROUND(x[j] - list_sum([x[i] * v[i] for i in range(1, 65)]) * v[j], 6)
+           AS value
+FROM xs, v3, (SELECT unnest(generate_series(1, 64)) AS j)
 """
 
 QUERIES["embedding_debias_abtt"] = embedding_debias_abtt

@@ -35,10 +35,20 @@ FROM cut
 
 def tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every document as its ordered token-id sequence under the
-    corpus's own top-K vocabulary (OOV → unk)."""
+    corpus's own top-K vocabulary (OOV → unk).  The id sequence is
+    emitted as a canonical comma-joined string (the driver's pandas
+    canonicalizer cannot sort array-valued columns; the oracle
+    string_aggs identically)."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = build_vocab(docs, "text", top_k=VOCAB_K)
-    return tokenize_corpus(docs, "doc_id", "text", vocab, unk_id=UNK_ID)
+    out = tokenize_corpus(docs, "doc_id", "text", vocab, unk_id=UNK_ID)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.col("token_ids").cast("array<string>"), ",").alias(
+            "token_ids"
+        ),
+    )
 
 
 TOKENIZE_SQL = f"""
@@ -59,7 +69,8 @@ vocab AS (
 )
 SELECT t.doc_id,
        CAST(COUNT(*) AS INT) AS n_tokens,
-       list(COALESCE(v.tid, {UNK_ID}) ORDER BY t.pos) AS token_ids
+       string_agg(CAST(COALESCE(v.tid, {UNK_ID}) AS VARCHAR), ','
+                  ORDER BY t.pos) AS token_ids
 FROM t LEFT JOIN vocab v USING (term)
 GROUP BY t.doc_id
 """
