@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from chewdata_spark.operators import dedup
+from chewdata_spark.operators.dedup import _OBS_SEQ
 from chewdata_spark.tables import load_table
 
 
@@ -1063,24 +1064,32 @@ QUERIES["dedup_clean_corpus_semantic"] = dedup_clean_corpus_semantic
 ORACLES["dedup_clean_corpus_semantic"] = CLEAN_CORPUS_SEMANTIC_SQL
 
 
-def contamination_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranked benchmark-contamination pairs: for every eval doc
-    (doc_id % 97 == 0), the top-3 most lexically similar TRAIN docs
-    (portable MinHash-LSH candidates, exact trigram Jaccard ≥ 0.3) —
-    `decontaminate_docs` flags overlap; this names the offending pairs
-    and how strong each is, which is what an exclusion review reads.
+def contamination_ranked(
+    bench: DataFrame,
+    train: DataFrame,
+    *,
+    max_bucket: int | None = 10_000,
+    top_k: int = 3,
+    jaccard_threshold: float = 0.3,
+) -> DataFrame:
+    """Core of `contamination_ranked_pairs` over caller-supplied
+    ``(doc_id, text)`` bench/train relations — factored out so the
+    hot-bucket cap is unit-testable with a synthetic degenerate corpus
+    (tests/test_dedup_recall.py).
 
     Plan: ONE tagged signature pass over bench ∪ train (the
     incremental-ingest device), bench band rows probe train band rows
     (one (band, bh) shuffle, never bench × train), verification joins
-    shingles only for candidates, and the top-3 window partitions by
-    bench doc (bounded).  Fully oracle-backed."""
+    shingles only for candidates, and the top-k window partitions by
+    bench doc (bounded).  Train-side hot buckets (more than
+    ``max_bucket`` rows for one (band, bh) — degenerate boilerplate
+    hashes) are dropped before the probe, mirrored in the registry
+    oracle's HAVING and surfaced via observe() — the same device as
+    every sibling LSH path; the count-window shuffle shares the probe
+    join's (band_idx, bh) partitioning."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    train = docs.filter(F.col("doc_id") % 97 != 0)
     bench_sigs, train_sigs = dedup.two_sided_signatures(
         bench.select("doc_id", "text"),
         train.select("doc_id", "text"),
@@ -1109,9 +1118,23 @@ def contamination_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             idn, "band.band_idx", "band.bh"
         )
 
+    train_bands = _bands(train_sigs, "train_id")
+    if max_bucket is not None:
+        wb = Window.partitionBy("band_idx", "bh")
+        train_bands = (
+            train_bands.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .observe(
+                f"contamination_probe_{next(_OBS_SEQ)}",
+                F.sum(F.when(F.col("_bn") > max_bucket, 1).otherwise(0)).alias(
+                    "dropped_hot_band_rows"
+                ),
+            )
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     cand = (
         _bands(bench_sigs, "bench_id")
-        .join(_bands(train_sigs, "train_id"), ["band_idx", "bh"])
+        .join(train_bands, ["band_idx", "bh"])
         .select("bench_id", "train_id")
         .dropDuplicates(["bench_id", "train_id"])
     )
@@ -1124,14 +1147,31 @@ def contamination_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bench_id",
         "train_id",
         F.round(inter / union, 6).alias("jaccard"),
-    ).filter(F.col("jaccard") >= 0.3)
+    ).filter(F.col("jaccard") >= jaccard_threshold)
     w = Window.partitionBy("bench_id").orderBy(
         F.col("jaccard").desc(), F.col("train_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 3)
+        .filter(F.col("rank") <= top_k)
     )
+
+
+def contamination_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked benchmark-contamination pairs: for every eval doc
+    (doc_id % 7 == 0), the top-3 most lexically similar TRAIN docs
+    (portable MinHash-LSH candidates, exact trigram Jaccard ≥ 0.3) —
+    `decontaminate_docs` flags overlap; this names the offending pairs
+    and how strong each is, which is what an exclusion review reads.
+    See :func:`contamination_ranked` for the plan; the train-side
+    hot-bucket cap (max_bucket=10000) is mirrored in the oracle's
+    HAVING.  Fully oracle-backed."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    return contamination_ranked(bench, train, max_bucket=10_000)
 
 
 CONTAMINATION_RANKED_SQL = f"""
@@ -1150,11 +1190,18 @@ WITH d AS (
     FROM e GROUP BY doc_id
 ), bands AS (
 {_MD5_BAND_ROWS}
+), okb AS (
+    -- mirror of the Spark train-side hot-bucket cap (max_bucket=10000):
+    -- (band, bh) buckets with more than 10000 TRAIN rows are dropped
+    -- before the probe join
+    SELECT band_idx, bh FROM bands WHERE doc_id % 7 <> 0
+    GROUP BY 1, 2 HAVING COUNT(*) <= 10000
 ), cand AS (
     SELECT a.doc_id AS bench_id, b.doc_id AS train_id
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.bh = b.bh
-    WHERE a.doc_id % 97 = 0 AND b.doc_id % 97 <> 0
+    JOIN okb ON okb.band_idx = a.band_idx AND okb.bh = a.bh
+    WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
     GROUP BY 1, 2
 ), inter AS (
     SELECT c.bench_id, c.train_id, ea.n_sh AS n_a, eb.n_sh AS n_b,

@@ -218,3 +218,31 @@ def test_simhash_default_bits_with_portable_fp_raises(spark):
     fps = dedup.simhash_portable(df, "doc_id", "text")
     with pytest.raises(ValueError, match="overstates the hash family's width"):
         dedup.simhash_candidate_pairs(fps, bands=4, max_hamming=3)  # bits=64 default
+
+
+def test_contamination_probe_cap_drops_hot_train_buckets(spark):
+    """A degenerate train-side boilerplate bucket larger than max_bucket
+    is dropped from the contamination probe (no unbounded
+    |bench∩bucket|×|train∩bucket| explode), while a genuinely
+    contaminated bench/train pair with distinct text survives the cap."""
+    from chewdata_spark.queries.dedup_queries import contamination_ranked
+
+    leaked = "the quick brown fox jumps over the lazy dog near the river bank"
+    bench = spark.createDataFrame(
+        [(0, leaked), (97, "completely unrelated benchmark question text here")],
+        ["doc_id", "text"],
+    )
+    train = [(i, "identical boilerplate navigation footer text repeated") for i in range(1, 31)]
+    train += [(50, leaked + " today")]
+    train_df = spark.createDataFrame(train, ["doc_id", "text"])
+
+    uncapped = contamination_ranked(bench, train_df, max_bucket=None).collect()
+    capped = contamination_ranked(bench, train_df, max_bucket=10).collect()
+    capped_pairs = {(r.bench_id, r.train_id) for r in capped}
+    # the planted contamination survives the cap...
+    assert (0, 50) in capped_pairs, capped_pairs
+    # ...and no boilerplate train doc (a 30-row hot bucket > cap) can
+    # pair with anything once capped
+    assert all(t == 50 for _, t in capped_pairs), capped_pairs
+    # sanity: the uncapped run also finds the planted pair
+    assert (0, 50) in {(r.bench_id, r.train_id) for r in uncapped}
