@@ -561,6 +561,124 @@ def srp_topk(
     )
 
 
+def srp_sign_matrix_md5(n_bits: int, dim: int) -> list[list[float]]:
+    """±1 sign-projection matrix derived from md5 — the portable hash
+    family behind :func:`srp_topk_portable`.  Row j comes from
+    ``md5(f"srp|{j}")``: sign(j, d) = +1 iff bit ``(3 - d % 4)`` of hex
+    digit ``d // 4`` of the digest is set (the same digit/bit walk as
+    ``simhash_portable``).  hashlib.md5 == Spark F.md5 == DuckDB md5,
+    so an oracle re-derives the identical matrix in SQL.  One digest
+    carries 128 bits, so ``dim`` must be ≤ 128."""
+    import hashlib
+
+    if dim > 128:
+        raise ValueError(f"md5 sign rows carry 128 bits; dim={dim} > 128")
+    out = []
+    for j in range(n_bits):
+        h = hashlib.md5(f"srp|{j}".encode()).hexdigest()
+        out.append(
+            [
+                1.0 if (int(h[d // 4], 16) >> (3 - d % 4)) & 1 else -1.0
+                for d in range(dim)
+            ]
+        )
+    return out
+
+
+def srp_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 10,
+    n_bits: int = 32,
+    band_bits: int = 8,
+) -> DataFrame:
+    """SRP-LSH top-k with the *portable* md5-derived ±1 projections
+    (:func:`srp_sign_matrix_md5`) — the fully oracle-backed twin of
+    :func:`srp_topk`, whose seeded Gaussian matrix a SQL engine cannot
+    reproduce.  Every stage is bit-replayable in DuckDB: sign bits are
+    sequential ``zip_with``/``aggregate`` folds (the PC1 dot-product
+    device) rounded to 6 dp before the sign test, the 32-bit
+    fingerprint bands into 4×8-bit buckets, query bands probe corpus
+    bands on (band_idx, band_val), and exact cosine verifies + ranks
+    the candidates — so the output is deterministic regardless of
+    banding recall on the pairs found.
+
+    Scale shape: the sign matrix is a literal (n_bits × dim floats,
+    ~KB) compiled into the projection expressions — zero shuffle to
+    fingerprint; ONE shuffle on (band_idx, band_val) for the probe;
+    vectors join back by id only for the candidate set.  Verification
+    twin: coarser than the 120-bit production variant (8-bit bands ≈
+    1/256 bucket selectivity), priced beside it in the bench like
+    every md5 twin.
+    """
+    signs = srp_sign_matrix_md5(n_bits, dim)
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+
+    def fingerprint(df: DataFrame, idn: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        fp = None
+        for j in range(n_bits):
+            sj = F.array(*[F.lit(s) for s in signs[j]])
+            dot = F.aggregate(
+                F.zip_with(v, sj, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            )
+            bit = (
+                F.when(F.round(dot, 6) >= 0, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            piece = F.shiftleft(bit, j)
+            fp = piece if fp is None else fp.bitwiseOR(piece)
+        return df.select(F.col(id_col).alias(idn), fp.alias("fp"))
+
+    def bands(df: DataFrame, idn: str) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.shiftright("fp", b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return df.select(F.col(idn), F.explode(arr).alias("band")).select(
+            idn, "band.band_idx", "band.band_val"
+        )
+
+    cand = (
+        bands(fingerprint(queries, "qid"), "qid")
+        .join(bands(fingerprint(corpus, "vec_id"), "vec_id"), ["band_idx", "band_val"])
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    c_vecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    q_vecs = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    scored = (
+        cand.join(c_vecs, "vec_id")
+        .join(F.broadcast(q_vecs), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "sim", "rank")
+    )
+
+
 def pq_codes(
     df: DataFrame,
     *,

@@ -166,6 +166,70 @@ def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_topk(emb, queries, k=TOPK, n_bits=120, band_bits=5)
 
 
+def ann_srp_topk_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH top-k with md5-derived ±1 projections
+    (operators/similarity.py::srp_topk_portable) — the fully
+    oracle-backed twin of `ann_srp_topk`, whose seeded Gaussian matrix
+    SQL cannot reproduce.  The DuckDB oracle re-derives the sign matrix
+    from md5 in SQL, replays the sequential-fold dots (6-dp rounded
+    before the sign test), the 4×8-bit banding, the probe join and the
+    exact-cosine rank verbatim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.srp_topk_portable(
+        emb, queries, dim=64, k=TOPK, n_bits=32, band_bits=8
+    )
+
+
+# Sign matrix row j = md5('srp|' || j): sign(j, d) = +1 iff bit
+# (3 - d % 4) of hex digit d // 4 is set — identical digit/bit walk to
+# SIMHASH_MD5_SQL, so the Spark-side hashlib constants replay exactly.
+SRP_MD5_SQL = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), signs AS (
+    SELECT j, d,
+           CASE WHEN ((strpos('0123456789abcdef',
+                      substr(md5('srp|' || CAST(j AS VARCHAR)),
+                             (d // 4) + 1, 1)) - 1)
+                  >> (3 - (d % 4))) & 1 = 1
+                THEN 1.0 ELSE -1.0 END AS s
+    FROM (SELECT unnest(generate_series(0, 31)) AS j),
+         (SELECT unnest(generate_series(0, 63)) AS d)
+), sb AS (
+    SELECT j, list(s ORDER BY d) AS sl FROM signs GROUP BY j
+), dots AS (
+    SELECT e.vec_id, sb.j,
+           CASE WHEN ROUND(list_sum([sl[i] * v[i] for i in range(1, 65)]), 6) >= 0
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+    FROM e, sb
+), fp AS (
+    SELECT vec_id, CAST(SUM(bit << j) AS BIGINT) AS fp FROM dots GROUP BY vec_id
+), bands AS (
+    SELECT vec_id, b AS band_idx, (fp >> (b * 8)) & 255 AS band_val
+    FROM fp, (SELECT unnest(generate_series(0, 3)) AS b)
+), cand AS (
+    SELECT q.vec_id AS qid, c.vec_id
+    FROM bands q JOIN bands c
+      ON q.band_idx = c.band_idx AND q.band_val = c.band_val
+    WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
+    GROUP BY 1, 2
+), scored AS (
+    SELECT cand.qid, cand.vec_id,
+           ROUND({_COS.format(a='q.v', b='c.v')}, 6) AS sim
+    FROM cand
+    JOIN e q ON q.vec_id = cand.qid
+    JOIN e c ON c.vec_id = cand.vec_id
+)
+SELECT qid, vec_id, sim, CAST(rk AS INT) AS rank FROM (
+    SELECT qid, vec_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id ASC) AS rk
+    FROM scored
+) WHERE rk <= {TOPK}
+"""
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean vectors (the k-means M-step / class-prototype
     computation), emitted as (label, dim, c) rows.
@@ -294,6 +358,7 @@ QUERIES = {
     "embedding_near_dup_clustered": embedding_near_dup_clustered,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_srp_topk": ann_srp_topk,
+    "ann_srp_topk_md5": ann_srp_topk_md5,
 }
 
 ORACLES = {
@@ -301,6 +366,7 @@ ORACLES = {
     "hard_negatives_topk": HARD_NEGATIVES_SQL,
     "pq_code_embeddings": PQ_SQL,
     "ann_ivf_topk": IVF_TOPK_SQL,
+    "ann_srp_topk_md5": SRP_MD5_SQL,
     "embedding_near_dup_clustered": NEAR_DUP_CLUSTERED_SQL,
     "quantize_embeddings": QUANTIZE_SQL,
     "cosine_topk": COSINE_TOPK_SQL,
