@@ -397,13 +397,22 @@ def simhash_candidate_pairs(
                 F.max("simhash").alias("mx"),
                 F.min("simhash").alias("mn"),
                 F.count(F.lit(1)).alias("n"),
+                F.count_distinct("simhash").alias("nd"),
             )
             .first()
         )
+        # nd >= 16 guards the degenerate-corpus false positive: a
+        # near-dup-dominated sample is CORRELATED (256 copies of a few
+        # fingerprints), so the (2^-width)^256 independence bound
+        # doesn't hold — one unlucky shared fingerprint with an
+        # all-zero top band would mislabel a genuine bits-wide family.
+        # With >= 16 distinct values the bound is (2^-width)^16 — still
+        # nil for any real width.
         if (
             probe is not None
             and probe["mx"] is not None
             and probe["n"] >= 16
+            and probe["nd"] >= 16
             and probe["mn"] >= 0
             and probe["mx"] < (1 << top_shift)
         ):
@@ -411,7 +420,11 @@ def simhash_candidate_pairs(
                 f"simhash fingerprints all fit below 2^{top_shift} — "
                 f"bits={bits} overstates the hash family's width (e.g. "
                 "pass bits=32 for simhash_portable); banding would "
-                "degenerate to one bucket"
+                "degenerate to one bucket.  (If this corpus genuinely "
+                "hashes with a bits-wide family, it is fingerprint-"
+                "degenerate — nearly all duplicates — and the banding "
+                "would one-bucket it regardless; dedup by exact hash "
+                "first.)"
             )
     if bits < 64:
         # loud failure instead of silent one-bucket degeneration: the
@@ -817,8 +830,10 @@ def two_sided_signatures(
     ).localCheckpoint(eager=False)
 
     def _side(side: str) -> DataFrame:
+        # strip by tag length, not a hardcoded offset — a multi-char
+        # tag would otherwise leave residue in the restored id
         return sigs_all.filter(F.col("id").startswith(side + "#")).withColumn(
-            "id", F.expr("substring(id, 3)").cast(id_type)
+            "id", F.expr(f"substring(id, {len(side) + 2})").cast(id_type)
         )
 
     return _side(ta), _side(tb)

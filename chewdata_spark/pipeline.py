@@ -605,9 +605,19 @@ class Pipeline:
             if not key:
                 raise ValueError("curate.minhash_dedup needs 'key'")
             thr = float(step.get("threshold", 0.5))
+            # hot-bucket cap: candidate buckets larger than max_bucket
+            # are dropped (boilerplate protection; their duplicates are
+            # RETAINED in the cleaned output).  Default 10000 matches
+            # minhash_candidate_pairs; null/None in the step config
+            # disables the cap for corpora where retention is wrong.
+            mb = step.get("max_bucket", 10_000)
             sigs = minhash_signatures_portable(df, key, field, num_perm=32)
             pairs = minhash_candidate_pairs(
-                sigs, num_perm=32, bands=16, jaccard_threshold=thr
+                sigs,
+                num_perm=32,
+                bands=16,
+                jaccard_threshold=thr,
+                max_bucket=None if mb is None else int(mb),
             )
             return cluster_dedup(df, pairs, key)
         if method == "quality_filter":

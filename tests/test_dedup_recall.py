@@ -246,3 +246,28 @@ def test_contamination_probe_cap_drops_hot_train_buckets(spark):
     assert all(t == 50 for _, t in capped_pairs), capped_pairs
     # sanity: the uncapped run also finds the planted pair
     assert (0, 50) in {(r.bench_id, r.train_id) for r in uncapped}
+
+
+def test_two_sided_signatures_multichar_tags(spark):
+    """Ids must come back exactly under multi-character side tags (the
+    split-back strips by tag length, not a hardcoded offset)."""
+    a = spark.createDataFrame([(1, "alpha beta gamma delta")], ["doc_id", "text"])
+    b = spark.createDataFrame([(2, "epsilon zeta eta theta")], ["doc_id", "text"])
+    sa, sb = dedup.two_sided_signatures(
+        a, b, "doc_id", "text", portable=True, num_perm=8, tags=("new", "seen")
+    )
+    assert [r.id for r in sa.collect()] == [1]
+    assert [r.id for r in sb.collect()] == [2]
+    assert dict(sa.dtypes)["id"] == "bigint"
+
+
+def test_simhash_degenerate_corpus_does_not_false_positive(spark):
+    """A duplicate-dominated corpus yields a CORRELATED width-probe
+    sample (few distinct fingerprints); the probe must not mislabel a
+    correctly-specified family as too narrow."""
+    rows = [(i, "the very same duplicated document text") for i in range(64)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = dedup.simhash_portable(df, "doc_id", "text")
+    # bits=32 is the CORRECT width for simhash_portable — must not raise
+    out = dedup.simhash_candidate_pairs(fps, bands=2, max_hamming=1, bits=32)
+    assert out.count() > 0
