@@ -196,35 +196,36 @@ def kcore_peel(
     ``(round, n_nodes, n_edges)`` of the surviving subgraph (n_nodes
     counts nodes still carrying an edge).
     """
-    out = None
-    cur = edges.select("u", "v")
-    for r in range(1, rounds + 1):
-        # truncate iterative lineage: round r's snapshot row and the
-        # next round's degree pass otherwise RECOMPUTE rounds 1..r-1
-        # from scratch per consumer (O(rounds² × |E|)) — same device as
-        # connected_components / the persisted incremental-ingest sigs
-        cur = cur.localCheckpoint(eager=False)
-        deg = (
-            cur.select(F.col("u").alias("node"))
-            .union(cur.select(F.col("v").alias("node")))
+    def _deg(rel: DataFrame) -> DataFrame:
+        return (
+            rel.select(F.col("u").alias("node"))
+            .union(rel.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
+
+    out = None
+    # truncate iterative lineage per round (localCheckpoint): the
+    # snapshot row and the next round's degree pass otherwise RECOMPUTE
+    # rounds 1..r-1 from scratch per consumer (O(rounds² × |E|)) — same
+    # device as connected_components / the persisted ingest signatures
+    cur = edges.select("u", "v").localCheckpoint(eager=False)
+    deg = _deg(cur)
+    for r in range(1, rounds + 1):
         keep = deg.filter(F.col("d") >= k).select("node")
-        cur = cur.join(
-            keep.withColumnRenamed("node", "u"), "u", "left_semi"
-        ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-        nodes_r = (
-            cur.select(F.col("u").alias("n"))
-            .union(cur.select(F.col("v").alias("n")))
-            .agg(F.count_distinct("n").alias("n_nodes"))
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=False)
         )
-        row = (
-            cur.agg(F.count(F.lit(1)).alias("n_edges"))
-            .crossJoin(F.broadcast(nodes_r))
-            .select(
-                F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges"
-            )
+        # ONE degree relation per round serves both the round-r
+        # snapshot (deg holds every surviving node; Σd = 2|E|) and the
+        # next round's keep filter — no extra union-distinct passes
+        deg = _deg(cur)
+        row = deg.agg(
+            F.lit(r).cast("int").alias("round"),
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.coalesce(F.sum("d"), F.lit(0)) / 2).cast("long").alias("n_edges"),
         )
         out = row if out is None else out.unionByName(row)
     return out
