@@ -118,7 +118,15 @@ def bpe_merges(df: DataFrame, text_col: str, *, iters: int = 2) -> DataFrame:
     agrees with any engine.  Returns
     ``(merge_rank, lhs, rhs, pair_count)``, one row per merge.
     """
-    words = (
+    merges, _ = _bpe_loop(_bpe_words(df, text_col), iters)
+    out = merges[0]
+    for t in merges[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def _bpe_words(df: DataFrame, text_col: str) -> DataFrame:
+    return (
         df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
         # empty-string tokens (from empty docs) would make
         # sequence(1, 0) DESCEND ([1, 0]) instead of being empty
@@ -126,6 +134,15 @@ def bpe_merges(df: DataFrame, text_col: str, *, iters: int = 2) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+def _bpe_loop(
+    words: DataFrame, iters: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """The BPE merge loop over the vocab-grain symbol relation.
+    Returns (one single-row merge DataFrame per iteration, final symbol
+    relation) — the final relation IS the trained word→segmentation
+    dictionary :func:`bpe_encode_corpus` applies."""
     cur = words.select(
         "word",
         "freq",
@@ -193,7 +210,45 @@ def bpe_merges(df: DataFrame, text_col: str, *, iters: int = 2) -> DataFrame:
         cur = survivors.select(
             "word", "freq", F.row_number().over(win).alias("pos"), "sym"
         )
-    out = merges[0]
-    for t in merges[1:]:
-        out = out.unionByName(t)
-    return out
+    return merges, cur
+
+
+def bpe_encode_corpus(
+    df: DataFrame, id_col: str, text_col: str, *, iters: int = 2
+) -> DataFrame:
+    """Apply BPE to the corpus: train ``iters`` merges
+    (:func:`bpe_merges`' loop), then re-segment every document under
+    the trained rules — the tokenizer-application half of the BPE
+    pipeline (GPT-2/SentencePiece encode).
+
+    Scale shape: training stays on the VOCAB-grain symbol relation;
+    the final relation is exactly the word → piece-sequence dictionary,
+    so encoding is ONE corpus token explode + ONE join on word + ONE
+    doc-keyed reassembly — the corpus text is never re-walked by the
+    merge machinery.  Documents with no non-empty tokens drop (inner
+    join), mirroring the trainer's vocabulary domain.  Pieces are
+    emitted as a canonical space-joined string (driver-sortable; the
+    oracle string_aggs identically).  Returns
+    ``(doc_id, n_pieces, pieces)``.
+    """
+    _, segmented = _bpe_loop(_bpe_words(df, text_col), iters)
+    segs = segmented.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_word_pieces"),
+        F.concat_ws(
+            " ", F.array_sort(F.collect_list(F.struct("pos", "sym"))).getField("sym")
+        ).alias("seg"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "word"),
+    ).filter(F.length("word") > 0)
+    return (
+        toks.join(segs, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_word_pieces").cast("int").alias("n_pieces"),
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("pos", "seg"))).getField("seg")
+            ).alias("pieces"),
+        )
+    )

@@ -242,3 +242,50 @@ SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs, pair_count FROM t2
 
 QUERIES["bpe_merge_rules"] = bpe_merge_rules
 ORACLES["bpe_merge_rules"] = BPE_SQL
+
+
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document re-segmented under the corpus's own 2 trained BPE
+    merges — operators/tokenize.py::bpe_encode_corpus, the
+    tokenizer-APPLICATION half of the BPE pipeline.  The oracle replays
+    training (pair counts → argmax rule → parity merge, both
+    iterations) AND the encode join verbatim; pieces are canonical
+    space-joined strings on both sides."""
+    from chewdata_spark.operators.tokenize import bpe_encode_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_corpus(docs, "doc_id", "text", iters=2)
+
+
+BPE_ENCODE_SQL = f"""
+WITH words AS (
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+          FROM documents)
+    WHERE word <> '' GROUP BY 1
+), syms1 AS (
+    SELECT word, freq, i AS pos, word[i] AS sym
+    FROM (SELECT word, freq, unnest(generate_series(1, len(word))) AS i
+          FROM words)
+), {{iters}}, seg AS (
+    SELECT word, CAST(COUNT(*) AS INT) AS n_word_pieces,
+           string_agg(sym, ' ' ORDER BY pos) AS seg
+    FROM syms3 GROUP BY word
+), toks AS (
+    SELECT doc_id, pos, word
+    FROM (SELECT doc_id, unnest(w) AS word,
+                 unnest(range(1, len(w) + 1)) AS pos
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents))
+    WHERE word <> ''
+)
+SELECT t.doc_id,
+       CAST(SUM(s.n_word_pieces) AS INT) AS n_pieces,
+       string_agg(s.seg, ' ' ORDER BY t.pos) AS pieces
+FROM toks t JOIN seg s ON s.word = t.word
+GROUP BY t.doc_id
+""".format(iters=f"{_bpe_iter_sql(1)}, {_bpe_iter_sql(2)}")
+
+QUERIES["bpe_encode_documents"] = bpe_encode_documents
+ORACLES["bpe_encode_documents"] = BPE_ENCODE_SQL
