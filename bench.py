@@ -174,6 +174,8 @@ STREAMING_PREFIX = "stream_"
 # read the warmup's checkpointed blocks and hide the truncated stage's
 # compute, so these rebuild the query per measured run like STREAMING.
 CONSTRUCT_EACH = {
+    "bpe_encode_documents",
+    "bpe_merge_rules",
     "contamination_ranked_pairs",
     "copurchase_kcore",
     "curate_pipeline_full",

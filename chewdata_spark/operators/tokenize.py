@@ -153,6 +153,12 @@ def _bpe_loop(
     win = Window.partitionBy("word").orderBy("pos")
     merges = []
     for it in range(iters):
+        # truncate per-iteration lineage: the symbol relation feeds the
+        # pair counts, the match windows AND the next iteration (and,
+        # for encode, the final segmentation join) — without the lazy
+        # checkpoint every consumer replays all prior iterations
+        # (measured 3.9 → ~2 s for bpe_encode_documents at sf0.1)
+        cur = cur.localCheckpoint(eager=False)
         paired = cur.withColumn("nxt", F.lead("sym").over(win))
         counts = (
             paired.filter(F.col("nxt").isNotNull())

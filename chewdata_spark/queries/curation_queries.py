@@ -1114,6 +1114,84 @@ QUERIES["bigram_logprob_score"] = bigram_logprob_score
 ORACLES["bigram_logprob_score"] = BIGRAM_LP_SQL
 
 
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning (Wenzek et al. 2020): bucket
+    every document into head / middle / tail by LM score terciles and
+    report the per-(source, bucket) mix — the standard first look at
+    which sources contribute high- vs low-quality text.
+
+    Plan: per-doc scores from the `bigram_logprob_score` plan; the two
+    tercile cuts are ONE exact-percentile aggregate broadcast back
+    (exact for oracle parity — swap `approx_percentile`, same plan
+    shape, beyond driver-friendly doc counts); bucketing is a CASE
+    against the broadcast thresholds and the report is one
+    (source, bucket) aggregation.  Higher avg logprob = lower
+    perplexity = head, matching CCNet's orientation."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = curation.bigram_logprob(docs, "doc_id", "text")
+    th = scores.agg(
+        F.round(F.expr("percentile(avg_bigram_logprob, 1.0D / 3)"), 6).alias("t_lo"),
+        F.round(F.expr("percentile(avg_bigram_logprob, 2.0D / 3)"), 6).alias("t_hi"),
+    )
+    j = scores.join(docs.select("doc_id", "source"), "doc_id").crossJoin(
+        F.broadcast(th)
+    )
+    bucket = (
+        F.when(F.col("avg_bigram_logprob") >= F.col("t_hi"), F.lit("head"))
+        .when(F.col("avg_bigram_logprob") >= F.col("t_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return j.groupBy("source", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        # 4 dp: cross-row double sums are order-sensitive in the last
+        # ulp (the embedding_centroids device)
+        (F.round(F.avg("avg_bigram_logprob"), 4) + F.lit(0.0)).alias("avg_logprob"),
+    )
+
+
+CCNET_BUCKETS_SQL = """
+WITH d AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+    FROM documents
+), bi0 AS (
+    SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+          FROM d WHERE len(w) >= 2)
+), bi AS (
+    SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bi0 GROUP BY 1, 2, 3
+), toks AS (
+    SELECT doc_id, unnest(w) AS w1 FROM d
+), uni AS (
+    SELECT w1, COUNT(*) AS c1 FROM toks GROUP BY 1
+), v AS (
+    SELECT COUNT(*) AS vn FROM uni
+), bic AS (
+    SELECT w1, w2, SUM(tf) AS c12 FROM bi GROUP BY 1, 2
+), scores AS (
+    SELECT doc_id,
+           ROUND(SUM(tf * ln((c12 + 1) * 1.0 / (c1 + vn))) / SUM(tf), 6)
+               AS lp
+    FROM bi JOIN bic USING (w1, w2) JOIN uni USING (w1), v
+    GROUP BY doc_id
+), th AS (
+    SELECT ROUND(quantile_cont(lp, 1.0 / 3), 6) AS t_lo,
+           ROUND(quantile_cont(lp, 2.0 / 3), 6) AS t_hi
+    FROM scores
+)
+SELECT dd.source,
+       CASE WHEN s.lp >= th.t_hi THEN 'head'
+            WHEN s.lp >= th.t_lo THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(s.lp), 4) + 0.0 AS avg_logprob
+FROM scores s JOIN documents dd USING (doc_id), th
+GROUP BY 1, 2
+"""
+
+QUERIES["ccnet_perplexity_buckets"] = ccnet_perplexity_buckets
+ORACLES["ccnet_perplexity_buckets"] = CCNET_BUCKETS_SQL
+
+
 def doremi_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style training-mix weights per source: softmax over each
     source's unigram-LM hardness deficit

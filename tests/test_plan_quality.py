@@ -532,3 +532,45 @@ def test_pareto_invariants(spark, sf_dir):
     row = parts_pareto_8020(spark, sf_dir).collect()[0]
     assert 0 < row.parts_for_80pct <= row.total_parts
     assert 0.8 <= row.share_reached <= 1.0
+
+
+def test_srp_md5_jvm_side_no_python_nodes(spark, sf_dir):
+    """The portable SRP twin computes all 32 sign-bit projections as
+    compiled zip_with/aggregate folds: no Python/Arrow eval nodes (the
+    Gaussian production twin pays mapInPandas; the md5 twin must not),
+    and the probe-side joins stay hash joins over ≤3 exchanges."""
+    from chewdata_spark.queries.similarity_queries import ann_srp_topk_md5
+
+    df = ann_srp_topk_md5(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert exchange_count(df) <= 3, plan
+
+
+def test_contamination_cap_window_shares_probe_partitioning(spark, sf_dir):
+    """The train-side hot-bucket count window partitions by the probe
+    join's own (band_idx, bh) keys, so the cap adds no exchange beyond
+    the probe's: ≤4 total (bench bands, train bands, candidate dedup /
+    top-3 window)."""
+    from chewdata_spark.queries.dedup_queries import contamination_ranked_pairs
+
+    df = contamination_ranked_pairs(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert exchange_count(df) <= 4, plan
+
+
+def test_bpe_encode_vocab_grain_windows_only(spark, sf_dir):
+    """BPE encode must never window over the corpus: every Window in
+    the plan partitions by the vocab-grain word column, and the
+    per-iteration checkpoint keeps the plan from replaying prior
+    iterations once per consumer."""
+    from chewdata_spark.queries.tokenize_queries import bpe_encode_documents
+
+    df = bpe_encode_documents(spark, sf_dir)
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "Window [" in line or line.strip().startswith("Window"):
+            assert "word" in line, line
+    assert "CartesianProduct" not in plan, plan
