@@ -56,8 +56,7 @@ def _modules():
 _DRIVER_CHECKED = {
     "ann_ivf_topk", "ann_srp_topk", "approx_distinct_users",
     "bloom_seen_hashes", "bm25_search_topk", "chunk_documents",
-    "churned_customers", "contamination_ranked_pairs",
-    "content_fingerprint", "copurchase_kcore", "copurchase_triangles",
+    "churned_customers", "content_fingerprint", "copurchase_kcore", "copurchase_triangles",
     "corpus_top_terms", "cosine_topk", "cube_order_stats",
     "curate_corpus", "curate_pipeline_full", "curation_audit_report",
     "curriculum_phases", "customer_order_stats",
@@ -73,7 +72,7 @@ _DRIVER_CHECKED = {
     "dedup_minhash_lsh_md5", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_simhash_md5", "distinct_users_by_type", "documents_redact_pii",
     "documents_strip_boilerplate", "embedding_anisotropy_report",
-    "embedding_centroids", "embedding_debias_abtt", "embedding_near_dup",
+    "embedding_centroids", "embedding_near_dup",
     "embedding_near_dup_clustered", "embedding_pc1",
     "error_channel_split", "events_asof_orders", "events_hourly_rollup",
     "events_missing_props", "events_props_extract",
