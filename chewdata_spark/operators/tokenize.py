@@ -157,8 +157,13 @@ def _bpe_loop(
         # pair counts, the match windows AND the next iteration (and,
         # for encode, the final segmentation join) — without the lazy
         # checkpoint every consumer replays all prior iterations
-        # (measured 3.9 → ~2 s for bpe_encode_documents at sf0.1)
-        cur = cur.localCheckpoint(eager=False)
+        # (measured 3.9 → ~2 s for bpe_encode_documents at sf0.1).
+        # Skip iteration 0: the fresh explode is one narrow stage whose
+        # recomputation is cheaper than materializing the full
+        # char-grain relation (checkpointing it cost bpe_merge_rules
+        # 0.38 → 1.00 s at sf0.1)
+        if it > 0:
+            cur = cur.localCheckpoint(eager=False)
         paired = cur.withColumn("nxt", F.lead("sym").over(win))
         counts = (
             paired.filter(F.col("nxt").isNotNull())
