@@ -249,6 +249,63 @@ def fake_resize_image(
     return _media_stage(df, "", _fake_resize_kernel(content_col, width, height))
 
 
+def _dhash_kernel(content_col: str):
+    """Real perceptual-hash kernel: difference hash (dHash) over a
+    9x8 nearest-neighbor thumbnail.  Pure numpy for binary P6 PPM
+    rasters (:func:`ppm_resize` + integer-average grayscale
+    ``(r+g+b)//3`` — integer math end-to-end so the hash is
+    bit-replayable outside Spark); PIL grayscale for compressed
+    containers.  Bit k (row ``i``, col ``j``, ``k = i*8+j``) is set
+    when ``gray[i][j] < gray[i][j+1]``; the 64-bit value is emitted as
+    16 lowercase hex chars."""
+
+    def kernel(pdf):
+        import numpy as np
+
+        def one(raw) -> str:
+            b = bytes(raw)
+            if b[:2] == b"P6":
+                rb = ppm_resize(b, 9, 8)
+                px = np.frombuffer(
+                    rb, dtype=np.uint8, count=216, offset=len(b"P6\n9 8\n255\n")
+                ).reshape(8, 9, 3)
+                gray = px.astype(np.int32).sum(axis=2) // 3
+            else:
+                try:
+                    from PIL import Image
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "compressed-image dhash requires PIL; "
+                        "P6 PPM rasters hash without it"
+                    ) from e
+                import io
+
+                im = Image.open(io.BytesIO(b)).convert("L").resize((9, 8))
+                gray = np.asarray(im, dtype=np.int32)
+            bits = (gray[:, :-1] < gray[:, 1:]).flatten()
+            v = 0
+            for k, bit in enumerate(bits):
+                v |= int(bit) << k
+            return "%016x" % v
+
+        pdf = pdf.copy()
+        pdf["dhash"] = [one(b) for b in pdf[content_col]]
+        return pdf
+
+    return kernel
+
+
+def dhash_image(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Perceptual difference-hash of every image — the LAION-style
+    image-dedup primitive: identical/near-identical rasters collapse to
+    one 64-bit bucket regardless of byte-level differences in the
+    container.  Arrow-batched via the shared :func:`_media_stage`
+    plumbing; downstream dedup is an ordinary ``groupBy("dhash")``
+    (one shuffle on a 16-char key — the same shape as exact text
+    dedup, so it holds at 100 TB)."""
+    return _media_stage(df, "dhash string", _dhash_kernel(content_col))
+
+
 _AUDIO_SCHEMA = "sample_rate int, duration_ms int, n_channels int"
 
 

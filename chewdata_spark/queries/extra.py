@@ -494,6 +494,84 @@ QUERIES["media_decode_dims"] = media_decode_dims
 ORACLES["media_decode_dims"] = MEDIA_DECODE_SQL
 
 
+def media_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (the LAION pipeline's image-side
+    twin of exact text dedup): every document synthesizes a 9x8 binary
+    P6 PPM whose pixel bytes are an md5 chain over its text, the REAL
+    dHash kernel (operators/multimodal.py::dhash_image — ppm_resize +
+    integer grayscale + adjacent-pixel sign bits, Arrow-batched)
+    hashes each raster, and duplicate groups are an ordinary
+    ``groupBy(dhash)``.  Identical texts → identical rasters → one
+    bucket, so the planted exact-duplicate docs surface as image
+    duplicates.  The oracle replays the ENTIRE byte math in DuckDB —
+    md5 chain → hex-pair bytes → integer-average grayscale → bit
+    ``k=i*8+j`` assembly → ``%016x`` — so a kernel, batching, or
+    bit-order bug fails the value hash.  Scale: the only shuffle is
+    the 16-char-key groupBy; the md5 chain and kernel are map-side."""
+    from chewdata_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the raster is rendered from the document's LEADING content (a
+    # page thumbnail sees coarse layout, not trailing edits) — so the
+    # planted near-duplicate docs, which share long prefixes, collapse
+    # to one perceptual bucket
+    txt = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)
+    hx = F.concat(*[F.md5(F.concat(txt, F.lit(f"#{i}"))) for i in range(14)])
+    content = F.concat(
+        F.encode(F.lit("P6\n9 8\n255\n"), "UTF-8"),
+        F.unhex(F.substring(hx, 1, 432)),
+    )
+    media = docs.select("doc_id", content.alias("content"))
+    hashed = multimodal.dhash_image(media, "content")
+    return (
+        hashed.groupBy("dhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+MEDIA_DHASH_SQL = """
+WITH px AS (
+    SELECT doc_id,
+           md5(substr(COALESCE(text, ''), 1, 40) || '#0') || md5(substr(COALESCE(text, ''), 1, 40) || '#1')
+           || md5(substr(COALESCE(text, ''), 1, 40) || '#2') || md5(substr(COALESCE(text, ''), 1, 40) || '#3')
+           || md5(substr(COALESCE(text, ''), 1, 40) || '#4') || md5(substr(COALESCE(text, ''), 1, 40) || '#5')
+           || md5(substr(COALESCE(text, ''), 1, 40) || '#6') || md5(substr(COALESCE(text, ''), 1, 40) || '#7')
+           || md5(substr(COALESCE(text, ''), 1, 40) || '#8') || md5(substr(COALESCE(text, ''), 1, 40) || '#9')
+           || md5(substr(COALESCE(text, ''), 1, 40) || '#10') || md5(substr(COALESCE(text, ''), 1, 40) || '#11')
+           || md5(substr(COALESCE(text, ''), 1, 40) || '#12') || md5(substr(COALESCE(text, ''), 1, 40) || '#13')
+           AS hx
+    FROM documents
+), b AS (
+    SELECT doc_id, p,
+           (strpos('0123456789abcdef', substr(hx, 2 * p + 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(hx, 2 * p + 2, 1)) - 1 AS v
+    FROM px, generate_series(0, 215) AS t(p)
+), g AS (
+    SELECT doc_id, p // 3 AS q, SUM(v) // 3 AS gray
+    FROM b GROUP BY doc_id, p // 3
+), bits AS (
+    SELECT a.doc_id, (a.q // 9) * 8 + (a.q % 9) AS k,
+           CASE WHEN a.gray < c.gray THEN 1 ELSE 0 END AS bit
+    FROM g a JOIN g c ON c.doc_id = a.doc_id AND c.q = a.q + 1
+    WHERE a.q % 9 < 8
+), h AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN k >= 32 THEN CAST(bit AS BIGINT) << (k - 32)
+                         ELSE 0 END) AS BIGINT) AS hi,
+           CAST(SUM(CASE WHEN k < 32 THEN CAST(bit AS BIGINT) << k
+                         ELSE 0 END) AS BIGINT) AS lo
+    FROM bits GROUP BY doc_id
+)
+SELECT printf('%08x', hi) || printf('%08x', lo) AS dhash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keeper
+FROM h GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+QUERIES["media_dhash_dedup"] = media_dhash_dedup
+ORACLES["media_dhash_dedup"] = MEDIA_DHASH_SQL
+
+
 _STREAM_Z_RUN = {"n": 0}
 
 

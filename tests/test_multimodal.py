@@ -275,3 +275,38 @@ def test_sample_frames_twin_contract(spark):
             M._av_frame_kernel("content", 3)(
                 pd.DataFrame({"vid_id": [1], "content": [b"x"]})
             )
+
+
+def test_dhash_known_gradient_and_invariances(spark):
+    """dHash ground truth on hand-built rasters: a horizontal gradient
+    sets every bit (left < right everywhere), a flat image sets none;
+    container-level differences (a header comment) do not change the
+    hash; resize path: a 18x16 upscale of the same gradient hashes
+    identically to the 9x8 original (nearest-neighbor thumbnail)."""
+    import chewdata_spark.operators.multimodal as M
+
+    def ppm(w, h, pixel):
+        head = b"P6\n%d %d\n255\n" % (w, h)
+        body = bytes(
+            v
+            for i in range(h)
+            for j in range(w)
+            for v in pixel(i, j)
+        )
+        return head + body
+
+    grad98 = ppm(9, 8, lambda i, j: (j * 20, j * 20, j * 20))
+    flat98 = ppm(9, 8, lambda i, j: (7, 7, 7))
+    grad_big = ppm(18, 16, lambda i, j: ((j // 2) * 20,) * 3)
+    commented = b"P6\n# a comment\n9 8\n255\n" + grad98.split(b"255\n", 1)[1]
+
+    df = spark.createDataFrame(
+        [(1, bytearray(grad98)), (2, bytearray(flat98)),
+         (3, bytearray(grad_big)), (4, bytearray(commented))],
+        "img_id int, content binary",
+    )
+    got = {r["img_id"]: r["dhash"] for r in M.dhash_image(df, "content").collect()}
+    assert got[1] == "f" * 16  # every adjacent pair ascends -> all 64 bits
+    assert got[2] == "0" * 16  # flat -> no bit
+    assert got[3] == got[1]    # thumbnail invariance under 2x upscale
+    assert got[4] == got[1]    # header comment is not content

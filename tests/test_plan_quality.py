@@ -574,3 +574,13 @@ def test_bpe_encode_vocab_grain_windows_only(spark, sf_dir):
         if "Window [" in line or line.strip().startswith("Window"):
             assert "word" in line, line
     assert "CartesianProduct" not in plan, plan
+
+
+def test_media_dhash_dedup_single_shuffle(spark, sf_dir):
+    # perceptual image dedup must keep the exact-text-dedup shape: the
+    # md5 chain + Arrow dhash kernel are map-side, the 16-char-key
+    # groupBy is the ONLY exchange
+    from chewdata_spark.queries.extra import media_dhash_dedup
+
+    df = media_dhash_dedup(spark, sf_dir)
+    assert exchange_count(df) <= 1
