@@ -92,6 +92,54 @@ def decontaminate(
     return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit_grams"))
 
 
+def ngram_novelty(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Per-probe-document n-gram novelty: the fraction of each probe
+    document's distinct word ``n``-grams that appear NOWHERE in the
+    corpus — the memorization/novelty diagnostic (Lee et al. 2022;
+    Carlini et al.'s verbatim-copy probe runs this with generations as
+    the probe and training data as the corpus).
+
+    Scale shape — the inverse of :func:`decontaminate`: here the PROBE
+    is the small side (an eval slice or a batch of generations) and the
+    corpus is the 100 TB side, so the probe's distinct gram keys are
+    **broadcast**, the corpus side streams its gram rows past that
+    broadcast (inner join) and emits only the tiny intersected key set,
+    and the per-document novelty join is a second broadcast of that
+    intersection.  The corpus is never shuffled; the only wide ops are
+    on probe-sized relations.  Grams join on md5 (fixed-width keys).
+    Returns ``(doc_id, n_grams, n_novel, novelty)`` for every probe doc
+    that yields at least one gram."""
+    probe_grams = (
+        gram_rows(probe, id_col, text_col, n)
+        .select("doc_id", F.md5("g").alias("gram_key"))
+        .distinct()
+    )
+    probe_keys = probe_grams.select("gram_key").distinct()
+    seen = (
+        gram_rows(corpus, id_col, text_col, n)
+        .select(F.md5("g").alias("gram_key"))
+        .join(F.broadcast(probe_keys), "gram_key")
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    return (
+        probe_grams.join(F.broadcast(seen), "gram_key", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0)).alias("n_novel"),
+        )
+        .withColumn("novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6))
+    )
+
+
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style within-document repetition signals:
 

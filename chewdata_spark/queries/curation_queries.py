@@ -1569,3 +1569,100 @@ FROM per GROUP BY source
 
 QUERIES["source_dup_rate"] = source_dup_rate
 ORACLES["source_dup_rate"] = SOURCE_DUP_RATE_SQL
+
+
+def ngram_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization/novelty probe over the held-out split: for every
+    'test' document (the deterministic md5 split of
+    split_train_val_test), the fraction of its distinct word 5-grams
+    that never occur in the 'train' split —
+    operators/curation.py::ngram_novelty.  Scale shape is the INVERSE
+    of decontamination: the probe's gram keys broadcast, the corpus
+    streams past them unshuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = curation.train_val_test_split(docs, "doc_id")
+    probe = assigned.filter(F.col("split") == "test")
+    corpus = assigned.filter(F.col("split") == "train")
+    return curation.ngram_novelty(corpus, probe, "doc_id", "text", n=5)
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH grams AS ({_ngrams_cte(5)}),
+sp AS (
+    SELECT doc_id,
+           CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                     < '{_hex_thr(0.025)}' THEN 'test'
+                WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                     < '{_hex_thr(0.05)}' THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+),
+tg AS (
+    SELECT g.doc_id, md5(unnest(list_distinct(g.g))) AS gram_key
+    FROM grams g JOIN sp USING (doc_id) WHERE sp.split = 'test'
+),
+trg AS (
+    SELECT DISTINCT md5(unnest(g.g)) AS gram_key
+    FROM grams g JOIN sp USING (doc_id) WHERE sp.split = 'train'
+)
+SELECT tg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN trg.gram_key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       ROUND(SUM(CASE WHEN trg.gram_key IS NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS novelty
+FROM tg LEFT JOIN trg USING (gram_key)
+GROUP BY tg.doc_id
+"""
+
+QUERIES["ngram_novelty_probe"] = ngram_novelty_probe
+ORACLES["ngram_novelty_probe"] = NGRAM_NOVELTY_SQL
+
+
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights (mC4 / XLM-R:
+    p_l ∝ n_l^alpha): per language, its raw token share and the
+    sampling probabilities at alpha = 0.3 and 0.7, plus the low-resource
+    boost factor p(0.3)/share.  The standard knob for keeping
+    low-resource languages represented without letting them dominate.
+    All arithmetic on the language-grain aggregate (a handful of rows)
+    cross-joined with ONE broadcast totals row — a single corpus pass
+    regardless of scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    by = docs.groupBy("lang").agg(F.sum(ntok).cast("double").alias("_n"))
+    tot = by.agg(
+        F.sum("_n").alias("_t1"),
+        F.sum(F.pow("_n", F.lit(0.3))).alias("_t03"),
+        F.sum(F.pow("_n", F.lit(0.7))).alias("_t07"),
+    )
+    return by.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("_n").cast("bigint").alias("n_toks"),
+        F.round(F.col("_n") / F.col("_t1"), 6).alias("share"),
+        F.round(F.pow("_n", F.lit(0.3)) / F.col("_t03"), 6).alias("p_t03"),
+        F.round(F.pow("_n", F.lit(0.7)) / F.col("_t07"), 6).alias("p_t07"),
+        F.round(
+            (F.pow("_n", F.lit(0.3)) / F.col("_t03")) / (F.col("_n") / F.col("_t1")), 4
+        ).alias("boost_t03"),
+    )
+
+
+TEMPERATURE_MIX_SQL = """
+WITH by_lang AS (
+    SELECT lang,
+           CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS DOUBLE) AS n
+    FROM documents GROUP BY lang
+), tot AS (
+    SELECT SUM(n) AS t1, SUM(POWER(n, 0.3)) AS t03, SUM(POWER(n, 0.7)) AS t07
+    FROM by_lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_toks,
+       ROUND(n / t1, 6) AS share,
+       ROUND(POWER(n, 0.3) / t03, 6) AS p_t03,
+       ROUND(POWER(n, 0.7) / t07, 6) AS p_t07,
+       ROUND((POWER(n, 0.3) / t03) / (n / t1), 4) AS boost_t03
+FROM by_lang, tot
+"""
+
+QUERIES["temperature_mix_weights"] = temperature_mix_weights
+ORACLES["temperature_mix_weights"] = TEMPERATURE_MIX_SQL

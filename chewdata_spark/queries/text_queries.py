@@ -580,3 +580,52 @@ GROUP BY 1, 2
 
 QUERIES["hashed_bow_features"] = hashed_bow_features
 ORACLES["hashed_bow_features"] = HASHED_BOW_SQL
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the multilingual-tokenizer
+    diagnostic (how many subword-ish tokens per whitespace word, and
+    how many characters each token carries): languages with high
+    fertility pay more sequence length per word, the metric that drives
+    vocabulary-size and temperature-sampling decisions.  One narrow
+    all-builtin aggregation pass over the corpus (token counts are the
+    same whitespace + BPE-ish regex pair as token_counts), zero
+    pre-shuffle work beyond the projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    ws = F.size(F.split(F.trim(F.lower(t)), r"\s+"))
+    re_ = F.size(F.regexp_extract_all(t, F.lit(text.TOKEN_PATTERN), 0))
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(re_).alias("re_tokens"),
+        F.sum(F.length(t)).alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "re_tokens",
+        F.round(F.col("re_tokens") / F.col("ws_tokens"), 6).alias("fertility"),
+        F.round(F.col("n_chars") / F.col("re_tokens"), 6).alias("chars_per_token"),
+    )
+
+
+TOKENIZER_FERTILITY_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT)
+           AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{text.TOKEN_PATTERN}'))) AS BIGINT)
+           AS re_tokens,
+       ROUND(SUM(len(regexp_extract_all(text, '{text.TOKEN_PATTERN}'))) * 1.0
+             / SUM(len(string_split_regex(trim(lower(text)), '\\s+'))), 6)
+           AS fertility,
+       ROUND(SUM(length(text)) * 1.0
+             / SUM(len(regexp_extract_all(text, '{text.TOKEN_PATTERN}'))), 6)
+           AS chars_per_token
+FROM documents
+GROUP BY lang
+"""
+
+QUERIES["tokenizer_fertility"] = tokenizer_fertility
+ORACLES["tokenizer_fertility"] = TOKENIZER_FERTILITY_SQL

@@ -584,3 +584,34 @@ def test_media_dhash_dedup_single_shuffle(spark, sf_dir):
 
     df = media_dhash_dedup(spark, sf_dir)
     assert exchange_count(df) <= 1
+
+
+def test_ngram_novelty_corpus_never_sort_merge_joins(spark, sf_dir):
+    # the corpus (100 TB side) must stream past BROADCAST probe keys —
+    # a SortMergeJoin here would shuffle the whole corpus's gram rows
+    from chewdata_spark.queries.curation_queries import ngram_novelty_probe
+
+    df = ngram_novelty_probe(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_temperature_mix_single_corpus_pass(spark, sf_dir):
+    # lang-grain agg + ONE broadcast totals row: the corpus is scanned
+    # once; everything after the first groupBy is lang-cardinality
+    from chewdata_spark.queries.curation_queries import temperature_mix_weights
+
+    df = temperature_mix_weights(spark, sf_dir)
+    plan = formatted_plan(df)
+    # tree + detail section each mention every scan once: 2 scans → 4
+    # mentions (corpus + its reuse on the totals branch)
+    assert plan.count("Scan parquet") <= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tokenizer_fertility_single_shuffle(spark, sf_dir):
+    from chewdata_spark.queries.text_queries import tokenizer_fertility
+
+    df = tokenizer_fertility(spark, sf_dir)
+    assert exchange_count(df) <= 1
