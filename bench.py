@@ -155,6 +155,8 @@ HEADLINE = [
     "source_vocab_health",
     "corpus_manifest",
     "contamination_ranked_pairs",
+    "media_dhash_dedup",
+    "ngram_novelty_probe",
 ]
 
 # How many non-headline registry queries get timed per run (rotating
