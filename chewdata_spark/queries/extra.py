@@ -494,6 +494,21 @@ QUERIES["media_decode_dims"] = media_decode_dims
 ORACLES["media_decode_dims"] = MEDIA_DECODE_SQL
 
 
+def _thumbnail_content():
+    """Column expression synthesizing a 9x8 binary P6 PPM per document:
+    pixel bytes are an md5 chain over the document's LEADING content (a
+    page thumbnail sees coarse layout, not trailing edits) — so the
+    planted near-duplicate docs, which share long prefixes, collapse to
+    one perceptual bucket.  Shared by the batch and streaming dHash
+    dedup queries; MEDIA_DHASH_SQL replays the same chain."""
+    txt = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)
+    hx = F.concat(*[F.md5(F.concat(txt, F.lit(f"#{i}"))) for i in range(14)])
+    return F.concat(
+        F.encode(F.lit("P6\n9 8\n255\n"), "UTF-8"),
+        F.unhex(F.substring(hx, 1, 432)),
+    )
+
+
 def media_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image dedup (the LAION pipeline's image-side
     twin of exact text dedup): every document synthesizes a 9x8 binary
@@ -511,17 +526,7 @@ def media_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chewdata_spark.operators import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
-    # the raster is rendered from the document's LEADING content (a
-    # page thumbnail sees coarse layout, not trailing edits) — so the
-    # planted near-duplicate docs, which share long prefixes, collapse
-    # to one perceptual bucket
-    txt = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)
-    hx = F.concat(*[F.md5(F.concat(txt, F.lit(f"#{i}"))) for i in range(14)])
-    content = F.concat(
-        F.encode(F.lit("P6\n9 8\n255\n"), "UTF-8"),
-        F.unhex(F.substring(hx, 1, 432)),
-    )
-    media = docs.select("doc_id", content.alias("content"))
+    media = docs.select("doc_id", _thumbnail_content().alias("content"))
     hashed = multimodal.dhash_image(media, "content")
     return (
         hashed.groupBy("dhash")
@@ -570,6 +575,50 @@ FROM h GROUP BY 1 HAVING COUNT(*) >= 2
 
 QUERIES["media_dhash_dedup"] = media_dhash_dedup
 ORACLES["media_dhash_dedup"] = MEDIA_DHASH_SQL
+
+
+_STREAM_DHASH_RUN = {"n": 0}
+
+
+def stream_media_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup executed BY STRUCTURED STREAMING: images
+    arrive as a file stream (availableNow), the REAL Arrow-batched
+    dHash kernel runs inside the stream (``mapInPandas`` on a streaming
+    DataFrame), and duplicate grouping is a stateful complete-mode
+    aggregation keyed on the 16-char hash — deterministic under any
+    micro-batch arrival order (streaming ``dropDuplicates`` would not
+    be; min-id + count is order-insensitive).  The oracle is the batch
+    query's FULL byte-math replay (MEDIA_DHASH_SQL, verbatim), so the
+    streaming runtime — kernel batching across micro-batches included —
+    is checked bit-for-bit against DuckDB.  At scale this is the
+    live-ingest image dedup path: state is one row per distinct hash."""
+    import os
+
+    from chewdata_spark.operators import multimodal
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path + "*")
+    media = stream.select("doc_id", _thumbnail_content().alias("content"))
+    hashed = multimodal.dhash_image(media, "content")
+    agg = hashed.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper")
+    )
+    _STREAM_DHASH_RUN["n"] += 1
+    name = f"_stream_media_dhash_{_STREAM_DHASH_RUN['n']}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).filter(F.col("n_docs") >= 2)
+
+
+QUERIES["stream_media_dhash_dedup"] = stream_media_dhash_dedup
+ORACLES["stream_media_dhash_dedup"] = MEDIA_DHASH_SQL
 
 
 _STREAM_Z_RUN = {"n": 0}
