@@ -507,6 +507,145 @@ QUERIES["distinct_users_linear_count"] = distinct_users_linear_count
 ORACLES["distinct_users_linear_count"] = LINEAR_COUNT_SQL
 
 
+def hll_registers(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """Dense-HLL register relation (p=9 → m=512): one row per
+    (key, register) with the max rho observed — the mergeable sketch
+    state (sketches combine by unioning register relations and taking
+    the elementwise MAX; see tests/test_sketches.py).  All integer /
+    string math: register = first 16 md5 bits mod 512; rho = leading-
+    zero count of the next 40 bits + 1 via hex-digit trimming — no
+    log2/float anywhere in the sketch, so any engine replays it."""
+    from chewdata_spark.operators.curation import md5_hex16
+
+    ids = F.col(id_col).cast("string")
+    # 40 bits after the register bits, leading zero hex digits trimmed
+    trimmed = F.expr(
+        f"trim(LEADING '0' FROM substring(md5(CAST({id_col} AS STRING)), 5, 10))"
+    )
+    lead = F.conv(F.substring(trimmed, 1, 1), 16, 10).cast("int")
+    nz = F.when(lead >= 8, 0).when(lead >= 4, 1).when(lead >= 2, 2).otherwise(3)
+    rho = F.when(trimmed == "", F.lit(41)).otherwise(
+        (F.lit(10) - F.length(trimmed)) * 4 + nz + 1
+    )
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            (md5_hex16(ids) % 512).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("key", "reg")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Fold a register relation to (key, n_regs, hll_estimate).
+    sum(2^-rho) over ≤512 registers is a sum of dyadic rationals with
+    exponent ≥ -41 and total < 2^10 — every partial sum is exactly
+    representable in a double, so the harmonic estimate is
+    bit-identical in any engine regardless of summation order; ln()
+    appears only in the small-range Linear-Counting branch, rounded."""
+    m = 512.0
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = regs.groupBy("key").agg(
+        F.count(F.lit(1)).cast("int").alias("n_regs"),
+        (F.sum(F.pow(F.lit(2.0), -F.col("r"))) + (F.lit(m) - F.count(F.lit(1)))).alias(
+            "denom"
+        ),
+    )
+    zeros = F.lit(m) - F.col("n_regs")
+    raw = F.lit(alpha * m * m) / F.col("denom")
+    est = F.round(
+        F.when((raw <= 2.5 * m) & (zeros > 0), F.lit(m) * F.log(F.lit(m) / zeros))
+        .otherwise(raw),
+        2,
+    )
+    return agg.select("key", "n_regs", est.alias("hll_estimate"))
+
+
+def hll_distinct_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable dense HyperLogLog (Flajolet et al. 2007), p=9 → m=512
+    registers per event_type — the md5 twin that makes HLL itself
+    value-verifiable (approx_distinct_users uses Spark's built-in
+    HLL++ whose sketch bytes are engine-specific, so it is rows-only;
+    reference exposes distinct counting only as exact — this is the
+    beyond-reference scale path).
+
+    Scale: the at-scale shape for COUNT(DISTINCT) over 100 TB — one
+    shuffle to (event_type, register) with map-side partial MAX (state
+    is ≤512 rows per key, never the key space), then a 512-row-per-key
+    final fold.  Sketches merge by elementwise register max, so
+    per-shard sketches combine without re-reading data (the streaming /
+    incremental path; merge law pinned in tests/test_sketches.py).
+    Exact counts joined for the observed error."""
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate(hll_registers(ev, "event_type", "user_id"))
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.withColumnRenamed("key", "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_regs",
+            "hll_estimate",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_error"),
+        )
+    )
+
+
+_HLL_DIGIT = "strpos('0123456789abcdef', substr(w, 1, 1)) - 1"
+
+HLL_SQL = f"""
+WITH h AS (
+    SELECT event_type,
+           ((strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 16
+            + strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 4, 1)) - 1) % 512 AS reg,
+           ltrim(substr(md5(CAST(user_id AS VARCHAR)), 5, 10), '0') AS w
+    FROM events
+), rr AS (
+    SELECT event_type, reg,
+           CASE WHEN w = '' THEN 41
+                ELSE (10 - length(w)) * 4
+                     + CASE WHEN ({_HLL_DIGIT}) >= 8 THEN 0
+                            WHEN ({_HLL_DIGIT}) >= 4 THEN 1
+                            WHEN ({_HLL_DIGIT}) >= 2 THEN 2
+                            ELSE 3 END
+                     + 1 END AS rho
+    FROM h
+), regs AS (
+    SELECT event_type, reg, MAX(rho) AS r FROM rr GROUP BY 1, 2
+), agg AS (
+    SELECT event_type, CAST(COUNT(*) AS INT) AS n_regs,
+           SUM(POWER(2.0, -r)) + (512.0 - COUNT(*)) AS denom
+    FROM regs GROUP BY 1
+), est AS (
+    SELECT event_type, n_regs,
+           ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 / denom <= 1280.0
+                           AND 512 - n_regs > 0
+                      THEN 512.0 * ln(512.0 / (512.0 - n_regs))
+                      ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 / denom END, 2) AS hll_estimate
+    FROM agg
+), ex AS (
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1
+)
+SELECT est.event_type, n_regs, hll_estimate, exact_distinct,
+       ROUND(ABS(hll_estimate - exact_distinct) / exact_distinct, 4) AS rel_error
+FROM est JOIN ex ON ex.event_type = est.event_type
+"""
+
+QUERIES["hll_distinct_users_md5"] = hll_distinct_users_md5
+ORACLES["hll_distinct_users_md5"] = HLL_SQL
+
+
 def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive seasonal decomposition of monthly revenue: the trailing
     12-month moving average (trend) and the deviation from it

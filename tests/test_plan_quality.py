@@ -615,3 +615,14 @@ def test_tokenizer_fertility_single_shuffle(spark, sf_dir):
 
     df = tokenizer_fertility(spark, sf_dir)
     assert exchange_count(df) <= 1
+
+
+def test_hll_sketch_never_shuffles_the_key_space(spark, sf_dir):
+    # the whole point of the sketch: state after the first shuffle is
+    # <=512 rows per event_type (registers), never the user_id space;
+    # everything downstream is tiny -> broadcast joins only
+    from chewdata_spark.queries.analytics import hll_distinct_users_md5
+
+    df = hll_distinct_users_md5(spark, sf_dir)
+    assert_no_sort_merge_join(df)
+    assert exchange_count(df) <= 4
