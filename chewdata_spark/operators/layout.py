@@ -1,0 +1,58 @@
+"""Data-layout operators: multi-dimensional clustering keys.
+
+At 100 TB the cheapest query is the one that never reads the file:
+parquet readers prune whole files on column min/max footers, but a
+layout sorted on ONE column leaves every OTHER column's min/max spans
+near-full-domain per file.  A Z-order (Morton) key interleaves the
+bits of several bucketed columns so files are compact in EVERY
+interleaved dimension at once — the device behind Delta/Iceberg
+``OPTIMIZE ZORDER BY`` (public docs) — and writing with
+``df.repartitionByRange(N, zkey).sortWithinPartitions(zkey)`` gives
+each output file a tight z-range.
+
+The key is plain integer arithmetic (shift/and), so the same math is
+replayable in any engine (the DuckDB oracles use ``//``/``%`` forms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: list[Column], bits: int = 8) -> Column:
+    """Morton interleave of ``len(cols)`` already-bucketed integer
+    columns (each in ``[0, 2**bits)``) into one ``bits*len(cols)``-bit
+    sort key.  ``cols[0]`` takes the highest bit position within each
+    interleave group, so it is the (slightly) dominant dimension.
+
+    Bucketing is the caller's job (clamp/scale to the bit width): the
+    key is only as good as the bucket monotonicity.  For 2 cols at 8
+    bits the key fits in 16 bits — an INT column that sorts, range-
+    partitions, and min/max-prunes like any other."""
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
+    terms = []
+    for j, c in enumerate(cols):
+        cl = c.cast("long")
+        for i in range(bits):
+            pos = n * i + (n - 1 - j)
+            terms.append(F.shiftleft(F.shiftright(cl, i).bitwiseAND(F.lit(1)), pos))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("int")
+
+
+def zorder_key_sql(exprs: list[str], bits: int = 8) -> str:
+    """The DuckDB-portable arithmetic twin of :func:`zorder_key` —
+    ``((e // 2^i) % 2) * 2^pos`` summed — so layout decisions made by
+    the Spark side are bit-replayable in the oracle."""
+    n = len(exprs)
+    terms = []
+    for j, e in enumerate(exprs):
+        for i in range(bits):
+            pos = n * i + (n - 1 - j)
+            terms.append(f"((({e}) // {2 ** i}) % 2) * {2 ** pos}")
+    return "(" + " + ".join(terms) + ")"

@@ -871,3 +871,109 @@ FROM dur, (SELECT unnest(generate_series(0, 3)) AS i) i
 
 QUERIES["video_frame_sample_report"] = video_frame_sample_report
 ORACLES["video_frame_sample_report"] = VIDEO_FRAMES_SQL
+
+
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout planner for min/max file pruning: compares writing
+    lineitem into 64 files clustered by ship-date alone vs by a Z-order
+    (Morton) key over (ship-date, partkey) — the decision behind
+    Delta/Iceberg ``OPTIMIZE ZORDER BY``, here as a measurable audit.
+
+    Per candidate layout it reports the average per-file min/max SPAN
+    of each dimension's bucket (exactly what a parquet footer exposes
+    to a reader) and the expected fraction of the 256-bucket domain a
+    file covers: the linear layout prunes date predicates perfectly
+    but leaves partkey spans near-full-domain (every file still read);
+    the z-order layout makes BOTH spans small, so conjunctive /
+    either-dimension predicates skip most files.  One corpus scan, one
+    shuffle at (layout, file) grain — at 100 TB the audit costs one
+    pass and decides terabytes of future scan work.
+
+    File assignment is by fixed key-range (``z >> 10`` / ``date_b div
+    4``), not a global sort: at scale the real write is
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` and this
+    range-split is the same partitioning without the audit needing any
+    sort at all."""
+    from chewdata_spark.operators.layout import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    maxpk = li.agg(F.max("l_partkey").alias("maxpk"))
+    date_b = F.least(
+        F.greatest(
+            F.expr("datediff(l_shipdate, DATE '1992-01-01') div 10"), F.lit(0)
+        ),
+        F.lit(255),
+    ).cast("int")
+    part_b = F.expr("(l_partkey * 256) div (maxpk + 1)").cast("int")
+    bucketed = (
+        li.crossJoin(F.broadcast(maxpk))
+        .select(date_b.alias("date_b"), part_b.alias("part_b"))
+        .select(
+            "date_b",
+            "part_b",
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.lit("linear_date").alias("layout"),
+                        F.expr("date_b div 4").cast("int").alias("file_id"),
+                    ),
+                    F.struct(
+                        F.lit("zorder").alias("layout"),
+                        (
+                            zorder_key([F.col("date_b"), F.col("part_b")], bits=8)
+                            / F.lit(1024)
+                        ).cast("int").alias("file_id"),
+                    ),
+                )
+            ),
+        )
+    )
+    per_file = bucketed.groupBy("layout", "file_id").agg(
+        (F.max("date_b") - F.min("date_b") + 1).alias("span_date"),
+        (F.max("part_b") - F.min("part_b") + 1).alias("span_part"),
+    )
+    return (
+        per_file.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_files"),
+            F.round(F.avg("span_date"), 4).alias("avg_date_span"),
+            F.round(F.avg("span_part"), 4).alias("avg_part_span"),
+            F.round(F.avg("span_date") / 256.0, 4).alias("date_file_frac"),
+            F.round(F.avg("span_part") / 256.0, 4).alias("part_file_frac"),
+        )
+    )
+
+
+def _zorder_audit_sql() -> str:
+    from chewdata_spark.operators.layout import zorder_key_sql
+
+    z = zorder_key_sql(["date_b", "part_b"], bits=8)
+    return f"""
+WITH mx AS (SELECT MAX(l_partkey) AS maxpk FROM lineitem),
+b AS (
+    SELECT LEAST(GREATEST(date_diff('day', DATE '1992-01-01', l_shipdate) // 10, 0), 255) AS date_b,
+           (l_partkey * 256) // (maxpk + 1) AS part_b
+    FROM lineitem, mx
+),
+stacked AS (
+    SELECT 'linear_date' AS layout, date_b // 4 AS file_id, date_b, part_b FROM b
+    UNION ALL
+    SELECT 'zorder' AS layout, {z} // 1024 AS file_id, date_b, part_b FROM b
+),
+per_file AS (
+    SELECT layout, file_id,
+           MAX(date_b) - MIN(date_b) + 1 AS span_date,
+           MAX(part_b) - MIN(part_b) + 1 AS span_part
+    FROM stacked GROUP BY 1, 2
+)
+SELECT layout, CAST(COUNT(*) AS INT) AS n_files,
+       ROUND(AVG(span_date), 4) AS avg_date_span,
+       ROUND(AVG(span_part), 4) AS avg_part_span,
+       ROUND(AVG(span_date) / 256.0, 4) AS date_file_frac,
+       ROUND(AVG(span_part) / 256.0, 4) AS part_file_frac
+FROM per_file GROUP BY 1
+"""
+
+
+QUERIES["zorder_layout_audit"] = zorder_layout_audit
+ORACLES["zorder_layout_audit"] = _zorder_audit_sql()

@@ -617,6 +617,33 @@ def test_tokenizer_fertility_single_shuffle(spark, sf_dir):
     assert exchange_count(df) <= 1
 
 
+def test_zorder_audit_is_one_pass_no_sort(spark, sf_dir):
+    # the audit must not sort anything: file assignment is fixed
+    # key-range arithmetic, so the plan is scan -> inline -> two
+    # hash aggs; a Sort node would mean we accidentally planned the
+    # actual rewrite instead of the audit
+    from chewdata_spark.queries.extra import zorder_layout_audit
+
+    df = zorder_layout_audit(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Sort " not in plan and "SortMergeJoin" not in plan, plan
+    # 2 shuffles (file grain, layout grain) + the 1-row maxpk broadcast
+    assert exchange_count(df) <= 3
+    assert_scan_prunes_to(df, {"l_shipdate", "l_partkey"})
+
+
+def test_zorder_beats_linear_on_the_secondary_dimension(spark, sf_dir):
+    # the reason the operator exists: under the linear layout the
+    # partkey span per file is ~full domain (no pruning possible);
+    # z-order keeps BOTH dimensions under a quarter of the domain
+    from chewdata_spark.queries.extra import zorder_layout_audit
+
+    rows = {r["layout"]: r for r in zorder_layout_audit(spark, sf_dir).collect()}
+    assert rows["linear_date"]["part_file_frac"] > 0.9
+    assert rows["zorder"]["part_file_frac"] < 0.25
+    assert rows["zorder"]["date_file_frac"] < 0.25
+
+
 def test_hll_sketch_never_shuffles_the_key_space(spark, sf_dir):
     # the whole point of the sketch: state after the first shuffle is
     # <=512 rows per event_type (registers), never the user_id space;
