@@ -921,3 +921,51 @@ def doremi_source_weights(
         "mean_logprob",
         F.round(F.col("_raw") / F.col("_tot"), 6).alias("weight"),
     )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a web URL for URL-level dedup — the first
+    dedup stage of a CommonCrawl-style pipeline (one fetch record per
+    logical page before any text is compared; cf. reference's
+    curl-connector URL handling, src/connector/curl.rs, which treats
+    URLs as opaque).  Pure string built-ins, so the identical math
+    replays in the DuckDB oracle:
+
+    - drop the ``#fragment``
+    - lowercase scheme and host (never the path)
+    - strip the scheme's default port (``:443`` https / ``:80`` http)
+      and a leading ``www.``
+    - drop tracking params (``utm_*``, ``fbclid``, ``gclid``), sort
+      the survivors for order-insensitivity
+    - strip trailing slashes; bare authority renders as ``/``
+    """
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1))
+    host = F.when(scheme == "https", F.regexp_replace(host, ":443$", "")).otherwise(
+        F.regexp_replace(host, ":80$", "")
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(u, r"\?(.*)$", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(q, "&"),
+                lambda x: (x != "")
+                & ~x.startswith("utm_")
+                & ~x.startswith("fbclid=")
+                & ~x.startswith("gclid="),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )

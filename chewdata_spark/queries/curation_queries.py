@@ -1666,3 +1666,102 @@ FROM by_lang, tot
 
 QUERIES["temperature_mix_weights"] = temperature_mix_weights
 ORACLES["temperature_mix_weights"] = TEMPERATURE_MIX_SQL
+
+
+def _synth_url() -> "F.Column":
+    """Deterministic messy-URL column for the documents table (the
+    corpus has no URL field, so — like the media queries' synthesized
+    rasters — the fetch URL is derived from doc coins): random-cased
+    scheme, optional www., explicit default port, shared paths
+    (doc_id % 400 → real collisions), tracking params, fragments.
+    The oracle rebuilds the identical string from the same md5 coins."""
+    c = lambda salt: curation.md5_hex16(
+        F.concat_ws("|", F.lit(salt), F.col("doc_id").cast("string"))
+    )
+    return F.concat(
+        F.when(c("us") % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(c("uw") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("cdn-"),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(c("up") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/articles/"),
+        (F.col("doc_id") % 400).cast("string"),
+        F.when(c("ut") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(c("uq") % 3 == 1, F.lit("?utm_source=feed&ref=rss"))
+        .when(c("uq") % 3 == 2, F.lit("?ref=rss&utm_campaign=z"))
+        .otherwise(F.lit("")),
+        F.when(c("uf") % 2 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+
+
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the FIRST dedup stage of a CommonCrawl-style
+    pipeline, before any text comparison: canonicalize every fetch URL
+    (case, www., default ports, tracking params, fragments, trailing
+    slashes) and group identical canonical forms.  Purely projective
+    canonicalization + ONE groupBy shuffle on the canonical string —
+    at 100 TB this collapses re-crawls and link-decoration variants
+    for the cost of an exact-dedup pass, and the canonical form is
+    pure string built-ins so the oracle replays it bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = curation.canonicalize_url(_synth_url())
+    return (
+        docs.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _url_canon_sql() -> str:
+    coin = lambda salt: _hex16_sql(f"md5('{salt}|' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH raw AS (
+    SELECT doc_id,
+           (CASE WHEN ({coin("us")}) % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+           || '://'
+           || (CASE WHEN ({coin("uw")}) % 2 = 0 THEN 'www.' ELSE '' END)
+           || 'cdn-' || source || '.Example.COM'
+           || (CASE WHEN ({coin("up")}) % 3 = 0 THEN ':443' ELSE '' END)
+           || '/articles/' || CAST(doc_id % 400 AS VARCHAR)
+           || (CASE WHEN ({coin("ut")}) % 2 = 0 THEN '/' ELSE '' END)
+           || (CASE WHEN ({coin("uq")}) % 3 = 1 THEN '?utm_source=feed&ref=rss'
+                    WHEN ({coin("uq")}) % 3 = 2 THEN '?ref=rss&utm_campaign=z'
+                    ELSE '' END)
+           || (CASE WHEN ({coin("uf")}) % 2 = 0 THEN '#top' ELSE '' END) AS url
+    FROM documents
+), parts AS (
+    SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+), pieces AS (
+    SELECT doc_id,
+           lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+           lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1)) AS host0,
+           regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+([^?#]*)', 1) AS path0,
+           regexp_extract(u, '\\?(.*)$', 1) AS q
+    FROM parts
+), canon AS (
+    SELECT doc_id,
+           scheme || '://'
+           || regexp_replace(
+                CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                     ELSE regexp_replace(host0, ':80$', '') END,
+                '^www\\.', '') AS sh,
+           CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                ELSE regexp_replace(path0, '/+$', '') END AS path,
+           array_to_string(list_sort(list_filter(string_split(q, '&'),
+               x -> len(x) > 0 AND NOT starts_with(x, 'utm_')
+                    AND NOT starts_with(x, 'fbclid=')
+                    AND NOT starts_with(x, 'gclid='))), '&') AS params
+    FROM pieces
+)
+SELECT sh || path || (CASE WHEN params <> '' THEN '?' || params ELSE '' END) AS canonical_url,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+FROM canon
+GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
+QUERIES["url_canonicalize_dedup"] = url_canonicalize_dedup
+ORACLES["url_canonicalize_dedup"] = _url_canon_sql()

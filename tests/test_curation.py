@@ -357,3 +357,45 @@ def test_packed_sequence_map_covers_every_slot_once(spark):
         frags.sort(key=lambda r: r["doc_offset"])
         assert frags[0]["doc_offset"] == 0
         assert sum(f["length"] for f in frags) == 3 + doc_id % 23
+
+
+class TestCanonicalizeUrl:
+    """Ground-truth cases for the URL canonicalizer — the regex/string
+    math must behave identically to the DuckDB oracle, so pin the
+    semantics on hand-written URLs."""
+
+    CASES = [
+        # (raw, canonical)
+        ("https://www.Site.COM/a/b/", "https://site.com/a/b"),
+        ("HTTPS://site.com:443/a", "https://site.com/a"),
+        ("http://site.com:80/a", "http://site.com/a"),
+        ("https://site.com:8080/a", "https://site.com:8080/a"),  # non-default kept
+        ("https://site.com", "https://site.com/"),
+        ("https://site.com/#frag", "https://site.com/"),
+        ("https://site.com/p?utm_source=x&b=2&a=1", "https://site.com/p?a=1&b=2"),
+        ("https://site.com/p?utm_campaign=x&fbclid=abc&gclid=1", "https://site.com/p"),
+        ("https://site.com/p?", "https://site.com/p"),
+        # path case preserved; query order normalized
+        ("https://WWW.site.com/CaseSensitive?z=1&a=2", "https://site.com/CaseSensitive?a=2&z=1"),
+    ]
+
+    def test_ground_truth(self, spark):
+        from pyspark.sql import functions as F
+
+        from chewdata_spark.operators.curation import canonicalize_url
+
+        df = spark.createDataFrame([(r,) for r, _ in self.CASES], ["url"])
+        got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+        for (raw, want), g in zip(self.CASES, got):
+            assert g == want, (raw, g, want)
+
+    def test_idempotent(self, spark):
+        # canonicalizing a canonical URL is a no-op — required for
+        # incremental pipelines that re-ingest their own output
+        from pyspark.sql import functions as F
+
+        from chewdata_spark.operators.curation import canonicalize_url
+
+        df = spark.createDataFrame([(c,) for _, c in self.CASES], ["url"])
+        got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+        assert got == [c for _, c in self.CASES]
