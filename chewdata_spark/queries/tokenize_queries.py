@@ -289,3 +289,78 @@ GROUP BY t.doc_id
 
 QUERIES["bpe_encode_documents"] = bpe_encode_documents
 ORACLES["bpe_encode_documents"] = BPE_ENCODE_SQL
+
+
+def fim_transform_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle pretraining transform (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    for a deterministic 50% of long-enough documents, split the text
+    into (prefix, middle, suffix) at two coin-picked boundaries and
+    re-emit it in PSM order with sentinel tokens, so a causal LM
+    learns infilling.  Pure projection — no shuffle, no UDF; split
+    points come from the portable md5 coin so the transform (and the
+    emitted audit hash) replays bit-for-bit in DuckDB.  At 100 TB this
+    is a map-only pass that composes with the curate/pack pipeline."""
+    from chewdata_spark.operators.curation import md5_hex16
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = lambda salt: md5_hex16(
+        F.concat_ws("|", F.lit(salt), F.col("doc_id").cast("string"))
+    )
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    ln = F.length(txt)
+    half = F.expr("length(coalesce(text, '')) div 2")
+    applied = (ln >= 40) & (c("f0") % 2 == 0)
+    s1 = F.lit(1) + c("f1") % F.greatest(half, F.lit(1))
+    s2 = half + 1 + c("f2") % (ln - half + 1)
+    prefix = F.substring(txt, F.lit(1), s1 - 1)
+    middle = F.substring(txt, s1, s2 - s1)
+    suffix = F.substring(txt, s2, ln)
+    psm = F.concat(
+        F.lit("<fim_prefix>"), prefix,
+        F.lit("<fim_suffix>"), suffix,
+        F.lit("<fim_middle>"), middle,
+    )
+    return docs.select(
+        "doc_id",
+        applied.cast("int").alias("fim_applied"),
+        F.when(applied, s1 - 1).otherwise(ln).cast("int").alias("prefix_len"),
+        F.when(applied, s2 - s1).otherwise(0).cast("int").alias("middle_len"),
+        F.when(applied, ln - s2 + 1).otherwise(0).cast("int").alias("suffix_len"),
+        F.md5(F.when(applied, psm).otherwise(txt)).alias("out_hash"),
+    )
+
+
+def _fim_sql() -> str:
+    from chewdata_spark.queries.curation_queries import _hex16_sql
+
+    coin = lambda salt: _hex16_sql(f"md5('{salt}|' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH base AS (
+    SELECT doc_id, COALESCE(text, '') AS t,
+           length(COALESCE(text, '')) AS ln,
+           length(COALESCE(text, '')) // 2 AS half
+    FROM documents
+), cuts AS (
+    SELECT doc_id, t, ln,
+           (ln >= 40 AND ({coin("f0")}) % 2 = 0) AS applied,
+           1 + ({coin("f1")}) % GREATEST(half, 1) AS s1,
+           half + 1 + ({coin("f2")}) % (ln - half + 1) AS s2
+    FROM base
+)
+SELECT doc_id,
+       CAST(applied AS INT) AS fim_applied,
+       CAST(CASE WHEN applied THEN s1 - 1 ELSE ln END AS INT) AS prefix_len,
+       CAST(CASE WHEN applied THEN s2 - s1 ELSE 0 END AS INT) AS middle_len,
+       CAST(CASE WHEN applied THEN ln - s2 + 1 ELSE 0 END AS INT) AS suffix_len,
+       md5(CASE WHEN applied
+                THEN '<fim_prefix>' || substr(t, 1, s1 - 1)
+                     || '<fim_suffix>' || substr(t, s2, ln)
+                     || '<fim_middle>' || substr(t, s1, s2 - s1)
+                ELSE t END) AS out_hash
+FROM cuts
+"""
+
+
+QUERIES["fim_transform_documents"] = fim_transform_documents
+ORACLES["fim_transform_documents"] = _fim_sql()

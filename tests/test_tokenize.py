@@ -123,3 +123,32 @@ def test_bpe_matches_python_reference(spark, corpus):
     )
     want = sorted(_ref_bpe(Counter(corpus.lower().split()), 2))
     assert got == want, (got, want)
+
+
+def test_fim_lengths_partition_the_document(spark):
+    # the three segments must tile the doc exactly (no char lost or
+    # duplicated), and untouched docs must hash to their raw text
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.queries.tokenize_queries import fim_transform_documents
+    from chewdata_spark.tables import load_table
+
+    out = fim_transform_documents(spark, "/root/testdata/sf0.001")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id",
+        F.length(F.coalesce("text", F.lit(""))).alias("ln"),
+        F.md5(F.coalesce("text", F.lit(""))).alias("raw_hash"),
+    )
+    j = out.join(docs, "doc_id").collect()
+    assert len(j) == 500
+    n_applied = 0
+    for r in j:
+        assert r.prefix_len + r.middle_len + r.suffix_len == r.ln, r
+        if r.fim_applied:
+            n_applied += 1
+            assert r.middle_len >= 1  # s2 > s1 by construction
+            assert r.out_hash != r.raw_hash
+        else:
+            assert r.out_hash == r.raw_hash
+    # the 50% coin actually engages on this corpus
+    assert 0.3 < n_applied / len(j) < 0.7
