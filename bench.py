@@ -157,6 +157,10 @@ HEADLINE = [
     "contamination_ranked_pairs",
     "media_dhash_dedup",
     "ngram_novelty_probe",
+    "hll_distinct_users_md5",
+    "zorder_layout_audit",
+    "url_canonicalize_dedup",
+    "fim_transform_documents",
 ]
 
 # How many non-headline registry queries get timed per run (rotating
