@@ -583,6 +583,10 @@ def hll_distinct_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_distinct")
     )
+    return _hll_report(est, exact)
+
+
+def _hll_report(est: DataFrame, exact: DataFrame) -> DataFrame:
     return (
         est.withColumnRenamed("key", "event_type")
         .join(exact, "event_type")
@@ -598,6 +602,48 @@ def hll_distinct_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+_STREAM_HLL_RUN = {"n": 0}
+
+
+def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL sketch maintained AS STRUCTURED STREAMING STATE: events
+    arrive as a file stream and the stateful complete-mode aggregation
+    is exactly the mergeable register relation — MAX(rho) per
+    (event_type, register), ≤512 rows of state per key forever,
+    regardless of how many events flow.  This is the live COUNT
+    (DISTINCT) dashboard shape at 100 TB/day: the stream never holds
+    the key space, and estimates fold from state alone.  Because
+    register max is commutative/idempotent, the result is deterministic
+    under any micro-batch arrival order, so the batch HLL oracle
+    (HLL_SQL) checks the streaming runtime bit-for-bit."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path + "*")
+    regs = hll_registers(
+        stream.select("event_type", "user_id"), "event_type", "user_id"
+    )
+    _STREAM_HLL_RUN["n"] += 1
+    name = f"_stream_hll_{_STREAM_HLL_RUN['n']}"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    est = hll_estimate(spark.table(name))
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return _hll_report(est, exact)
 
 
 _HLL_DIGIT = "strpos('0123456789abcdef', substr(w, 1, 1)) - 1"
@@ -644,6 +690,8 @@ FROM est JOIN ex ON ex.event_type = est.event_type
 
 QUERIES["hll_distinct_users_md5"] = hll_distinct_users_md5
 ORACLES["hll_distinct_users_md5"] = HLL_SQL
+QUERIES["stream_hll_distinct_users"] = stream_hll_distinct_users
+ORACLES["stream_hll_distinct_users"] = HLL_SQL
 
 
 def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
