@@ -1765,3 +1765,64 @@ GROUP BY 1 HAVING COUNT(*) >= 2
 
 QUERIES["url_canonicalize_dedup"] = url_canonicalize_dedup
 ORACLES["url_canonicalize_dedup"] = _url_canon_sql()
+
+
+def sft_loss_mask_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning (SFT) loss-mask layout — the chat-data twin
+    of ``packed_sequence_layout``: each document becomes a 2–4-turn
+    conversation (deterministic coin), turns alternate user/assistant,
+    and the layout emits where each turn's CONTENT tokens land in the
+    rendered sequence (role marker + content + end marker per turn)
+    plus how many of them receive loss (assistant content only — the
+    mask an SFT loader needs so prompt tokens never train).  Everything
+    is token-count arithmetic over one projection + a bounded ≤4-row
+    explode: no shuffle at all, and the oracle replays the layout from
+    the same integer math."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+    k = (
+        F.lit(2)
+        + curation.md5_hex16(
+            F.concat_ws("|", F.lit("turns"), F.col("doc_id").cast("string"))
+        )
+        % 3
+    )
+    base = docs.select("doc_id", n.alias("n"), k.alias("k"))
+    i = F.col("i")
+    seg = F.expr("((i + 1) * n) div k - (i * n) div k")
+    return base.select(
+        "doc_id",
+        "n",
+        "k",
+        F.posexplode(F.sequence(F.lit(0), F.col("k") - 1)).alias("_p", "i"),
+    ).select(
+        "doc_id",
+        i.cast("int").alias("turn_idx"),
+        F.when(i % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")).alias("role"),
+        (F.lit(2) * i + F.expr("(i * n) div k") + 1).cast("int").alias("content_start"),
+        seg.cast("int").alias("content_len"),
+        F.when(i % 2 == 1, seg).otherwise(F.lit(0)).cast("int").alias("loss_tokens"),
+    )
+
+
+SFT_LOSS_MASK_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           len(string_split_regex(trim(COALESCE(text, '')), '\\s+')) AS n,
+           2 + ({_hex16_sql("md5('turns|' || CAST(doc_id AS VARCHAR))")}) % 3 AS k
+    FROM documents
+), turns AS (
+    SELECT doc_id, n, k, unnest(generate_series(0, k - 1)) AS i FROM base
+)
+SELECT doc_id,
+       CAST(i AS INT) AS turn_idx,
+       CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       CAST(2 * i + (i * n) // k + 1 AS INT) AS content_start,
+       CAST(((i + 1) * n) // k - (i * n) // k AS INT) AS content_len,
+       CAST(CASE WHEN i % 2 = 1 THEN ((i + 1) * n) // k - (i * n) // k
+                 ELSE 0 END AS INT) AS loss_tokens
+FROM turns
+"""
+
+QUERIES["sft_loss_mask_layout"] = sft_loss_mask_layout
+ORACLES["sft_loss_mask_layout"] = SFT_LOSS_MASK_SQL

@@ -399,3 +399,38 @@ class TestCanonicalizeUrl:
         df = spark.createDataFrame([(c,) for _, c in self.CASES], ["url"])
         got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
         assert got == [c for _, c in self.CASES]
+
+
+def test_sft_loss_mask_tiles_and_masks(spark):
+    # turns must tile the doc's tokens exactly, each turn's content
+    # sits between its role marker and end marker (gap of exactly 2
+    # template tokens between consecutive contents), and loss lands
+    # only on assistant content
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.queries.curation_queries import sft_loss_mask_layout
+    from chewdata_spark.tables import load_table
+
+    rows = sft_loss_mask_layout(spark, "/root/testdata/sf0.001").collect()
+    n_by_doc = {
+        r.doc_id: r.n
+        for r in load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+")).alias("n"),
+        )
+        .collect()
+    }
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, turns in per_doc.items():
+        turns.sort(key=lambda r: r.turn_idx)
+        assert 2 <= len(turns) <= 4
+        assert sum(t.content_len for t in turns) == n_by_doc[doc_id]
+        at = 1  # position 0 is the first role marker
+        for t in turns:
+            assert t.content_start == at, (doc_id, t)
+            at += t.content_len + 2  # end marker + next role marker
+            assert t.role == ("user" if t.turn_idx % 2 == 0 else "assistant")
+            assert t.loss_tokens == (t.content_len if t.role == "assistant" else 0)
