@@ -909,3 +909,144 @@ def abtt_debias(
             ).alias("debiased"),
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    centroid_stride: int = 50,
+    nprobe: int = 4,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF-PQ with asymmetric distance computation (ADC, Jégou et al.
+    PAMI'11) — the composition every billion-scale ANN index runs:
+    IVF routes each query to ``nprobe`` clusters, the probed corpus is
+    scored against PQ CODES (m bytes per vector) instead of raw floats,
+    and scoring is a lookup-table sum — the query builds one small
+    distance table (m × codebook) and never touches corpus floats.
+
+    ``rerank=R`` adds the standard refine stage (Faiss
+    ``IndexRefineFlat``): the ADC shortlist of R candidates per query
+    re-scores with exact L2 on raw vectors — floats are fetched for
+    R·|queries| rows only, never the corpus — and the top-k comes from
+    the exact distances.  This recovers most of the PQ coding loss for
+    one shortlist-sized join.
+
+    Scale shape: the codes relation IS the index (m bytes/vector, ~64×
+    smaller than raw); the only corpus-sized operations are the two
+    zero-shuffle Arrow passes that build it (assignment + coding) and
+    one vec_id-grain join of the PROBED subset against its codes.  The
+    distance table is queries × m × C rows — broadcast — so ADC is a
+    broadcast-join + integer SUM, exact in any engine: per-entry d2
+    rounds to 6 dp then scales to BIGINT micro-units, making the
+    8-term ADC sum order-independent (integer) and the oracle replay
+    bit-for-bit.
+
+    Returns (qid, vec_id, adc_d2, rank) — rank by (adc_d2 asc, vec_id
+    asc).  Approximate by construction: recall floor vs exact L2 is
+    asserted in tests/test_similarity.py."""
+    first = corpus.select(vec_col).first()
+    if first is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "qid long, vec_id long, adc_d2 double, rank int"
+        )
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    assigned, centroids = assign_ivf_clusters(
+        corpus, id_col=id_col, vec_col=vec_col, centroid_stride=centroid_stride
+    )
+    codes = pq_codes(corpus, id_col=id_col, vec_col=vec_col, m=m,
+                     centroid_stride=centroid_stride)
+    cents = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    # IVF probe: top-nprobe clusters per query by 6-dp cosine, lowest
+    # cid wins ties (identical to ivf_topk's routing)
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("sim").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= nprobe)
+        .select("qid", F.col("cid").alias("cluster"))
+    )
+    # ADC distance table: (qid, subspace, cid) -> integer micro-units
+    subspace = F.posexplode(F.sequence(F.lit(0), F.lit(m - 1)))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.expr(f"slice(qvec, subspace * {sub} + 1, {sub})"),
+            F.expr(f"slice(cvec, subspace * {sub} + 1, {sub})"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dtab = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "cid", "qvec", "cvec", subspace.alias("_p", "subspace"))
+        .select(
+            "qid",
+            "subspace",
+            "cid",
+            F.round(F.round(d2, 6) * 1000000.0, 0).cast("bigint").alias("micro"),
+        )
+    )
+    probed = assigned.join(probes, "cluster").filter(
+        F.col("vec_id") != F.col("qid")
+    ).select("qid", "vec_id")
+    adc = (
+        probed.join(codes, "vec_id")
+        .join(
+            F.broadcast(dtab.withColumnRenamed("cid", "code")),
+            ["qid", "subspace", "code"],
+        )
+        .groupBy("qid", "vec_id")
+        .agg((F.sum("micro") / 1000000.0).alias("adc_d2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    if rerank is None:
+        return (
+            adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "vec_id", F.round("adc_d2", 6).alias("adc_d2"), "rank")
+        )
+    shortlist = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("qid", "vec_id")
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    exact_d2 = F.aggregate(
+        F.zip_with("qvec", "vec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rescored = (
+        shortlist.join(vecs, "vec_id")
+        .join(q, "qid")
+        .select("qid", "vec_id", F.round(exact_d2, 6).alias("adc_d2"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "adc_d2", "rank")
+    )

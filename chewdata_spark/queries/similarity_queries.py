@@ -786,3 +786,115 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM withn) AS n_vecs,
 
 QUERIES["embedding_anisotropy_report"] = embedding_anisotropy_report
 ORACLES["embedding_anisotropy_report"] = ANISOTROPY_SQL
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC top-k — the billion-scale ANN composition (IVF
+    routing + product-quantized codes + asymmetric distance lookup
+    tables); operators/similarity.py::ivfpq_topk.  Fully oracle-backed:
+    routing and coding reuse the deterministic 6-dp/lowest-cid devices
+    of ann_ivf_topk and pq_code_embeddings, and the ADC sum is integer
+    micro-units, so DuckDB replays the whole index bit-for-bit.  Runs
+    with the standard refine stage (ADC top-100 shortlist → exact L2
+    re-rank), which recovers the PQ coding loss up to the routing
+    ceiling (recall floor pinned in tests/test_dedup_recall.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.ivfpq_topk(
+        emb, queries, k=TOPK, m=8, centroid_stride=50, nprobe=4, rerank=100
+    )
+
+
+ANN_IVFPQ_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+asg AS (
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND({_COS.format(a='e.v', b='c.cv')}, 6) DESC,
+                            c.cid ASC) AS rk
+        FROM e, cent c
+    ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERY_VECS}),
+probes AS (
+    SELECT qid, cid AS cluster FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND({_COS.format(a='q.qv', b='c.cv')}, 6) DESC,
+                            c.cid ASC) AS rk
+        FROM q, cent c
+    ) WHERE rk <= 4
+),
+dims AS (
+    SELECT vec_id,
+           CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+meta AS (SELECT MAX(dim) + 1 AS d FROM dims),
+sub AS (
+    SELECT vec_id, CAST(dim // (d // 8) AS INT) AS subspace, dim, x
+    FROM dims, meta
+),
+scent AS (SELECT vec_id AS cid, subspace, dim, x AS cx FROM sub WHERE vec_id % 50 = 0),
+cd2 AS (
+    SELECT s.vec_id, s.subspace, c.cid,
+           ROUND(SUM((s.x - c.cx) * (s.x - c.cx)), 6) AS dist
+    FROM sub s JOIN scent c ON s.dim = c.dim
+    GROUP BY 1, 2, 3
+),
+codes AS (
+    SELECT vec_id, subspace, cid AS code FROM (
+        SELECT vec_id, subspace, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY dist, cid) AS rk
+        FROM cd2
+    ) WHERE rk = 1
+),
+dtab AS (
+    SELECT vec_id AS qid, subspace, cid,
+           CAST(ROUND(dist * 1000000.0, 0) AS BIGINT) AS micro
+    FROM cd2 WHERE vec_id < {N_QUERY_VECS}
+),
+probed AS (
+    SELECT p.qid, a.vec_id
+    FROM probes p JOIN asg a USING (cluster)
+    WHERE a.vec_id <> p.qid
+),
+adc AS (
+    SELECT pr.qid, pr.vec_id, SUM(dt.micro) / 1000000.0 AS adc_d2
+    FROM probed pr
+    JOIN codes co ON co.vec_id = pr.vec_id
+    JOIN dtab dt ON dt.qid = pr.qid AND dt.subspace = co.subspace
+                AND dt.cid = co.code
+    GROUP BY 1, 2
+),
+short AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc_d2 ASC, vec_id ASC) AS rk
+        FROM adc
+    ) WHERE rk <= 100
+),
+rescored AS (
+    SELECT sh.qid, sh.vec_id,
+           ROUND(SUM((qs.x - vs.x) * (qs.x - vs.x)), 6) AS adc_d2
+    FROM short sh
+    JOIN dims qs ON qs.vec_id = sh.qid
+    JOIN dims vs ON vs.vec_id = sh.vec_id AND vs.dim = qs.dim
+    GROUP BY 1, 2
+)
+SELECT qid, vec_id, adc_d2, CAST(rk AS INT) AS rank FROM (
+    SELECT qid, vec_id, adc_d2,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2 ASC, vec_id ASC) AS rk
+    FROM rescored
+) WHERE rk <= {TOPK}
+"""
+
+QUERIES["ann_ivfpq_topk"] = ann_ivfpq_topk
+ORACLES["ann_ivfpq_topk"] = ANN_IVFPQ_SQL

@@ -271,3 +271,45 @@ def test_simhash_degenerate_corpus_does_not_false_positive(spark):
     # bits=32 is the CORRECT width for simhash_portable — must not raise
     out = dedup.simhash_candidate_pairs(fps, bands=2, max_hamming=1, bits=32)
     assert out.count() > 0
+
+
+def test_ivfpq_topk_recall_vs_exact_l2(spark, emb):
+    """IVF-PQ's ADC ranks by approximate L2, so its ground truth is the
+    exact L2 top-k over the SAME probed universe the routing allows.
+    Against the full exact L2 top-10 (no routing, raw floats) the
+    compressed index must still recover a solid fraction — the
+    PQ-distortion + routing loss stays bounded on this corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = queries.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    exact = {
+        (r.qid, r.vec_id)
+        for r in q.crossJoin(e)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("d2", F.round(d2, 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .collect()
+    }
+    approx = {
+        (r.qid, r.vec_id)
+        for r in similarity.ivfpq_topk(
+            emb, queries, k=10, m=8, centroid_stride=50, nprobe=4, rerank=100
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 0.64 observed; routing (4/~80 clusters probed, cosine routing vs
+    # L2 truth) caps at 0.68 on this near-random corpus — the refine
+    # stage recovers nearly all PQ coding loss
+    assert recall >= 0.55, f"IVF-PQ refined recall {recall:.2f} < 0.55"
