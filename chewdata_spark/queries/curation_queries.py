@@ -1826,3 +1826,82 @@ FROM turns
 
 QUERIES["sft_loss_mask_layout"] = sft_loss_mask_layout
 ORACLES["sft_loss_mask_layout"] = SFT_LOSS_MASK_SQL
+
+
+def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF training: documents
+    sharing a prompt bucket (doc_id % 125 — the deterministic stand-in
+    for "responses to the same prompt") pair up as (chosen, rejected)
+    by quality-classifier score — highest vs lowest scorer per bucket,
+    lower doc_id breaking ties, margin = score gap.  One classifier
+    inference pass (broadcast weights, no ML lib) + two bounded
+    windows over ~4-row prompt partitions; the oracle replays the
+    whole construction from the shared classifier CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = curation.synthetic_classifier_weights(spark, dim=256, salt="qw")
+    scored = curation.hashed_classifier_score(docs, "doc_id", "text", w, dim=256)
+    scored = scored.select(
+        (F.col("doc_id") % 125).alias("prompt_id"), "doc_id", "clf_score"
+    )
+    from pyspark.sql.window import Window
+
+    w_hi = Window.partitionBy("prompt_id").orderBy(
+        F.col("clf_score").desc(), F.col("doc_id").asc()
+    )
+    w_lo = Window.partitionBy("prompt_id").orderBy(
+        F.col("clf_score").asc(), F.col("doc_id").asc()
+    )
+    ranked = scored.select(
+        "prompt_id",
+        "doc_id",
+        "clf_score",
+        F.row_number().over(w_hi).alias("rk_hi"),
+        F.row_number().over(w_lo).alias("rk_lo"),
+    )
+    chosen = ranked.filter(F.col("rk_hi") == 1).select(
+        "prompt_id",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("clf_score").alias("chosen_score"),
+    )
+    rejected = ranked.filter(F.col("rk_lo") == 1).select(
+        "prompt_id",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("clf_score").alias("rejected_score"),
+    )
+    return (
+        chosen.join(rejected, "prompt_id")
+        .filter(F.col("chosen_doc") != F.col("rejected_doc"))
+        .select(
+            "prompt_id",
+            "chosen_doc",
+            "chosen_score",
+            "rejected_doc",
+            "rejected_score",
+            F.round(F.col("chosen_score") - F.col("rejected_score"), 6).alias("margin"),
+        )
+    )
+
+
+DPO_PAIRS_SQL = f"""
+WITH clf AS (
+    SELECT * FROM ({CLASSIFIER_SQL}) t
+), scored AS (
+    SELECT doc_id % 125 AS prompt_id, doc_id, clf_score FROM clf
+), ranked AS (
+    SELECT prompt_id, doc_id, clf_score,
+           ROW_NUMBER() OVER (PARTITION BY prompt_id
+                              ORDER BY clf_score DESC, doc_id ASC) AS rk_hi,
+           ROW_NUMBER() OVER (PARTITION BY prompt_id
+                              ORDER BY clf_score ASC, doc_id ASC) AS rk_lo
+    FROM scored
+)
+SELECT c.prompt_id,
+       c.doc_id AS chosen_doc, c.clf_score AS chosen_score,
+       r.doc_id AS rejected_doc, r.clf_score AS rejected_score,
+       ROUND(c.clf_score - r.clf_score, 6) AS margin
+FROM ranked c JOIN ranked r ON r.prompt_id = c.prompt_id
+WHERE c.rk_hi = 1 AND r.rk_lo = 1 AND c.doc_id <> r.doc_id
+"""
+
+QUERIES["dpo_preference_pairs"] = dpo_preference_pairs
+ORACLES["dpo_preference_pairs"] = DPO_PAIRS_SQL
