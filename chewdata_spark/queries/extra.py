@@ -977,3 +977,93 @@ FROM per_file GROUP BY 1
 
 QUERIES["zorder_layout_audit"] = zorder_layout_audit
 ORACLES["zorder_layout_audit"] = _zorder_audit_sql()
+
+
+def shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight shuffle-skew audit — the diagnostic an operator runs
+    BEFORE keying a 100 TB shuffle: for each candidate shuffle key it
+    reports key cardinality, the hottest key's share, the top-10
+    concentration, and an integer salt recommendation
+    (ceil(max_cnt / avg_cnt), capped at 32) that feeds directly into
+    salted_sum_count / salted_join.  events.user_id (uniform) vs
+    events.event_type (5 keys — pathological) bracket the spectrum.
+    Per key: one count aggregation; the top-10 probe is
+    TakeOrdered-shaped (sort bounded to 10 rows), never a full-key
+    window.  All integer/ratio arithmetic — the oracle replays it."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def audit(key: str) -> DataFrame:
+        cnt = ev.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        summary = cnt.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("total_rows"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        top10 = (
+            cnt.orderBy(F.col("cnt").desc(), F.col(key).asc())
+            .limit(10)
+            .agg(F.sum("cnt").alias("top10_rows"))
+        )
+        return (
+            summary.crossJoin(top10)
+            .select(
+                F.lit(key).alias("key_col"),
+                "n_keys",
+                "total_rows",
+                "max_cnt",
+                F.round(F.col("max_cnt") / F.col("total_rows"), 6).alias("max_share"),
+                F.round(F.col("top10_rows") / F.col("total_rows"), 6).alias(
+                    "top10_share"
+                ),
+                F.round(
+                    F.col("max_cnt") * F.col("n_keys") / F.col("total_rows"), 4
+                ).alias("skew_ratio"),
+                F.least(
+                    F.lit(32),
+                    F.greatest(
+                        F.lit(1),
+                        F.expr("(max_cnt * n_keys + total_rows - 1) div total_rows"),
+                        F.expr("(32 + n_keys - 1) div n_keys"),
+                    ),
+                ).cast("int").alias("recommended_salts"),
+            )
+        )
+
+    return audit("user_id").unionByName(audit("event_type"))
+
+
+def _skew_audit_sql() -> str:
+    def one(key: str) -> str:
+        return f"""
+SELECT '{key}' AS key_col, n_keys, total_rows, max_cnt,
+       ROUND(max_cnt * 1.0 / total_rows, 6) AS max_share,
+       ROUND(top10_rows * 1.0 / total_rows, 6) AS top10_share,
+       ROUND(max_cnt * n_keys * 1.0 / total_rows, 4) AS skew_ratio,
+       CAST(LEAST(32, GREATEST(1, (max_cnt * n_keys + total_rows - 1) // total_rows,
+                  (32 + n_keys - 1) // n_keys)) AS INT)
+           AS recommended_salts
+FROM (
+    SELECT COUNT(*) AS n_keys, SUM(cnt) AS total_rows, MAX(cnt) AS max_cnt
+    FROM (SELECT {key}, COUNT(*) AS cnt FROM events GROUP BY 1)
+) s, (
+    SELECT SUM(cnt) AS top10_rows FROM (
+        SELECT COUNT(*) AS cnt FROM events GROUP BY {key}
+        ORDER BY cnt DESC, {key} ASC LIMIT 10
+    )
+) t
+"""
+
+    return (
+        "SELECT key_col, CAST(n_keys AS BIGINT) AS n_keys,"
+        " CAST(total_rows AS BIGINT) AS total_rows,"
+        " CAST(max_cnt AS BIGINT) AS max_cnt, max_share, top10_share,"
+        " skew_ratio, recommended_salts FROM ("
+        + one("user_id")
+        + " UNION ALL "
+        + one("event_type")
+        + ")"
+    )
+
+
+QUERIES["shuffle_skew_audit"] = shuffle_skew_audit
+ORACLES["shuffle_skew_audit"] = _skew_audit_sql()
