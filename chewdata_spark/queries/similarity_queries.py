@@ -898,3 +898,63 @@ SELECT qid, vec_id, adc_d2, CAST(rk AS INT) AS rank FROM (
 
 QUERIES["ann_ivfpq_topk"] = ann_ivfpq_topk
 ORACLES["ann_ivfpq_topk"] = ANN_IVFPQ_SQL
+
+
+def split_embedding_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic split-leakage audit — the embedding-space twin of the
+    token-level `split_leakage_audit`: after an 80/20 md5-coin split,
+    find every (test, train) pair that is a semantic near-duplicate
+    (cosine ≥ 0.4), i.e. eval examples whose answer effectively sits in
+    the training set.  Pair discovery is the sub-quadratic clustered
+    path (IVF blocking, multi-probe, per-cluster verify — never
+    test × train), then one split-tag join orients pairs as
+    (test_vec, train_vec).  Fully oracle-backed via the same 6-dp
+    assignment device as embedding_near_dup_clustered."""
+    from chewdata_spark.operators.curation import md5_hex16
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.4, centroid_stride=100, nprobe=6
+    )
+    split = emb.select(
+        "vec_id",
+        (md5_hex16(F.concat_ws("|", F.lit("sp"), F.col("vec_id").cast("string"))) % 10
+         < 8).alias("is_train"),
+    )
+    a = split.select(F.col("vec_id").alias("id_a"), F.col("is_train").alias("tr_a"))
+    b = split.select(F.col("vec_id").alias("id_b"), F.col("is_train").alias("tr_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("tr_a") != F.col("tr_b"))
+        .select(
+            F.when(F.col("tr_a"), F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "test_vec"
+            ),
+            F.when(F.col("tr_a"), F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "train_vec"
+            ),
+            "sim",
+        )
+    )
+
+
+def _split_leak_sql() -> str:
+    from chewdata_spark.queries.curation_queries import _hex16_sql
+
+    coin = _hex16_sql("md5('sp|' || CAST(vec_id AS VARCHAR))")
+    return f"""
+WITH pairs AS ({NEAR_DUP_CLUSTERED_SQL}),
+split AS (SELECT vec_id, ({coin}) % 10 < 8 AS is_train FROM embeddings)
+SELECT CASE WHEN sa.is_train THEN p.id_b ELSE p.id_a END AS test_vec,
+       CASE WHEN sa.is_train THEN p.id_a ELSE p.id_b END AS train_vec,
+       p.sim
+FROM pairs p
+JOIN split sa ON sa.vec_id = p.id_a
+JOIN split sb ON sb.vec_id = p.id_b
+WHERE sa.is_train <> sb.is_train
+"""
+
+
+QUERIES["split_embedding_leakage"] = split_embedding_leakage
+ORACLES["split_embedding_leakage"] = _split_leak_sql()
