@@ -925,3 +925,64 @@ def incremental_ingest_dedup(
         F.round(inter / union, 6) >= jaccard_threshold
     ).select(F.col("new_id").alias(id_col)).distinct()
     return exact_survivors.join(confirmed, id_col, "left_anti")
+
+
+def cdc_chunks(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    gram: int = 4,
+    modulus: int = 32,
+) -> "DataFrame":
+    """Content-defined chunking (the rolling-hash boundary device of
+    LBFS/restic/Borg, at word grain): a boundary falls after any token
+    whose trailing ``gram``-token window hashes to 0 mod ``modulus``
+    (expected chunk ≈ ``modulus`` tokens).  Boundaries move WITH the
+    content, so an insertion near the start re-aligns and every later
+    chunk still carries the same hash — the property fixed-size
+    blocking loses (pinned in tests/test_span_winnowing.py).
+
+    Returns (doc_id, chunk_id, chash, n_toks).  Plan: token explode →
+    per-doc lag window (partitions bounded by document length) → one
+    chunk-grain groupBy; the md5 coin and ordered join make the chunk
+    relation engine-portable."""
+    from pyspark.sql.window import Window
+
+    from chewdata_spark.operators.curation import md5_hex16
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lags = [F.lag("tok", j).over(w) for j in range(gram - 1, 0, -1)]
+    gram_str = F.concat_ws(" ", *lags, F.col("tok"))
+    boundary = (
+        (F.col("pos") >= gram - 1) & (md5_hex16(gram_str) % modulus == 0)
+    ).cast("int")
+    w_prev = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    chunked = toks.select(
+        "doc_id", "pos", "tok", boundary.alias("b")
+    ).select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum("b").over(w_prev), F.lit(0)).alias("chunk_id"),
+    )
+    return chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x.tok,
+                ),
+                " ",
+            )
+        ).alias("chash"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )

@@ -1227,3 +1227,75 @@ FROM (
 
 QUERIES["contamination_ranked_pairs"] = contamination_ranked_pairs
 ORACLES["contamination_ranked_pairs"] = CONTAMINATION_RANKED_SQL
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the rolling-hash device behind
+    restic/Borg/LBFS, at word grain): a chunk boundary falls after any
+    token whose trailing 4-gram hashes to 0 mod 32 — boundaries move
+    WITH the content, so an insertion early in a document re-aligns and
+    every later chunk still dedups (fixed-size blocks would all shift).
+    Reports the storage-dedup summary: total vs distinct chunks and the
+    token volume a chunk-store would save.
+
+    Plan: token explode → per-doc lag window (partitions bounded by
+    document length) → one groupBy to chunk grain → one groupBy on the
+    chunk hash.  The md5 boundary coin and the ordered string_agg are
+    engine-portable, so DuckDB replays chunking bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = dedup.cdc_chunks(docs, "doc_id", "text", gram=4, modulus=32)
+    by_hash = chunks.groupBy("chash").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("n_toks").alias("n_toks")
+    )
+    return by_hash.agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.sum("cnt") - F.count(F.lit(1))).alias("dup_chunks"),
+        F.round(
+            (F.sum("cnt") - F.count(F.lit(1))) / F.sum("cnt"), 6
+        ).alias("dup_share"),
+        F.sum(F.col("cnt") * F.col("n_toks")).alias("tokens_total"),
+        F.sum((F.col("cnt") - 1) * F.col("n_toks")).alias("tokens_dedupable"),
+    )
+
+
+CDC_CHUNK_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(COALESCE(text, '')), '\\s+') AS arr
+    FROM documents
+), marked AS (
+    SELECT doc_id, i - 1 AS pos, arr[i] AS tok,
+           CASE WHEN i >= 4
+                     AND ((strpos('0123456789abcdef', substr(md5(array_to_string(list_slice(arr, i - 3, i), ' ')), 1, 1)) - 1) * 4096
+                          + (strpos('0123456789abcdef', substr(md5(array_to_string(list_slice(arr, i - 3, i), ' ')), 2, 1)) - 1) * 256
+                          + (strpos('0123456789abcdef', substr(md5(array_to_string(list_slice(arr, i - 3, i), ' ')), 3, 1)) - 1) * 16
+                          + strpos('0123456789abcdef', substr(md5(array_to_string(list_slice(arr, i - 3, i), ' ')), 4, 1)) - 1) % 32 = 0
+                THEN 1 ELSE 0 END AS b
+    FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM toks)
+), chunked AS (
+    SELECT doc_id, pos, tok,
+           COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS chunk_id
+    FROM marked
+), chunks AS (
+    SELECT doc_id, chunk_id,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS chash,
+           COUNT(*) AS n_toks
+    FROM chunked GROUP BY 1, 2
+), by_hash AS (
+    SELECT chash, COUNT(*) AS cnt, MIN(n_toks) AS n_toks FROM chunks GROUP BY 1
+)
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS dup_chunks,
+       ROUND((SUM(cnt) - COUNT(*)) * 1.0 / SUM(cnt), 6) AS dup_share,
+       CAST(SUM(cnt * n_toks) AS BIGINT) AS tokens_total,
+       CAST(SUM((cnt - 1) * n_toks) AS BIGINT) AS tokens_dedupable
+FROM by_hash
+"""
+
+QUERIES["cdc_chunk_dedup"] = cdc_chunk_dedup
+ORACLES["cdc_chunk_dedup"] = CDC_CHUNK_SQL

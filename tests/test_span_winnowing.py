@@ -212,3 +212,25 @@ def test_incremental_ingest_drops_exact_and_near_dups(spark):
         for r in incremental_ingest_dedup(new, seen, "doc_id", "text").collect()
     )
     assert kept == again
+
+
+def test_cdc_chunking_is_shift_resistant(spark):
+    """The reason CDC exists: prepending tokens re-aligns at the next
+    content-defined boundary, so all downstream chunks keep their
+    hashes; fixed-size blocks would all shift and nothing would dedup."""
+    from chewdata_spark.operators.dedup import cdc_chunks
+
+    base = " ".join(f"tok{i * 7 % 97}x{i}" for i in range(400))
+    shifted = "zz qq " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    chunks = cdc_chunks(df, "doc_id", "text").collect()
+    h1 = {r.chash for r in chunks if r.doc_id == 1}
+    h2 = {r.chash for r in chunks if r.doc_id == 2}
+    assert len(h1) > 5, "corpus too short to form chunks — bad test setup"
+    shared = len(h1 & h2) / len(h1)
+    # everything after the first re-aligned boundary dedups
+    assert shared >= 0.8, f"CDC shift resistance broken: {shared:.2f} shared"
+    # sanity: the first chunk (containing the insertion) differs
+    assert h1 != h2
