@@ -87,3 +87,62 @@ def test_profile_operator(spark):
     assert rows["tag"].n_nonnull == 2 and rows["tag"].n_distinct == 1
     assert abs(rows["tag"].null_rate - 0.3333) < 1e-9
     assert rows["tag"].min_str == "a" and rows["id"].max_str == "3"
+
+
+def test_write_zorder_footers_prune_both_dims(spark, sf_dir, tmp_path):
+    """End-to-end layout proof: write lineitem z-ordered on
+    (date bucket, part bucket) and read the REAL parquet footers back —
+    per-file min/max spans must be tight on BOTH dimensions, while a
+    date-sorted write leaves the part dimension near-full-domain."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators.layout import write_zorder, zorder_key
+    from chewdata_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    maxpk = li.agg(F.max("l_partkey")).first()[0]
+    base = li.select(
+        F.least(
+            F.greatest(
+                F.expr("datediff(l_shipdate, DATE '1992-01-01') div 10"), F.lit(0)
+            ),
+            F.lit(255),
+        ).cast("int").alias("date_b"),
+        F.expr(f"(l_partkey * 256) div ({maxpk} + 1)").cast("int").alias("part_b"),
+    )
+    zpath = str(tmp_path / "z")
+    dpath = str(tmp_path / "d")
+    write_zorder(
+        base, zpath, zorder_key([F.col("date_b"), F.col("part_b")]), num_files=8
+    )
+    base.repartitionByRange(8, "date_b").sortWithinPartitions("date_b").write.mode(
+        "overwrite"
+    ).parquet(dpath)
+
+    def avg_span(path, col):
+        import glob
+
+        spans = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.read_metadata(f)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            if los:
+                spans.append(max(his) - min(los) + 1)
+        assert spans, f"no footer stats for {col} under {path}"
+        return sum(spans) / len(spans)
+
+    # 8 z-range files tile the 2-D space: each dim span ~256/sqrt(8)=90;
+    # the date-sorted layout gets date ~256/8=32 but leaves part at full domain
+    assert avg_span(zpath, "date_b") < 128
+    assert avg_span(dpath, "date_b") < 64
+    z_part = avg_span(zpath, "part_b")
+    d_part = avg_span(dpath, "part_b")
+    assert d_part > 200, f"date-sorted part span unexpectedly tight: {d_part}"
+    assert z_part < 128 and z_part < d_part / 2, (z_part, d_part)
