@@ -629,3 +629,54 @@ GROUP BY lang
 
 QUERIES["tokenizer_fertility"] = tokenizer_fertility
 ORACLES["tokenizer_fertility"] = TOKENIZER_FERTILITY_SQL
+
+
+def char_entropy_junk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy junk detector — the quality-family member that
+    catches what length/stopword ratios can't: binary blobs, mojibake
+    and key-mash runs score LOW entropy (few distinct bytes dominate)
+    or pathologically HIGH (uniform noise), while natural language sits
+    in a band.  H = log2(n) - sum(cnt*log2(cnt))/n over per-character
+    counts — one algebraic aggregate, so the only shuffle is to
+    (doc_id, char) grain with map-side partials (alphabet-bounded
+    state), then doc grain.  Flags docs outside [2.5, 5.5] bits."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.log2("cnt")).alias("s"),
+    )
+    h = F.round(F.log2("n") - F.col("s") / F.col("n"), 4)
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_chars"),
+        h.alias("char_entropy"),
+        ((h < 2.5) | (h > 5.5)).cast("int").alias("junk_flag"),
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH chars AS (
+    SELECT doc_id, c AS ch
+    FROM documents, unnest(string_split(COALESCE(text, ''), '')) AS t(c)
+    WHERE c <> ''
+), counts AS (
+    SELECT doc_id, ch, COUNT(*) AS cnt FROM chars GROUP BY 1, 2
+), agg AS (
+    SELECT doc_id, SUM(cnt) AS n, SUM(cnt * log2(cnt)) AS s
+    FROM counts GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_chars,
+       ROUND(log2(n) - s / n, 4) AS char_entropy,
+       CAST(ROUND(log2(n) - s / n, 4) < 2.5
+            OR ROUND(log2(n) - s / n, 4) > 5.5 AS INT) AS junk_flag
+FROM agg
+"""
+
+QUERIES["char_entropy_junk_filter"] = char_entropy_junk_filter
+ORACLES["char_entropy_junk_filter"] = CHAR_ENTROPY_SQL

@@ -126,3 +126,37 @@ def test_segment_sentences_indices_and_trailing(spark):
     # a punctuation-only doc yields no sentences after trimming... the
     # regex captures '...' as a trailing-terminator run with no words
     assert 3 not in out or all(s != "" for _, s, _ in out[3])
+
+
+def test_char_entropy_flags_junk_not_language(spark):
+    # key-mash (1 char), uniform noise (high), and English must land
+    # low / high / in-band respectively
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators import curation  # noqa: F401  (import parity)
+    from chewdata_spark.queries.text_queries import CHAR_ENTROPY_SQL  # noqa: F401
+
+    import string
+
+    rows = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+        (2, "".join(string.printable[i % 94] for i in range(500))),
+        (3, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chars = df.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"), F.sum(F.col("cnt") * F.log2("cnt")).alias("s")
+    )
+    h = {
+        r.doc_id: r.h
+        for r in agg.select(
+            "doc_id", (F.log2("n") - F.col("s") / F.col("n")).alias("h")
+        ).collect()
+    }
+    assert h[1] < 0.1          # single repeated char: ~0 bits
+    assert h[2] > 6.0          # uniform over 94 printables: ~6.55 bits
+    assert 3.0 < h[3] < 4.5    # English text band
