@@ -161,6 +161,12 @@ HEADLINE = [
     "zorder_layout_audit",
     "url_canonicalize_dedup",
     "fim_transform_documents",
+    "sft_loss_mask_layout",
+    "dpo_preference_pairs",
+    "cdc_chunk_dedup",
+    "char_entropy_junk_filter",
+    "shuffle_skew_audit",
+    "ann_ivfpq_topk",
 ]
 
 # How many non-headline registry queries get timed per run (rotating

@@ -1858,26 +1858,31 @@ def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_hi).alias("rk_hi"),
         F.row_number().over(w_lo).alias("rk_lo"),
     )
-    chosen = ranked.filter(F.col("rk_hi") == 1).select(
-        "prompt_id",
-        F.col("doc_id").alias("chosen_doc"),
-        F.col("clf_score").alias("chosen_score"),
-    )
-    rejected = ranked.filter(F.col("rk_lo") == 1).select(
-        "prompt_id",
-        F.col("doc_id").alias("rejected_doc"),
-        F.col("clf_score").alias("rejected_score"),
+    # ONE pass over the ranked relation: a chosen/rejected self-join
+    # would re-execute the whole classifier lineage on each side (2.5x
+    # slower, measured at sf0.1); conditional aggregation extracts both
+    # extremes from the same rows
+    agg = (
+        ranked.filter((F.col("rk_hi") == 1) | (F.col("rk_lo") == 1))
+        .groupBy("prompt_id")
+        .agg(
+            F.max(
+                F.when(F.col("rk_hi") == 1, F.struct("doc_id", "clf_score"))
+            ).alias("ch"),
+            F.max(
+                F.when(F.col("rk_lo") == 1, F.struct("doc_id", "clf_score"))
+            ).alias("rj"),
+        )
     )
     return (
-        chosen.join(rejected, "prompt_id")
-        .filter(F.col("chosen_doc") != F.col("rejected_doc"))
+        agg.filter(F.col("ch.doc_id") != F.col("rj.doc_id"))
         .select(
             "prompt_id",
-            "chosen_doc",
-            "chosen_score",
-            "rejected_doc",
-            "rejected_score",
-            F.round(F.col("chosen_score") - F.col("rejected_score"), 6).alias("margin"),
+            F.col("ch.doc_id").alias("chosen_doc"),
+            F.col("ch.clf_score").alias("chosen_score"),
+            F.col("rj.doc_id").alias("rejected_doc"),
+            F.col("rj.clf_score").alias("rejected_score"),
+            F.round(F.col("ch.clf_score") - F.col("rj.clf_score"), 6).alias("margin"),
         )
     )
 
