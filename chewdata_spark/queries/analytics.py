@@ -991,3 +991,114 @@ SELECT (SELECT COUNT(*) FROM needed) AS parts_for_80pct,
 
 QUERIES["parts_pareto_8020"] = parts_pareto_8020
 ORACLES["parts_pareto_8020"] = PARETO_SQL
+
+
+def table_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-style statistics collection — the input a
+    cost-based optimizer (join reordering, broadcast thresholds,
+    filter selectivity) needs per column: row count, null fraction,
+    min/max, and an NDV estimate from the SAME portable HLL sketch as
+    hll_distinct_users_md5 — so stats collection is one pass with
+    512-register state per column, never a COUNT(DISTINCT) shuffle of
+    the value space.  Exact NDV joined for the observed sketch error
+    (drop it in production).  One stacked projection over lineitem →
+    the stats for the three most join/filter-relevant columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    stacked = li.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("bigint").alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        )
+    )
+    base = stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("val").isNull().cast("bigint")).alias("n_nulls"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.count_distinct("val").alias("exact_ndv"),
+    )
+    regs = hll_registers(stacked.filter(F.col("val").isNotNull()), "col_name", "val")
+    est = hll_estimate(regs).withColumnRenamed("key", "col_name")
+    return (
+        base.join(est, "col_name")
+        .select(
+            "col_name",
+            "n_rows",
+            F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_frac"),
+            "min_val",
+            "max_val",
+            F.col("hll_estimate").alias("ndv_estimate"),
+            "exact_ndv",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("exact_ndv"))
+                / F.col("exact_ndv"),
+                4,
+            ).alias("ndv_rel_err"),
+        )
+    )
+
+
+TABLE_STATS_SQL = """
+WITH stacked AS (
+    SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS BIGINT) AS val FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem
+), base AS (
+    SELECT col_name, COUNT(*) AS n_rows,
+           SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           MIN(val) AS min_val, MAX(val) AS max_val,
+           COUNT(DISTINCT val) AS exact_ndv
+    FROM stacked GROUP BY 1
+), h AS (
+    SELECT col_name,
+           ((strpos('0123456789abcdef', substr(md5(CAST(val AS VARCHAR)), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5(CAST(val AS VARCHAR)), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(CAST(val AS VARCHAR)), 3, 1)) - 1) * 16
+            + strpos('0123456789abcdef', substr(md5(CAST(val AS VARCHAR)), 4, 1)) - 1) % 512 AS reg,
+           ltrim(substr(md5(CAST(val AS VARCHAR)), 5, 10), '0') AS w
+    FROM stacked WHERE val IS NOT NULL
+), rr AS (
+    SELECT col_name, reg,
+           CASE WHEN w = '' THEN 41
+                ELSE (10 - length(w)) * 4
+                     + CASE WHEN (strpos('0123456789abcdef', substr(w, 1, 1)) - 1) >= 8 THEN 0
+                            WHEN (strpos('0123456789abcdef', substr(w, 1, 1)) - 1) >= 4 THEN 1
+                            WHEN (strpos('0123456789abcdef', substr(w, 1, 1)) - 1) >= 2 THEN 2
+                            ELSE 3 END
+                     + 1 END AS rho
+    FROM h
+), regs AS (
+    SELECT col_name, reg, MAX(rho) AS r FROM rr GROUP BY 1, 2
+), agg AS (
+    SELECT col_name, CAST(COUNT(*) AS INT) AS n_regs,
+           SUM(POWER(2.0, -r)) + (512.0 - COUNT(*)) AS denom
+    FROM regs GROUP BY 1
+), est AS (
+    SELECT col_name,
+           ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 / denom <= 1280.0
+                           AND 512 - n_regs > 0
+                      THEN 512.0 * ln(512.0 / (512.0 - n_regs))
+                      ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 / denom END, 2) AS hll_estimate
+    FROM agg
+)
+SELECT b.col_name, CAST(b.n_rows AS BIGINT) AS n_rows,
+       ROUND(b.n_nulls * 1.0 / b.n_rows, 6) AS null_frac,
+       b.min_val, b.max_val,
+       est.hll_estimate AS ndv_estimate,
+       CAST(b.exact_ndv AS BIGINT) AS exact_ndv,
+       ROUND(ABS(est.hll_estimate - b.exact_ndv) / b.exact_ndv, 4) AS ndv_rel_err
+FROM base b JOIN est ON est.col_name = b.col_name
+"""
+
+QUERIES["table_stats_report"] = table_stats_report
+ORACLES["table_stats_report"] = TABLE_STATS_SQL
