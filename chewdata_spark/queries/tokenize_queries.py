@@ -364,3 +364,69 @@ FROM cuts
 
 QUERIES["fim_transform_documents"] = fim_transform_documents
 ORACLES["fim_transform_documents"] = _fim_sql()
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size sizing curve — the diagnostic behind "how big
+    must the tokenizer vocab be": rank terms by corpus frequency and
+    report the vocab size needed to cover 50/90/95/99% of all token
+    occurrences (the head/tail trade every subword tokenizer budget
+    negotiates).  One term-count shuffle, then windows over VOCAB-
+    cardinality rows (never the corpus — same boundedness argument as
+    corpus_vocab_ids); the cumulative sums are exact integer sums, so
+    the thresholds replay in any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    terms = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.coalesce("text", F.lit("")))), r"\s+")).alias(
+            "term"
+        )
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = counts.select(
+        F.row_number().over(w).alias("rk"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+    )
+    total = counts.agg(
+        F.sum("cnt").alias("total_tokens"), F.count(F.lit(1)).alias("total_vocab")
+    )
+    r = ranked.crossJoin(F.broadcast(total))
+    share = F.col("cum") / F.col("total_tokens")
+    return r.agg(
+        F.max("total_tokens").alias("total_tokens"),
+        F.max("total_vocab").alias("total_vocab"),
+        F.min(F.when(share >= 0.5, F.col("rk"))).alias("vocab_p50"),
+        F.min(F.when(share >= 0.9, F.col("rk"))).alias("vocab_p90"),
+        F.min(F.when(share >= 0.95, F.col("rk"))).alias("vocab_p95"),
+        F.min(F.when(share >= 0.99, F.col("rk"))).alias("vocab_p99"),
+    )
+
+
+VOCAB_COVERAGE_SQL = """
+WITH terms AS (
+    SELECT unnest(string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+')) AS term
+    FROM documents
+), counts AS (
+    SELECT term, COUNT(*) AS cnt FROM terms WHERE term <> '' GROUP BY 1
+), ranked AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rk,
+           SUM(cnt) OVER (ORDER BY cnt DESC, term ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM counts
+), tot AS (
+    SELECT SUM(cnt) AS total_tokens, COUNT(*) AS total_vocab FROM counts
+)
+SELECT CAST(MAX(total_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(total_vocab) AS BIGINT) AS total_vocab,
+       CAST(MIN(CASE WHEN cum * 1.0 / total_tokens >= 0.5 THEN rk END) AS INT) AS vocab_p50,
+       CAST(MIN(CASE WHEN cum * 1.0 / total_tokens >= 0.9 THEN rk END) AS INT) AS vocab_p90,
+       CAST(MIN(CASE WHEN cum * 1.0 / total_tokens >= 0.95 THEN rk END) AS INT) AS vocab_p95,
+       CAST(MIN(CASE WHEN cum * 1.0 / total_tokens >= 0.99 THEN rk END) AS INT) AS vocab_p99
+FROM ranked, tot
+"""
+
+QUERIES["vocab_coverage_curve"] = vocab_coverage_curve
+ORACLES["vocab_coverage_curve"] = VOCAB_COVERAGE_SQL
