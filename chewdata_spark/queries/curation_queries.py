@@ -1910,3 +1910,78 @@ WHERE c.rk_hi = 1 AND r.rk_lo = 1 AND c.doc_id <> r.doc_id
 
 QUERIES["dpo_preference_pairs"] = dpo_preference_pairs
 ORACLES["dpo_preference_pairs"] = DPO_PAIRS_SQL
+
+
+def corpus_diff_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff — the audit run between two corpus
+    snapshots before retraining: v2 simulates the next crawl from
+    deterministic coins (10% of docs dropped, 10% re-crawled with
+    changed text, 10% brand-new ids), and the diff classifies every id
+    as added / removed / modified / unchanged by comparing content
+    hashes across one full-outer join on doc_id.  At 100 TB both sides
+    reduce to (id, hash) relations first — the join moves 16-byte rows,
+    never text.  Counts per class."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = curation.md5_hex16(
+        F.concat_ws("|", F.lit("ver"), F.col("doc_id").cast("string"))
+    )
+    base = docs.select(
+        "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("h1"), (c % 10).alias("c")
+    )
+    v1 = base.select("doc_id", "h1")
+    kept = base.filter(F.col("c") != 0).select(
+        "doc_id",
+        F.when(
+            F.col("c") == 1,
+            F.md5(F.concat(F.col("h1"), F.lit(" rev2"))),
+        )
+        .otherwise(F.col("h1"))
+        .alias("h2"),
+    )
+    added = base.filter(F.col("c") == 2).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.md5(F.concat(F.col("h1"), F.lit(" new"))).alias("h2"),
+    )
+    v2 = kept.unionByName(added)
+    j = v1.join(v2, "doc_id", "full_outer")
+    cls = (
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(cls.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+CORPUS_DIFF_SQL = f"""
+WITH base AS (
+    SELECT doc_id, md5(COALESCE(text, '')) AS h1,
+           ({_hex16_sql("md5('ver|' || CAST(doc_id AS VARCHAR))")}) % 10 AS c
+    FROM documents
+), v1 AS (SELECT doc_id, h1 FROM base),
+kept AS (
+    SELECT doc_id,
+           CASE WHEN c = 1 THEN md5(h1 || ' rev2') ELSE h1 END AS h2
+    FROM base WHERE c <> 0
+), added AS (
+    SELECT doc_id + 1000000 AS doc_id, md5(h1 || ' new') AS h2
+    FROM base WHERE c = 2
+), v2 AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+j AS (
+    SELECT v1.h1, v2.h2
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT CASE WHEN h1 IS NULL THEN 'added'
+            WHEN h2 IS NULL THEN 'removed'
+            WHEN h1 <> h2 THEN 'modified'
+            ELSE 'unchanged' END AS change_type,
+       COUNT(*) AS n_docs
+FROM j GROUP BY 1
+"""
+
+QUERIES["corpus_diff_manifest"] = corpus_diff_manifest
+ORACLES["corpus_diff_manifest"] = CORPUS_DIFF_SQL
