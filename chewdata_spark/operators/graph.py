@@ -229,3 +229,50 @@ def kcore_peel(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def label_propagation(
+    edges: DataFrame, *, rounds: int = 2
+) -> DataFrame:
+    """Semi-synchronous label propagation (Raghavan et al. 2007) over
+    an undirected (u < v) edge relation: every node starts as its own
+    label and each round adopts the most frequent label among its
+    neighbors, smallest label breaking ties — the deterministic variant
+    (classic LPA tie-breaks randomly; the min tie-break makes the whole
+    trajectory engine-replayable, like the fixed-round k-core/PageRank
+    devices here).  Unlike min-label flooding (which converges to
+    connected components), frequency adoption finds dense communities
+    inside a component.
+
+    One neighbor-join + one (node, label) count + one bounded
+    per-node window per round — O(rounds × |E|), lineage truncated per
+    round.  Returns (node, community) after ``rounds`` rounds."""
+    nbr = edges.select(F.col("u").alias("node"), F.col("v").alias("nb")).union(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    ).localCheckpoint(eager=False)
+    labels = nbr.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql.window import Window
+
+    for _ in range(rounds):
+        cnt = (
+            nbr.join(
+                labels.select(
+                    F.col("node").alias("nb"), F.col("label").alias("nb_label")
+                ),
+                "nb",
+            )
+            .groupBy("node", "nb_label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("nb_label").asc()
+        )
+        labels = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("nb_label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("label").alias("community"))

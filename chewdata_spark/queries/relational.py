@@ -643,3 +643,71 @@ FROM ({_kcore_row_sql(1)} UNION ALL {_kcore_row_sql(2)} UNION ALL {_kcore_row_sq
 
 QUERIES["copurchase_kcore"] = copurchase_kcore
 ORACLES["copurchase_kcore"] = KCORE_SQL
+
+
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the co-purchase graph
+    (operators/graph.py::label_propagation, deterministic min tie-break,
+    2 fixed rounds) — the community-detection sibling of
+    copurchase_kcore/triangles.  Returns each community's size and
+    smallest member; the full trajectory replays in SQL."""
+    from chewdata_spark.operators.graph import label_propagation
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    labels = label_propagation(edges, rounds=2)
+    return labels.groupBy("community").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node")
+    )
+
+
+def _lpa_round_sql(r: int) -> str:
+    prev = "l0" if r == 1 else f"l{r - 1}"
+    return f"""l{r} AS (
+    SELECT node, nb_label AS label FROM (
+        SELECT n.node, l.label AS nb_label, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY n.node
+                                  ORDER BY COUNT(*) DESC, l.label ASC) AS rk
+        FROM nbr n JOIN {prev} l ON l.node = n.nb
+        GROUP BY n.node, l.label
+    ) WHERE rk = 1
+)"""
+
+
+LPA_SQL = f"""
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges0 AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), nbr AS (
+    SELECT u AS node, v AS nb FROM edges0
+    UNION ALL
+    SELECT v AS node, u AS nb FROM edges0
+), l0 AS (
+    SELECT DISTINCT node, node AS label FROM nbr
+), {_lpa_round_sql(1)}, {_lpa_round_sql(2)}
+SELECT label AS community, COUNT(*) AS n_nodes, MIN(node) AS min_node
+FROM l2 GROUP BY 1
+"""
+
+QUERIES["copurchase_communities"] = copurchase_communities
+ORACLES["copurchase_communities"] = LPA_SQL
