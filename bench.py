@@ -167,6 +167,9 @@ HEADLINE = [
     "char_entropy_junk_filter",
     "shuffle_skew_audit",
     "ann_ivfpq_topk",
+    "table_stats_report",
+    "vocab_coverage_curve",
+    "corpus_diff_manifest",
 ]
 
 # How many non-headline registry queries get timed per run (rotating
