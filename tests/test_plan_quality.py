@@ -653,3 +653,24 @@ def test_hll_sketch_never_shuffles_the_key_space(spark, sf_dir):
     df = hll_distinct_users_md5(spark, sf_dir)
     assert_no_sort_merge_join(df)
     assert exchange_count(df) <= 4
+
+
+def test_ivfpq_adc_joins_stay_broadcast(spark, sf_dir):
+    # the ADC scoring join (codes x distance table) and the probe list
+    # must broadcast — an SMJ there would shuffle the codes relation
+    # per query batch
+    from chewdata_spark.queries.similarity_queries import ann_ivfpq_topk
+
+    df = ann_ivfpq_topk(spark, sf_dir)
+    assert_no_sort_merge_join(df)
+
+
+def test_split_embedding_leakage_never_all_pairs(spark, sf_dir):
+    # pair discovery must ride the clustered path: no nested-loop /
+    # cartesian between the two split sides
+    from chewdata_spark.queries.similarity_queries import split_embedding_leakage
+
+    df = split_embedding_leakage(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
