@@ -83,3 +83,46 @@ def write_zorder(
         .format(fmt)
         .save(path)
     )
+
+
+def zorder_frame(df, cols: list[str], *, num_files: int = 64, bits: int = 8):
+    """Re-lay ``df`` for multi-dimensional min/max pruning: scale each
+    named column to a ``bits``-bit bucket against its observed min/max
+    (one eager stats pass — the same scan ANALYZE would do), interleave
+    into a Morton key, range-partition + sort.  Dates/timestamps bucket
+    on their epoch value; strings are not supported (bucket them to a
+    numeric surrogate first).  Used by the writer step's ``zorder_by``
+    config knob."""
+    from pyspark.sql import functions as F
+
+    dts = dict(df.dtypes)
+    nums = []
+    for c in cols:
+        dt = dts[c]
+        if dt == "date":
+            nums.append(F.datediff(F.col(c), F.to_date(F.lit("1970-01-01"))).cast("double"))
+        elif dt.startswith("timestamp"):
+            nums.append(F.col(c).cast("long").cast("double"))
+        elif dt == "string":
+            raise ValueError(f"zorder_by does not support string column {c!r}")
+        else:
+            nums.append(F.col(c).cast("double"))
+    stats = df.agg(
+        *[F.min(n).alias(f"lo{i}") for i, n in enumerate(nums)],
+        *[F.max(n).alias(f"hi{i}") for i, n in enumerate(nums)],
+    ).first()
+    top = (1 << bits) - 1
+    bucketed = []
+    for i, n in enumerate(nums):
+        lo, hi = stats[f"lo{i}"], stats[f"hi{i}"]
+        if lo is None or hi is None or hi <= lo:
+            bucketed.append(F.lit(0))
+            continue
+        scaled = ((n - F.lit(float(lo))) / F.lit(float(hi - lo)) * top)
+        bucketed.append(
+            F.least(F.greatest(F.floor(scaled).cast("int"), F.lit(0)), F.lit(top))
+        )
+    key = zorder_key(bucketed, bits=bits)
+    return df.repartitionByRange(num_files, key.alias("_zkey")).sortWithinPartitions(
+        key.alias("_zkey")
+    )

@@ -909,8 +909,19 @@ class Pipeline:
             else:
                 from chewdata_spark.sources.documents import metadata_options
 
+                zcols = step.get("zorder_by")
+                towrite = out
+                if zcols:
+                    # data-layout knob (beyond-reference; Delta/Iceberg
+                    # OPTIMIZE ZORDER BY semantics): cluster the output
+                    # files so every listed dimension min/max-prunes
+                    from chewdata_spark.operators.layout import zorder_frame
+
+                    towrite = zorder_frame(
+                        out, list(zcols), num_files=int(step.get("zorder_files", 64))
+                    )
                 write_document(
-                    out,
+                    towrite,
                     path,
                     fmt,
                     mode=mode,

@@ -146,3 +146,46 @@ def test_write_zorder_footers_prune_both_dims(spark, sf_dir, tmp_path):
     d_part = avg_span(dpath, "part_b")
     assert d_part > 200, f"date-sorted part span unexpectedly tight: {d_part}"
     assert z_part < 128 and z_part < d_part / 2, (z_part, d_part)
+
+
+def test_writer_step_zorder_by_knob(spark, tmp_path):
+    """The pipeline writer's zorder_by config must produce files whose
+    footers are tight on both listed dimensions."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from chewdata_spark.pipeline import Pipeline
+
+    src = str(tmp_path / "src.parquet")
+    spark.range(20000).selectExpr(
+        "id", "cast(id % 251 as int) as a", "cast((id * 37) % 241 as int) as b"
+    ).write.parquet(src)
+    dest = str(tmp_path / "zout")
+    cfg = [
+        {"type": "reader", "connector": {"type": "local", "path": src},
+         "document": {"type": "parquet"}},
+        {"type": "eraser", "connector": {"type": "local", "path": dest}},
+        {"type": "writer", "connector": {"type": "local", "path": dest},
+         "document": {"type": "parquet"},
+         "zorder_by": ["a", "b"], "zorder_files": 16},
+    ]
+    Pipeline(cfg, spark).run()
+    spans = {"a": [], "b": []}
+    for f in glob.glob(dest + "/part-*.parquet"):
+        md = pq.read_metadata(f)
+        for col in spans:
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            if los:
+                spans[col].append(max(his) - min(los) + 1)
+    assert len(spans["a"]) >= 8
+    # 16 z-files over 2 dims: each dim span ~domain/4; allow 2x slack
+    for col, domain in (("a", 251), ("b", 241)):
+        avg = sum(spans[col]) / len(spans[col])
+        assert avg < domain / 2, (col, avg)
