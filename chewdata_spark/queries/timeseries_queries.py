@@ -572,3 +572,56 @@ FROM s GROUP BY event_type
 
 QUERIES["events_cusum_drift"] = events_cusum_drift
 ORACLES["events_cusum_drift"] = EVENTS_CUSUM_SQL
+
+
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event value — the
+    monitoring smoother (alpha = 0.4) behind drift dashboards, computed
+    WITHOUT the sequential recurrence: weights below 1e-9 after ~40
+    days mean a 60-day truncation is exact to far beyond the 4-dp
+    output rounding, so EWMA becomes a BANDED day-grain self-join
+    (day_diff ∈ [0, 59]) + one weighted sum — embarrassingly parallel
+    where the recurrence is inherently serial, and engine-replayable
+    (a recursive formulation would pin evaluation order).  Day grain
+    first: the join touches ~days × 60 rows regardless of event
+    volume."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    d = F.datediff(F.col("a.day"), F.col("b.day"))
+    w = F.pow(F.lit(0.6), d)
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type")) & (d >= 0) & (d <= 59),
+    )
+    return (
+        pairs.groupBy(F.col("a.day").alias("day"), F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.round(
+                F.sum(F.col("b.v") * w * 0.4) / F.sum(w * 0.4), 4
+            ).alias("ewma"),
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+        )
+    )
+
+
+EVENTS_EWMA_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, event_type, ROUND(SUM(value), 6) AS v
+    FROM events GROUP BY 1, 2
+)
+SELECT a.day, a.event_type,
+       ROUND(SUM(b.v * POWER(0.6, date_diff('day', b.day, a.day)) * 0.4)
+             / SUM(POWER(0.6, date_diff('day', b.day, a.day)) * 0.4), 4) AS ewma,
+       CAST(COUNT(*) AS INT) AS n_terms
+FROM daily a JOIN daily b
+  ON b.event_type = a.event_type
+ AND date_diff('day', b.day, a.day) BETWEEN 0 AND 59
+GROUP BY 1, 2
+"""
+
+QUERIES["events_ewma_daily"] = events_ewma_daily
+ORACLES["events_ewma_daily"] = EVENTS_EWMA_SQL
