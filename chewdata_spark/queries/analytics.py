@@ -1102,3 +1102,95 @@ FROM base b JOIN est ON est.col_name = b.col_name
 
 QUERIES["table_stats_report"] = table_stats_report
 ORACLES["table_stats_report"] = TABLE_STATS_SQL
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The equi-join cardinality formula every CBO runs before picking
+    a join order — |A ⨝ B| ≈ |A|·|B| / max(ndv_A, ndv_B) — evaluated
+    against ground truth for one FK join (orders⨝customer) and one
+    partial-overlap join (events⨝customer: only a sliver of customers
+    appear in events — the estimate stays right exactly as long as the
+    max-ndv side CONTAINS the other key set, the assumption the audit
+    exists to watch).  Stats come
+    from count/ndv aggregates (the table_stats_report relation);
+    actual counts from the real joins — the audit that tells an
+    operator when to trust the planner's arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+
+    def stats(df: DataFrame, key: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"), F.count_distinct(key).alias("ndv")
+        )
+
+    def audit(name: str, a: DataFrame, ka: str, b: DataFrame, kb: str) -> DataFrame:
+        sa = stats(a, ka).select(
+            F.col("n").alias("n_left"), F.col("ndv").alias("ndv_left")
+        )
+        sb = stats(b, kb).select(
+            F.col("n").alias("n_right"), F.col("ndv").alias("ndv_right")
+        )
+        actual = (
+            a.select(F.col(ka).alias("k"))
+            .join(b.select(F.col(kb).alias("k")), "k")
+            .agg(F.count(F.lit(1)).alias("actual_rows"))
+        )
+        est = (
+            F.col("n_left")
+            * F.col("n_right")
+            / F.greatest(F.col("ndv_left"), F.col("ndv_right"))
+        ).cast("bigint")
+        return (
+            sa.crossJoin(sb)
+            .crossJoin(actual)
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_left",
+                "n_right",
+                "ndv_left",
+                "ndv_right",
+                est.alias("est_rows"),
+                "actual_rows",
+                F.round(
+                    F.abs(est - F.col("actual_rows"))
+                    / F.greatest(F.col("actual_rows"), F.lit(1)),
+                    4,
+                ).alias("rel_err"),
+            )
+        )
+
+    return audit("orders_customer", orders, "o_custkey", customer, "c_custkey").unionByName(
+        audit("events_customer", events, "user_id", customer, "c_custkey")
+    )
+
+
+JOIN_CARD_SQL = """
+WITH
+oc AS (
+    SELECT 'orders_customer' AS join_name,
+           (SELECT COUNT(*) FROM orders) AS n_left,
+           (SELECT COUNT(*) FROM customer) AS n_right,
+           (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS ndv_left,
+           (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS ndv_right,
+           (SELECT COUNT(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) AS actual_rows
+),
+ec AS (
+    SELECT 'events_customer' AS join_name,
+           (SELECT COUNT(*) FROM events) AS n_left,
+           (SELECT COUNT(*) FROM customer) AS n_right,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS ndv_left,
+           (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS ndv_right,
+           (SELECT COUNT(*) FROM events e JOIN customer c ON e.user_id = c.c_custkey) AS actual_rows
+),
+u AS (SELECT * FROM oc UNION ALL SELECT * FROM ec)
+SELECT join_name, n_left, n_right, ndv_left, ndv_right,
+       CAST(n_left * n_right / GREATEST(ndv_left, ndv_right) AS BIGINT) AS est_rows,
+       actual_rows,
+       ROUND(ABS(CAST(n_left * n_right / GREATEST(ndv_left, ndv_right) AS BIGINT)
+                 - actual_rows) * 1.0 / GREATEST(actual_rows, 1), 4) AS rel_err
+FROM u
+"""
+
+QUERIES["join_cardinality_estimate"] = join_cardinality_estimate
+ORACLES["join_cardinality_estimate"] = JOIN_CARD_SQL
