@@ -1194,3 +1194,90 @@ FROM u
 
 QUERIES["join_cardinality_estimate"] = join_cardinality_estimate
 ORACLES["join_cardinality_estimate"] = JOIN_CARD_SQL
+
+
+def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-dominance query (Börzsönyi et al., ICDE'01):
+    the parts no other part beats on BOTH price and size (minimize
+    both) — multi-objective shortlisting, the set a buyer actually
+    inspects.  Distributed via GRID PRUNING: points bucket into a
+    16×16 grid; any cell with an occupied cell strictly down-left of
+    it is dominated WHOLESALE (its points can never be skyline), so
+    the quadratic dominance check runs only over the surviving
+    staircase cells — corpus-size work is one bucketing projection +
+    one cell-grain semi-join; the pairwise check touches only
+    candidates (pinned: candidate fraction ≤ a few % in tests).
+    Dominance: ≤ on both dims, < on at least one; equal points are
+    mutually non-dominating and all kept."""
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    )
+    bounds = parts.agg(
+        F.min("price").alias("plo"), F.max("price").alias("phi"),
+        F.min("size").alias("slo"), F.max("size").alias("shi"),
+    )
+    g = parts.crossJoin(F.broadcast(bounds)).select(
+        "p_partkey", "price", "size",
+        F.least(F.floor((F.col("price") - F.col("plo"))
+                        / (F.col("phi") - F.col("plo")) * 16).cast("int"), F.lit(15)
+                ).alias("ci"),
+        F.least(F.floor((F.col("size") - F.col("slo"))
+                        / (F.col("shi") - F.col("slo")) * 16).cast("int"), F.lit(15)
+                ).alias("cj"),
+    )
+    cells = g.select("ci", "cj").distinct()
+    a = cells.alias("a")
+    b = cells.alias("b")
+    dominated_cells = (
+        a.join(
+            b,
+            (F.col("b.ci") < F.col("a.ci")) & (F.col("b.cj") < F.col("a.cj")),
+            "left_semi",
+        )
+        .select(F.col("a.ci").alias("ci"), F.col("a.cj").alias("cj"))
+    )
+    cand = g.join(dominated_cells, ["ci", "cj"], "left_anti")
+    c = cand.alias("c")
+    d = cand.alias("d")
+    dom = (
+        (F.col("d.price") <= F.col("c.price"))
+        & (F.col("d.size") <= F.col("c.size"))
+        & ((F.col("d.price") < F.col("c.price")) | (F.col("d.size") < F.col("c.size")))
+    )
+    return (
+        c.join(d, dom, "left_anti")
+        .select(F.col("c.p_partkey").alias("p_partkey"),
+                F.col("c.price").alias("price"), F.col("c.size").alias("size"))
+    )
+
+
+SKYLINE_SQL = """
+WITH p AS (
+    SELECT p_partkey, p_retailprice AS price, p_size AS size FROM part
+), bounds AS (
+    SELECT MIN(price) AS plo, MAX(price) AS phi, MIN(size) AS slo, MAX(size) AS shi
+    FROM p
+), g AS (
+    SELECT p_partkey, price, size,
+           LEAST(CAST(FLOOR((price - plo) / (phi - plo) * 16) AS INT), 15) AS ci,
+           LEAST(CAST(FLOOR((size - slo) / (shi - slo) * 16) AS INT), 15) AS cj
+    FROM p, bounds
+), cells AS (
+    SELECT DISTINCT ci, cj FROM g
+), live AS (
+    SELECT ci, cj FROM cells a
+    WHERE NOT EXISTS (SELECT 1 FROM cells b WHERE b.ci < a.ci AND b.cj < a.cj)
+), cand AS (
+    SELECT g.* FROM g JOIN live USING (ci, cj)
+)
+SELECT c.p_partkey, c.price, c.size
+FROM cand c
+WHERE NOT EXISTS (
+    SELECT 1 FROM cand d
+    WHERE d.price <= c.price AND d.size <= c.size
+      AND (d.price < c.price OR d.size < c.size)
+)
+"""
+
+QUERIES["parts_skyline"] = parts_skyline
+ORACLES["parts_skyline"] = SKYLINE_SQL

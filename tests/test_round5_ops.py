@@ -162,3 +162,27 @@ def test_countmin_overestimates_never_under(spark, docs):
             for j in range(4)
         )
         assert est >= true_counts[term], term
+
+
+def test_skyline_equals_brute_force_and_prunes(spark):
+    # grid pruning must be LOSSLESS (same skyline as the O(n^2) brute
+    # force over all points) and EFFECTIVE (candidates are a small
+    # fraction of the corpus)
+    from chewdata_spark.queries.analytics import parts_skyline
+    from chewdata_spark.tables import load_table
+
+    pts = [
+        (r.p_partkey, float(r.p_retailprice), int(r.p_size))
+        for r in load_table(spark, SF01, "part").collect()
+    ]
+    brute = {
+        k
+        for k, pr, sz in pts
+        if not any(
+            (pr2 <= pr and sz2 <= sz and (pr2 < pr or sz2 < sz))
+            for _, pr2, sz2 in pts
+        )
+    }
+    got = {r.p_partkey for r in parts_skyline(spark, SF01).collect()}
+    assert got == brute
+    assert 0 < len(got) < len(pts) * 0.02
