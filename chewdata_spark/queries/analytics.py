@@ -1281,3 +1281,117 @@ WHERE NOT EXISTS (
 
 QUERIES["parts_skyline"] = parts_skyline
 ORACLES["parts_skyline"] = SKYLINE_SQL
+
+
+def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cardinality from mergeable sketches (K-Minimum-
+    Values / Theta-sketch family, Beyer et al. SIGMOD'07): "how many
+    distinct users did BOTH view and purchase" answered from two
+    256-value sketches instead of a full distinct-set join.  KMV keeps
+    the K smallest hash values of a set; the k-th smallest t estimates
+    ndv ≈ (K-1)/t, sketches union by merging value lists (bottom-K of
+    the union), and intersections follow by inclusion-exclusion —
+    unlike HLL, KMV supports every set operation.  The bottom-K is a
+    pure function of the md5 hash (no insertion-order dependence, the
+    reason Misra-Gries-style sketches can't be engine-replayed), so
+    DuckDB replays the whole estimate bit-for-bit.  Ranking runs on
+    the DISTINCT-hash relation (ndv-sized, not corpus-sized); exact
+    intersections joined for the observed error."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    K = 256
+    u = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("double") / F.lit(float(1 << 48))
+    )
+    hashes = ev.select("event_type", u.alias("u")).distinct()
+
+    def bottom_k(df: DataFrame, part: str) -> DataFrame:
+        w = Window.partitionBy(part).orderBy("u")
+        return df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= K)
+
+    def est(df: DataFrame, part: str, out: str) -> DataFrame:
+        return df.groupBy(part).agg(
+            F.round((F.count(F.lit(1)) - 1) / F.max("u"), 2).alias(out)
+        )
+
+    def pair(ta: str, tb: str) -> DataFrame:
+        a = bottom_k(hashes.filter(F.col("event_type") == ta), "event_type")
+        b = bottom_k(hashes.filter(F.col("event_type") == tb), "event_type")
+        ea = est(a, "event_type", "est_a").select("est_a")
+        eb = est(b, "event_type", "est_b").select("est_b")
+        merged = (
+            a.select("u").union(b.select("u")).distinct()
+            .select(F.lit("u").alias("g"), "u")
+        )
+        eu = est(bottom_k(merged, "g"), "g", "est_union").select("est_union")
+        users_a = ev.filter(F.col("event_type") == ta).select("user_id").distinct()
+        users_b = ev.filter(F.col("event_type") == tb).select("user_id").distinct()
+        exact = users_a.join(users_b, "user_id").agg(
+            F.count(F.lit(1)).alias("exact_intersection")
+        )
+        return (
+            ea.crossJoin(eb).crossJoin(eu).crossJoin(exact)
+            .select(
+                F.lit(f"{ta}&{tb}").alias("pair"),
+                "est_a",
+                "est_b",
+                F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 2).alias(
+                    "est_intersection"
+                ),
+                "exact_intersection",
+            )
+        )
+
+    return pair("view", "purchase").unionByName(pair("click", "error"))
+
+
+def _kmv_pair_sql(ta: str, tb: str) -> str:
+    return f"""
+SELECT '{ta}&{tb}' AS pair,
+       (SELECT ROUND((COUNT(*) - 1) / MAX(u), 2) FROM (
+            SELECT u FROM h WHERE event_type = '{ta}' ORDER BY u LIMIT 256)) AS est_a,
+       (SELECT ROUND((COUNT(*) - 1) / MAX(u), 2) FROM (
+            SELECT u FROM h WHERE event_type = '{tb}' ORDER BY u LIMIT 256)) AS est_b,
+       ROUND(
+           (SELECT (COUNT(*) - 1) / MAX(u) FROM (
+                SELECT u FROM h WHERE event_type = '{ta}' ORDER BY u LIMIT 256))
+         + (SELECT (COUNT(*) - 1) / MAX(u) FROM (
+                SELECT u FROM h WHERE event_type = '{tb}' ORDER BY u LIMIT 256))
+         - (SELECT (COUNT(*) - 1) / MAX(u) FROM (
+                SELECT DISTINCT u FROM h WHERE event_type IN ('{ta}', '{tb}')
+                ORDER BY u LIMIT 256)), 2) AS est_intersection,
+       (SELECT COUNT(*) FROM
+            (SELECT DISTINCT user_id FROM events WHERE event_type = '{ta}') x
+            JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = '{tb}') y
+            USING (user_id)) AS exact_intersection
+"""
+
+
+KMV_SQL = f"""
+WITH h AS (
+    SELECT DISTINCT event_type,
+           CAST(
+             (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 17592186044416.0
+           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 1099511627776.0
+           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 68719476736.0
+           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 4, 1)) - 1) * 4294967296.0
+           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 5, 1)) - 1) * 268435456.0
+           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 6, 1)) - 1) * 16777216.0
+           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 7, 1)) - 1) * 1048576.0
+           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 8, 1)) - 1) * 65536.0
+           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 9, 1)) - 1) * 4096.0
+           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 10, 1)) - 1) * 256.0
+           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 11, 1)) - 1) * 16.0
+           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 12, 1)) - 1) AS DOUBLE)
+           / 281474976710656.0 AS u
+    FROM events
+)
+{_kmv_pair_sql("view", "purchase")}
+UNION ALL
+{_kmv_pair_sql("click", "error")}
+"""
+
+QUERIES["kmv_set_intersection"] = kmv_set_intersection
+ORACLES["kmv_set_intersection"] = KMV_SQL

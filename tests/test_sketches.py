@@ -59,3 +59,36 @@ def test_hll_duplicates_do_not_move_the_estimate(spark):
     e1 = hll_estimate(hll_registers(base, "k", "id")).collect()[0]
     e5 = hll_estimate(hll_registers(dup, "k", "id")).collect()[0]
     assert e1.hll_estimate == e5.hll_estimate
+
+
+def test_kmv_intersection_estimates_partial_overlap(spark):
+    # two 12k-element sets sharing exactly 6k elements: the KMV
+    # inclusion-exclusion estimate must land near 6k (md5 stream is
+    # fixed -> deterministic regression pin at a generous bound)
+    from pyspark.sql.window import Window
+
+    a = spark.range(0, 12_000).select(F.lit("a").alias("t"), F.col("id"))
+    b = spark.range(6_000, 18_000).select(F.lit("b").alias("t"), F.col("id"))
+    ev = a.unionByName(b)
+    u = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 12), 16, 10)
+        .cast("double") / F.lit(float(1 << 48))
+    )
+    hashes = ev.select("t", u.alias("u")).distinct()
+    K = 256
+
+    def est_of(df, part):
+        w = Window.partitionBy(part).orderBy("u")
+        bk = df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= K)
+        return bk.groupBy(part).agg(
+            ((F.count(F.lit(1)) - 1) / F.max("u")).alias("e")
+        ).collect()[0]["e"]
+
+    ea = est_of(hashes.filter("t = 'a'"), "t")
+    eb = est_of(hashes.filter("t = 'b'"), "t")
+    merged = hashes.select("u").distinct().select(F.lit("u").alias("g"), "u")
+    eu = est_of(merged, "g")
+    inter = ea + eb - eu
+    assert abs(ea - 12_000) / 12_000 < 0.15
+    assert abs(eu - 18_000) / 18_000 < 0.15
+    assert abs(inter - 6_000) / 6_000 < 0.45  # differences amplify sketch noise
