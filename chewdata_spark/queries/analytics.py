@@ -1395,3 +1395,134 @@ UNION ALL
 
 QUERIES["kmv_set_intersection"] = kmv_set_intersection
 ORACLES["kmv_set_intersection"] = KMV_SQL
+
+
+def multigrain_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users at THREE grains — (event_type, weekday), event_
+    type, global — from ONE sketch pass: HLL registers built once at
+    the finest grain ROLL UP by re-maxing registers (max is
+    associative), so coarser grains cost 512-row-per-group folds
+    instead of re-scanning the corpus.  The at-scale replacement for
+    multi-grain COUNT(DISTINCT) (which Expand-duplicates every corpus
+    row per grain); exact counts joined per grain for observed error.
+    Register math identical to hll_distinct_users_md5 → bit-replayable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "|", F.col("event_type"), F.dayofweek(F.col("ts")).cast("string")
+        ).alias("fine"),
+        "event_type",
+        "user_id",
+    )
+    fine_regs = hll_registers(ev, "fine", "user_id")
+    # roll-up 1: event_type grain — re-max registers, no corpus rescan
+    type_regs = (
+        fine_regs.withColumn("etype", F.split("key", r"\|")[0])
+        .groupBy("etype", "reg")
+        .agg(F.max("r").alias("r"))
+        .select(F.col("etype").alias("key"), "reg", "r")
+    )
+    # roll-up 2: global grain
+    global_regs = (
+        fine_regs.groupBy("reg")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("ALL").alias("key"), "reg", "r")
+    )
+    est = (
+        hll_estimate(fine_regs)
+        .select(F.lit("type_weekday").alias("grain"), "key", "hll_estimate")
+        .unionByName(
+            hll_estimate(type_regs).select(
+                F.lit("type").alias("grain"), "key", "hll_estimate"
+            )
+        )
+        .unionByName(
+            hll_estimate(global_regs).select(
+                F.lit("global").alias("grain"), "key", "hll_estimate"
+            )
+        )
+    )
+    exact = (
+        ev.groupBy(F.col("fine").alias("key"))
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .select(F.lit("type_weekday").alias("grain"), "key", "exact")
+        .unionByName(
+            ev.groupBy(F.col("event_type").alias("key"))
+            .agg(F.count_distinct("user_id").alias("exact"))
+            .select(F.lit("type").alias("grain"), "key", "exact")
+        )
+        .unionByName(
+            ev.agg(F.count_distinct("user_id").alias("exact")).select(
+                F.lit("global").alias("grain"), F.lit("ALL").alias("key"), "exact"
+            )
+        )
+    )
+    return est.join(exact, ["grain", "key"]).select(
+        "grain",
+        "key",
+        "hll_estimate",
+        "exact",
+        F.round(F.abs(F.col("hll_estimate") - F.col("exact")) / F.col("exact"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+_MG_RHO = """CASE WHEN w = '' THEN 41
+                ELSE (10 - length(w)) * 4
+                     + CASE WHEN (strpos('0123456789abcdef', substr(w, 1, 1)) - 1) >= 8 THEN 0
+                            WHEN (strpos('0123456789abcdef', substr(w, 1, 1)) - 1) >= 4 THEN 1
+                            WHEN (strpos('0123456789abcdef', substr(w, 1, 1)) - 1) >= 2 THEN 2
+                            ELSE 3 END
+                     + 1 END"""
+
+_MG_EST = """SELECT key, n_regs,
+           ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 / denom <= 1280.0
+                           AND 512 - n_regs > 0
+                      THEN 512.0 * ln(512.0 / (512.0 - n_regs))
+                      ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 / denom END, 2) AS hll_estimate
+    FROM (SELECT key, CAST(COUNT(*) AS INT) AS n_regs,
+                 SUM(POWER(2.0, -r)) + (512.0 - COUNT(*)) AS denom
+          FROM {src} GROUP BY 1)"""
+
+MULTIGRAIN_HLL_SQL = f"""
+WITH ev AS (
+    SELECT event_type || '|' || CAST(dayofweek(CAST(ts AS DATE)) + 1 AS VARCHAR) AS fine,
+           event_type, user_id
+    FROM events
+), h AS (
+    SELECT fine, event_type,
+           ((strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 16
+            + strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 4, 1)) - 1) % 512 AS reg,
+           ltrim(substr(md5(CAST(user_id AS VARCHAR)), 5, 10), '0') AS w
+    FROM ev
+), rr AS (
+    SELECT fine, event_type, reg, {_MG_RHO} AS rho FROM h
+), fine_regs AS (
+    SELECT fine AS key, event_type, reg, MAX(rho) AS r FROM rr GROUP BY 1, 2, 3
+), type_regs AS (
+    SELECT event_type AS key, reg, MAX(r) AS r FROM fine_regs GROUP BY 1, 2
+), global_regs AS (
+    SELECT 'ALL' AS key, reg, MAX(r) AS r FROM fine_regs GROUP BY 1, 2
+), est AS (
+    SELECT 'type_weekday' AS grain, * FROM ({_MG_EST.format(src="fine_regs")})
+    UNION ALL
+    SELECT 'type', * FROM ({_MG_EST.format(src="type_regs")})
+    UNION ALL
+    SELECT 'global', * FROM ({_MG_EST.format(src="global_regs")})
+), exact AS (
+    SELECT 'type_weekday' AS grain, fine AS key, COUNT(DISTINCT user_id) AS exact
+    FROM ev GROUP BY 2
+    UNION ALL
+    SELECT 'type', event_type, COUNT(DISTINCT user_id) FROM ev GROUP BY 2
+    UNION ALL
+    SELECT 'global', 'ALL', COUNT(DISTINCT user_id) FROM ev
+)
+SELECT est.grain, est.key, est.hll_estimate, exact.exact,
+       ROUND(ABS(est.hll_estimate - exact.exact) / exact.exact, 4) AS rel_err
+FROM est JOIN exact ON exact.grain = est.grain AND exact.key = est.key
+"""
+
+QUERIES["multigrain_distinct_hll"] = multigrain_distinct_hll
+ORACLES["multigrain_distinct_hll"] = MULTIGRAIN_HLL_SQL
