@@ -1067,3 +1067,80 @@ FROM (
 
 QUERIES["shuffle_skew_audit"] = shuffle_skew_audit
 ORACLES["shuffle_skew_audit"] = _skew_audit_sql()
+
+
+def forget_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact audit (GDPR Art. 17 pre-flight): given a
+    forget-set (here the deterministic ~2% coin over user ids), report
+    per table how many rows the cascade will erase — the number a data
+    owner signs off before the eraser runs.  The forget-set is tiny by
+    nature → broadcast semi-joins against each fact table; one count
+    aggregate per table, corpus scanned once each, nothing collected."""
+    from chewdata_spark.operators.curation import md5_hex16
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    forget = (
+        ev.select(F.col("user_id").alias("uid")).distinct()
+        .filter(
+            md5_hex16(F.concat_ws("|", F.lit("gdpr"), F.col("uid").cast("string")))
+            % 50
+            == 0
+        )
+    )
+
+    def audit(df: DataFrame, key: str, name: str) -> DataFrame:
+        total = df.agg(F.count(F.lit(1)).alias("n_rows"))
+        hit = (
+            df.join(
+                F.broadcast(forget), df[key] == forget["uid"], "left_semi"
+            ).agg(F.count(F.lit(1)).alias("n_forgotten"))
+        )
+        return total.crossJoin(hit).select(
+            F.lit(name).alias("table_name"),
+            "n_rows",
+            "n_forgotten",
+            F.round(F.col("n_forgotten") / F.col("n_rows"), 6).alias("frac"),
+        )
+
+    return (
+        audit(ev, "user_id", "events")
+        .unionByName(audit(orders, "o_custkey", "orders"))
+        .unionByName(audit(customer, "c_custkey", "customer"))
+    )
+
+
+_GDPR_COIN = (
+    "((strpos('0123456789abcdef', substr(md5('gdpr|' || CAST(uid AS VARCHAR)), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5('gdpr|' || CAST(uid AS VARCHAR)), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5('gdpr|' || CAST(uid AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5('gdpr|' || CAST(uid AS VARCHAR)), 4, 1)) - 1) % 50 = 0"
+)
+
+FORGET_AUDIT_SQL = f"""
+WITH forget AS (
+    SELECT uid FROM (SELECT DISTINCT user_id AS uid FROM events)
+    WHERE {_GDPR_COIN}
+)
+SELECT 'events' AS table_name,
+       (SELECT COUNT(*) FROM events) AS n_rows,
+       (SELECT COUNT(*) FROM events WHERE user_id IN (SELECT uid FROM forget)) AS n_forgotten,
+       ROUND((SELECT COUNT(*) FROM events WHERE user_id IN (SELECT uid FROM forget)) * 1.0
+             / (SELECT COUNT(*) FROM events), 6) AS frac
+UNION ALL
+SELECT 'orders',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT uid FROM forget)),
+       ROUND((SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT uid FROM forget)) * 1.0
+             / (SELECT COUNT(*) FROM orders), 6)
+UNION ALL
+SELECT 'customer',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT uid FROM forget)),
+       ROUND((SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT uid FROM forget)) * 1.0
+             / (SELECT COUNT(*) FROM customer), 6)
+"""
+
+QUERIES["forget_users_audit"] = forget_users_audit
+ORACLES["forget_users_audit"] = FORGET_AUDIT_SQL
