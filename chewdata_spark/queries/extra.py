@@ -1144,3 +1144,93 @@ SELECT 'customer',
 
 QUERIES["forget_users_audit"] = forget_users_audit
 ORACLES["forget_users_audit"] = FORGET_AUDIT_SQL
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the quasi-identifier
+    (lang, source) of the documents table: every equivalence class's
+    size, the corpus-wide minimum k, and the fraction of rows living
+    in classes below k=5 — the re-identification risk number a privacy
+    review asks for before release.  One groupBy to QI grain, then
+    arithmetic over class-cardinality rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("k"))
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("k").alias("min_k"),
+        F.sum("k").alias("n_rows"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).alias("rows_below_5"),
+        F.round(
+            F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)) / F.sum("k"), 6
+        ).alias("frac_below_5"),
+    )
+
+
+K_ANON_SQL = """
+WITH classes AS (
+    SELECT lang, source, COUNT(*) AS k FROM documents GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_classes,
+       MIN(k) AS min_k,
+       SUM(k) AS n_rows,
+       SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS rows_below_5,
+       ROUND(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) * 1.0 / SUM(k), 6) AS frac_below_5
+FROM classes
+"""
+
+QUERIES["k_anonymity_report"] = k_anonymity_report
+ORACLES["k_anonymity_report"] = K_ANON_SQL
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of per-(lang, source) document
+    counts: Laplace(1/ε) noise, ε=1, via INVERSE-CDF sampling of the
+    portable md5 uniform — noise = -sign(u-.5)·ln(1-2|u-.5|)/ε — so
+    the "random" release is deterministic, auditable, and replayable
+    in the oracle (the production system swaps the coin for a secret
+    seed; the MECHANISM is what's under test).  True counts stay
+    alongside for the utility error; a real release would drop them.
+    Map-side agg to QI grain, noise is a projection."""
+    from chewdata_spark.operators.curation import md5_hex16
+
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("true_n"))
+    u = (
+        md5_hex16(F.concat_ws("|", F.lit("dp"), F.col("lang"), F.col("source"))) + 0.5
+    ) / 65536.0
+    centered = u - 0.5
+    noise = (
+        -F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+    return classes.select(
+        "lang",
+        "source",
+        "true_n",
+        F.round(noise, 4).alias("noise"),
+        F.greatest(F.round(F.col("true_n") + noise, 0).cast("bigint"), F.lit(0)).alias(
+            "released_n"
+        ),
+    )
+
+
+DP_NOISY_SQL = """
+WITH classes AS (
+    SELECT lang, source, COUNT(*) AS true_n FROM documents GROUP BY 1, 2
+), coin AS (
+    SELECT lang, source, true_n,
+           (((strpos('0123456789abcdef', substr(md5('dp|' || lang || '|' || source), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5('dp|' || lang || '|' || source), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5('dp|' || lang || '|' || source), 3, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(md5('dp|' || lang || '|' || source), 4, 1)) - 1) + 0.5)
+           / 65536.0 - 0.5 AS c
+    FROM classes
+)
+SELECT lang, source, true_n,
+       ROUND(-sign(c) * ln(1.0 - 2.0 * ABS(c)), 4) AS noise,
+       GREATEST(CAST(ROUND(true_n + (-sign(c) * ln(1.0 - 2.0 * ABS(c))), 0) AS BIGINT), 0) AS released_n
+FROM coin
+"""
+
+QUERIES["dp_noisy_counts"] = dp_noisy_counts
+ORACLES["dp_noisy_counts"] = DP_NOISY_SQL
