@@ -1172,8 +1172,8 @@ WITH classes AS (
 )
 SELECT COUNT(*) AS n_classes,
        MIN(k) AS min_k,
-       SUM(k) AS n_rows,
-       SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS rows_below_5,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_below_5,
        ROUND(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) * 1.0 / SUM(k), 6) AS frac_below_5
 FROM classes
 """
