@@ -625,3 +625,98 @@ GROUP BY 1, 2
 
 QUERIES["events_ewma_daily"] = events_ewma_daily
 ORACLES["events_ewma_daily"] = EVENTS_EWMA_SQL
+
+
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily mean event
+    value (trend + day-of-week seasonal + remainder) — the capacity-
+    planning view behind weekly-traffic dashboards (reference models
+    daily rollups in examples/time_series.json; the decomposition
+    itself is a Spark-native extension).
+
+    Determinism device: the daily mean is computed as an exact BIGINT
+    cent-sum divided once (`sum(round(value*100))/(100*count)`), so the
+    corpus-sized aggregation is order-independent by type; every
+    downstream float sum (7-term centered moving average, per-weekday
+    seasonal means over ~day_count/7 terms, the 7-term centering mean)
+    is tiny and 6-dp-rounded on both engines — the established ≤64-term
+    device.  Scale shape: ONE map-side-combinable groupBy collapses any
+    event volume to day grain; the unpartitioned windows after it ride
+    a relation bounded by calendar days (≤ tens of thousands of rows at
+    100 TB), the same boundedness argument as events_ewma_daily."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            / (F.count(F.lit(1)) * 100.0)
+        ).alias("daily_value")
+    )
+    daily = daily.withColumn(
+        "dnum", F.datediff("day", F.lit("2024-01-01").cast("date"))
+    )
+    # centered 7-day moving average, defined only on full windows
+    w = Window.orderBy("dnum").rangeBetween(-3, 3)
+    tr = daily.withColumn(
+        "trend",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7, F.round(F.avg("daily_value").over(w), 6)
+        ),
+    ).filter(F.col("trend").isNotNull())
+    tr = tr.withColumn("dow", F.dayofweek("day").cast("int"))
+    seas_raw = tr.groupBy("dow").agg(
+        F.round(F.avg(F.col("daily_value") - F.col("trend")), 6).alias("s_raw")
+    )
+    # center the 7 weekday effects so they sum to ~0
+    wall = Window.partitionBy()
+    seas = seas_raw.withColumn(
+        "seasonal", F.round(F.col("s_raw") - F.round(F.avg("s_raw").over(wall), 6), 6)
+    ).select("dow", "seasonal")
+    return (
+        tr.join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            "dow",
+            F.round("daily_value", 6).alias("daily_value"),
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("daily_value") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("remainder"),
+        )
+    )
+
+
+SEASONAL_DECOMPOSE_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / (COUNT(*) * 100.0) AS daily_value,
+           DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dnum
+    FROM events GROUP BY 1, 3
+),
+tr AS (
+    SELECT day, dnum, daily_value,
+           CASE WHEN COUNT(*) OVER w = 7
+                THEN ROUND(AVG(daily_value) OVER w, 6) END AS trend
+    FROM daily
+    WINDOW w AS (ORDER BY dnum RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+trf AS (
+    SELECT *, CAST(dayofweek(day) + 1 AS INT) AS dow FROM tr WHERE trend IS NOT NULL
+),
+seas_raw AS (
+    SELECT dow, ROUND(AVG(daily_value - trend), 6) AS s_raw FROM trf GROUP BY 1
+),
+seas AS (
+    SELECT dow,
+           ROUND(s_raw - (SELECT ROUND(AVG(s_raw), 6) FROM seas_raw), 6) AS seasonal
+    FROM seas_raw
+)
+SELECT t.day, t.dow, ROUND(t.daily_value, 6) AS daily_value, t.trend, s.seasonal,
+       ROUND(t.daily_value - t.trend - s.seasonal, 6) AS remainder
+FROM trf t JOIN seas s USING (dow)
+"""
+
+QUERIES["events_seasonal_decompose"] = events_seasonal_decompose
+ORACLES["events_seasonal_decompose"] = SEASONAL_DECOMPOSE_SQL

@@ -674,3 +674,20 @@ def test_split_embedding_leakage_never_all_pairs(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_seasonal_decompose_windows_ride_day_grain(spark, sf_dir):
+    # the corpus-sized aggregation must be ONE map-side-combinable
+    # groupBy (partial + final HashAggregate); the unpartitioned
+    # trend/seasonal windows and the seasonal join ride the calendar-
+    # bounded day relation, with the 7-row weekday side broadcast
+    from chewdata_spark.queries.timeseries_queries import events_seasonal_decompose
+
+    df = events_seasonal_decompose(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # day-grain collapse happens below the window: a partial aggregate
+    # (map-side combine) must appear before any Exchange of event rows
+    assert "partial_" in plan.lower() or "HashAggregate" in plan, plan
