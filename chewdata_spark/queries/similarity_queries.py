@@ -958,3 +958,80 @@ WHERE sa.is_train <> sb.is_train
 
 QUERIES["split_embedding_leakage"] = split_embedding_leakage
 ORACLES["split_embedding_leakage"] = _split_leak_sql()
+
+
+def embedding_outliers_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier sweep: top-20 vectors by diagonal
+    Mahalanobis distance to the corpus distribution — the cheap
+    mislabeled/garbage-vector detector run before clustering or dedup
+    trusts the embedding column.
+
+    Determinism devices (established in this repo): per-dimension mean
+    and second moment are corpus aggregates ROUNDed to 6 dp (the
+    anisotropy-report device); each of the 64 per-dim distance terms is
+    then scaled to BIGINT micro-units before the per-vector SUM (the
+    IVF-PQ ADC device), so the fold is order-independent by type and
+    the integer sort key makes the top-20 tie-break (vec_id asc) exact.
+    Scale shape: ONE posexplode pass → 64-row broadcast stats join →
+    map-side-combinable per-vector sum → TakeOrdered(20); nothing
+    corpus-quadratic, no unpartitioned sort of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v"),
+    )
+    stats = (
+        dims.groupBy("d")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mu"),
+            F.round(F.avg(F.col("v") * F.col("v")), 6).alias("m2"),
+        )
+        .withColumn(
+            "var", F.col("m2") - F.col("mu") * F.col("mu") + F.lit(1e-9)
+        )
+    )
+    term = (F.col("v") - F.col("mu")) ** 2 / F.col("var")
+    micro = F.round(term * 1e6).cast("bigint")
+    per_vec = (
+        dims.join(F.broadcast(stats), "d")
+        .groupBy("vec_id")
+        .agg(F.sum(micro).alias("micro"))
+    )
+    return (
+        per_vec.orderBy(F.desc("micro"), "vec_id")
+        .limit(20)
+        .select(
+            "vec_id",
+            F.round(F.col("micro") / 1e6, 6).alias("mahal_sq"),
+        )
+    )
+
+
+MAHALANOBIS_OUTLIERS_SQL = """
+WITH xs AS (
+    SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+    WHERE embedding IS NOT NULL
+), dims AS (
+    SELECT vec_id, u.i - 1 AS d, x[u.i] AS v
+    FROM xs, unnest(generate_series(1, len(x))) AS u(i)
+), stats AS (
+    SELECT d, ROUND(AVG(v), 6) AS mu, ROUND(AVG(v * v), 6) AS m2
+    FROM dims GROUP BY d
+), st AS (
+    SELECT d, mu, m2 - mu * mu + 1e-9 AS var FROM stats
+), per_vec AS (
+    SELECT vec_id,
+           SUM(CAST(ROUND(((v - mu) * (v - mu) / var) * 1000000) AS BIGINT)) AS micro
+    FROM dims JOIN st USING (d)
+    GROUP BY vec_id
+)
+SELECT vec_id, ROUND(micro / 1000000.0, 6) AS mahal_sq
+FROM per_vec
+ORDER BY micro DESC, vec_id
+LIMIT 20
+"""
+
+QUERIES["embedding_outliers_mahalanobis"] = embedding_outliers_mahalanobis
+ORACLES["embedding_outliers_mahalanobis"] = MAHALANOBIS_OUTLIERS_SQL

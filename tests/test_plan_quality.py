@@ -691,3 +691,19 @@ def test_seasonal_decompose_windows_ride_day_grain(spark, sf_dir):
     # day-grain collapse happens below the window: a partial aggregate
     # (map-side combine) must appear before any Exchange of event rows
     assert "partial_" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_mahalanobis_outliers_takeordered_broadcast_stats(spark, sf_dir):
+    # top-20 must compile to TakeOrderedAndProject (never a global
+    # sort), the 64-row stats side must broadcast, and nothing may go
+    # corpus-quadratic
+    from chewdata_spark.queries.similarity_queries import (
+        embedding_outliers_mahalanobis,
+    )
+
+    df = embedding_outliers_mahalanobis(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
