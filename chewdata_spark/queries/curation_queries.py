@@ -1985,3 +1985,88 @@ FROM j GROUP BY 1
 
 QUERIES["corpus_diff_manifest"] = corpus_diff_manifest
 ORACLES["corpus_diff_manifest"] = CORPUS_DIFF_SQL
+
+
+def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source: Monroe et al. (2008) log-odds
+    ratio with an informative Dirichlet prior (the "fightin' words"
+    statistic) — the per-source keyword report a mixture-curation run
+    uses to spot what each source uniquely contributes (or leaks).
+
+    z-score per (source, term): delta = log-odds of the term in the
+    source vs the REST of the corpus, both smoothed by the corpus-wide
+    prior alpha_w = a0 * y_w / n (a0 = 1000), variance ~ 1/(y_sw +
+    alpha_w) + 1/(y_rest + alpha_w).  Top-3 terms per source by
+    4-dp-rounded z (term tie-break).  All counts are exact integers;
+    the float pipeline (one division per prior, two ln calls, one
+    sqrt) is structurally identical in the DuckDB oracle, and z is
+    rounded before ranking — the established log-arithmetic device.
+    Scale shape: the corpus is tokenized ONCE into the (source, term)
+    aggregate; the term totals (yw) and source totals (ns) are window
+    sums OVER that vocab-grain relation — no lineage branching, so no
+    repeated corpus scans (a join formulation re-executed the explode
+    4x: Catalyst prunes each branch differently and exchange reuse
+    breaks).  The one-row corpus total comes from a second NARROW scan
+    (map-side count, no shuffle) and broadcasts; the ranking window
+    rides vocab grain, never corpus grain."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+    sw = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("ysw"))
+    sw = sw.withColumn(
+        "yw", F.sum("ysw").over(Window.partitionBy("term"))
+    ).withColumn("ns", F.sum("ysw").over(Window.partitionBy("source")))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    a0 = F.lit(1000.0)
+    j = sw.crossJoin(F.broadcast(tot))
+    aw = a0 * F.col("yw") / F.col("n")
+    y1 = F.col("ysw") + aw
+    d1 = F.col("ns") + a0 - F.col("ysw") - aw
+    y2 = (F.col("yw") - F.col("ysw")) + aw
+    d2 = (F.col("n") - F.col("ns")) + a0 - (F.col("yw") - F.col("ysw")) - aw
+    delta = F.log(y1 / d1) - F.log(y2 / d2)
+    z = F.round(delta / F.sqrt(1.0 / y1 + 1.0 / y2), 4)
+    ranked = j.select("source", "term", z.alias("z")).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("z"), "term")
+        ).cast("int"),
+    )
+    return ranked.filter(F.col("rank") <= 3)
+
+
+DISTINCTIVE_TERMS_SQL = r"""
+WITH toks AS (
+    SELECT source,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+    FROM documents
+),
+sw AS (SELECT source, term, COUNT(*) AS ysw FROM toks GROUP BY 1, 2),
+w AS (SELECT term, SUM(ysw) AS yw FROM sw GROUP BY 1),
+ns AS (SELECT source, SUM(ysw) AS ns FROM sw GROUP BY 1),
+tot AS (SELECT SUM(ysw) AS n FROM sw),
+scored AS (
+    SELECT sw.source, sw.term,
+           ROUND(
+             (ln((sw.ysw + 1000.0 * w.yw / tot.n)
+                 / (ns.ns + 1000.0 - sw.ysw - 1000.0 * w.yw / tot.n))
+              - ln(((w.yw - sw.ysw) + 1000.0 * w.yw / tot.n)
+                 / ((tot.n - ns.ns) + 1000.0 - (w.yw - sw.ysw) - 1000.0 * w.yw / tot.n)))
+             / sqrt(1.0 / (sw.ysw + 1000.0 * w.yw / tot.n)
+                  + 1.0 / ((w.yw - sw.ysw) + 1000.0 * w.yw / tot.n)), 4) AS z
+    FROM sw JOIN w USING (term) JOIN ns USING (source), tot
+)
+SELECT source, term, z, CAST(rank AS INT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY z DESC, term) AS rank
+    FROM scored
+)
+WHERE rank <= 3
+"""
+
+QUERIES["source_distinctive_terms"] = source_distinctive_terms
+ORACLES["source_distinctive_terms"] = DISTINCTIVE_TERMS_SQL

@@ -707,3 +707,19 @@ def test_mahalanobis_outliers_takeordered_broadcast_stats(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_distinctive_terms_single_tokenize_pass(spark, sf_dir):
+    # term/source totals must be WINDOW sums over the vocab-grain
+    # aggregate, not joined branches: a join formulation re-executed
+    # the corpus explode 4x (per-branch pruning breaks exchange
+    # reuse). Exactly 2 scans: the tokenize pass + the narrow count.
+    from chewdata_spark.queries.curation_queries import source_distinctive_terms
+
+    import re
+
+    df = source_distinctive_terms(spark, sf_dir)
+    plan = formatted_plan(df)
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans <= 2, plan
+    assert "SortMergeJoin" not in plan, plan
