@@ -2070,3 +2070,49 @@ WHERE rank <= 3
 
 QUERIES["source_distinctive_terms"] = source_distinctive_terms
 ORACLES["source_distinctive_terms"] = DISTINCTIVE_TERMS_SQL
+
+
+def source_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration audit per language: Herfindahl–Hirschman
+    index of character-mass shares plus the dominant source's share —
+    the one-line skew report that flags a training mixture silently
+    collapsing onto one crawl.  All masses are exact BIGINT character
+    counts; each share is ONE double division of two exact integers and
+    the HHI folds ≤ |sources| such terms (6-dp-rounded, the ≤64-term
+    device).  Scale shape: one map-side-combinable aggregate to the
+    (lang, source) grain; everything after rides that tiny relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    ls = docs.groupBy("lang", "source").agg(
+        F.sum("n_chars").alias("chars")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang")
+    ls = ls.withColumn("lang_chars", F.sum("chars").over(w))
+    share = F.col("chars") / F.col("lang_chars")
+    return (
+        ls.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_sources"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+            F.round(F.max(share), 6).alias("top_share"),
+        )
+    )
+
+
+SOURCE_HHI_SQL = """
+WITH ls AS (
+    SELECT lang, source, SUM(n_chars) AS chars FROM documents GROUP BY 1, 2
+),
+sh AS (
+    SELECT lang, chars * 1.0 / SUM(chars) OVER (PARTITION BY lang) AS share
+    FROM ls
+)
+SELECT lang, CAST(COUNT(*) AS INT) AS n_sources,
+       ROUND(SUM(share * share), 6) AS hhi,
+       ROUND(MAX(share), 6) AS top_share
+FROM sh GROUP BY lang
+"""
+
+QUERIES["source_concentration_hhi"] = source_concentration_hhi
+ORACLES["source_concentration_hhi"] = SOURCE_HHI_SQL
