@@ -430,3 +430,52 @@ FROM ranked, tot
 
 QUERIES["vocab_coverage_curve"] = vocab_coverage_curve
 ORACLES["vocab_coverage_curve"] = VOCAB_COVERAGE_SQL
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit — the vocabulary-GROWTH diagnostic beside
+    `corpus_zipf_fit`'s frequency-decay one: regress ln(vocab) on
+    ln(tokens) across sources (V = K·N^b, healthy natural text has
+    b ≈ 0.4–0.6; b near 0 flags template spam, b near 1 flags
+    random-noise corpora).  One tokenize pass to (source, term) grain
+    (the count-distinct shuffle every vocab query pays), then the OLS
+    runs on SOURCE-cardinality points via the regr_* built-ins, 6-dp
+    rounded both engines — the corpus_zipf_fit device."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("n_vocab"),
+    )
+    y = F.log(F.col("n_vocab").cast("double"))
+    x = F.log(F.col("n_tokens").cast("double"))
+    return per_src.agg(
+        F.count(F.lit(1)).cast("int").alias("n_sources"),
+        F.round(F.regr_slope(y, x), 6).alias("heaps_b"),
+        F.round(F.regr_intercept(y, x), 6).alias("heaps_ln_k"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+HEAPS_SQL = r"""
+WITH toks AS (
+    SELECT source,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+    FROM documents
+),
+per_src AS (
+    SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT term) AS n_vocab
+    FROM toks GROUP BY source
+)
+SELECT CAST(COUNT(*) AS INT) AS n_sources,
+       ROUND(regr_slope(ln(n_vocab), ln(n_tokens)), 6) AS heaps_b,
+       ROUND(regr_intercept(ln(n_vocab), ln(n_tokens)), 6) AS heaps_ln_k,
+       ROUND(regr_r2(ln(n_vocab), ln(n_tokens)), 6) AS r2
+FROM per_src
+"""
+
+QUERIES["heaps_law_fit"] = heaps_law_fit
+ORACLES["heaps_law_fit"] = HEAPS_SQL
