@@ -49,17 +49,22 @@ def _modules():
 
 
 # Names the correctness driver has already hard-checked in some round
-# (union of CORRECTNESS_r01..r05 keys).  The driver samples ~50 names
+# (union of CORRECTNESS_r01..r07 keys).  The driver samples ~50 names
 # per round in registry order, so all_queries() leads with the NAMES
 # NOT in this set — never-sampled queries get driver coverage first and
 # the backlog drains round over round.  Update after each round.
 _DRIVER_CHECKED = {
-    "ann_ivf_topk", "ann_srp_topk", "approx_distinct_users",
-    "bloom_seen_hashes", "bm25_search_topk", "chunk_documents",
-    "churned_customers", "content_fingerprint", "copurchase_kcore", "copurchase_triangles",
-    "corpus_top_terms", "cosine_topk", "cube_order_stats",
-    "curate_corpus", "curate_pipeline_full", "curation_audit_report",
-    "curriculum_phases", "customer_order_stats",
+    "ann_ivfpq_topk", "ann_srp_topk", "ann_srp_topk_md5",
+    "approx_distinct_users", "best_of_source_sample", "bigram_logprob_score",
+    "bloom_seen_hashes", "bm25_search_topk", "ccnet_perplexity_buckets",
+    "cdc_chunk_dedup", "char_entropy_junk_filter", "chunk_documents",
+    "churned_customers", "classifier_quality_filter",
+    "contamination_ranked_pairs", "content_fingerprint",
+    "copurchase_communities", "copurchase_kcore", "copurchase_triangles",
+    "corpus_diff_manifest", "corpus_manifest", "corpus_summary_report",
+    "corpus_top_terms", "corpus_vocab_ids", "cosine_topk",
+    "cube_order_stats", "curate_corpus", "curate_pipeline_full",
+    "curation_audit_report", "curriculum_phases", "customer_order_stats",
     "customers_with_open_orders", "customers_without_orders",
     "decontaminate_docs", "dedup_clean_corpus", "dedup_clean_corpus_cc",
     "dedup_clean_corpus_lsh", "dedup_clean_corpus_lsh_cc",
@@ -71,38 +76,48 @@ _DRIVER_CHECKED = {
     "dedup_lines_global", "dedup_lines_within_doc", "dedup_minhash_lsh",
     "dedup_minhash_lsh_md5", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_simhash_md5", "distinct_users_by_type", "documents_redact_pii",
-    "documents_strip_boilerplate", "embedding_anisotropy_report",
-    "embedding_centroids", "embedding_near_dup",
-    "embedding_near_dup_clustered", "embedding_pc1",
-    "error_channel_split", "events_asof_orders", "events_hourly_rollup",
-    "events_missing_props", "events_props_extract",
-    "events_props_variant", "filter_docs_logprob",
-    "fingerprint_winnowing", "generator_duplicate", "generator_faker",
-    "gopher_quality_report", "hard_negatives_topk", "hashed_bow_features",
-    "hybrid_search_topk", "kmeans_centroids_2iter", "language_id",
-    "language_id_confusion", "length_bucket_batches", "loyal_customers",
-    "market_basket_pairs", "mix_corpus_weighted", "normalize_documents",
-    "pack_sequences", "packed_sequence_layout", "part_name_similarity",
-    "parts_in_price_band", "pivot_order_status", "pq_code_embeddings",
-    "price_percentiles", "q10_returned_items", "q11_important_parts",
-    "q12_ship_delay_priority", "q13_customer_order_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_revenue", "q1_pricing_summary",
-    "q20_dominant_shippers", "q21_waiting_orders",
+    "documents_strip_boilerplate", "doremi_source_weights",
+    "dpo_preference_pairs", "dsir_importance", "embedding_anisotropy_report",
+    "embedding_centroids", "embedding_debias_abtt", "embedding_near_dup",
+    "embedding_outliers_mahalanobis", "embedding_pc1", "error_channel_split",
+    "event_transition_matrix", "events_anomaly_mad", "events_asof_orders",
+    "events_cusum_drift", "events_ewma_daily", "events_gap_fill",
+    "events_heatmap_dow_hour", "events_histogram_equidepth",
+    "events_hourly_rollup", "events_missing_props", "events_ohlc_hourly",
+    "events_props_extract", "events_props_variant", "events_quantile_sketch",
+    "events_rolling_24h", "events_seasonal_decompose", "events_sliding_rate",
+    "events_value_zscore", "events_winsorized", "filter_agreement_matrix",
+    "filter_docs_logprob", "fingerprint_winnowing", "generator_duplicate",
+    "generator_faker", "gopher_quality_report", "hard_negatives_topk",
+    "hashed_bow_features", "hybrid_search_topk", "kmeans_centroids_2iter",
+    "language_id", "language_id_confusion", "length_bucket_batches",
+    "loyal_customers", "market_basket_pairs", "mix_corpus_weighted",
+    "ngram_novelty_probe", "normalize_documents", "pack_sequences",
+    "packed_sequence_layout", "part_name_similarity", "parts_in_price_band",
+    "pivot_order_status", "pq_code_embeddings", "price_percentiles",
+    "q10_returned_items", "q11_important_parts", "q12_ship_delay_priority",
+    "q13_customer_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_count", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_revenue",
+    "q1_pricing_summary", "q20_dominant_shippers", "q21_waiting_orders",
     "q22_dormant_rich_customers", "q2_min_cost_supplier",
     "q3_shipping_priority", "q4_late_order_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
-    "qty_price_correlation", "quality_score", "quantize_embeddings",
-    "referential_lookup", "repetition_stats", "rollup_revenue",
-    "rrf_fusion_topk", "running_daily_revenue", "salted_event_stats",
-    "sentence_segments", "sessionize_events", "shard_shuffle_corpus",
-    "source_quota_sample", "split_train_val_test", "stratified_sample",
-    "stream_curate_corpus", "stream_events_hourly", "stream_ingest_dedup",
-    "text_stats", "tfidf_keywords", "token_counts",
-    "top_orders_per_customer", "top_value_orders", "transformer_actions",
-    "unigram_logprob", "validator_rules",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_profit_by_nation", "qty_price_correlation",
+    "quality_score", "quantize_embeddings", "referential_lookup",
+    "repetition_stats", "rollup_revenue", "rrf_fusion_topk",
+    "running_daily_revenue", "salted_event_stats", "sentence_segments",
+    "sessionize_events", "sft_loss_mask_layout", "shard_shuffle_corpus",
+    "source_concentration_hhi", "source_distinctive_terms",
+    "source_dup_rate", "source_overlap_matrix", "source_quota_sample",
+    "source_vocab_health", "split_embedding_leakage", "split_leakage_audit",
+    "split_train_val_test", "stratified_sample", "stream_classifier_scores",
+    "stream_corpus_manifest", "stream_curate_corpus", "stream_events_hourly",
+    "stream_ingest_dedup", "temperature_mix_weights", "text_stats",
+    "tfidf_keywords", "token_counts", "tokenizer_fertility",
+    "top_orders_per_customer", "top_value_orders", "training_mix_schedule",
+    "transformer_actions", "unigram_logprob", "url_canonicalize_dedup",
+    "validator_rules", "weighted_sample_quality",
 }
 
 
