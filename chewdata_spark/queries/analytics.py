@@ -993,19 +993,26 @@ QUERIES["parts_pareto_8020"] = parts_pareto_8020
 ORACLES["parts_pareto_8020"] = PARETO_SQL
 
 
-def table_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def table_stats(
+    df: DataFrame, cols: list[str], *, exact_ndv: bool = False
+) -> DataFrame:
     """ANALYZE-TABLE-style statistics collection — the input a
     cost-based optimizer (join reordering, broadcast thresholds,
     filter selectivity) needs per column: row count, null fraction,
     min/max, and an NDV estimate from the SAME portable HLL sketch as
     hll_distinct_users_md5 — so stats collection is one pass with
     512-register state per column, never a COUNT(DISTINCT) shuffle of
-    the value space.  Exact NDV joined for the observed sketch error
-    (drop it in production).  One stacked projection over lineitem →
-    the stats for the three most join/filter-relevant columns."""
-    li = load_table(spark, sf_dir, "lineitem")
-    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
-    stacked = li.select(
+    the value space.
+
+    ``exact_ndv`` (default OFF — the production shape) additionally
+    joins the exact ``COUNT(DISTINCT)`` and its relative error: the
+    sketch-error AUDIT form the oracle checks.  At 100 TB the exact
+    pass is exactly the value-space shuffle this operator exists to
+    avoid, so production callers keep the default and the plan carries
+    no distinct aggregate (plan-pinned in
+    tests/test_plan_quality.py::test_table_stats_production_no_exact_distinct).
+    """
+    stacked = df.select(
         F.inline(
             F.array(
                 *[
@@ -1018,32 +1025,44 @@ def table_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    base = stacked.groupBy("col_name").agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("val").isNull().cast("bigint")).alias("n_nulls"),
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
-        F.count_distinct("val").alias("exact_ndv"),
-    )
+    ]
+    if exact_ndv:
+        aggs.append(F.count_distinct("val").alias("exact_ndv"))
+    base = stacked.groupBy("col_name").agg(*aggs)
     regs = hll_registers(stacked.filter(F.col("val").isNotNull()), "col_name", "val")
     est = hll_estimate(regs).withColumnRenamed("key", "col_name")
-    return (
-        base.join(est, "col_name")
-        .select(
-            "col_name",
-            "n_rows",
-            F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_frac"),
-            "min_val",
-            "max_val",
-            F.col("hll_estimate").alias("ndv_estimate"),
-            "exact_ndv",
+    out_cols = [
+        F.col("col_name"),
+        F.col("n_rows"),
+        F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_frac"),
+        F.col("min_val"),
+        F.col("max_val"),
+        F.col("hll_estimate").alias("ndv_estimate"),
+    ]
+    if exact_ndv:
+        out_cols += [
+            F.col("exact_ndv"),
             F.round(
                 F.abs(F.col("hll_estimate") - F.col("exact_ndv"))
                 / F.col("exact_ndv"),
                 4,
             ).alias("ndv_rel_err"),
-        )
-    )
+        ]
+    return base.join(est, "col_name").select(*out_cols)
+
+
+def table_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry audit form of :func:`table_stats` — ``exact_ndv=True``
+    over the three most join/filter-relevant lineitem columns so the
+    oracle can check the sketch error (production keeps the default
+    sketch-only plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return table_stats(li, ["l_orderkey", "l_partkey", "l_suppkey"], exact_ndv=True)
 
 
 TABLE_STATS_SQL = """

@@ -723,3 +723,25 @@ def test_distinctive_terms_single_tokenize_pass(spark, sf_dir):
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     assert n_scans <= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_table_stats_production_no_exact_distinct(spark, sf_dir):
+    # production stats collection (exact_ndv=False, the default) must
+    # not carry the COUNT(DISTINCT) expand/shuffle of the value space —
+    # NDV comes only from the 512-register HLL sketch. The audit form
+    # (exact_ndv=True) keeps the distinct pass for the oracle's
+    # sketch-error check.
+    from chewdata_spark.queries.analytics import table_stats
+    from chewdata_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = table_stats(li, ["l_orderkey", "l_partkey"])
+    assert set(df.columns) == {
+        "col_name", "n_rows", "null_frac", "min_val", "max_val",
+        "ndv_estimate",
+    }
+    plan = formatted_plan(df)
+    assert "distinct" not in plan.lower(), plan
+    audit = table_stats(li, ["l_orderkey"], exact_ndv=True)
+    assert "exact_ndv" in audit.columns and "ndv_rel_err" in audit.columns
+    assert "distinct" in formatted_plan(audit).lower()
