@@ -761,6 +761,143 @@ def hashed_classifier_score(
     ).withColumn("keep", F.col("clf_score") >= 0.5)
 
 
+def _nb_doc_features(
+    df: DataFrame, id_col: str, text_col: str, label: Column, *, dim: int
+) -> DataFrame:
+    """(doc_id, pos, dim, tf): hashed-BOW term frequencies per document
+    with the boolean training label carried alongside — the one
+    corpus-scan relation both NB training and NB scoring consume."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        label.cast("boolean").alias("pos"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    return toks.groupBy(
+        "doc_id", "pos", (md5_hex16(F.col("term")) % dim).alias("dim")
+    ).agg(F.count(F.lit(1)).alias("tf"))
+
+
+def _nb_weights(doc_feat: DataFrame, *, dim: int) -> DataFrame:
+    """Closed-form multinomial-NB log-odds weights from the hashed
+    feature relation: ``w[f] = ln((c⁺f+1)/(T⁺+dim)) −
+    ln((c⁻f+1)/(T⁻+dim))`` (add-1 / Laplace smoothing).  All dims
+    0..dim-1 are emitted (a dim unseen in training still carries the
+    smoothing-only weight).  Totals are WINDOW sums over the dim-grain
+    relation — never a second corpus pass — and the unpartitioned
+    window is bounded by ``dim`` rows by construction."""
+    bucket = doc_feat.groupBy("dim").agg(
+        F.sum(F.when(F.col("pos"), F.col("tf")).otherwise(0)).alias("pos_tf"),
+        F.sum(F.when(~F.col("pos"), F.col("tf")).otherwise(0)).alias("neg_tf"),
+    )
+    spark = doc_feat.sparkSession
+    full = (
+        spark.range(dim)
+        .select(F.col("id").cast("int").alias("dim"))
+        .join(F.broadcast(bucket), "dim", "left")
+        .select(
+            "dim",
+            F.coalesce("pos_tf", F.lit(0)).cast("bigint").alias("pos_tf"),
+            F.coalesce("neg_tf", F.lit(0)).cast("bigint").alias("neg_tf"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return full.select(
+        "dim",
+        F.round(
+            F.log(
+                (F.col("pos_tf") + 1.0)
+                / (F.sum("pos_tf").over(w_all) + float(dim))
+            )
+            - F.log(
+                (F.col("neg_tf") + 1.0)
+                / (F.sum("neg_tf").over(w_all) + float(dim))
+            ),
+            6,
+        ).alias("w"),
+        "pos_tf",
+        "neg_tf",
+    )
+
+
+def nb_train_hashed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label: Column,
+    *,
+    dim: int = 256,
+) -> DataFrame:
+    """Multinomial Naive Bayes TRAINING over hashed bag-of-words
+    features, entirely closed-form — the learned-quality-filter
+    training step of a pretraining pipeline (CCNet/fastText-style
+    distillation of a heuristic label into a linear model) with no ML
+    library: NB's MLE is just smoothed count ratios, so training is one
+    groupBy/agg plus log arithmetic and is exactly SQL-replayable.
+
+    The produced ``(dim, w, pos_tf, neg_tf)`` table is a drop-in for
+    the broadcast weight relation :func:`hashed_classifier_score`-style
+    scorers consume (NB scores with raw tf; see :func:`nb_train_infer`).
+
+    Scale: ONE corpus token pass pre-aggregated map-side to the
+    ``dim``-bounded bucket relation; class totals are window sums over
+    those ≤``dim`` rows; output is ``dim`` rows however large the
+    corpus.  Beyond-reference operator (the reference has no trainable
+    step; its closest surface is the static quality heuristics at
+    src/updater/tera.rs helpers)."""
+    return _nb_weights(
+        _nb_doc_features(df, id_col, text_col, label, dim=dim), dim=dim
+    )
+
+
+def nb_train_infer(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label: Column,
+    *,
+    dim: int = 256,
+) -> DataFrame:
+    """Train the hashed multinomial NB on ``label`` and score every
+    document with it — the composed train→infer loop in one lazy plan.
+
+    ``score = ln((N⁺+1)/(N⁻+1)) + Σ_f tf_f · w_f`` (class prior from
+    add-1-smoothed doc counts, then the log-odds dot product);
+    ``pred = score >= 0``.  The hashed feature relation is computed
+    ONCE (lazy localCheckpoint) and feeds training, the doc-grain
+    prior, and the scoring join — a single corpus scan end-to-end;
+    weights and the one-row prior ride broadcasts.
+    Returns ``(doc_id, n_tokens, nb_score, pred)``.
+    """
+    doc_feat = _nb_doc_features(df, id_col, text_col, label, dim=dim).localCheckpoint(
+        eager=False
+    )
+    weights = _nb_weights(doc_feat, dim=dim)
+    prior = (
+        doc_feat.select("doc_id", "pos")
+        .distinct()
+        .agg(
+            F.sum(F.col("pos").cast("bigint")).alias("_np"),
+            F.sum((~F.col("pos")).cast("bigint")).alias("_nn"),
+        )
+        .select(
+            F.log((F.col("_np") + 1.0) / (F.col("_nn") + 1.0)).alias("_prior")
+        )
+    )
+    scored = (
+        doc_feat.join(F.broadcast(weights.select("dim", "w")), "dim")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("int").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("w")).alias("_dot"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(prior)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("_prior") + F.col("_dot"), 6).alias("nb_score"),
+    ).withColumn("pred", F.col("nb_score") >= 0)
+
+
 def dsir_log_ratio(
     df: DataFrame,
     id_col: str,

@@ -985,6 +985,108 @@ QUERIES["classifier_quality_filter"] = classifier_quality_filter
 ORACLES["classifier_quality_filter"] = CLASSIFIER_SQL
 
 
+# Shared SQL: heuristic-quality training label (the _quality_expr
+# mirror) feeding the hashed-BOW NB feature relation.  pos = the doc's
+# 6-dp composite quality >= 0.8 — the CCNet/fastText-style "distill a
+# heuristic into a learned filter" bootstrap.
+_NB_FEAT_SQL = f"""
+d AS (
+    SELECT doc_id, trim(lower(text)) AS t,
+           string_split_regex(trim(lower(text)), '\\s+') AS toks,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct
+    FROM documents
+), lab AS (
+    SELECT doc_id, t,
+           ROUND(0.4 * least(CAST(n_chars AS DOUBLE) / 200.0, 1.0)
+               + 0.3 * (1 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0))
+               + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)), 6)
+               >= 0.8 AS pos
+    FROM d
+), tk AS (
+    SELECT doc_id, pos, unnest(string_split_regex(t, '\\s+')) AS term FROM lab
+), feat AS (
+    SELECT doc_id, pos, CAST({_hex16_sql("md5(term)")} % 256 AS INT) AS dim,
+           COUNT(*) AS tf
+    FROM tk GROUP BY 1, 2, 3
+), bucket AS (
+    SELECT dim, SUM(CASE WHEN pos THEN tf ELSE 0 END) AS pos_tf,
+                SUM(CASE WHEN pos THEN 0 ELSE tf END) AS neg_tf
+    FROM feat GROUP BY 1
+), fullw AS (
+    SELECT CAST(i AS INT) AS dim,
+           CAST(COALESCE(pos_tf, 0) AS BIGINT) AS pos_tf,
+           CAST(COALESCE(neg_tf, 0) AS BIGINT) AS neg_tf
+    FROM range(256) r(i) LEFT JOIN bucket ON bucket.dim = i
+), wts AS (
+    SELECT dim, pos_tf, neg_tf,
+           ROUND(ln((pos_tf + 1.0) / (SUM(pos_tf) OVER () + 256.0))
+               - ln((neg_tf + 1.0) / (SUM(neg_tf) OVER () + 256.0)), 6) AS w
+    FROM fullw
+)"""
+
+
+def nb_train_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multinomial Naive Bayes TRAINING
+    (operators/curation.py::nb_train_hashed): distill the heuristic
+    composite quality label (quality >= 0.8) into a 256-dim hashed-BOW
+    log-odds weight table — smoothed count ratios are NB's exact MLE,
+    so the whole training step is one corpus pass + log arithmetic and
+    the oracle replays it bit-for-bit.  Output is the broadcast weight
+    relation the classifier-inference queries consume."""
+    docs = load_table(spark, sf_dir, "documents")
+    from chewdata_spark.operators.text import _quality_expr
+
+    return curation.nb_train_hashed(
+        docs, "doc_id", "text", _quality_expr("text") >= 0.8, dim=256
+    )
+
+
+NB_TRAIN_SQL = f"""
+WITH {_NB_FEAT_SQL}
+SELECT dim, w, pos_tf, neg_tf FROM wts
+"""
+
+QUERIES["nb_train_quality_weights"] = nb_train_quality_weights
+ORACLES["nb_train_quality_weights"] = NB_TRAIN_SQL
+
+
+def nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed NB train→infer loop in ONE lazy plan
+    (operators/curation.py::nb_train_infer): train the hashed NB on the
+    heuristic quality label, then score every document with the learned
+    log-odds weights + smoothed class prior.  The hashed feature
+    relation is computed once (lazy localCheckpoint) and feeds
+    training, the prior, and the scoring join — a single corpus scan
+    end-to-end, with weights and the one-row prior on broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    from chewdata_spark.operators.text import _quality_expr
+
+    return curation.nb_train_infer(
+        docs, "doc_id", "text", _quality_expr("text") >= 0.8, dim=256
+    )
+
+
+NB_SCORES_SQL = f"""
+WITH {_NB_FEAT_SQL},
+prior AS (
+    SELECT ln((SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0)
+            / (SUM(CASE WHEN pos THEN 0 ELSE 1 END) + 1.0)) AS p
+    FROM lab
+), scored AS (
+    SELECT doc_id, CAST(SUM(tf) AS INT) AS n_tokens, SUM(tf * w) AS dot
+    FROM feat JOIN wts USING (dim) GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       ROUND(p + dot, 6) AS nb_score,
+       ROUND(p + dot, 6) >= 0 AS pred
+FROM scored, prior
+"""
+
+QUERIES["nb_quality_scores"] = nb_quality_scores
+ORACLES["nb_quality_scores"] = NB_SCORES_SQL
+
+
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): every document scored
     by how 'en'-like it is under hashed unigram LMs — log p_target minus

@@ -745,3 +745,22 @@ def test_table_stats_production_no_exact_distinct(spark, sf_dir):
     audit = table_stats(li, ["l_orderkey"], exact_ndv=True)
     assert "exact_ndv" in audit.columns and "ndv_rel_err" in audit.columns
     assert "distinct" in formatted_plan(audit).lower()
+
+
+def test_nb_train_infer_single_corpus_scan(spark, sf_dir):
+    # the composed train→infer plan must read the corpus ONCE: the
+    # hashed feature relation is lazily checkpointed and feeds
+    # training, the doc-grain prior, and the scoring join. After
+    # execution the AQE-final plan shows the checkpoint RDD in place
+    # of repeated parquet scans; weights and prior ride broadcasts.
+    import re
+
+    from chewdata_spark.queries.curation_queries import nb_quality_scores
+
+    df = nb_quality_scores(spark, sf_dir)
+    df.collect()
+    plan = formatted_plan(df).split("== Initial Plan ==")[0]
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 0, plan  # all three consumers read the checkpoint
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
