@@ -263,3 +263,179 @@ def bpe_encode_corpus(
             ).alias("pieces"),
         )
     )
+
+
+def _lp_micro(p: Column) -> Column:
+    """ln(p) as BIGINT micro-units: 6-dp round, scale, integer round,
+    THEN cast — after ROUND(x*1e6, 0) the double is integral, so the
+    cast is exact in both Spark (truncating) and DuckDB (rounding).
+    The same device as the IVF-PQ ADC sums: integer path scores make
+    the Viterbi argmax order-independent and engine-portable."""
+    return F.round(F.round(F.log(p), 6) * 1000000.0, 0).cast("bigint")
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    max_word_len: int = 10,
+    max_piece_len: int = 4,
+    seed_multi: int = 200,
+    em_iters: int = 2,
+) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece-style, Kudo 2018)
+    — the OTHER half of the production tokenizer story beside
+    :func:`bpe_merges`: seed a subword vocabulary from corpus substring
+    counts, then run fixed hard-EM (Viterbi) iterations where the
+    E-step segments every word optimally under the current piece
+    log-probs and the M-step re-estimates piece probabilities from the
+    chosen segmentations (add-1 smoothed so the piece set stays fixed
+    and deterministic).
+
+    Determinism devices (all established in this repo): piece
+    log-probs become BIGINT micro-units (:func:`_lp_micro`) so path
+    scores are exact integer sums; Viterbi ties break on the
+    lexicographically smallest piece string, which IS dynamic-
+    programming-decomposable here (two same-position prefixes always
+    first differ at a space-vs-letter index that survives any suffix
+    concatenation); expected counts are integer word-frequency sums.
+
+    Scale shape: everything past one corpus token explode runs on the
+    length-capped DISTINCT-WORD relation (vocab grain, never corpus
+    grain).  The Viterbi DP over one word is LOCAL, so each E-step is
+    a single shuffle: edges join the broadcast vocabulary, collapse to
+    one map row per word (``(start*16+len) → (lp, piece)``), and the
+    whole position DP runs inside ONE SQL ``aggregate`` expression —
+    no per-position joins, no window over anything unbounded.  The
+    vocabulary (all single chars + top-``seed_multi`` multi-char
+    substrings) rides broadcasts.  The DuckDB oracle replays the SAME
+    answer by brute-force path enumeration (recursive CTE) + argmax —
+    DP vs transparent enumeration, the verification-twin pattern.
+    Word-length cap mirrors SentencePiece's own
+    max-sentencepiece-length pruning.
+
+    Returns one row per vocabulary piece:
+    ``(piece, piece_len, em_count, prob)`` — final hard counts and the
+    add-1-smoothed probability after ``em_iters`` EM rounds.
+    """
+    spark_words = (
+        _bpe_words(df, text_col)
+        .filter(F.length("word") <= max_word_len)
+        .localCheckpoint(eager=False)
+    )
+    w_all = Window.partitionBy()
+
+    # --- seed vocabulary: substring counts over the word inventory
+    pair_expr = F.expr(
+        f"""flatten(transform(sequence(1, length(word)),
+              i -> transform(sequence(1, least({max_piece_len}, length(word) - i + 1)),
+                   l -> struct(i AS i, l AS l))))"""
+    )
+    subs = spark_words.select("word", "freq", F.explode(pair_expr).alias("e")).select(
+        "freq", F.expr("substring(word, e.i, e.l)").alias("piece")
+    )
+    seed = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    chars = seed.filter(F.length("piece") == 1)
+    multi = (
+        seed.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(seed_multi)
+    )
+    vocab = (
+        chars.unionByName(multi)
+        .select(
+            "piece",
+            _lp_micro(
+                F.col("cnt").cast("double") / F.sum("cnt").over(w_all).cast("double")
+            ).alias("lp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # --- DP edge relation: (word, freq, k, piece) for every in-word
+    # substring up to max_piece_len, keyed k = start0*16 + len (unique
+    # per word while max_piece_len < 16); joined per EM round with the
+    # current vocab log-probs (broadcast) and collapsed to ONE map row
+    # per word for the local Viterbi expression.
+    assert max_piece_len < 16
+    edges = (
+        spark_words.select("word", "freq", F.explode(pair_expr).alias("e"))
+        .select(
+            "word",
+            "freq",
+            ((F.col("e.i") - 1) * 16 + F.col("e.l")).alias("k"),
+            F.expr("substring(word, e.i, e.l)").alias("piece"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # The whole per-word Viterbi runs inside one aggregate() over
+    # positions 1..len(word): state j is struct(ns = -score_micro, seg);
+    # candidates at j are the ≤max_piece_len vocab edges ending there;
+    # array_min picks (max score, then lexicographically smallest seg).
+    # A single-char edge always exists (every char of every capped word
+    # is seeded), so the candidate list is never empty.
+    dp_expr = f"""
+        element_at(
+          aggregate(
+            sequence(1, length(word)),
+            array(named_struct('ns', CAST(0 AS BIGINT), 'seg', '')),
+            (acc, j) -> acc || array(
+              array_min(
+                filter(
+                  transform(sequence(1, least({max_piece_len}, j)),
+                    l -> if(isnotnull(try_element_at(em, (j - l) * 16 + l)),
+                            named_struct(
+                              'ns', element_at(acc, j - l + 1).ns
+                                    - try_element_at(em, (j - l) * 16 + l).lp,
+                              'seg', if(element_at(acc, j - l + 1).seg = '',
+                                        try_element_at(em, (j - l) * 16 + l).piece,
+                                        concat(element_at(acc, j - l + 1).seg, ' ',
+                                               try_element_at(em, (j - l) * 16 + l).piece))),
+                            cast(null as struct<ns: bigint, seg: string>))),
+                  x -> isnotnull(x))))),
+          length(word) + 1).seg
+    """
+
+    for _ in range(em_iters):
+        ve = edges.join(F.broadcast(vocab.select("piece", "lp")), "piece").select(
+            "word",
+            "freq",
+            "k",
+            F.struct(F.col("lp").alias("lp"), F.col("piece").alias("piece")).alias("v"),
+        )
+        segs = (
+            ve.groupBy("word", "freq")
+            .agg(F.map_from_entries(F.collect_list(F.struct("k", "v"))).alias("em"))
+            .select("freq", F.expr(dp_expr).alias("seg"))
+        )
+        cnts = (
+            segs.select("freq", F.explode(F.split("seg", " ")).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("em_count"))
+        )
+        vocab = (
+            vocab.select("piece")
+            .join(cnts, "piece", "left")
+            .select("piece", F.coalesce("em_count", F.lit(0)).cast("bigint").alias("em_count"))
+            .select(
+                "piece",
+                "em_count",
+                (
+                    (F.col("em_count") + 1.0)
+                    / (
+                        F.sum("em_count").over(w_all).cast("double")
+                        + F.count(F.lit(1)).over(w_all).cast("double")
+                    )
+                ).alias("p"),
+            )
+            .select("piece", "em_count", "p", _lp_micro(F.col("p")).alias("lp"))
+            .localCheckpoint(eager=False)
+        )
+
+    return vocab.select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        "em_count",
+        F.round("p", 6).alias("prob"),
+    )

@@ -479,3 +479,98 @@ FROM per_src
 
 QUERIES["heaps_law_fit"] = heaps_law_fit
 ORACLES["heaps_law_fit"] = HEAPS_SQL
+
+
+def _unigram_paths_sql(vtab: str, idx: int) -> str:
+    """One hard-EM round of the unigram-LM oracle: brute-force
+    segmentation-path enumeration (recursive CTE) + per-word argmax
+    (score desc, seg asc) + hard counts + add-1 re-estimation."""
+    return f"""
+paths{idx} AS (
+    SELECT word, freq, length(word) AS wl, 0 AS pos, CAST(0 AS BIGINT) AS score, '' AS seg FROM w
+    UNION ALL
+    SELECT p.word, p.freq, p.wl, p.pos + length(v.piece), p.score + v.lp,
+           CASE WHEN p.seg = '' THEN v.piece ELSE p.seg || ' ' || v.piece END
+    FROM paths{idx} p JOIN {vtab} v
+      ON p.pos < p.wl
+     AND p.pos + length(v.piece) <= p.wl
+     AND substr(p.word, p.pos + 1, length(v.piece)) = v.piece
+),
+best{idx} AS (
+    SELECT word, freq, seg FROM (
+        SELECT word, freq, seg,
+               ROW_NUMBER() OVER (PARTITION BY word ORDER BY score DESC, seg ASC) AS rk
+        FROM paths{idx} WHERE pos = wl) WHERE rk = 1
+),
+c{idx} AS (
+    SELECT piece, SUM(freq) AS em_count
+    FROM (SELECT freq, unnest(string_split(seg, ' ')) AS piece FROM best{idx})
+    GROUP BY 1
+),
+vb{idx} AS (
+    SELECT s.piece, CAST(COALESCE(c{idx}.em_count, 0) AS BIGINT) AS em_count
+    FROM seed s LEFT JOIN c{idx} ON c{idx}.piece = s.piece
+),
+vp{idx} AS (
+    SELECT piece, em_count,
+           (em_count + 1.0) / ((SELECT CAST(SUM(em_count) AS DOUBLE) FROM vb{idx})
+                             + (SELECT CAST(COUNT(*) AS DOUBLE) FROM vb{idx})) AS p
+    FROM vb{idx}
+),
+v{idx + 1} AS (
+    SELECT piece, CAST(ROUND(ROUND(ln(p), 6) * 1000000.0, 0) AS BIGINT) AS lp FROM vp{idx}
+)"""
+
+
+def unigram_lm_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece-style hard-EM) —
+    operators/tokenize.py::unigram_lm_train.  Spark runs the
+    scale-correct Viterbi DP (bounded unrolled joins on the
+    length-capped distinct-word relation, integer micro-unit path
+    scores); the oracle replays the SAME vocabulary by brute-force
+    path enumeration (recursive CTE) + argmax — the verification-twin
+    pattern.  Complements `bpe_merge_rules`: the two tokenizer-training
+    families real pipelines choose between."""
+    docs = load_table(spark, sf_dir, "documents")
+    from chewdata_spark.operators.tokenize import unigram_lm_train
+
+    return unigram_lm_train(docs, "text")
+
+
+UNIGRAM_LM_SQL = f"""
+WITH RECURSIVE
+w AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents)
+    WHERE length(word) BETWEEN 1 AND 10
+    GROUP BY 1
+),
+subs AS (
+    SELECT substr(word, i, l) AS piece, SUM(freq) AS cnt
+    FROM w,
+         (SELECT unnest(range(1, 11)) AS i) pos,
+         (SELECT unnest(range(1, 5)) AS l) pl
+    WHERE i <= length(word) AND i + l - 1 <= length(word)
+    GROUP BY 1
+),
+seed AS (
+    SELECT piece, cnt FROM subs WHERE length(piece) = 1
+    UNION ALL
+    SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM subs WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece ASC LIMIT 200) t
+),
+v0 AS (
+    SELECT piece,
+           CAST(ROUND(ROUND(ln(CAST(cnt AS DOUBLE) / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM seed)), 6) * 1000000.0, 0) AS BIGINT) AS lp
+    FROM seed
+),
+{_unigram_paths_sql("v0", 0)},
+{_unigram_paths_sql("v1", 1)}
+SELECT piece, CAST(length(piece) AS INT) AS piece_len, em_count,
+       ROUND(p, 6) AS prob
+FROM vp1
+"""
+
+QUERIES["unigram_lm_pieces"] = unigram_lm_pieces
+ORACLES["unigram_lm_pieces"] = UNIGRAM_LM_SQL

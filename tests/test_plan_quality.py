@@ -764,3 +764,21 @@ def test_nb_train_infer_single_corpus_scan(spark, sf_dir):
     assert n_scans == 0, plan  # all three consumers read the checkpoint
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_unigram_lm_vocab_grain_no_corpus_rescan(spark, sf_dir):
+    # the whole hard-EM loop runs on the checkpointed length-capped
+    # word relation: after execution the AQE-final plan reads only
+    # checkpoint RDDs (the corpus was scanned exactly once to build
+    # it), the per-word Viterbi is ONE aggregate() expression (no
+    # per-position joins), and no Python UDF appears anywhere.
+    import re
+
+    from chewdata_spark.queries.tokenize_queries import unigram_lm_pieces
+
+    df = unigram_lm_pieces(spark, sf_dir)
+    df.collect()
+    plan = formatted_plan(df).split("== Initial Plan ==")[0]
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
