@@ -2218,3 +2218,82 @@ FROM sh GROUP BY lang
 
 QUERIES["source_concentration_hhi"] = source_concentration_hhi
 ORACLES["source_concentration_hhi"] = SOURCE_HHI_SQL
+
+
+def dataset_card_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generator — the per-source manifest row a 100 TB
+    curation run publishes alongside the data (HuggingFace
+    dataset-card / Datasheets-for-Datasets style): document count,
+    token and char volume, corpus-global exact-duplicate rate
+    (first-occurrence-wins, the `dedup_exact` convention), quality
+    mean + high-quality share, language mix (en share + distinct
+    langs).
+
+    Composed in ONE corpus scan: every metric is a projection over the
+    same doc-grain relation (quality expr, token size, content md5),
+    followed by exactly one hash window (dup ranking) and one
+    source-keyed aggregation — no per-metric re-scans (plan-pinned).
+    """
+    from chewdata_spark.operators.text import _quality_expr, _tokens
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        "lang",
+        _quality_expr("text").alias("q"),
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("toks"),
+        F.length("text").cast("bigint").alias("chars"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    flagged = d.withColumn("is_dup", (F.row_number().over(w) > 1).cast("int"))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.sum("chars").alias("n_chars"),
+        F.round(F.sum("is_dup") / F.count(F.lit(1)), 6).alias("dup_rate"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.round(
+            F.sum((F.col("q") >= 0.8).cast("int")) / F.count(F.lit(1)), 6
+        ).alias("hi_quality_share"),
+        F.round(
+            F.sum((F.col("lang") == "en").cast("int")) / F.count(F.lit(1)), 6
+        ).alias("en_share"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+DATASET_CARD_SQL = """
+WITH d AS (
+    SELECT source, doc_id, lang,
+           ROUND(0.4 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+               + 0.3 * (1 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                                  / greatest(length(text), 1) * 5.0, 1.0))
+               + 0.3 * (CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS DOUBLE)
+                        / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)), 6) AS q,
+           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS toks,
+           CAST(length(text) AS BIGINT) AS chars,
+           md5(text) AS h
+    FROM documents
+), flagged AS (
+    SELECT *, CASE WHEN ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) > 1
+                   THEN 1 ELSE 0 END AS is_dup
+    FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(chars) AS BIGINT) AS n_chars,
+       ROUND(SUM(is_dup) * 1.0 / COUNT(*), 6) AS dup_rate,
+       ROUND(AVG(q), 6) AS avg_quality,
+       ROUND(SUM(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS hi_quality_share,
+       ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS en_share,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM flagged
+GROUP BY source
+"""
+
+QUERIES["dataset_card_manifest"] = dataset_card_manifest
+ORACLES["dataset_card_manifest"] = DATASET_CARD_SQL

@@ -782,3 +782,19 @@ def test_unigram_lm_vocab_grain_no_corpus_rescan(spark, sf_dir):
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     assert n_scans == 0, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_dataset_card_single_scan(spark, sf_dir):
+    # the dataset-card manifest composes doc/token/dup/quality/lang
+    # metrics as projections over ONE doc-grain relation: exactly one
+    # corpus scan, one hash window, one source aggregation — never a
+    # re-scan per metric.
+    import re
+
+    from chewdata_spark.queries.curation_queries import dataset_card_manifest
+
+    df = dataset_card_manifest(spark, sf_dir)
+    plan = formatted_plan(df)
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
