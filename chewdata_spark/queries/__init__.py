@@ -121,11 +121,43 @@ _DRIVER_CHECKED = {
 }
 
 
+# Never-driver-sampled names as of the round-8 open (registry minus
+# CORRECTNESS_r01..r07, in registry order).  Pinned explicitly so that
+# queries ADDED during round 8 slot in AFTER this backlog: the driver
+# samples ~50 names per round from the front of all_queries(), and the
+# backlog must drain before brand-new names consume sample slots.
+_DRIVER_BACKLOG = (
+    "embedding_near_dup_clustered", "ann_ivf_topk", "nb_train_quality_weights",
+    "nb_quality_scores", "dataset_card_manifest", "tokenize_documents",
+    "corpus_zipf_fit", "countmin_sketch_terms", "bpe_merge_rules",
+    "bpe_encode_documents", "fim_transform_documents", "vocab_coverage_curve",
+    "heaps_law_fit", "unigram_lm_pieces", "signup_conversion_funnel",
+    "user_retention_cohorts", "pagerank_order_graph",
+    "distinct_users_linear_count", "hll_distinct_users_md5",
+    "stream_hll_distinct_users", "monthly_revenue_trend",
+    "supplier_reliability", "customer_rfm_segments", "parts_pareto_8020",
+    "table_stats_report", "join_cardinality_estimate", "parts_skyline",
+    "kmv_set_intersection", "multigrain_distinct_hll",
+    "stream_view_to_purchase", "stream_sessionize_events", "user_event_gaps",
+    "orders_near_price_left", "chunk_documents_udtf",
+    "order_priority_grouping_sets", "customer_spend_quartiles",
+    "part_name_tokens", "documents_profile", "media_decode_dims",
+    "media_dhash_dedup", "stream_media_dhash_dedup", "stream_events_zscore",
+    "docs_embeddings_alignment", "orders_upsert_merge", "user_state_history",
+    "video_frame_sample_report", "zorder_layout_audit", "shuffle_skew_audit",
+    "forget_users_audit", "k_anonymity_report", "dp_noisy_counts",
+)
+
+
 def all_queries() -> dict[str, QueryFn]:
     merged: dict[str, QueryFn] = {}
     for mod in _modules():
         merged.update(mod.QUERIES)
-    out = {n: f for n, f in merged.items() if n not in _DRIVER_CHECKED}
+    out = {n: merged[n] for n in _DRIVER_BACKLOG if n in merged}
+    out.update(
+        (n, f) for n, f in merged.items()
+        if n not in _DRIVER_CHECKED and n not in out
+    )
     out.update((n, f) for n, f in merged.items() if n in _DRIVER_CHECKED)
     return out
 
