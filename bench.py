@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_md5",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
     "dedup_clean_corpus_lsh",
     "dedup_clean_corpus_lsh_cc",
     "dedup_duplicate_spans",

@@ -519,6 +519,95 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via PPJoin-style prefix filtering —
+    the sub-quadratic production twin of :func:`ngram_jaccard_pairs`.
+
+    Same output, different candidate generation (Xiao et al., "Efficient
+    Similarity Joins for Near Duplicate Detection", WWW 2008 — public):
+
+    1. order each doc's distinct shingles by GLOBAL document frequency
+       ascending (rarest first, shingle-hash tie-break — any shared
+       deterministic total order works);
+    2. keep only the first ``p = |x| - ceil(t*|x|) + 1`` shingles per
+       doc (Jaccard >= t implies intersection >= ceil(t*|x|), so two
+       qualifying docs MUST share a token inside both prefixes);
+    3. self-join prefixes on the shingle hash with the length filter
+       ``min(n_a,n_b) >= t * max(n_a,n_b)`` (Jaccard >= t bounds the
+       size ratio), distinct the candidate id pairs;
+    4. verify exactly: join back to the per-doc sorted shingle arrays
+       and count ``array_intersect``.
+
+    Why this scales where the inverted-index join doesn't: the plain
+    shingle self-join explodes on STOP-WORD shingles ("of the and"
+    appears in k docs -> k^2/2 join rows), while the prefix join only
+    keys on each doc's RAREST shingles — a ubiquitous shingle ranks
+    last and never enters any prefix unless the doc is nearly all
+    stop-words.  Candidate count is near-linear on real corpora; the
+    verify step is one broadcast-free pair join against arrays already
+    grouped per doc.  No cap, no recall loss: output is bit-identical
+    to the quadratic twin (asserted in tests and by sharing its oracle).
+    """
+    sh = (
+        _shingle_rows(df, id_col, text_col, n)
+        .dropDuplicates(["id", "s"])
+        .select("id", F.xxhash64("s").alias("sh"))
+    )
+    # Global rarity rank: one shuffle on sh (window), then per-doc
+    # ordering: one shuffle on id (window) reused by the groupBy(id)
+    # array build below.
+    freq = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    )
+    wdoc = Window.partitionBy("id").orderBy("df", "sh")
+    ranked = (
+        freq.withColumn("rk", F.row_number().over(wdoc))
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = ranked.filter(F.col("rk") <= prefix_len).select("id", "sh", "n_sh")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = ranked.groupBy("id").agg(
+        F.sort_array(F.collect_list("sh")).alias("arr"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    verified = (
+        cand.join(sets.select(F.col("id").alias("id_a"),
+                              F.col("arr").alias("arr_a"),
+                              F.col("n_sh").alias("n_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"),
+                          F.col("arr").alias("arr_b"),
+                          F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        verified.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def positional_grams(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:

@@ -81,6 +81,17 @@ WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5
 """
 
 
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trigram-Jaccard pairs via PPJoin prefix filtering — the
+    sub-quadratic production twin of `dedup_ngram_jaccard` (identical
+    output, shares its oracle; candidates keyed on each doc's rarest
+    shingles only, so stop-word shingle buckets never explode).
+    See operators/dedup.py::jaccard_prefix_pairs for the scale
+    argument; equality with the quadratic twin is pinned in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_prefix_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 perms) + LSH(16 bands) candidate pairs, verified to
     Jaccard ≥ 0.5.  Rows-only check (seeded xxhash64 not in ANSI SQL);
@@ -731,6 +742,7 @@ QUERIES = {
     "dedup_clean_corpus_lsh": dedup_clean_corpus_lsh,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_jaccard_prefix": dedup_jaccard_prefix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_md5": dedup_minhash_lsh_md5,
     "dedup_containment_md5": dedup_containment_md5,
@@ -750,6 +762,7 @@ ORACLES = {
     "dedup_clean_corpus": CLEAN_CORPUS_SQL,
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_jaccard_prefix": NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh_md5": MINHASH_MD5_SQL,
     "dedup_containment_md5": CONTAINMENT_MD5_SQL,
     "dedup_simhash_md5": SIMHASH_MD5_SQL,

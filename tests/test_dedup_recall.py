@@ -313,3 +313,56 @@ def test_ivfpq_topk_recall_vs_exact_l2(spark, emb):
     # L2 truth) caps at 0.68 on this near-random corpus — the refine
     # stage recovers nearly all PQ coding loss
     assert recall >= 0.55, f"IVF-PQ refined recall {recall:.2f} < 0.55"
+
+
+def test_jaccard_prefix_exact_equality(spark, docs):
+    """PPJoin prefix filtering is EXACT — bit-identical pair set and
+    jaccard values vs the quadratic inverted-index twin at sf0.01."""
+    quad = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect())
+    )
+    ppj = sorted(
+        map(tuple, dedup.jaccard_prefix_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect())
+    )
+    assert quad, "no planted near-dup pairs at sf0.01?"
+    assert ppj == quad
+
+
+def test_jaccard_prefix_prunes_hot_shingles(spark):
+    """The candidate join must key only on PREFIX tokens: a boilerplate
+    shingle shared by hundreds of docs ranks last by global df and stays
+    out of every prefix — so the naive inverted-index join's k-doc hot
+    bucket (k^2/2 join rows) collapses, while the output stays EXACT."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from chewdata_spark.operators.dedup import _shingle_rows
+
+    # 300 docs, each: 6 unique words + the same 3-word footer.  Every
+    # doc shares the footer shingle "all rights reserved" -> naive join
+    # hot bucket = 300 (44850 candidate pairs); true near-dup pairs: 0.
+    rows = [
+        (i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f all rights reserved")
+        for i in range(300)
+    ]
+    boiler = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sh = (
+        _shingle_rows(boiler, "doc_id", "text", 3)
+        .dropDuplicates(["id", "s"])
+        .select("id", F.xxhash64("s").alias("sh"))
+    )
+    freq = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+    ranked = freq.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("id").orderBy("df", "sh"))
+    ).withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n_sh") - F.ceil(0.5 * F.col("n_sh")) + 1
+    )
+    naive_hot = sh.groupBy("sh").count().agg(F.max("count")).collect()[0][0]
+    prefix_hot = prefix.groupBy("sh").count().agg(F.max("count")).collect()[0][0]
+    assert naive_hot == 300
+    # every doc's prefix is its 4 rarest shingles — all doc-unique here,
+    # so the shared boilerplate shingles never enter any prefix.
+    assert prefix_hot == 1, (prefix_hot, naive_hot)
+    # and the exact result on this corpus is the empty set, both paths
+    assert dedup.jaccard_prefix_pairs(boiler, "doc_id", "text", n=3, threshold=0.5).count() == 0
