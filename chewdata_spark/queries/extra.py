@@ -1234,3 +1234,49 @@ FROM coin
 
 QUERIES["dp_noisy_counts"] = dp_noisy_counts
 ORACLES["dp_noisy_counts"] = DP_NOISY_SQL
+
+
+def parts_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over part names: blocked fuzzy matching (first/
+    last-token blocks, levenshtein <= 2) + connected components; entity
+    id = min canonical name per component
+    (operators/entity.py::entity_resolution — the record-linkage step
+    the reference's fuzzy string predicates stop short of,
+    src/updater/tera_helpers/string.rs)."""
+    from chewdata_spark.operators.entity import entity_resolution
+
+    part = load_table(spark, sf_dir, "part")
+    return entity_resolution(part, "p_name", max_edit=2)
+
+
+ENTITY_RESOLUTION_SQL = """
+WITH RECURSIVE nm AS (
+    SELECT regexp_replace(trim(lower(p_name)), '\\s+', ' ', 'g') AS name,
+           COUNT(*) AS n_rows
+    FROM part GROUP BY 1
+), pr AS (
+    SELECT a.name AS id_a, b.name AS id_b
+    FROM nm a JOIN nm b
+      ON a.name < b.name
+     AND (string_split(a.name, ' ')[1] = string_split(b.name, ' ')[1]
+          OR string_split(a.name, ' ')[-1] = string_split(b.name, ' ')[-1])
+     AND abs(length(a.name) - length(b.name)) <= 2
+     AND levenshtein(a.name, b.name) <= 2
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pr
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pr
+), reach(node, lbl) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+), lab AS (
+    SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT nm.name, COALESCE(lab.cluster_id, nm.name) AS entity_id, nm.n_rows,
+       COUNT(*) OVER (PARTITION BY COALESCE(lab.cluster_id, nm.name)) AS entity_size
+FROM nm LEFT JOIN lab ON nm.name = lab.node
+"""
+
+QUERIES["parts_entity_resolution"] = parts_entity_resolution
+ORACLES["parts_entity_resolution"] = ENTITY_RESOLUTION_SQL

@@ -160,3 +160,29 @@ def test_char_entropy_flags_junk_not_language(spark):
     assert h[1] < 0.1          # single repeated char: ~0 bits
     assert h[2] > 6.0          # uniform over 94 printables: ~6.55 bits
     assert 3.0 < h[3] < 4.5    # English text band
+
+
+def test_entity_resolution_planted(spark):
+    """Blocked fuzzy ER: canonicalization collapses case/space variants,
+    small-edit names sharing a first/last token merge transitively, and
+    names matching in neither boundary token stay separate entities."""
+    from chewdata_spark.operators.entity import entity_resolution
+
+    rows = [
+        (1, "Acme Corp"), (2, "acme  corp"), (3, "acme core"),
+        (4, "beta llc"), (5, "zeta llc"),
+        (6, "gamma systems"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = {r.name: (r.entity_id, r.n_rows, r.entity_size)
+           for r in entity_resolution(df, "name", max_edit=2).collect()}
+    # case/space canonicalization: one name-grain row with n_rows=2
+    assert out["acme corp"][1] == 2
+    # "acme core" (edit 1, shared first token) joins the acme entity
+    assert out["acme core"][0] == "acme core" or out["acme corp"][0] == out["acme core"][0]
+    assert out["acme corp"][0] == out["acme core"][0] == "acme core"  # min name labels
+    assert out["acme corp"][2] == 2
+    # shared LAST token + edit 1 merges beta/zeta (block key is part of the rule)
+    assert out["beta llc"][0] == out["zeta llc"][0] == "beta llc"
+    # no boundary token shared -> singleton
+    assert out["gamma systems"] == ("gamma systems", 1, 1)
