@@ -720,3 +720,145 @@ FROM trf t JOIN seas s USING (dow)
 
 QUERIES["events_seasonal_decompose"] = events_seasonal_decompose
 ORACLES["events_seasonal_decompose"] = SEASONAL_DECOMPOSE_SQL
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day-ahead Holt-Winters forecast (additive, weekly season) of
+    daily event value per type — the capacity-planning companion to
+    `events_seasonal_decompose`.
+
+    The triple-exponential recurrence (alpha=.3 level, beta=.1 trend,
+    gamma=.2 seasonal) is inherently serial, but only at DAY grain: the
+    corpus aggregates to ~days x types rows first (one shuffle,
+    volume-independent), then the whole recursion runs as ONE
+    `aggregate()` fold per type over its sorted day array — no driver
+    loop, no per-iteration job, bounded by the calendar not the data.
+    Every state update rounds to 8 dp so the DuckDB recursive-CTE
+    oracle replays the recursion bit-for-bit; forecasts round to 4 dp.
+    Types shorter than two weeks are excluded (init needs 2x7 days)."""
+    ALPHA, BETA, GAMMA = 0.3, 0.1, 0.2
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("v")
+    )
+    per = (
+        daily.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "v"))).alias("sv"))
+        .select(
+            "event_type",
+            F.transform(F.col("sv"), lambda x: x["v"]).alias("vs"),
+        )
+        .filter(F.size("vs") >= 14)
+    )
+    w1 = F.aggregate(F.slice("vs", 1, 7), F.lit(0.0), lambda a, x: a + x) / 7.0
+    w2 = F.aggregate(F.slice("vs", 8, 7), F.lit(0.0), lambda a, x: a + x) / 7.0
+    per = per.select(
+        "event_type", "vs",
+        F.round(w1, 8).alias("lvl0"),
+        F.round((w2 - w1) / 7.0, 8).alias("tr0"),
+    )
+    per = per.select(
+        "event_type", "vs", "lvl0", "tr0",
+        F.transform(
+            F.slice("vs", 1, 7), lambda x: F.round(x - F.col("lvl0"), 8)
+        ).alias("s0"),
+    )
+
+    def step(acc, v):
+        s_t = F.element_at(acc["season"], (acc["t"] % 7 + 1).cast("int"))
+        lvl_new = F.round(
+            ALPHA * (v - s_t) + (1 - ALPHA) * (acc["level"] + acc["trend"]), 8
+        )
+        tr_new = F.round(
+            BETA * (lvl_new - acc["level"]) + (1 - BETA) * acc["trend"], 8
+        )
+        season_new = F.transform(
+            acc["season"],
+            lambda s, j: F.when(
+                j == (acc["t"] % 7),
+                F.round(GAMMA * (v - lvl_new) + (1 - GAMMA) * s, 8),
+            ).otherwise(s),
+        )
+        return F.struct(
+            lvl_new.alias("level"),
+            tr_new.alias("trend"),
+            season_new.alias("season"),
+            (acc["t"] + 1).alias("t"),
+        )
+
+    init = F.struct(
+        F.col("lvl0").alias("level"),
+        F.col("tr0").alias("trend"),
+        F.col("s0").alias("season"),
+        F.lit(7).alias("t"),
+    )
+    fin = F.aggregate(F.slice(F.col("vs"), F.lit(8), F.size("vs") - 7), init, step)
+    per2 = per.select("event_type", F.size("vs").alias("n"), fin.alias("fin"))
+    out = per2.select(
+        "event_type", "n", "fin",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h"),
+    )
+    forecast = (
+        F.col("fin.level")
+        + F.col("h") * F.col("fin.trend")
+        + F.element_at(
+            F.col("fin.season"),
+            ((F.col("n") - 1 + F.col("h")) % 7 + 1).cast("int"),
+        )
+    )
+    return out.select(
+        "event_type",
+        F.col("h").cast("int").alias("h"),
+        F.round(forecast, 4).alias("forecast"),
+    )
+
+
+HOLT_WINTERS_SQL = """
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, ROUND(SUM(value), 6) AS v
+    FROM events GROUP BY 1, 2
+), seq AS (
+    SELECT event_type, v,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+), init AS (
+    SELECT event_type,
+           ROUND(SUM(CASE WHEN t < 7 THEN v END) / 7.0, 8) AS lvl0,
+           ROUND((SUM(CASE WHEN t BETWEEN 7 AND 13 THEN v END) / 7.0
+                  - SUM(CASE WHEN t < 7 THEN v END) / 7.0) / 7.0, 8) AS tr0,
+           MAX(n) AS n
+    FROM seq GROUP BY 1 HAVING MAX(n) >= 14
+), sz AS (
+    SELECT s.event_type, list(ROUND(s.v - i.lvl0, 8) ORDER BY s.t) AS s0
+    FROM seq s JOIN init i USING (event_type) WHERE s.t < 7 GROUP BY 1
+), rec(event_type, t, level, trend, season) AS (
+    SELECT i.event_type, 7, i.lvl0, i.tr0, z.s0
+    FROM init i JOIN sz z USING (event_type)
+    UNION ALL
+    SELECT event_type, t + 1,
+           lvl_new,
+           ROUND(0.1 * (lvl_new - level) + 0.9 * trend, 8),
+           [CASE WHEN j = t % 7
+                 THEN ROUND(0.2 * (v - lvl_new) + 0.8 * season[j + 1], 8)
+                 ELSE season[j + 1] END FOR j IN range(0, 7)]
+    FROM (
+        SELECT r.event_type, r.t, r.level, r.trend, r.season, s.v,
+               ROUND(0.3 * (s.v - r.season[(r.t % 7) + 1])
+                     + 0.7 * (r.level + r.trend), 8) AS lvl_new
+        FROM rec r
+        JOIN seq s ON s.event_type = r.event_type AND s.t = r.t
+        JOIN init i ON i.event_type = r.event_type
+        WHERE r.t < i.n
+    )
+), fin AS (
+    SELECT r.event_type, r.level, r.trend, r.season, i.n
+    FROM rec r JOIN init i USING (event_type) WHERE r.t = i.n
+)
+SELECT event_type, CAST(hh.h AS INT) AS h,
+       ROUND(level + hh.h * trend + season[((n - 1 + hh.h) % 7) + 1], 4) AS forecast
+FROM fin CROSS JOIN (SELECT unnest(range(1, 8)) AS h) hh
+"""
+
+QUERIES["events_holt_winters"] = events_holt_winters
+ORACLES["events_holt_winters"] = HOLT_WINTERS_SQL

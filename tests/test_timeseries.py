@@ -108,3 +108,56 @@ def test_quantile_sketch_monotone_and_bounded(spark, sf_dir):
         assert lo - 1e-9 <= r.est <= hi + 1e-9, (r.key, r.p, r.est)
     for k, ests in by_key.items():
         assert ests[0.5] <= ests[0.95] <= ests[0.99], (k, ests)
+
+
+def test_holt_winters_matches_python_reference(spark, tmp_path):
+    """The aggregate()-fold Holt-Winters recursion must equal a plain
+    sequential Python implementation (same 8-dp state rounding) on a
+    planted 21-day series with trend + weekly season."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    season = [5, 3, -2, -4, 0, 1, -3]
+    rows = []
+    for t in range(21):
+        v = 100 + 2 * t + season[t % 7]
+        rows.append((t, base + dt.timedelta(days=t), 1, "plant", float(v), "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    p = str(tmp_path / "events.parquet")
+    df.write.parquet(p)
+
+    from chewdata_spark.queries.timeseries_queries import events_holt_winters
+    import chewdata_spark.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda s, d, t: spark.read.parquet(p)
+        import chewdata_spark.queries.timeseries_queries as tq
+        saved = tq.load_table
+        tq.load_table = tables.load_table
+        out = {r.h: r.forecast for r in events_holt_winters(spark, "ignored").collect()}
+    finally:
+        tables.load_table = orig
+        tq.load_table = saved
+
+    # sequential reference
+    vs = [round(float(100 + 2 * t + season[t % 7]), 6) for t in range(21)]
+    lvl = round(sum(vs[:7]) / 7.0, 8)
+    tr = round((sum(vs[7:14]) / 7.0 - sum(vs[:7]) / 7.0) / 7.0, 8)
+    s = [round(v - lvl, 8) for v in vs[:7]]
+    A, B, G = 0.3, 0.1, 0.2
+    for t in range(7, 21):
+        st = s[t % 7]
+        lvl_new = round(A * (vs[t] - st) + (1 - A) * (lvl + tr), 8)
+        tr_new = round(B * (lvl_new - lvl) + (1 - B) * tr, 8)
+        s[t % 7] = round(G * (vs[t] - lvl_new) + (1 - G) * st, 8)
+        lvl, tr = lvl_new, tr_new
+    n = 21
+    exp = {
+        h: round(lvl + h * tr + s[(n - 1 + h) % 7], 4) for h in range(1, 8)
+    }
+    assert out == exp
+    # and the forecast actually tracks the planted trend (+2/day)
+    assert abs((out[7] - out[1]) / 6 - 2) < 1.0
