@@ -439,3 +439,85 @@ def unigram_lm_train(
         "em_count",
         F.round("p", 6).alias("prob"),
     )
+
+
+def wordpiece_segments(
+    df: DataFrame,
+    text_col: str,
+    *,
+    max_word_len: int = 10,
+    max_piece_len: int = 4,
+    seed_multi: int = 200,
+    top_words: int = 150,
+) -> DataFrame:
+    """WordPiece-style greedy longest-match-first segmentation (maximal
+    munch — the BERT tokenizer's INFERENCE rule, Wu et al. 2016) of the
+    ``top_words`` most frequent words under the same seed vocabulary as
+    :func:`unigram_lm_train` (all single chars + top-``seed_multi``
+    multi-char substrings by corpus frequency).
+
+    Completes the tokenizer trio beside BPE training
+    (:func:`bpe_merges`) and unigram-LM Viterbi: three segmenters, one
+    vocab-grain cost model.  Greedy matching is a strictly sequential
+    left-to-right scan, but only WITHIN one word: the whole scan runs
+    as ONE ``aggregate()`` expression over char positions (the skip
+    device: the fold visits every position, acts only when it equals
+    the cursor), with the vocabulary riding a broadcast array.  The
+    word relation is the length-capped distinct-word inventory — vocab
+    grain, never corpus grain — so 100 TB costs one token explode plus
+    work proportional to distinct words.
+
+    Returns ``(word, freq, wp_pieces, n_pieces)`` for the top words by
+    (freq desc, word asc).  Exactly SQL-replayable: the DuckDB oracle
+    walks the same CASE longest-match in a recursive CTE.
+    """
+    words = _bpe_words(df, text_col).filter(F.length("word") <= max_word_len)
+
+    pair_expr = F.expr(
+        f"""flatten(transform(sequence(1, length(word)),
+              i -> transform(sequence(1, least({max_piece_len}, length(word) - i + 1)),
+                   l -> struct(i AS i, l AS l))))"""
+    )
+    subs = words.select("word", "freq", F.explode(pair_expr).alias("e")).select(
+        "freq", F.expr("substring(word, e.i, e.l)").alias("piece")
+    )
+    seed = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    chars = seed.filter(F.length("piece") == 1)
+    multi = (
+        seed.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(seed_multi)
+    )
+    vocab_arr = (
+        chars.unionByName(multi)
+        .agg(F.sort_array(F.collect_list("piece")).alias("varr"))
+    )
+
+    top = words.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(top_words)
+    enc = top.crossJoin(F.broadcast(vocab_arr))
+
+    # longest-match CASE at the cursor (substring past the end returns
+    # the remainder, so a short tail matches in an earlier branch and
+    # still advances by its true length)
+    match_case = " ".join(
+        f"WHEN array_contains(varr, substring(word, acc.pos, {l})) "
+        f"THEN substring(word, acc.pos, {l})"
+        for l in range(max_piece_len, 1, -1)
+    )
+    piece = f"(CASE {match_case} ELSE substring(word, acc.pos, 1) END)"
+    fold = f"""
+        aggregate(
+          sequence(1, length(word)),
+          named_struct('pos', 1, 'seg', ''),
+          (acc, i) -> if(i != acc.pos, acc,
+            named_struct(
+              'pos', acc.pos + length({piece}),
+              'seg', if(acc.seg = '', {piece},
+                        concat(acc.seg, ' ', {piece}))))
+        ).seg
+    """
+    return enc.select(
+        "word",
+        "freq",
+        F.expr(fold).alias("wp_pieces"),
+    ).withColumn("n_pieces", F.size(F.split("wp_pieces", " ")).cast("int"))

@@ -574,3 +574,67 @@ FROM vp1
 
 QUERIES["unigram_lm_pieces"] = unigram_lm_pieces
 ORACLES["unigram_lm_pieces"] = UNIGRAM_LM_SQL
+
+
+def wordpiece_segments_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match segmentation of the top-150 words
+    under the unigram seed vocabulary
+    (operators/tokenize.py::wordpiece_segments) — the third tokenizer
+    family beside `bpe_merge_rules` and `unigram_lm_pieces`; recursive-
+    CTE oracle walks the identical maximal-munch CASE."""
+    docs = load_table(spark, sf_dir, "documents")
+    from chewdata_spark.operators.tokenize import wordpiece_segments
+
+    return wordpiece_segments(docs, "text")
+
+
+WORDPIECE_SQL = """
+WITH RECURSIVE
+w AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents)
+    WHERE length(word) BETWEEN 1 AND 10
+    GROUP BY 1
+),
+subs AS (
+    SELECT substr(word, i, l) AS piece, SUM(freq) AS cnt
+    FROM w,
+         (SELECT unnest(range(1, 11)) AS i) pos,
+         (SELECT unnest(range(1, 5)) AS l) pl
+    WHERE i <= length(word) AND i + l - 1 <= length(word)
+    GROUP BY 1
+),
+seed AS (
+    SELECT piece FROM subs WHERE length(piece) = 1
+    UNION ALL
+    SELECT piece FROM (
+        SELECT piece FROM subs WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece ASC LIMIT 200) t
+),
+topw AS (
+    SELECT word, freq FROM w ORDER BY freq DESC, word ASC LIMIT 150
+),
+rec(word, freq, pos, seg) AS (
+    SELECT word, freq, 1, '' FROM topw
+    UNION ALL
+    SELECT word, freq, pos + length(piece),
+           CASE WHEN seg = '' THEN piece ELSE seg || ' ' || piece END
+    FROM (
+        SELECT r.word, r.freq, r.pos, r.seg,
+               CASE WHEN substr(r.word, r.pos, 4) IN (SELECT piece FROM seed)
+                    THEN substr(r.word, r.pos, 4)
+                    WHEN substr(r.word, r.pos, 3) IN (SELECT piece FROM seed)
+                    THEN substr(r.word, r.pos, 3)
+                    WHEN substr(r.word, r.pos, 2) IN (SELECT piece FROM seed)
+                    THEN substr(r.word, r.pos, 2)
+                    ELSE substr(r.word, r.pos, 1) END AS piece
+        FROM rec r WHERE r.pos <= length(r.word)
+    )
+)
+SELECT word, freq, seg AS wp_pieces,
+       CAST(len(string_split(seg, ' ')) AS INT) AS n_pieces
+FROM rec WHERE pos = length(word) + 1
+"""
+
+QUERIES["wordpiece_segments_top"] = wordpiece_segments_top
+ORACLES["wordpiece_segments_top"] = WORDPIECE_SQL

@@ -152,3 +152,20 @@ def test_fim_lengths_partition_the_document(spark):
             assert r.out_hash == r.raw_hash
     # the 50% coin actually engages on this corpus
     assert 0.3 < n_applied / len(j) < 0.7
+
+
+def test_wordpiece_greedy_maximal_munch(spark):
+    """Greedy longest-match: with 'abcd' ranked into the seed vocab the
+    word 'abcdz' MUST segment as 'abcd z' (munch 4) even though
+    shorter-piece segmentations exist; unseen tail chars fall back to
+    single-char pieces."""
+    from chewdata_spark.operators.tokenize import wordpiece_segments
+
+    # make 'abcd' (and its sub-pieces) frequent enough to enter the
+    # top-200 multi-char seed: repeat the word many times
+    docs = spark.createDataFrame(
+        [(i, "abcdz " * 3) for i in range(10)], ["doc_id", "text"]
+    )
+    out = {r.word: (r.wp_pieces, r.n_pieces)
+           for r in wordpiece_segments(docs, "text").collect()}
+    assert out["abcdz"] == ("abcd z", 2)
