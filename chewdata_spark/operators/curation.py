@@ -766,11 +766,22 @@ def _nb_doc_features(
 ) -> DataFrame:
     """(doc_id, pos, dim, tf): hashed-BOW term frequencies per document
     with the boolean training label carried alongside — the one
-    corpus-scan relation both NB training and NB scoring consume."""
-    toks = df.select(
+    corpus-scan relation both NB training and NB scoring consume.
+
+    The label is evaluated at DOC grain behind a lazy localCheckpoint
+    BEFORE the token explode.  Without the barrier, CollapseProject
+    hoists the whole label expression (which may be O(doc_len), e.g.
+    ``array_distinct(split(text))`` inside the quality heuristic) above
+    the Generate, re-executing it once per TOKEN — O(len²) per doc.
+    The checkpoint materializes (doc_id, pos, text) exactly once, so
+    the Generate's parent Project only references the stored boolean."""
+    docs = df.select(
         F.col(id_col).alias("doc_id"),
         label.cast("boolean").alias("pos"),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+        F.trim(F.lower(F.col(text_col))).alias("_text"),
+    ).localCheckpoint(eager=False)
+    toks = docs.select(
+        "doc_id", "pos", F.explode(F.split(F.col("_text"), r"\s+")).alias("term")
     )
     return toks.groupBy(
         "doc_id", "pos", (md5_hex16(F.col("term")) % dim).alias("dim")

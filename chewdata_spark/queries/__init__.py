@@ -54,98 +54,102 @@ def _modules():
 # NOT in this set — never-sampled queries get driver coverage first and
 # the backlog drains round over round.  Update after each round.
 _DRIVER_CHECKED = {
-    "ann_ivfpq_topk", "ann_srp_topk", "ann_srp_topk_md5",
+    "ann_ivf_topk", "ann_ivfpq_topk", "ann_srp_topk", "ann_srp_topk_md5",
     "approx_distinct_users", "best_of_source_sample", "bigram_logprob_score",
-    "bloom_seen_hashes", "bm25_search_topk", "ccnet_perplexity_buckets",
-    "cdc_chunk_dedup", "char_entropy_junk_filter", "chunk_documents",
+    "bloom_seen_hashes", "bm25_search_topk", "bpe_encode_documents",
+    "bpe_merge_rules", "ccnet_perplexity_buckets", "cdc_chunk_dedup",
+    "char_entropy_junk_filter", "chunk_documents", "chunk_documents_udtf",
     "churned_customers", "classifier_quality_filter",
     "contamination_ranked_pairs", "content_fingerprint",
     "copurchase_communities", "copurchase_kcore", "copurchase_triangles",
     "corpus_diff_manifest", "corpus_manifest", "corpus_summary_report",
-    "corpus_top_terms", "corpus_vocab_ids", "cosine_topk",
-    "cube_order_stats", "curate_corpus", "curate_pipeline_full",
-    "curation_audit_report", "curriculum_phases", "customer_order_stats",
-    "customers_with_open_orders", "customers_without_orders",
-    "decontaminate_docs", "dedup_clean_corpus", "dedup_clean_corpus_cc",
-    "dedup_clean_corpus_lsh", "dedup_clean_corpus_lsh_cc",
-    "dedup_clean_corpus_lsh_cc_md5", "dedup_clean_corpus_semantic",
-    "dedup_cluster_components", "dedup_consensus_pairs",
-    "dedup_containment_md5", "dedup_cut_spans_corpus",
-    "dedup_duplicate_spans", "dedup_exact", "dedup_fingerprint",
-    "dedup_incremental_ingest", "dedup_incremental_ingest_md5",
-    "dedup_lines_global", "dedup_lines_within_doc", "dedup_minhash_lsh",
-    "dedup_minhash_lsh_md5", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_simhash_md5", "distinct_users_by_type", "documents_redact_pii",
+    "corpus_top_terms", "corpus_vocab_ids", "corpus_zipf_fit", "cosine_topk",
+    "countmin_sketch_terms", "cube_order_stats", "curate_corpus",
+    "curate_pipeline_full", "curation_audit_report", "curriculum_phases",
+    "customer_order_stats", "customer_rfm_segments",
+    "customer_spend_quartiles", "customers_with_open_orders",
+    "customers_without_orders", "dataset_card_manifest", "decontaminate_docs",
+    "dedup_clean_corpus", "dedup_clean_corpus_cc", "dedup_clean_corpus_lsh",
+    "dedup_clean_corpus_lsh_cc", "dedup_clean_corpus_lsh_cc_md5",
+    "dedup_clean_corpus_semantic", "dedup_cluster_components",
+    "dedup_consensus_pairs", "dedup_containment_md5",
+    "dedup_cut_spans_corpus", "dedup_duplicate_spans", "dedup_exact",
+    "dedup_fingerprint", "dedup_incremental_ingest",
+    "dedup_incremental_ingest_md5", "dedup_lines_global",
+    "dedup_lines_within_doc", "dedup_minhash_lsh", "dedup_minhash_lsh_md5",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_md5",
+    "distinct_users_by_type", "distinct_users_linear_count",
+    "docs_embeddings_alignment", "documents_profile", "documents_redact_pii",
     "documents_strip_boilerplate", "doremi_source_weights",
     "dpo_preference_pairs", "dsir_importance", "embedding_anisotropy_report",
     "embedding_centroids", "embedding_debias_abtt", "embedding_near_dup",
-    "embedding_outliers_mahalanobis", "embedding_pc1", "error_channel_split",
-    "event_transition_matrix", "events_anomaly_mad", "events_asof_orders",
-    "events_cusum_drift", "events_ewma_daily", "events_gap_fill",
-    "events_heatmap_dow_hour", "events_histogram_equidepth",
-    "events_hourly_rollup", "events_missing_props", "events_ohlc_hourly",
-    "events_props_extract", "events_props_variant", "events_quantile_sketch",
-    "events_rolling_24h", "events_seasonal_decompose", "events_sliding_rate",
-    "events_value_zscore", "events_winsorized", "filter_agreement_matrix",
-    "filter_docs_logprob", "fingerprint_winnowing", "generator_duplicate",
-    "generator_faker", "gopher_quality_report", "hard_negatives_topk",
-    "hashed_bow_features", "hybrid_search_topk", "kmeans_centroids_2iter",
-    "language_id", "language_id_confusion", "length_bucket_batches",
-    "loyal_customers", "market_basket_pairs", "mix_corpus_weighted",
-    "ngram_novelty_probe", "normalize_documents", "pack_sequences",
-    "packed_sequence_layout", "part_name_similarity", "parts_in_price_band",
-    "pivot_order_status", "pq_code_embeddings", "price_percentiles",
-    "q10_returned_items", "q11_important_parts", "q12_ship_delay_priority",
-    "q13_customer_order_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_count", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_disjunctive_revenue",
-    "q1_pricing_summary", "q20_dominant_shippers", "q21_waiting_orders",
-    "q22_dormant_rich_customers", "q2_min_cost_supplier",
-    "q3_shipping_priority", "q4_late_order_priority",
+    "embedding_near_dup_clustered", "embedding_outliers_mahalanobis",
+    "embedding_pc1", "error_channel_split", "event_transition_matrix",
+    "events_anomaly_mad", "events_asof_orders", "events_cusum_drift",
+    "events_ewma_daily", "events_gap_fill", "events_heatmap_dow_hour",
+    "events_histogram_equidepth", "events_hourly_rollup",
+    "events_missing_props", "events_ohlc_hourly", "events_props_extract",
+    "events_props_variant", "events_quantile_sketch", "events_rolling_24h",
+    "events_seasonal_decompose", "events_sliding_rate", "events_value_zscore",
+    "events_winsorized", "filter_agreement_matrix", "filter_docs_logprob",
+    "fim_transform_documents", "fingerprint_winnowing", "forget_users_audit",
+    "generator_duplicate", "generator_faker", "gopher_quality_report",
+    "hard_negatives_topk", "hashed_bow_features", "heaps_law_fit",
+    "hll_distinct_users_md5", "hybrid_search_topk",
+    "join_cardinality_estimate", "k_anonymity_report",
+    "kmeans_centroids_2iter", "kmv_set_intersection", "language_id",
+    "language_id_confusion", "length_bucket_batches", "loyal_customers",
+    "market_basket_pairs", "media_decode_dims", "media_dhash_dedup",
+    "mix_corpus_weighted", "monthly_revenue_trend", "multigrain_distinct_hll",
+    "nb_quality_scores", "nb_train_quality_weights", "ngram_novelty_probe",
+    "normalize_documents", "order_priority_grouping_sets",
+    "orders_near_price_left", "orders_upsert_merge", "pack_sequences",
+    "packed_sequence_layout", "pagerank_order_graph", "part_name_similarity",
+    "part_name_tokens", "parts_in_price_band", "parts_pareto_8020",
+    "parts_skyline", "pivot_order_status", "pq_code_embeddings",
+    "price_percentiles", "q10_returned_items", "q11_important_parts",
+    "q12_ship_delay_priority", "q13_customer_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_revenue", "q1_pricing_summary", "q20_dominant_shippers",
+    "q21_waiting_orders", "q22_dormant_rich_customers",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_late_order_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
     "q8_market_share", "q9_profit_by_nation", "qty_price_correlation",
     "quality_score", "quantize_embeddings", "referential_lookup",
     "repetition_stats", "rollup_revenue", "rrf_fusion_topk",
     "running_daily_revenue", "salted_event_stats", "sentence_segments",
     "sessionize_events", "sft_loss_mask_layout", "shard_shuffle_corpus",
-    "source_concentration_hhi", "source_distinctive_terms",
-    "source_dup_rate", "source_overlap_matrix", "source_quota_sample",
-    "source_vocab_health", "split_embedding_leakage", "split_leakage_audit",
-    "split_train_val_test", "stratified_sample", "stream_classifier_scores",
-    "stream_corpus_manifest", "stream_curate_corpus", "stream_events_hourly",
-    "stream_ingest_dedup", "temperature_mix_weights", "text_stats",
-    "tfidf_keywords", "token_counts", "tokenizer_fertility",
-    "top_orders_per_customer", "top_value_orders", "training_mix_schedule",
-    "transformer_actions", "unigram_logprob", "url_canonicalize_dedup",
-    "validator_rules", "weighted_sample_quality",
+    "shuffle_skew_audit", "signup_conversion_funnel",
+    "source_concentration_hhi", "source_distinctive_terms", "source_dup_rate",
+    "source_overlap_matrix", "source_quota_sample", "source_vocab_health",
+    "split_embedding_leakage", "split_leakage_audit", "split_train_val_test",
+    "stratified_sample", "stream_classifier_scores", "stream_corpus_manifest",
+    "stream_curate_corpus", "stream_events_hourly", "stream_events_zscore",
+    "stream_hll_distinct_users", "stream_ingest_dedup",
+    "stream_media_dhash_dedup", "stream_sessionize_events",
+    "stream_view_to_purchase", "supplier_reliability", "table_stats_report",
+    "temperature_mix_weights", "text_stats", "tfidf_keywords", "token_counts",
+    "tokenize_documents", "tokenizer_fertility", "top_orders_per_customer",
+    "top_value_orders", "training_mix_schedule", "transformer_actions",
+    "unigram_lm_pieces", "unigram_logprob", "url_canonicalize_dedup",
+    "user_event_gaps", "user_retention_cohorts", "user_state_history",
+    "validator_rules", "video_frame_sample_report", "vocab_coverage_curve",
+    "weighted_sample_quality", "zorder_layout_audit",
 }
 
 
-# Never-driver-sampled names as of the round-8 open (registry minus
-# CORRECTNESS_r01..r07, in registry order).  Pinned explicitly so that
-# queries ADDED during round 8 slot in AFTER this backlog: the driver
-# samples ~50 names per round from the front of all_queries(), and the
-# backlog must drain before brand-new names consume sample slots.
+# Never-driver-sampled names as of the round-9 open (registry minus
+# CORRECTNESS_r01..r08 green rows, in registry order): dp_noisy_counts
+# missed the r8 50-row cut, the other four landed after the r8 driver
+# run.  Pinned explicitly so that queries ADDED during round 9 slot in
+# AFTER this backlog: the driver samples ~50 names per round from the
+# front of all_queries(), and the backlog must drain before brand-new
+# names consume sample slots.  All 5 green ⇒ 100% registry driver
+# coverage.
 _DRIVER_BACKLOG = (
-    "embedding_near_dup_clustered", "ann_ivf_topk", "nb_train_quality_weights",
-    "nb_quality_scores", "dataset_card_manifest", "tokenize_documents",
-    "corpus_zipf_fit", "countmin_sketch_terms", "bpe_merge_rules",
-    "bpe_encode_documents", "fim_transform_documents", "vocab_coverage_curve",
-    "heaps_law_fit", "unigram_lm_pieces", "signup_conversion_funnel",
-    "user_retention_cohorts", "pagerank_order_graph",
-    "distinct_users_linear_count", "hll_distinct_users_md5",
-    "stream_hll_distinct_users", "monthly_revenue_trend",
-    "supplier_reliability", "customer_rfm_segments", "parts_pareto_8020",
-    "table_stats_report", "join_cardinality_estimate", "parts_skyline",
-    "kmv_set_intersection", "multigrain_distinct_hll",
-    "stream_view_to_purchase", "stream_sessionize_events", "user_event_gaps",
-    "orders_near_price_left", "chunk_documents_udtf",
-    "order_priority_grouping_sets", "customer_spend_quartiles",
-    "part_name_tokens", "documents_profile", "media_decode_dims",
-    "media_dhash_dedup", "stream_media_dhash_dedup", "stream_events_zscore",
-    "docs_embeddings_alignment", "orders_upsert_merge", "user_state_history",
-    "video_frame_sample_report", "zorder_layout_audit", "shuffle_skew_audit",
-    "forget_users_audit", "k_anonymity_report", "dp_noisy_counts",
+    "dp_noisy_counts", "dedup_jaccard_prefix", "parts_entity_resolution",
+    "events_holt_winters", "wordpiece_segments_top",
 )
 
 
