@@ -512,9 +512,12 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    # filter on the UNROUNDED ratio (matching the oracle's WHERE and the
+    # prefix twin's completeness guarantee, which covers true-Jaccard
+    # >= t only); round solely in the projected output column
     return (
-        inter.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
+        inter.filter(jac >= threshold)
+        .withColumn("jaccard", F.round(jac, 6))
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -560,12 +563,13 @@ def jaccard_prefix_pairs(
         .dropDuplicates(["id", "s"])
         .select("id", F.xxhash64("s").alias("sh"))
     )
-    # Global rarity rank: one shuffle on sh (window), then per-doc
-    # ordering: one shuffle on id (window) reused by the groupBy(id)
-    # array build below.
-    freq = sh.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
-    )
+    # Global rarity rank via groupBy + join, NOT a Window.partitionBy
+    # ("sh"): the window has no map-side partial aggregation, so a
+    # stop-shingle's every row would funnel through one task before the
+    # prefix filter can drop it.  The aggregate combines map-side to one
+    # row per shingle, and the re-join on sh is AQE-skew-splittable.
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    freq = sh.join(df_counts, "sh")
     wdoc = Window.partitionBy("id").orderBy("df", "sh")
     ranked = (
         freq.withColumn("rk", F.row_number().over(wdoc))
@@ -601,9 +605,13 @@ def jaccard_prefix_pairs(
         .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
     )
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    # unrounded filter, like the quadratic twin: the prefix filter only
+    # guarantees candidates for TRUE Jaccard >= t, so filtering on
+    # ROUND(j,6) would admit [t-5e-7, t) pairs in the quadratic twin
+    # that this path can legitimately miss
     return (
-        verified.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
+        verified.filter(jac >= threshold)
+        .withColumn("jaccard", F.round(jac, 6))
         .select("id_a", "id_b", "jaccard")
     )
 

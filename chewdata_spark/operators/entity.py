@@ -11,7 +11,10 @@ DataFrame ops:
    100 TB of rows cost one groupBy before any pairwise work;
 2. multi-key blocking: each name emits its first and last token as block
    keys; candidates are generated ONLY inside blocks (equi-join on the
-   key), never all-pairs;
+   key), never all-pairs — and blocks wider than ``max_block`` names are
+   dropped entirely (cap mirrored in the SQL oracle, surfaced via
+   ``observe()``), so no single ubiquitous token can create a quadratic
+   block;
 3. a length filter ``abs(len_a - len_b) <= max_edit`` prunes inside the
    block before the levenshtein verify (edit distance >= length gap);
 4. verified match edges feed :func:`~chewdata_spark.operators.graph.
@@ -27,11 +30,15 @@ rule with a recursive-CTE closure, no approximation to excuse.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from chewdata_spark.operators.graph import connected_components
+
+_OBS_SEQ = itertools.count()
 
 
 def canonical_name(col: Column) -> Column:
@@ -44,13 +51,27 @@ def entity_resolution(
     name_col: str,
     *,
     max_edit: int = 2,
+    max_block: int | None = 10_000,
 ) -> DataFrame:
     """(name, entity_id, n_rows, entity_size) — one row per distinct
     canonical name; ``entity_id`` is the min name of its match
     component, ``n_rows`` the source rows carrying that name,
     ``entity_size`` the number of distinct names resolved into the
-    entity.  Match rule: (first OR last token equal) AND
-    levenshtein <= ``max_edit``.
+    entity.  Match rule: (first or last token shared, through a block of
+    width <= ``max_block``) AND levenshtein <= ``max_edit``.
+
+    Hot-block cap: the within-block candidate join is O(block²), so a
+    ubiquitous boundary token ("inc", "john") would otherwise make one
+    quadratic block at scale.  Blocks wider than ``max_block`` names are
+    dropped ENTIRELY before the self-join — same discipline as the LSH
+    family's hot-bucket cap: the cap is part of the declared semantics,
+    mirrored in the SQL oracle via a HAVING on the block grain, and
+    surfaced (never silent) through ``observe()`` as
+    ``entity_resolution_<n>/dropped_hot_blocks``.  A pair sharing BOTH a
+    hot and a non-hot block still matches through the non-hot one.
+    Block widths are computed with a groupBy (map-side combine), not a
+    window, so a hot block never funnels its rows through one task.
+    Pass ``max_block=None`` to disable.
     """
     names = (
         df.select(canonical_name(F.col(name_col)).alias("name"))
@@ -69,6 +90,20 @@ def entity_resolution(
         )
         .dropDuplicates(["name", "blk"])
     )
+    if max_block is not None:
+        keep = (
+            blocked.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("_bw"))
+            .observe(
+                f"entity_resolution_{next(_OBS_SEQ)}",
+                F.sum(
+                    F.when(F.col("_bw") > max_block, 1).otherwise(0)
+                ).alias("dropped_hot_blocks"),
+            )
+            .filter(F.col("_bw") <= max_block)
+            .select("blk")
+        )
+        blocked = blocked.join(keep, "blk")
     a, b = blocked.alias("a"), blocked.alias("b")
     edges = (
         a.join(

@@ -504,7 +504,14 @@ def wordpiece_segments(
         f"THEN substring(word, acc.pos, {l})"
         for l in range(max_piece_len, 1, -1)
     )
-    piece = f"(CASE {match_case} ELSE substring(word, acc.pos, 1) END)"
+    # max_piece_len=1 would leave match_case empty and 'CASE  ELSE .. END'
+    # is invalid SQL (CASE needs >= 1 WHEN) — degenerate to the
+    # single-char ELSE expression directly
+    piece = (
+        f"(CASE {match_case} ELSE substring(word, acc.pos, 1) END)"
+        if match_case
+        else "substring(word, acc.pos, 1)"
+    )
     fold = f"""
         aggregate(
           sequence(1, length(word)),

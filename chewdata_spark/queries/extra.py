@@ -1254,14 +1254,24 @@ WITH RECURSIVE nm AS (
     SELECT regexp_replace(trim(lower(p_name)), '\\s+', ' ', 'g') AS name,
            COUNT(*) AS n_rows
     FROM part GROUP BY 1
+), blk AS (
+    SELECT DISTINCT name, blk FROM (
+        SELECT name,
+               UNNEST([string_split(name, ' ')[1],
+                       string_split(name, ' ')[-1]]) AS blk
+        FROM nm)
+), ok AS (
+    -- hot-block cap mirror: blocks wider than max_block names are
+    -- dropped entirely (matches entity_resolution's observe()-surfaced
+    -- cap; a pair sharing another, non-hot block still matches)
+    SELECT blk FROM blk GROUP BY blk HAVING COUNT(*) <= 10000
 ), pr AS (
-    SELECT a.name AS id_a, b.name AS id_b
-    FROM nm a JOIN nm b
-      ON a.name < b.name
-     AND (string_split(a.name, ' ')[1] = string_split(b.name, ' ')[1]
-          OR string_split(a.name, ' ')[-1] = string_split(b.name, ' ')[-1])
-     AND abs(length(a.name) - length(b.name)) <= 2
-     AND levenshtein(a.name, b.name) <= 2
+    SELECT DISTINCT a.name AS id_a, b.name AS id_b
+    FROM blk a
+    JOIN ok USING (blk)
+    JOIN blk b ON a.blk = b.blk AND a.name < b.name
+    WHERE abs(length(a.name) - length(b.name)) <= 2
+      AND levenshtein(a.name, b.name) <= 2
 ), edges AS (
     SELECT id_a AS u, id_b AS v FROM pr
     UNION

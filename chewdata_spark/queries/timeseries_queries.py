@@ -735,27 +735,37 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop, no per-iteration job, bounded by the calendar not the data.
     Every state update rounds to 8 dp so the DuckDB recursive-CTE
     oracle replays the recursion bit-for-bit; forecasts round to 4 dp.
-    Types shorter than two weeks are excluded (init needs 2x7 days)."""
+    Types shorter than two weeks are excluded (init needs 2x7 days).
+
+    The daily aggregate and the two init means sum exact integer CENTS
+    (BIGINT, like events_seasonal_decompose): Spark's ordered
+    aggregate() fold and DuckDB's unordered SUM could otherwise differ
+    by one ulp on a value landing exactly on a rounding boundary, and a
+    single flipped init bit would propagate through the whole serial
+    recursion.  Each daily v is then one exact division cents/100.0 —
+    order-free on both engines."""
     ALPHA, BETA, GAMMA = 0.3, 0.1, 0.2
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.round(F.sum("value"), 6).alias("v")
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
     )
     per = (
         daily.groupBy("event_type")
-        .agg(F.array_sort(F.collect_list(F.struct("day", "v"))).alias("sv"))
+        .agg(F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("sv"))
         .select(
             "event_type",
-            F.transform(F.col("sv"), lambda x: x["v"]).alias("vs"),
+            F.transform(F.col("sv"), lambda x: x["cents"]).alias("cs"),
         )
-        .filter(F.size("vs") >= 14)
+        .filter(F.size("cs") >= 14)
     )
-    w1 = F.aggregate(F.slice("vs", 1, 7), F.lit(0.0), lambda a, x: a + x) / 7.0
-    w2 = F.aggregate(F.slice("vs", 8, 7), F.lit(0.0), lambda a, x: a + x) / 7.0
+    zero = F.lit(0).cast("bigint")
+    c1 = F.aggregate(F.slice("cs", 1, 7), zero, lambda a, x: a + x)
+    c2 = F.aggregate(F.slice("cs", 8, 7), zero, lambda a, x: a + x)
     per = per.select(
-        "event_type", "vs",
-        F.round(w1, 8).alias("lvl0"),
-        F.round((w2 - w1) / 7.0, 8).alias("tr0"),
+        "event_type",
+        F.transform("cs", lambda c: c / 100.0).alias("vs"),
+        F.round(c1 / 700.0, 8).alias("lvl0"),
+        F.round((c2 - c1) / 4900.0, 8).alias("tr0"),
     )
     per = per.select(
         "event_type", "vs", "lvl0", "tr0",
@@ -815,18 +825,20 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HOLT_WINTERS_SQL = """
 WITH RECURSIVE daily AS (
-    SELECT event_type, CAST(ts AS DATE) AS day, ROUND(SUM(value), 6) AS v
+    -- exact integer cents: order-free on both engines (see docstring)
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
     FROM events GROUP BY 1, 2
 ), seq AS (
-    SELECT event_type, v,
+    SELECT event_type, cents / 100.0 AS v, cents,
            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t,
            COUNT(*) OVER (PARTITION BY event_type) AS n
     FROM daily
 ), init AS (
     SELECT event_type,
-           ROUND(SUM(CASE WHEN t < 7 THEN v END) / 7.0, 8) AS lvl0,
-           ROUND((SUM(CASE WHEN t BETWEEN 7 AND 13 THEN v END) / 7.0
-                  - SUM(CASE WHEN t < 7 THEN v END) / 7.0) / 7.0, 8) AS tr0,
+           ROUND(SUM(CASE WHEN t < 7 THEN cents END) / 700.0, 8) AS lvl0,
+           ROUND((SUM(CASE WHEN t BETWEEN 7 AND 13 THEN cents END)
+                  - SUM(CASE WHEN t < 7 THEN cents END)) / 4900.0, 8) AS tr0,
            MAX(n) AS n
     FROM seq GROUP BY 1 HAVING MAX(n) >= 14
 ), sz AS (
