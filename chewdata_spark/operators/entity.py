@@ -46,6 +46,35 @@ def canonical_name(col: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
+def _blocks(names: DataFrame, max_block: int | None) -> DataFrame:
+    """(name, blk) rows: each canonical name emits its first and last
+    token as block keys; blocks wider than ``max_block`` names are
+    dropped entirely (cap computed with a map-side-combining groupBy,
+    surfaced via ``observe()`` — see :func:`entity_resolution`)."""
+    toks = F.split(F.col("name"), " ")
+    blocked = names.select(
+        "name",
+        F.explode(
+            F.array_distinct(F.array(toks.getItem(0), F.element_at(toks, -1)))
+        ).alias("blk"),
+    ).dropDuplicates(["name", "blk"])
+    if max_block is not None:
+        keep = (
+            blocked.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("_bw"))
+            .observe(
+                f"entity_resolution_{next(_OBS_SEQ)}",
+                F.sum(
+                    F.when(F.col("_bw") > max_block, 1).otherwise(0)
+                ).alias("dropped_hot_blocks"),
+            )
+            .filter(F.col("_bw") <= max_block)
+            .select("blk")
+        )
+        blocked = blocked.join(keep, "blk")
+    return blocked
+
+
 def entity_resolution(
     df: DataFrame,
     name_col: str,
@@ -78,32 +107,7 @@ def entity_resolution(
         .groupBy("name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
-    toks = F.split(F.col("name"), " ")
-    blocked = (
-        names.select(
-            "name",
-            F.explode(
-                F.array_distinct(
-                    F.array(toks.getItem(0), F.element_at(toks, -1))
-                )
-            ).alias("blk"),
-        )
-        .dropDuplicates(["name", "blk"])
-    )
-    if max_block is not None:
-        keep = (
-            blocked.groupBy("blk")
-            .agg(F.count(F.lit(1)).alias("_bw"))
-            .observe(
-                f"entity_resolution_{next(_OBS_SEQ)}",
-                F.sum(
-                    F.when(F.col("_bw") > max_block, 1).otherwise(0)
-                ).alias("dropped_hot_blocks"),
-            )
-            .filter(F.col("_bw") <= max_block)
-            .select("blk")
-        )
-        blocked = blocked.join(keep, "blk")
+    blocked = _blocks(names, max_block)
     a, b = blocked.alias("a"), blocked.alias("b")
     edges = (
         a.join(
@@ -129,3 +133,76 @@ def entity_resolution(
         "entity_size",
         F.count(F.lit(1)).over(Window.partitionBy("entity_id")),
     )
+
+
+def incremental_entity_resolution(
+    new_df: DataFrame,
+    seen_resolved: DataFrame,
+    name_col: str,
+    *,
+    max_edit: int = 2,
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Resolve an ARRIVING batch against an EXISTING resolved entity
+    table without re-clustering history — the ER sibling of
+    :func:`~chewdata_spark.operators.dedup.incremental_ingest_dedup`
+    (re-running the full transitive closure per ingest would be
+    quadratic in history; production linkage assigns incrementally).
+
+    ``seen_resolved`` is ``(name, entity_id)`` at canonical-name grain —
+    the output of :func:`entity_resolution` over the existing corpus.
+    Three gates, cheapest first:
+
+    1. exact — a new name string-equal to a seen name adopts its
+       entity_id (one equi-join on name; the new batch is the small
+       side and broadcasts under AQE);
+    2. fuzzy — survivors block against the SEEN names only (first/last
+       token keys, seen-side ``max_block`` cap — history is the wide
+       side at scale), verify ``levenshtein <= max_edit``, and adopt
+       the MIN matching entity_id (deterministic tie-break);
+    3. remainder — unmatched new names found new entities
+       (``entity_id = name``, ``is_new_entity = true``).
+
+    New-vs-new matches are deliberately NOT resolved (they join
+    tomorrow's seen set — the idempotent-per-batch discipline of
+    incremental ingest), and a new name matching two seen entities does
+    NOT merge them (merges are a periodic full re-resolution, not an
+    ingest step).  Both choices keep every gate a plain join, so the
+    DuckDB oracle replays the whole operator exactly.
+
+    Returns ``(name, entity_id, n_rows, is_new_entity)`` — one row per
+    distinct canonical NEW name.
+    """
+    new_names = (
+        new_df.select(canonical_name(F.col(name_col)).alias("name"))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    seen = seen_resolved.select("name", "entity_id")
+    exact = new_names.join(seen, "name").select(
+        "name", "entity_id", "n_rows", F.lit(False).alias("is_new_entity")
+    )
+    rest = new_names.join(seen.select("name"), "name", "left_anti")
+
+    sblk = _blocks(seen.select("name"), max_block).withColumnRenamed(
+        "name", "sname"
+    )
+    nblk = _blocks(rest.select("name"), None)
+    fuzzy = (
+        nblk.join(sblk, "blk")
+        .filter(F.abs(F.length("name") - F.length("sname")) <= max_edit)
+        .dropDuplicates(["name", "sname"])
+        .filter(F.levenshtein("name", "sname") <= max_edit)
+        .join(
+            seen.select(F.col("name").alias("sname"), "entity_id"), "sname"
+        )
+        .groupBy("name")
+        .agg(F.min("entity_id").alias("entity_id"))
+    )
+    rest_out = rest.join(fuzzy, "name", "left").select(
+        "name",
+        F.coalesce("entity_id", "name").alias("entity_id"),
+        "n_rows",
+        F.col("entity_id").isNull().alias("is_new_entity"),
+    )
+    return exact.unionByName(rest_out)

@@ -1290,3 +1290,106 @@ FROM nm LEFT JOIN lab ON nm.name = lab.node
 
 QUERIES["parts_entity_resolution"] = parts_entity_resolution
 ORACLES["parts_entity_resolution"] = ENTITY_RESOLUTION_SQL
+
+
+def parts_entity_resolution_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental entity resolution: even-partkey parts are the
+    existing corpus (resolved with the full blocked-fuzzy + transitive
+    closure), odd-partkey parts arrive as the new batch and resolve
+    against that entity table through exact / blocked-fuzzy /
+    found-new-entity gates — no history re-clustering
+    (operators/entity.py::incremental_entity_resolution, the ER sibling
+    of dedup_incremental_ingest)."""
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators.entity import (
+        entity_resolution,
+        incremental_entity_resolution,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    seen = entity_resolution(
+        part.filter(F.col("p_partkey") % 2 == 0), "p_name", max_edit=2
+    ).select("name", "entity_id")
+    return incremental_entity_resolution(
+        part.filter(F.col("p_partkey") % 2 == 1), seen, "p_name", max_edit=2
+    )
+
+
+ENTITY_RESOLUTION_INCREMENTAL_SQL = """
+WITH RECURSIVE nm AS (
+    SELECT regexp_replace(trim(lower(p_name)), '\\s+', ' ', 'g') AS name,
+           COUNT(*) AS n_rows
+    FROM part WHERE p_partkey % 2 = 0 GROUP BY 1
+), blk AS (
+    SELECT DISTINCT name, blk FROM (
+        SELECT name,
+               UNNEST([string_split(name, ' ')[1],
+                       string_split(name, ' ')[-1]]) AS blk
+        FROM nm)
+), ok AS (
+    SELECT blk FROM blk GROUP BY blk HAVING COUNT(*) <= 10000
+), pr AS (
+    SELECT DISTINCT a.name AS id_a, b.name AS id_b
+    FROM blk a
+    JOIN ok USING (blk)
+    JOIN blk b ON a.blk = b.blk AND a.name < b.name
+    WHERE abs(length(a.name) - length(b.name)) <= 2
+      AND levenshtein(a.name, b.name) <= 2
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pr
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pr
+), reach(node, lbl) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+), lab AS (
+    SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+), seen AS (
+    SELECT nm.name, COALESCE(lab.cluster_id, nm.name) AS entity_id
+    FROM nm LEFT JOIN lab ON nm.name = lab.node
+), newnm AS (
+    SELECT regexp_replace(trim(lower(p_name)), '\\s+', ' ', 'g') AS name,
+           COUNT(*) AS n_rows
+    FROM part WHERE p_partkey % 2 = 1 GROUP BY 1
+), exact AS (
+    SELECT n.name, s.entity_id, n.n_rows FROM newnm n JOIN seen s USING (name)
+), rest AS (
+    SELECT * FROM newnm WHERE name NOT IN (SELECT name FROM seen)
+), nblk AS (
+    SELECT DISTINCT name, blk FROM (
+        SELECT name,
+               UNNEST([string_split(name, ' ')[1],
+                       string_split(name, ' ')[-1]]) AS blk
+        FROM rest)
+), sblk AS (
+    SELECT DISTINCT name, blk FROM (
+        SELECT name,
+               UNNEST([string_split(name, ' ')[1],
+                       string_split(name, ' ')[-1]]) AS blk
+        FROM seen)
+), sok AS (
+    -- seen-side hot-block cap (history is the wide side at scale)
+    SELECT blk FROM sblk GROUP BY blk HAVING COUNT(*) <= 10000
+), fuzzy AS (
+    SELECT n.name, MIN(s.entity_id) AS entity_id
+    FROM nblk n
+    JOIN sok ON sok.blk = n.blk
+    JOIN sblk b ON n.blk = b.blk
+    JOIN seen s ON s.name = b.name
+    WHERE abs(length(n.name) - length(b.name)) <= 2
+      AND levenshtein(n.name, b.name) <= 2
+    GROUP BY n.name
+)
+SELECT name, entity_id, n_rows, FALSE AS is_new_entity FROM exact
+UNION ALL
+SELECT r.name, COALESCE(f.entity_id, r.name) AS entity_id, r.n_rows,
+       f.entity_id IS NULL AS is_new_entity
+FROM rest r LEFT JOIN fuzzy f USING (name)
+"""
+
+QUERIES["parts_entity_resolution_incremental"] = parts_entity_resolution_incremental
+ORACLES["parts_entity_resolution_incremental"] = ENTITY_RESOLUTION_INCREMENTAL_SQL

@@ -214,3 +214,29 @@ def test_entity_resolution_hot_block_cap(spark):
                                            max_block=None).collect()}
     # without the cap the small-edit neighbours inside "inc" DO merge
     assert uncapped["name00 inc"] == uncapped["name01 inc"]
+
+
+def test_incremental_entity_resolution_gates(spark):
+    """Three-gate incremental ER: exact adopts the seen entity_id,
+    fuzzy (blocked, levenshtein<=2) adopts the MIN matching entity_id,
+    unmatched names found new entities; new-vs-new stays unresolved."""
+    from chewdata_spark.operators.entity import incremental_entity_resolution
+
+    seen = spark.createDataFrame(
+        [("acme corp", "acme corp"), ("acme core", "acme corp"),
+         ("beta llc", "beta llc")],
+        ["name", "entity_id"],
+    )
+    new = spark.createDataFrame(
+        [(1, "Acme  Corp"),      # exact after canonicalization
+         (2, "acme corps"),      # fuzzy: edit 1 vs two seen names -> min id
+         (3, "delta gmbh"),      # no block shared -> new entity
+         (4, "delta gmbb")],     # near-dup of 3 but new-vs-new: NOT merged
+        ["id", "name"],
+    )
+    out = {r.name: (r.entity_id, r.n_rows, r.is_new_entity)
+           for r in incremental_entity_resolution(new, seen, "name").collect()}
+    assert out["acme corp"] == ("acme corp", 1, False)
+    assert out["acme corps"] == ("acme corp", 1, False)
+    assert out["delta gmbh"] == ("delta gmbh", 1, True)
+    assert out["delta gmbb"] == ("delta gmbb", 1, True)  # new-vs-new kept
