@@ -1312,3 +1312,55 @@ FROM by_hash
 
 QUERIES["cdc_chunk_dedup"] = cdc_chunk_dedup
 ORACLES["cdc_chunk_dedup"] = CDC_CHUNK_SQL
+
+
+def documents_longest_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide longest repeated substrings via a DISTRIBUTED suffix
+    array (prefix doubling + adjacent-suffix LCP) — the suffix-array
+    half of Lee et al. 2022's exact-substring dedup, complementing the
+    k-gram span path, which marks positions but cannot tell a chimeric
+    k-gram island from a substring repeated as a whole
+    (operators/suffix.py::longest_repeated_substrings).  First 256
+    chars per doc, repeats >= 10 chars, top 20 by (length desc,
+    substring asc)."""
+    from chewdata_spark.operators.suffix import longest_repeated_substrings
+
+    docs = load_table(spark, sf_dir, "documents")
+    return longest_repeated_substrings(
+        docs, "doc_id", "text", max_chars=256, min_len=10, top_n=20
+    )
+
+
+LONGEST_REPEATS_SQL = """
+WITH d AS (
+    SELECT doc_id, substr(text, 1, 256) AS t FROM documents
+    WHERE text IS NOT NULL AND length(substr(text, 1, 256)) > 0
+), p0 AS (
+    SELECT doc_id, t, unnest(generate_series(1, length(t))) AS off FROM d
+), ord AS (
+    -- one row per DISTINCT suffix string, with its multiplicity
+    SELECT substr(t, off) AS suf, COUNT(*) AS m
+    FROM p0 GROUP BY 1
+), adj AS (
+    SELECT suf, m, LEAD(suf) OVER (ORDER BY suf) AS suf2 FROM ord
+), lcp AS (
+    SELECT suf, m,
+           CASE WHEN suf2 IS NULL THEN 0 ELSE
+             COALESCE(
+               ([i FOR i IN generate_series(1, least(length(suf), length(suf2)))
+                   IF substr(suf, i, 1) <> substr(suf2, i, 1)])[1],
+               least(length(suf), length(suf2)) + 1) - 1
+           END AS l
+    FROM adj
+), cand AS (
+    SELECT substr(suf, 1, l) AS substring, l AS length FROM lcp WHERE l >= 10
+    UNION ALL
+    SELECT suf, length(suf) FROM ord WHERE m >= 2 AND length(suf) >= 10
+)
+SELECT substring, CAST(length AS INT) AS length
+FROM (SELECT DISTINCT substring, length FROM cand)
+ORDER BY length DESC, substring ASC LIMIT 20
+"""
+
+QUERIES["documents_longest_repeats"] = documents_longest_repeats
+ORACLES["documents_longest_repeats"] = LONGEST_REPEATS_SQL

@@ -234,3 +234,46 @@ def test_cdc_chunking_is_shift_resistant(spark):
     assert shared >= 0.8, f"CDC shift resistance broken: {shared:.2f} shared"
     # sanity: the first chunk (containing the insertion) differs
     assert h1 != h2
+
+
+def test_longest_repeated_substrings_planted(spark):
+    """Suffix-array LRS: finds the longest substring repeated across
+    docs (whole-substring semantics — a chimeric overlap must NOT win),
+    handles exact-duplicate suffixes (rank multiplicity), respects
+    min_len, and orders by (length desc, substring asc)."""
+    from chewdata_spark.operators.suffix import longest_repeated_substrings
+
+    rows = [
+        (1, "xxTHE QUICK BROWN FOXzz"),
+        (2, "aaTHE QUICK BROWN FOXbb"),      # 19-char cross-doc repeat
+        (3, "prefix COMMON MIDDLE suffix1"),
+        (4, "other  COMMON MIDDLE suffix2"),  # 14-char ' COMMON MIDDLE '
+        (5, "unique pentagonal content"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = longest_repeated_substrings(
+        df, "doc_id", "text", max_chars=64, min_len=10, top_n=5
+    ).collect()
+    subs = [(r.substring, r.length) for r in out]
+    assert subs[0] == (" COMMON MIDDLE suffix", 21), subs
+    assert ("THE QUICK BROWN FOX", 19) in subs, subs
+    # ordered by length desc
+    assert [l for _, l in subs] == sorted([l for _, l in subs], reverse=True)
+    # nothing shorter than min_len
+    assert all(l >= 10 for _, l in subs)
+
+
+def test_suffix_ranks_total_order(spark):
+    """Prefix-doubling ranks reproduce the brute-force suffix sort
+    (dense: identical suffixes share a rank)."""
+    from chewdata_spark.operators.suffix import suffix_ranks
+
+    rows = [(1, "banana"), (2, "bandana"), (3, "banana")]  # doc 3 = doc 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_id, r.off): r["rank"]
+           for r in suffix_ranks(df, "doc_id", "text", max_chars=8).collect()}
+    # brute force: dense rank of every suffix string
+    all_sufs = {(d, o): t[o - 1:] for (d, t) in rows for o in range(1, len(t) + 1)}
+    order = sorted(set(all_sufs.values()))
+    want = {k: order.index(v) + 1 for k, v in all_sufs.items()}
+    assert got == want
