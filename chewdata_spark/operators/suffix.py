@@ -24,12 +24,13 @@ Spark-first design (no concatenated corpus string, no driver-side sort):
    ranks, so a shorter suffix precedes its extensions — the suffix-array
    convention).  ``ceil(log2(max_chars))`` rounds, each one bounded
    shuffle set;
-3. global DENSE rank of the pair keys without a single-reducer window:
-   ``repartitionByRange`` on the key (identical keys co-locate by the
-   range partitioner's contract), per-partition ``dense_rank`` windowed
-   on ``spark_partition_id()``, plus cumulative distinct-key offsets
-   from a #partitions-sized aggregate — the order-preserving sibling of
-   curation._bucketed_rank's hash-keyed prefix sum;
+3. global DENSE rank of the pair keys without a single-reducer window
+   and without a sampling range partitioner: a deterministic
+   order-preserving bucket derived from the previous round's max rank,
+   per-bucket ``dense_rank``, plus cumulative distinct-key offsets from
+   a #buckets-sized broadcast — the order-preserving sibling of
+   curation._bucketed_rank's hash-keyed prefix sum (see
+   ``_dense_rank_bucketed`` for why RangePartitioner is unusable here);
 4. early exit when every rank is unique (all suffixes distinguished),
    with an eager localCheckpoint per round exactly like
    graph.connected_components — bench.py's LogicalRDD detection rebuilds
@@ -225,4 +226,111 @@ def longest_repeated_substrings(
         .dropDuplicates(["substring"])
         .orderBy(F.col("length").desc(), F.col("substring").asc())
         .limit(top_n)
+    )
+
+
+def repeat_spans_sa(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_chars: int = 256,
+    min_len: int = 10,
+) -> DataFrame:
+    """Per-document merged char spans covered by a WHOLE substring of
+    length >= ``min_len`` that occurs at least twice in the corpus —
+    Lee et al. 2022's exact-substring dedup mark, computed from the
+    suffix array (the k-gram span path marks k-gram islands, which may
+    be chimeric; this marks true whole-substring repeats).
+
+    Identity used on both engines: the longest repeated prefix of a
+    suffix equals the max of its LCPs with its two NEIGHBOURS in suffix
+    order (identical suffixes — rank multiplicity >= 2 — repeat whole).
+    Per-position dup lengths are therefore one rank-group join; spans
+    merge with the standard gaps-and-islands cumulative-max window per
+    doc (bounded by the doc's own positions).
+
+    Returns ``(doc_id, span_start, span_end)`` — 1-based, end
+    inclusive, within the first ``max_chars`` chars of each doc.
+    """
+    ranks = suffix_ranks(df, id_col, text_col, max_chars=max_chars)
+    docs = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.substring(F.col(text_col), 1, max_chars).alias("t"),
+        )
+        .filter(F.length("t") > 0)
+    )
+    rep = ranks.groupBy("rank").agg(
+        F.min(F.struct("doc_id", "off")).alias("p"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    suf = (
+        rep.select("rank", "m", F.col("p.doc_id").alias("doc_id"),
+                   F.col("p.off").alias("off"))
+        .join(docs, "doc_id")
+        .select(
+            "rank", "m",
+            F.expr(f"substring(t, off, {max_chars})").alias("suf"),
+        )
+    )
+    nxt = suf.select((F.col("rank") - 1).alias("rank"), F.col("suf").alias("suf2"))
+    lcp_expr = F.expr(
+        """
+        aggregate(
+          sequence(1, least(length(suf), length(suf2))),
+          named_struct('n', 0, 'go', true),
+          (acc, i) -> if(acc.go and substring(suf, i, 1) = substring(suf2, i, 1),
+                         named_struct('n', acc.n + 1, 'go', true),
+                         named_struct('n', acc.n, 'go', false))
+        ).n
+        """
+    )
+    # lcp with the NEXT group; a group's lcp with the PREVIOUS group is
+    # the previous group's l_next — one more rank-shift join
+    l_next = (
+        suf.join(nxt, "rank", "left")
+        .select(
+            "rank", "m", F.length("suf").alias("slen"),
+            F.coalesce(lcp_expr, F.lit(0)).alias("l_next"),
+        )
+    )
+    l_prev = l_next.select(
+        (F.col("rank") + 1).alias("rank"), F.col("l_next").alias("l_prev")
+    )
+    dup = (
+        l_next.join(l_prev, "rank", "left")
+        .select(
+            "rank",
+            F.greatest(
+                F.when(F.col("m") >= 2, F.col("slen")).otherwise(0),
+                F.col("l_next"),
+                F.coalesce("l_prev", F.lit(0)),
+            ).alias("dup_len"),
+        )
+        .filter(F.col("dup_len") >= min_len)
+    )
+    marked = ranks.join(dup, "rank").select(
+        "doc_id",
+        F.col("off").alias("s"),
+        (F.col("off") + F.col("dup_len") - 1).alias("e"),
+    )
+    # gaps-and-islands per doc: a new island starts where off exceeds
+    # the running max end of all earlier spans
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = marked.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("s").cast("int").alias("span_start"),
+            F.max("e").cast("int").alias("span_end"),
+        )
+        .drop("island")
     )

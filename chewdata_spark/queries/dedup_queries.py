@@ -1364,3 +1364,73 @@ ORDER BY length DESC, substring ASC LIMIT 20
 
 QUERIES["documents_longest_repeats"] = documents_longest_repeats
 ORACLES["documents_longest_repeats"] = LONGEST_REPEATS_SQL
+
+
+def documents_repeat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document merged char spans covered by a WHOLE substring >= 30
+    chars occurring at least twice in the corpus — Lee et al. 2022's
+    exact-substring dedup mark from the distributed suffix array
+    (operators/suffix.py::repeat_spans_sa).  The k-gram span twin
+    (dedup_duplicate_spans) marks chimeric islands too; this one marks
+    only true whole-substring repeats.  First 256 chars per doc."""
+    from chewdata_spark.operators.suffix import repeat_spans_sa
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeat_spans_sa(docs, "doc_id", "text", max_chars=256, min_len=30)
+
+
+REPEAT_SPANS_SQL = """
+WITH d AS (
+    SELECT doc_id, substr(text, 1, 256) AS t FROM documents
+    WHERE text IS NOT NULL AND length(substr(text, 1, 256)) > 0
+), p0 AS (
+    SELECT doc_id, t, unnest(generate_series(1, length(t))) AS off FROM d
+), pos AS (
+    SELECT doc_id, off, substr(t, off) AS suf FROM p0
+), ord AS (
+    SELECT suf, COUNT(*) AS m FROM pos GROUP BY 1
+), nb AS (
+    SELECT suf, m, length(suf) AS slen,
+           LEAD(suf) OVER (ORDER BY suf) AS suf2
+    FROM ord
+), ln AS (
+    SELECT suf, m, slen,
+           CASE WHEN suf2 IS NULL THEN 0 ELSE
+             COALESCE(
+               ([i FOR i IN generate_series(1, least(length(suf), length(suf2)))
+                   IF substr(suf, i, 1) <> substr(suf2, i, 1)])[1],
+               least(length(suf), length(suf2)) + 1) - 1
+           END AS l_next
+    FROM nb
+), dupg AS (
+    -- longest repeated prefix of a suffix = max of LCPs with its sorted
+    -- neighbours; identical suffixes (m >= 2) repeat whole
+    SELECT suf,
+           greatest(CASE WHEN m >= 2 THEN slen ELSE 0 END,
+                    l_next,
+                    COALESCE(LAG(l_next) OVER (ORDER BY suf), 0)) AS dup_len
+    FROM ln
+), marked AS (
+    SELECT p.doc_id, p.off AS s, p.off + g.dup_len - 1 AS e
+    FROM pos p JOIN dupg g USING (suf)
+    WHERE g.dup_len >= 30
+), isl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS ni
+    FROM marked
+), isl2 AS (
+    SELECT doc_id, s, e,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM isl
+)
+SELECT doc_id, CAST(MIN(s) AS INT) AS span_start, CAST(MAX(e) AS INT) AS span_end
+FROM isl2 GROUP BY doc_id, island
+"""
+
+QUERIES["documents_repeat_spans"] = documents_repeat_spans
+ORACLES["documents_repeat_spans"] = REPEAT_SPANS_SQL

@@ -277,3 +277,30 @@ def test_suffix_ranks_total_order(spark):
     order = sorted(set(all_sufs.values()))
     want = {k: order.index(v) + 1 for k, v in all_sufs.items()}
     assert got == want
+
+
+def test_repeat_spans_sa_whole_substring_semantics(spark):
+    """SA repeat spans mark only WHOLE repeated substrings: a chimeric
+    overlap (every window duplicated against a different partner but
+    the full span never repeated) must not be merged into one span
+    beyond what is actually repeated; adjacent/overlapping marks merge
+    into islands."""
+    from chewdata_spark.operators.suffix import repeat_spans_sa
+
+    rows = [
+        (1, "AAAA0123456789BBBB"),   # "0123456789" repeated in doc 2
+        (2, "CCCC0123456789DDDD"),
+        (3, "no repeats here at all!"),
+        (4, "xyxyxyxyxyxyxyxyxyxyxy"),  # self-overlapping periodic repeat
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {}
+    for r in repeat_spans_sa(df, "doc_id", "text",
+                             max_chars=64, min_len=10).collect():
+        out.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    # the shared 10-char run: doc1 positions 5..14, doc2 positions 5..14
+    assert out[1] == [(5, 14)], out
+    assert out[2] == [(5, 14)], out
+    assert 3 not in out
+    # periodic text: suffixes repeat against shifted selves -> one island
+    assert out[4] == [(1, 22)], out
