@@ -18,27 +18,31 @@ Spark-first design (no concatenated corpus string, no driver-side sort):
 1. position grain — every ``(doc_id, off)`` suffix of each doc's text
    (capped at ``max_chars``); suffixes never materialize as strings
    until the final, tiny LCP step;
-2. prefix doubling — after round k every position carries the rank of
-   its first ``2^k`` characters; round k+1 ranks the pair
-   ``(rank[p], rank[p + 2^k])`` (0 = past-end, sorting before all real
-   ranks, so a shorter suffix precedes its extensions — the suffix-array
-   convention).  ``ceil(log2(max_chars))`` rounds, each one bounded
-   shuffle set;
-3. global DENSE rank of the pair keys without a single-reducer window
-   and without a sampling range partitioner: a deterministic
-   order-preserving bucket derived from the previous round's max rank,
-   per-bucket ``dense_rank``, plus cumulative distinct-key offsets from
-   a #buckets-sized broadcast — the order-preserving sibling of
-   curation._bucketed_rank's hash-keyed prefix sum (see
-   ``_dense_rank_bucketed`` for why RangePartitioner is unusable here);
-4. early exit when every rank is unique (all suffixes distinguished),
-   with an eager localCheckpoint per round exactly like
+2. prefix doubling with ISA-style IN-GROUP refinement — the rank is the
+   NON-DENSE position rank (``1 + #positions with a strictly smaller
+   prefix``; ties share).  After round k every position carries the
+   rank of its first ``2^k`` chars; round k+1 splits each tie group by
+   ``nxt = rank[p + 2^k]`` (0 = past-end, sorting first — the
+   suffix-array convention) as ``rank += rank_within_group(nxt) - 1``.
+   Crucially, ranks only ever REFINE within a group: a position whose
+   group is a singleton is FINAL and leaves the working set, so the
+   active rows shrink to the near-duplicate tail after a few rounds,
+   and no global re-ranking (sort, range partitioner, or unpartitioned
+   window) exists anywhere — every window partitions by the previous
+   rank;
+3. round-0 ranks come from per-character counts (a charset-sized
+   broadcast prefix sum), and the splitting window partitions by the
+   tie group — group width is the group's own multiplicity, never the
+   corpus;
+4. eager localCheckpoint per round exactly like
    graph.connected_components — bench.py's LogicalRDD detection rebuilds
-   the loop inside the timed window;
-5. adjacent-suffix LCP — final dense ranks are consecutive integers, so
-   "adjacent in suffix order" is an equi-join on ``rank+1`` (never a
-   global LAG window); the LCP itself is one ``aggregate()`` cursor over
-   at most ``max_chars`` characters of the two (re-fetched) texts.
+   the loop inside the timed window; early exit when every group is a
+   singleton;
+5. adjacent-suffix LCP — with non-dense ranks the successor group of
+   (rank, multiplicity m) sits at exactly ``rank + m``, so "adjacent in
+   suffix order" is an equi-join on that key (never a global LAG
+   window); the LCP itself is one ``aggregate()`` cursor over at most
+   ``max_chars`` characters of the two (re-fetched) texts.
 
 Scale: position count = ``max_chars``-capped chars per doc × docs; every
 stage is a keyed shuffle or a bounded window; the driver sees only the
@@ -52,51 +56,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _dense_rank_bucketed(
-    df: DataFrame, k_prev: int, *, n_parts: int = 32
-) -> DataFrame:
-    """Add ``_rank``: the global 1-based DENSE rank of ``(rank, nxt)``
-    without an unpartitioned window or a sampling-based range
-    partitioner (RangePartitioner samples per execution, and the two
-    consumers below would each re-execute it — nondeterministic
-    boundaries corrupt the offsets).  The bucket is DERIVED from the
-    data instead: ``rank`` is dense in ``1..k_prev`` from the previous
-    round, so ``_pid = (rank-1)·n_parts div k_prev`` is deterministic,
-    order-preserving (keys in bucket b all sort before bucket b+1 —
-    equal ranks share a bucket), and balanced in KEY space.  Dense-rank
-    inside each bucket, then shift by the cumulative count of DISTINCT
-    keys in preceding buckets (a ≤``n_parts``-row broadcast).
-
-    Row-space skew: one hot rank (a very common ``2^k``-prefix) makes
-    one bucket's window large; the population of any rank shrinks
-    geometrically as ``h`` doubles, so the skew is worst in round 1 and
-    self-heals — the same profile every distributed prefix-doubling SA
-    has (Flick & Aluru, SC'15)."""
-    bucketed = df.withColumn(
-        "_pid",
-        F.floor((F.col("rank") - 1) * n_parts / F.lit(k_prev)).cast("int"),
-    )
-    local = F.dense_rank().over(
-        Window.partitionBy("_pid").orderBy("rank", "nxt")
-    )
-    ranked = bucketed.withColumn("_r", local)
-    ndv = (
-        bucketed.groupBy("_pid", "rank", "nxt")
-        .agg(F.count(F.lit(1)).alias("_dup"))
-        .groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
-    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = ndv.select(
-        "_pid", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
-    )
-    return (
-        ranked.join(F.broadcast(offsets), "_pid")
-        .withColumn("_rank", (F.col("_off") + F.col("_r")).cast("bigint"))
-        .drop("_pid", "_r", "_off")
-    )
-
-
 def suffix_ranks(
     df: DataFrame,
     id_col: str,
@@ -105,9 +64,19 @@ def suffix_ranks(
     max_chars: int = 256,
 ) -> DataFrame:
     """(doc_id, off, rank): the corpus suffix array as a rank relation —
-    ``rank`` is the 1-based position of suffix ``text[off:]`` in the
-    sorted order of ALL suffixes (dense: identical suffixes share a
-    rank).  Prefix doubling with an eager per-round localCheckpoint."""
+    ``rank`` is the NON-DENSE 1-based position rank of suffix
+    ``text[off:]`` in the sorted order of ALL suffixes (``1 +
+    #positions with a strictly smaller suffix``; identical suffixes
+    share a rank, and the next distinct suffix sits at ``rank + m``).
+
+    ISA-style prefix doubling: each round splits tie groups in place —
+    ``rank(p) = 1 + #smaller`` is invariant under refinement, because a
+    group member with k in-group predecessors under ``nxt`` gains
+    exactly k newly-smaller positions, so ``rank += rank() - 1``
+    windowed WITHIN the group is the whole update.  Singleton groups
+    are final and leave the working set; every window partitions by
+    the previous rank; an eager localCheckpoint per round truncates the
+    iterative lineage (and flags the query construct-each for bench)."""
     docs = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -125,37 +94,68 @@ def suffix_ranks(
         .filter(F.col("ch") != "")
         .select("doc_id", (F.col("off0") + 1).alias("off"), "ch")
     )
-    # round 0: rank = dense rank of the single character (charset is
-    # bounded, so the distinct-char window is tiny by construction)
-    chars = pos.select("ch").distinct()
-    char_rank = chars.withColumn(
-        "_crank",
-        F.dense_rank().over(Window.orderBy("ch")).cast("bigint"),
+    # round 0: non-dense position rank of the single character = 1 +
+    # count of positions carrying a strictly smaller char (per-char
+    # counts are a charset-sized broadcast prefix sum)
+    counts = pos.groupBy("ch").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = Window.orderBy("ch").rowsBetween(Window.unboundedPreceding, -1)
+    base = counts.select(
+        "ch",
+        (F.coalesce(F.sum("_n").over(off_w), F.lit(0)) + 1)
+        .cast("bigint")
+        .alias("_base"),
     )
-    r = pos.join(F.broadcast(char_rank), "ch").select(
-        "doc_id", "off", F.col("_crank").alias("rank")
+    work = pos.join(F.broadcast(base), "ch").select(
+        "doc_id", "off", F.col("_base").alias("rank")
     )
-    r = r.localCheckpoint()
-    n_pos, k = r.agg(F.count(F.lit(1)), F.max("rank")).first()
+    work = work.localCheckpoint()
 
+    # a frozen (singleton-group) position never re-activates, so only
+    # the last round's refined rows can still split: per-round work is
+    # bounded by the surviving tie mass, which collapses to the
+    # near-duplicate tail after a few rounds.  Frozen pieces accumulate
+    # as checkpointed RDDs and serve rank lookups without recompute.
+    frozen: list[DataFrame] = []
     h = 1
-    while h < max_chars and k < n_pos:
-        nxt = r.select(
+    grp_w = Window.partitionBy("rank").orderBy("nxt")
+    while h < max_chars:
+        active_ranks = (
+            work.groupBy("rank")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .filter(F.col("_m") >= 2)
+            .select("rank")
+        )
+        still = work.join(active_ranks, "rank")
+        done = work.join(active_ranks, "rank", "left_anti").localCheckpoint()
+        frozen.append(done)
+        if active_ranks.isEmpty():
+            work = None
+            break  # every group a singleton: ranks are final
+        full = work
+        for piece in frozen[:-1]:
+            full = full.unionByName(piece)
+        lookup = full.select(
             "doc_id", (F.col("off") - h).alias("off"), F.col("rank").alias("nxt")
         ).filter(F.col("off") >= 1)
-        paired = (
-            r.join(nxt, ["doc_id", "off"], "left")
+        # active side shrinks fast -> AQE broadcasts it; the full-size
+        # lookup streams map-side from the checkpointed blocks
+        work = (
+            still.join(lookup, ["doc_id", "off"], "left")
             .withColumn("nxt", F.coalesce("nxt", F.lit(0)))
-        )
-        r = (
-            _dense_rank_bucketed(paired, int(k))
-            .select("doc_id", "off", F.col("_rank").alias("rank"))
+            .select(
+                "doc_id",
+                "off",
+                (F.col("rank") + F.rank().over(grp_w) - 1).alias("rank"),
+            )
             .localCheckpoint()
         )
         h *= 2
-        # k == n_pos -> every suffix distinguished, ranks are final
-        k = r.agg(F.max("rank")).first()[0]
-    return r
+    out = frozen[0]
+    for piece in frozen[1:]:
+        out = out.unionByName(piece)
+    if work is not None:  # max_chars reached with ties left (true dups)
+        out = out.unionByName(work)
+    return out
 
 
 def longest_repeated_substrings(
@@ -174,9 +174,10 @@ def longest_repeated_substrings(
     Every repeated substring is a prefix of two suffixes adjacent in
     suffix order, so the candidates are exactly the adjacent-pair LCPs
     plus the duplicated-suffix groups (rank multiplicity >= 2, LCP =
-    whole suffix).  Adjacency is an equi-join on ``rank + 1`` (dense
-    ranks are consecutive); the LCP is one bounded ``aggregate()``
-    cursor per adjacent pair."""
+    whole suffix).  With non-dense ranks the successor group of
+    ``(rank, m)`` sits at exactly ``rank + m`` — adjacency is that
+    equi-join; the LCP is one bounded ``aggregate()`` cursor per
+    adjacent pair."""
     ranks = suffix_ranks(df, id_col, text_col, max_chars=max_chars)
     docs = (
         df.select(
@@ -199,7 +200,7 @@ def longest_repeated_substrings(
             F.expr("substring(t, off, {0})".format(max_chars)).alias("suf"),
         )
     )
-    nxt = suf.select((F.col("rank") - 1).alias("rank"), F.col("suf").alias("suf2"))
+    nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
     lcp_expr = F.expr(
         """
         aggregate(
@@ -212,7 +213,7 @@ def longest_repeated_substrings(
         """
     )
     adjacent = (
-        suf.join(nxt, "rank")
+        suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"))
         .select(lcp_expr.alias("lcp"), "suf")
         .select(F.expr("substring(suf, 1, lcp)").alias("substring"),
                 F.col("lcp").alias("length"))
@@ -274,7 +275,7 @@ def repeat_spans_sa(
             F.expr(f"substring(t, off, {max_chars})").alias("suf"),
         )
     )
-    nxt = suf.select((F.col("rank") - 1).alias("rank"), F.col("suf").alias("suf2"))
+    nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
     lcp_expr = F.expr(
         """
         aggregate(
@@ -286,17 +287,19 @@ def repeat_spans_sa(
         ).n
         """
     )
-    # lcp with the NEXT group; a group's lcp with the PREVIOUS group is
-    # the previous group's l_next — one more rank-shift join
+    # lcp with the NEXT group (non-dense ranks: the successor of
+    # (rank, m) sits at rank + m); a group's lcp with the PREVIOUS
+    # group is the previous group's l_next — one more successor join
     l_next = (
-        suf.join(nxt, "rank", "left")
+        suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"), "left")
         .select(
             "rank", "m", F.length("suf").alias("slen"),
             F.coalesce(lcp_expr, F.lit(0)).alias("l_next"),
         )
     )
     l_prev = l_next.select(
-        (F.col("rank") + 1).alias("rank"), F.col("l_next").alias("l_prev")
+        (F.col("rank") + F.col("m")).alias("rank"),
+        F.col("l_next").alias("l_prev"),
     )
     dup = (
         l_next.join(l_prev, "rank", "left")

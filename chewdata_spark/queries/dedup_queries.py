@@ -1327,14 +1327,14 @@ def documents_longest_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return longest_repeated_substrings(
-        docs, "doc_id", "text", max_chars=256, min_len=10, top_n=20
+        docs, "doc_id", "text", max_chars=128, min_len=10, top_n=20
     )
 
 
 LONGEST_REPEATS_SQL = """
 WITH d AS (
-    SELECT doc_id, substr(text, 1, 256) AS t FROM documents
-    WHERE text IS NOT NULL AND length(substr(text, 1, 256)) > 0
+    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
+    WHERE text IS NOT NULL AND length(substr(text, 1, 128)) > 0
 ), p0 AS (
     SELECT doc_id, t, unnest(generate_series(1, length(t))) AS off FROM d
 ), ord AS (
@@ -1372,17 +1372,17 @@ def documents_repeat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-substring dedup mark from the distributed suffix array
     (operators/suffix.py::repeat_spans_sa).  The k-gram span twin
     (dedup_duplicate_spans) marks chimeric islands too; this one marks
-    only true whole-substring repeats.  First 256 chars per doc."""
+    only true whole-substring repeats.  First 128 chars per doc."""
     from chewdata_spark.operators.suffix import repeat_spans_sa
 
     docs = load_table(spark, sf_dir, "documents")
-    return repeat_spans_sa(docs, "doc_id", "text", max_chars=256, min_len=30)
+    return repeat_spans_sa(docs, "doc_id", "text", max_chars=128, min_len=30)
 
 
 REPEAT_SPANS_SQL = """
 WITH d AS (
-    SELECT doc_id, substr(text, 1, 256) AS t FROM documents
-    WHERE text IS NOT NULL AND length(substr(text, 1, 256)) > 0
+    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
+    WHERE text IS NOT NULL AND length(substr(text, 1, 128)) > 0
 ), p0 AS (
     SELECT doc_id, t, unnest(generate_series(1, length(t))) AS off FROM d
 ), pos AS (

@@ -265,17 +265,17 @@ def test_longest_repeated_substrings_planted(spark):
 
 def test_suffix_ranks_total_order(spark):
     """Prefix-doubling ranks reproduce the brute-force suffix sort
-    (dense: identical suffixes share a rank)."""
+    (non-dense position ranks: 1 + count of strictly smaller suffixes;
+    identical suffixes share a rank)."""
     from chewdata_spark.operators.suffix import suffix_ranks
 
     rows = [(1, "banana"), (2, "bandana"), (3, "banana")]  # doc 3 = doc 1
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {(r.doc_id, r.off): r["rank"]
            for r in suffix_ranks(df, "doc_id", "text", max_chars=8).collect()}
-    # brute force: dense rank of every suffix string
     all_sufs = {(d, o): t[o - 1:] for (d, t) in rows for o in range(1, len(t) + 1)}
-    order = sorted(set(all_sufs.values()))
-    want = {k: order.index(v) + 1 for k, v in all_sufs.items()}
+    vals = list(all_sufs.values())
+    want = {k: 1 + sum(1 for v in vals if v < s) for k, s in all_sufs.items()}
     assert got == want
 
 
