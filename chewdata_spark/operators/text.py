@@ -494,3 +494,50 @@ def gopher_quality_gate(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         & (F.col("n_stopwords") >= 2)
     )
     return out.withColumn("passed", passed)
+
+
+def blocklist_hits(
+    df: DataFrame, id_col: str, text_col: str, phrases: list[str]
+) -> DataFrame:
+    """(doc_id, phrase, n_hits): exact token-sequence blocklist matches
+    as an N-GRAM EQUI-JOIN — the scalable form of content filtering
+    against a large banned-phrase list (a per-row `contains` scan is
+    O(docs x phrases); the join is one shuffle keyed by the n-gram, and
+    the phrase relation broadcasts).  Docs explode into word n-grams
+    only for the DISTINCT phrase lengths present in the list; matching
+    is lowercase whitespace-token sequence equality, never substring."""
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("w"),
+    )
+    by_len: dict[int, list[str]] = {}
+    for p in phrases:
+        by_len.setdefault(len(p.split()), []).append(p)
+
+    def gram_fn(n: int):
+        # closure factory, NOT a defaulted lambda param: a 2-parameter
+        # lambda would be read by F.transform as (element, index)
+        return lambda i: F.concat_ws(" ", F.slice("w", i, n))
+
+    legs = []
+    for length, ps in sorted(by_len.items()):
+        # sequence(1, 0) is DESCENDING in Spark ([1, 0] — step defaults
+        # to -1 when start > stop), so docs shorter than the phrase
+        # need an explicit empty array, not a clamped upper bound
+        starts = F.when(
+            F.size("w") >= length,
+            F.sequence(F.lit(1), F.size("w") - length + 1),
+        ).otherwise(F.array())
+        grams = toks.select(
+            "doc_id",
+            F.explode(F.transform(starts, gram_fn(length))).alias("phrase"),
+        )
+        rel = spark.createDataFrame([(p,) for p in ps], ["phrase"])
+        legs.append(grams.join(F.broadcast(rel), "phrase"))
+    hits = legs[0]
+    for leg in legs[1:]:
+        hits = hits.unionByName(leg)
+    return hits.groupBy("doc_id", "phrase").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hits")
+    )

@@ -2297,3 +2297,51 @@ GROUP BY source
 
 QUERIES["dataset_card_manifest"] = dataset_card_manifest
 ORACLES["dataset_card_manifest"] = DATASET_CARD_SQL
+
+
+# Safety blocklist: exact token-sequence phrases (lowercase, whitespace
+# tokenization).  Deliberately mixed lengths (1/2/3 words) plus one
+# phrase absent from the corpus, to exercise every join leg.
+_BLOCKLIST = [
+    "vector",
+    "slow query",
+    "hash join",
+    "customer order",
+    "slow query hash",
+    "forbidden phrase zz",
+]
+
+
+def documents_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist phrase matching as an N-GRAM EQUI-JOIN — the scalable
+    form of content filtering against a large banned-phrase list
+    (toxicity / PII / contamination lists run to millions of entries;
+    a per-row `contains` scan is O(docs x phrases), the join is one
+    shuffle keyed by the n-gram).  Exact token-sequence semantics
+    (lowercase, whitespace split) — substring matches do NOT count, so
+    the oracle replays it verbatim
+    (operators/text.py::blocklist_hits)."""
+    from chewdata_spark.operators.text import blocklist_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocklist_hits(docs, "doc_id", "text", _BLOCKLIST)
+
+
+_BL_VALUES = ", ".join(f"('{p}', {len(p.split())})" for p in _BLOCKLIST)
+BLOCKLIST_HITS_SQL = f"""
+WITH p(phrase, nw) AS (VALUES {_BL_VALUES}),
+t AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+    FROM documents
+), g AS (
+    SELECT doc_id, i, w FROM t,
+           UNNEST(generate_series(1, len(w))) s(i)
+)
+SELECT g.doc_id, p.phrase, CAST(COUNT(*) AS INT) AS n_hits
+FROM g JOIN p ON i + p.nw - 1 <= len(g.w)
+           AND array_to_string(g.w[i:i+p.nw-1], ' ') = p.phrase
+GROUP BY 1, 2
+"""
+
+QUERIES["documents_blocklist_hits"] = documents_blocklist_hits
+ORACLES["documents_blocklist_hits"] = BLOCKLIST_HITS_SQL

@@ -240,3 +240,28 @@ def test_incremental_entity_resolution_gates(spark):
     assert out["acme corps"] == ("acme corp", 1, False)
     assert out["delta gmbh"] == ("delta gmbh", 1, True)
     assert out["delta gmbb"] == ("delta gmbb", 1, True)  # new-vs-new kept
+
+
+def test_blocklist_hits_exact_sequence_semantics(spark):
+    """Blocklist n-gram join: token-sequence equality only (substring
+    inside a longer token never counts), multi-occurrence counting,
+    mixed 1/2/3-word phrase lengths in one pass."""
+    from chewdata_spark.operators.text import blocklist_hits
+
+    rows = [
+        (1, "the slow query ran a slow query twice"),   # 2x "slow query"
+        (2, "slowly querying is fine"),                 # substring: no hit
+        (3, "Drop The Table now please"),               # case-folded 3-gram
+        (4, "vector"),                                  # 1-word whole doc
+        (5, "nothing to see"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_id, r.phrase): r.n_hits
+           for r in blocklist_hits(df, "doc_id", "text",
+                                    ["slow query", "drop the table",
+                                     "vector", "absent phrase"]).collect()}
+    assert got == {
+        (1, "slow query"): 2,
+        (3, "drop the table"): 1,
+        (4, "vector"): 1,
+    }
