@@ -840,3 +840,51 @@ def test_bench_construct_each_detects_checkpoint_plans(spark, sf_dir):
     ctrl = qs["q1_pricing_summary"](spark, sf_dir)
     assert not bench._construct_each("q1_pricing_summary", ctrl)
     assert bench._construct_each("stream_view_to_purchase")
+
+
+def test_blocklist_hits_plan_shape(spark, sf_dir):
+    # the phrase relation must BROADCAST onto the exploded n-gram
+    # stream (no SortMergeJoin on the gram key), the scan must prune to
+    # (doc_id, text), and nothing drops to Python.
+    import re
+
+    from chewdata_spark.queries.curation_queries import documents_blocklist_hits
+
+    df = documents_blocklist_hits(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert scans and all(s == "doc_id:bigint,text:string" for s in scans), scans
+
+
+def test_suffix_lrs_plan_shape(spark, sf_dir):
+    # after execution the prefix-doubling loop is checkpoint-backed
+    # (zero parquet re-scans in the final plan), the top-n is a
+    # TakeOrderedAndProject (never a global sort), and nothing drops
+    # to Python anywhere in the suffix pipeline.
+    import re
+
+    from chewdata_spark.queries.dedup_queries import documents_longest_repeats
+
+    df = documents_longest_repeats(spark, sf_dir)
+    df.collect()
+    plan = formatted_plan(df).split("== Initial Plan ==")[0]
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_incremental_er_plan_shape(spark, sf_dir):
+    # the seen side is a checkpointed resolved table (LogicalRDD — the
+    # CC loop never re-runs per consumer), and no Python evaluation
+    # appears in any gate.
+    from chewdata_spark.queries.extra import parts_entity_resolution_incremental
+
+    df = parts_entity_resolution_incremental(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in analyzed or "ExistingRDD" in analyzed, analyzed
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
