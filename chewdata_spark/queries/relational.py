@@ -711,3 +711,94 @@ FROM l2 GROUP BY 1
 
 QUERIES["copurchase_communities"] = copurchase_communities
 ORACLES["copurchase_communities"] = LPA_SQL
+
+
+def part_transit_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join without a cross product: pairs of
+    lineitems for the SAME part, from DIFFERENT suppliers, whose
+    fulfillment windows [o_orderdate, l_shipdate] overlap — concurrent
+    supply competition.  Top 20 parts by conflict-pair count.
+
+    The overlap join is the classic Spark gap (no native range join):
+    each interval explodes into the MONTH grid cells it spans, pairs
+    join on the equi-key (partkey, month) — two overlapping intervals
+    share the month of any common day, so the grid never misses a pair
+    — then duplicates from multi-month overlaps drop and the exact
+    predicate verifies.  Grid cell width trades fan-out against
+    per-cell pair work; the equi-join shuffles once on
+    (partkey, month), never |lineitem|².
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        F.to_date("l_shipdate").alias("e"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.to_date("o_orderdate").alias("s"),
+    )
+    iv = li.join(orders, "l_orderkey").select(
+        "l_partkey", "l_suppkey", "s", "e",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iid"),
+    )
+    # grid the NORMALIZED span [least(s,e), greatest(s,e)]: the
+    # synthetic data contains inverted windows (shipdate before
+    # orderdate), and sequence() over a descending date pair steps by
+    # days, desynchronizing the cells.  The normalized span provably
+    # covers the overlap predicate for every orientation (two
+    # predicate-overlapping intervals always share a day inside both
+    # normalized spans), so the grid stays lossless.
+    grid = iv.select(
+        "l_partkey", "l_suppkey", "s", "e", "iid",
+        F.explode(
+            F.sequence(
+                F.trunc(F.least("s", "e"), "month"),
+                F.trunc(F.greatest("s", "e"), "month"),
+            )
+        ).alias("cell"),
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.iid") < F.col("b.iid"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("p_partkey"),
+            F.col("a.iid").alias("iid_a"),
+            F.col("b.iid").alias("iid_b"),
+        )
+        .dropDuplicates(["iid_a", "iid_b"])
+    )
+    return (
+        pairs.groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_conflicts"))
+        .orderBy(F.col("n_conflicts").desc(), F.col("p_partkey").asc())
+        .limit(20)
+    )
+
+
+TRANSIT_CONFLICTS_SQL = """
+WITH iv AS (
+    SELECT l.l_partkey, l.l_suppkey,
+           CAST(o.o_orderdate AS DATE) AS s, CAST(l.l_shipdate AS DATE) AS e,
+           l.l_orderkey * 10 + l.l_linenumber AS iid
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), pr AS (
+    SELECT a.l_partkey, a.iid AS iid_a, b.iid AS iid_b
+    FROM iv a JOIN iv b
+      ON a.l_partkey = b.l_partkey AND a.iid < b.iid
+     AND a.l_suppkey <> b.l_suppkey
+     AND a.s <= b.e AND b.s <= a.e
+)
+SELECT l_partkey AS p_partkey, CAST(COUNT(*) AS INT) AS n_conflicts
+FROM pr GROUP BY 1
+ORDER BY n_conflicts DESC, p_partkey ASC LIMIT 20
+"""
+
+QUERIES["part_transit_conflicts"] = part_transit_conflicts
+ORACLES["part_transit_conflicts"] = TRANSIT_CONFLICTS_SQL

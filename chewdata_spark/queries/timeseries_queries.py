@@ -874,3 +874,92 @@ FROM fin CROSS JOIN (SELECT unnest(range(1, 8)) AS h) hh
 
 QUERIES["events_holt_winters"] = events_holt_winters
 ORACLES["events_holt_winters"] = HOLT_WINTERS_SQL
+
+
+def open_orderlines_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent OPEN order-lines per order priority, by SWEEP
+    LINE — the scalable idiom for interval concurrency: no interval
+    self-join at all.  Each line's fulfillment window
+    [o_orderdate, l_shipdate] emits a +1 at its start day and a -1 the
+    day after it ships; the running sum of the day-grain deltas IS the
+    number of lines awaiting shipment.  The running window partitions
+    by priority and spans only the DATE dimension (~2,500 rows per
+    priority — the bounded-dimension window class of
+    running_daily_revenue).  Ties on the peak break to the earliest
+    day.  Returns (o_orderpriority, peak_open, peak_day)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_d")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("order_d"),
+    )
+    iv = li.join(orders, "l_orderkey")
+    starts = iv.select(
+        "o_orderpriority", F.col("order_d").alias("d"), F.lit(1).alias("delta")
+    )
+    ends = iv.select(
+        "o_orderpriority",
+        F.date_add(F.col("ship_d"), 1).alias("d"),
+        F.lit(-1).alias("delta"),
+    )
+    daily = (
+        starts.unionByName(ends)
+        .groupBy("o_orderpriority", "d")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    from pyspark.sql.window import Window
+
+    run_w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = daily.withColumn("n_open", F.sum("delta").over(run_w))
+    return (
+        run.groupBy("o_orderpriority")
+        .agg(
+            F.max_by(
+                F.struct(F.col("n_open"), F.col("d")),
+                F.struct(F.col("n_open"), -F.unix_date(F.col("d"))),
+            ).alias("pk")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("pk.n_open").cast("int").alias("peak_open"),
+            F.col("pk.d").alias("peak_day"),
+        )
+    )
+
+
+OPEN_PEAK_SQL = """
+WITH iv AS (
+    SELECT o.o_orderpriority, CAST(o.o_orderdate AS DATE) AS order_d,
+           CAST(l.l_shipdate AS DATE) AS ship_d
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), ev AS (
+    SELECT o_orderpriority, order_d AS d, 1 AS delta FROM iv
+    UNION ALL
+    SELECT o_orderpriority, ship_d + INTERVAL 1 DAY, -1 FROM iv
+), daily AS (
+    SELECT o_orderpriority, CAST(d AS DATE) AS d, SUM(delta) AS delta
+    FROM ev GROUP BY 1, 2
+), run AS (
+    SELECT o_orderpriority, d,
+           SUM(delta) OVER (PARTITION BY o_orderpriority ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_open
+    FROM daily
+), pk AS (
+    SELECT o_orderpriority, d, n_open,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY n_open DESC, d ASC) AS rn
+    FROM run
+)
+SELECT o_orderpriority, CAST(n_open AS INT) AS peak_open, d AS peak_day
+FROM pk WHERE rn = 1
+"""
+
+QUERIES["open_orderlines_peak"] = open_orderlines_peak
+ORACLES["open_orderlines_peak"] = OPEN_PEAK_SQL
