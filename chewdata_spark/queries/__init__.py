@@ -72,48 +72,52 @@ _DRIVER_CHECKED = {
     "dedup_clean_corpus", "dedup_clean_corpus_cc", "dedup_clean_corpus_lsh",
     "dedup_clean_corpus_lsh_cc", "dedup_clean_corpus_lsh_cc_md5",
     "dedup_clean_corpus_semantic", "dedup_cluster_components",
-    "dedup_consensus_pairs", "dedup_containment_md5",
-    "dedup_cut_spans_corpus", "dedup_duplicate_spans", "dedup_exact",
-    "dedup_fingerprint", "dedup_incremental_ingest",
-    "dedup_incremental_ingest_md5", "dedup_lines_global",
-    "dedup_lines_within_doc", "dedup_minhash_lsh", "dedup_minhash_lsh_md5",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_md5",
-    "distinct_users_by_type", "distinct_users_linear_count",
-    "docs_embeddings_alignment", "documents_profile", "documents_redact_pii",
-    "documents_strip_boilerplate", "doremi_source_weights",
+    "dedup_consensus_pairs", "dedup_containment_md5", "dedup_cut_spans_corpus",
+    "dedup_duplicate_spans", "dedup_exact", "dedup_fingerprint",
+    "dedup_incremental_ingest", "dedup_incremental_ingest_md5",
+    "dedup_jaccard_prefix", "dedup_lines_global", "dedup_lines_within_doc",
+    "dedup_minhash_lsh", "dedup_minhash_lsh_md5", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_md5", "distinct_users_by_type",
+    "distinct_users_linear_count", "docs_embeddings_alignment",
+    "documents_blocklist_hits", "documents_longest_repeats",
+    "documents_profile", "documents_redact_pii", "documents_repeat_spans",
+    "documents_strip_boilerplate", "doremi_source_weights", "dp_noisy_counts",
     "dpo_preference_pairs", "dsir_importance", "embedding_anisotropy_report",
     "embedding_centroids", "embedding_debias_abtt", "embedding_near_dup",
     "embedding_near_dup_clustered", "embedding_outliers_mahalanobis",
     "embedding_pc1", "error_channel_split", "event_transition_matrix",
     "events_anomaly_mad", "events_asof_orders", "events_cusum_drift",
     "events_ewma_daily", "events_gap_fill", "events_heatmap_dow_hour",
-    "events_histogram_equidepth", "events_hourly_rollup",
-    "events_missing_props", "events_ohlc_hourly", "events_props_extract",
-    "events_props_variant", "events_quantile_sketch", "events_rolling_24h",
-    "events_seasonal_decompose", "events_sliding_rate", "events_value_zscore",
-    "events_winsorized", "filter_agreement_matrix", "filter_docs_logprob",
-    "fim_transform_documents", "fingerprint_winnowing", "forget_users_audit",
-    "generator_duplicate", "generator_faker", "gopher_quality_report",
-    "hard_negatives_topk", "hashed_bow_features", "heaps_law_fit",
-    "hll_distinct_users_md5", "hybrid_search_topk",
+    "events_histogram_equidepth", "events_holt_winters",
+    "events_hourly_rollup", "events_missing_props", "events_ohlc_hourly",
+    "events_props_extract", "events_props_variant", "events_quantile_sketch",
+    "events_rolling_24h", "events_seasonal_decompose", "events_sliding_rate",
+    "events_value_zscore", "events_winsorized", "filter_agreement_matrix",
+    "filter_docs_logprob", "fim_transform_documents", "fingerprint_winnowing",
+    "forget_users_audit", "generator_duplicate", "generator_faker",
+    "gopher_quality_report", "hard_negatives_topk", "hashed_bow_features",
+    "heaps_law_fit", "hll_distinct_users_md5", "hybrid_search_topk",
     "join_cardinality_estimate", "k_anonymity_report",
     "kmeans_centroids_2iter", "kmv_set_intersection", "language_id",
     "language_id_confusion", "length_bucket_batches", "loyal_customers",
     "market_basket_pairs", "media_decode_dims", "media_dhash_dedup",
     "mix_corpus_weighted", "monthly_revenue_trend", "multigrain_distinct_hll",
     "nb_quality_scores", "nb_train_quality_weights", "ngram_novelty_probe",
-    "normalize_documents", "order_priority_grouping_sets",
-    "orders_near_price_left", "orders_upsert_merge", "pack_sequences",
-    "packed_sequence_layout", "pagerank_order_graph", "part_name_similarity",
-    "part_name_tokens", "parts_in_price_band", "parts_pareto_8020",
-    "parts_skyline", "pivot_order_status", "pq_code_embeddings",
-    "price_percentiles", "q10_returned_items", "q11_important_parts",
-    "q12_ship_delay_priority", "q13_customer_order_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_revenue", "q1_pricing_summary", "q20_dominant_shippers",
-    "q21_waiting_orders", "q22_dormant_rich_customers",
-    "q2_min_cost_supplier", "q3_shipping_priority", "q4_late_order_priority",
+    "normalize_documents", "open_orderlines_peak",
+    "order_priority_grouping_sets", "orders_near_price_left",
+    "orders_upsert_merge", "pack_sequences", "packed_sequence_layout",
+    "pagerank_order_graph", "part_name_similarity", "part_name_tokens",
+    "part_transit_conflicts", "parts_entity_resolution",
+    "parts_entity_resolution_incremental", "parts_in_price_band",
+    "parts_pareto_8020", "parts_skyline", "pivot_order_status",
+    "pq_code_embeddings", "price_percentiles", "q10_returned_items",
+    "q11_important_parts", "q12_ship_delay_priority",
+    "q13_customer_order_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_count", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_revenue",
+    "q1_pricing_summary", "q20_dominant_shippers", "q21_waiting_orders",
+    "q22_dormant_rich_customers", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_late_order_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
     "q8_market_share", "q9_profit_by_nation", "qty_price_correlation",
     "quality_score", "quantize_embeddings", "referential_lookup",
@@ -127,29 +131,29 @@ _DRIVER_CHECKED = {
     "stratified_sample", "stream_classifier_scores", "stream_corpus_manifest",
     "stream_curate_corpus", "stream_events_hourly", "stream_events_zscore",
     "stream_hll_distinct_users", "stream_ingest_dedup",
-    "stream_media_dhash_dedup", "stream_sessionize_events",
-    "stream_view_to_purchase", "supplier_reliability", "table_stats_report",
-    "temperature_mix_weights", "text_stats", "tfidf_keywords", "token_counts",
-    "tokenize_documents", "tokenizer_fertility", "top_orders_per_customer",
-    "top_value_orders", "training_mix_schedule", "transformer_actions",
-    "unigram_lm_pieces", "unigram_logprob", "url_canonicalize_dedup",
-    "user_event_gaps", "user_retention_cohorts", "user_state_history",
-    "validator_rules", "video_frame_sample_report", "vocab_coverage_curve",
-    "weighted_sample_quality", "zorder_layout_audit",
+    "stream_media_dhash_dedup", "stream_parts_entity_resolution",
+    "stream_sessionize_events", "stream_view_to_purchase",
+    "supplier_reliability", "table_stats_report", "temperature_mix_weights",
+    "text_stats", "tfidf_keywords", "token_counts", "tokenize_documents",
+    "tokenizer_fertility", "top_orders_per_customer", "top_value_orders",
+    "training_mix_schedule", "transformer_actions", "unigram_lm_pieces",
+    "unigram_logprob", "url_canonicalize_dedup", "user_event_gaps",
+    "user_retention_cohorts", "user_state_history", "validator_rules",
+    "video_frame_sample_report", "vocab_coverage_curve",
+    "weighted_sample_quality", "wordpiece_segments_top", "zorder_layout_audit",
 }
 
 
-# Never-driver-sampled names as of the round-9 open (registry minus
-# CORRECTNESS_r01..r08 green rows, in registry order): dp_noisy_counts
-# missed the r8 50-row cut, the other four landed after the r8 driver
-# run.  Pinned explicitly so that queries ADDED during round 9 slot in
-# AFTER this backlog: the driver samples ~50 names per round from the
-# front of all_queries(), and the backlog must drain before brand-new
-# names consume sample slots.  All 5 green ⇒ 100% registry driver
-# coverage.
+# Names the driver should sample FIRST next round (before other
+# unchecked names).  Empty as of the round-10 open: CORRECTNESS_r09
+# folded above gives 238/238 registry coverage — every registered name
+# has been driver-hard-checked at least once.  part_transit_conflicts
+# stays OUT of _DRIVER_CHECKED-only trust: it was judge-proven wrong at
+# sf0.001 despite its green sf0.01 driver row, fixed in round 10 via
+# interval_overlap_join (emit-once first-shared-cell), and is pinned
+# here for a re-check on the round-10 driver run.
 _DRIVER_BACKLOG = (
-    "dp_noisy_counts", "dedup_jaccard_prefix", "parts_entity_resolution",
-    "events_holt_winters", "wordpiece_segments_top",
+    "part_transit_conflicts",
 )
 
 

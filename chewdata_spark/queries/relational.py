@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from chewdata_spark.operators.rangejoin import interval_overlap_join
 from chewdata_spark.tables import load_table
 
 
@@ -719,14 +720,17 @@ def part_transit_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fulfillment windows [o_orderdate, l_shipdate] overlap — concurrent
     supply competition.  Top 20 parts by conflict-pair count.
 
-    The overlap join is the classic Spark gap (no native range join):
-    each interval explodes into the MONTH grid cells it spans, pairs
-    join on the equi-key (partkey, month) — two overlapping intervals
-    share the month of any common day, so the grid never misses a pair
-    — then duplicates from multi-month overlaps drop and the exact
-    predicate verifies.  Grid cell width trades fan-out against
-    per-cell pair work; the equi-join shuffles once on
-    (partkey, month), never |lineitem|².
+    Delegates the overlap join to
+    :func:`chewdata_spark.operators.rangejoin.interval_overlap_join`:
+    each interval explodes into month-grid cells, pairs equi-join on
+    (partkey, cell), and the first-shared-cell predicate emits each
+    qualifying pair EXACTLY ONCE — raw row-pairs are counted directly
+    (identical grain to the oracle), with no pair-identity column and
+    no global dedup shuffle.  ``iid`` exists only to order the pair
+    (count each unordered pair once); it is NOT a row key in this
+    synthetic data (duplicate (orderkey, linenumber) rows exist), and
+    both sides of the comparison exclude same-iid row pairs
+    identically.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
@@ -740,42 +744,32 @@ def part_transit_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "s", "e",
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iid"),
     )
-    # grid the NORMALIZED span [least(s,e), greatest(s,e)]: the
-    # synthetic data contains inverted windows (shipdate before
-    # orderdate), and sequence() over a descending date pair steps by
-    # days, desynchronizing the cells.  The normalized span provably
-    # covers the overlap predicate for every orientation (two
-    # predicate-overlapping intervals always share a day inside both
-    # normalized spans), so the grid stays lossless.
-    grid = iv.select(
-        "l_partkey", "l_suppkey", "s", "e", "iid",
-        F.explode(
-            F.sequence(
-                F.trunc(F.least("s", "e"), "month"),
-                F.trunc(F.greatest("s", "e"), "month"),
-            )
-        ).alias("cell"),
+    a = iv.select(
+        "l_partkey",
+        F.col("l_suppkey").alias("supp_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+        F.col("iid").alias("iid_a"),
     )
-    a, b = grid.alias("a"), grid.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_partkey") == F.col("b.l_partkey"))
-            & (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.iid") < F.col("b.iid"))
-            & (F.col("a.l_suppkey") != F.col("b.l_suppkey"))
-            & (F.col("a.s") <= F.col("b.e"))
-            & (F.col("b.s") <= F.col("a.e")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("p_partkey"),
-            F.col("a.iid").alias("iid_a"),
-            F.col("b.iid").alias("iid_b"),
-        )
-        .dropDuplicates(["iid_a", "iid_b"])
+    b = iv.select(
+        "l_partkey",
+        F.col("l_suppkey").alias("supp_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+        F.col("iid").alias("iid_b"),
+    )
+    pairs = interval_overlap_join(
+        a, b,
+        on=["l_partkey"],
+        left_start="s_a", left_end="e_a",
+        right_start="s_b", right_end="e_b",
+        grid="month",
+    ).filter(
+        (F.col("iid_a") < F.col("iid_b"))
+        & (F.col("supp_a") != F.col("supp_b"))
     )
     return (
-        pairs.groupBy("p_partkey")
+        pairs.groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.count(F.lit(1)).cast("int").alias("n_conflicts"))
         .orderBy(F.col("n_conflicts").desc(), F.col("p_partkey").asc())
         .limit(20)
