@@ -108,6 +108,14 @@ def suffix_ranks(
     work = pos.join(F.broadcast(base), "ch").select(
         "doc_id", "off", F.col("_base").alias("rank")
     )
+    return _prefix_double(work, max_chars)
+
+
+def _prefix_double(work: DataFrame, max_units: int) -> DataFrame:
+    """The grain-agnostic prefix-doubling loop: ``work`` is
+    ``(doc_id, off, rank)`` with round-0 (single-unit) non-dense ranks;
+    ``off`` counts UNITS (chars or tokens — the loop only ever shifts
+    it), and the refinement runs ``log2(max_units)`` rounds."""
     work = work.localCheckpoint()
 
     # a frozen (singleton-group) position never re-activates, so only
@@ -118,7 +126,7 @@ def suffix_ranks(
     frozen: list[DataFrame] = []
     h = 1
     grp_w = Window.partitionBy("rank").orderBy("nxt")
-    while h < max_chars:
+    while h < max_units:
         active_ranks = (
             work.groupBy("rank")
             .agg(F.count(F.lit(1)).alias("_m"))
@@ -153,9 +161,84 @@ def suffix_ranks(
     out = frozen[0]
     for piece in frozen[1:]:
         out = out.unionByName(piece)
-    if work is not None:  # max_chars reached with ties left (true dups)
+    if work is not None:  # max_units reached with ties left (true dups)
         out = out.unionByName(work)
     return out
+
+
+def _token_docs(
+    df: DataFrame, id_col: str, text_col: str, max_tokens: int
+) -> DataFrame:
+    """(doc_id, toks): the first ``max_tokens`` whitespace tokens of
+    each doc — the token-grain corpus relation both the rank builder
+    and the LCP re-fetch read, so the two sides always tokenize
+    identically."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.slice(
+                F.split(F.trim(F.col(text_col)), r"\s+"), 1, max_tokens
+            ).alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+        .filter((F.size("toks") > 1) | (F.element_at("toks", 1) != ""))
+    )
+
+
+def suffix_ranks_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_tokens: int = 64,
+) -> DataFrame:
+    """TOKEN-grain twin of :func:`suffix_ranks`: positions are
+    whitespace-token indices (``off`` = 1-based token position), the
+    suffix order is lexicographic over TOKENS (each token compared as
+    a string), and the doubling loop is shared verbatim.
+
+    Why a second grain: the position count — which every stage of the
+    doubling loop is linear in — drops by the mean token length (~5-6x
+    on prose) for the same text-window budget, and Lee et al. 2022 run
+    their suffix arrays over BPE tokens for exactly this reason.  The
+    price is granularity: repeats are detected at whole-token
+    boundaries only.
+
+    Round-0 ranks come from per-token counts.  The token alphabet is
+    VOCABULARY-sized (not charset-sized), so the base prefix sum is the
+    two-level order-preserving device (`_bucketed_rank` in
+    operators/curation.py, same argument): the corpus-sized window
+    partitions by the token's 2-char PREFIX (prefix order agrees with
+    token order), and only the bucket-count offsets (≤ charset² rows)
+    see an unpartitioned window."""
+    toks = _token_docs(df, id_col, text_col, max_tokens)
+    pos = toks.select(
+        "doc_id", F.posexplode("toks").alias("off0", "w")
+    ).select("doc_id", (F.col("off0") + 1).alias("off"), "w")
+    counts = pos.groupBy("w").agg(F.count(F.lit(1)).alias("_n"))
+    bucketed = counts.withColumn("_bk", F.substring("w", 1, 2))
+    in_bucket = (
+        Window.partitionBy("_bk")
+        .orderBy("w")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "_loc", F.coalesce(F.sum("_n").over(in_bucket), F.lit(0))
+    )
+    bcounts = bucketed.groupBy("_bk").agg(F.sum("_n").alias("_bn"))
+    off_w = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    boffsets = bcounts.select(
+        "_bk",
+        F.coalesce(F.sum("_bn").over(off_w), F.lit(0)).alias("_boff"),
+    )
+    base = local.join(boffsets, "_bk").select(
+        "w",
+        (F.col("_boff") + F.col("_loc") + 1).cast("bigint").alias("_base"),
+    )
+    work = pos.join(base, "w").select(
+        "doc_id", "off", F.col("_base").alias("rank")
+    )
+    return _prefix_double(work, max_tokens)
 
 
 def longest_repeated_substrings(
@@ -320,6 +403,174 @@ def repeat_spans_sa(
     )
     # gaps-and-islands per doc: a new island starts where off exceeds
     # the running max end of all earlier spans
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = marked.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("s").cast("int").alias("span_start"),
+            F.max("e").cast("int").alias("span_end"),
+        )
+        .drop("island")
+    )
+
+
+def cut_repeat_spans_sa(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_chars: int = 256,
+    min_len: int = 10,
+) -> DataFrame:
+    """End-to-end Lee et al. 2022 exact-substring dedup: cut the
+    per-doc merged spans covered by a WHOLE repeated substring
+    (:func:`repeat_spans_sa`) out of the text and reassemble — the
+    removal half composed with the suffix-array mark half (the k-gram
+    twin is ``operators/dedup.py::cut_duplicate_spans``, which cuts
+    k-gram islands and so can cut chimeras; this cuts only true
+    whole-substring repeats).
+
+    Marks live within the first ``max_chars`` chars (the declared SA
+    window); the tail beyond the window is always kept.  Spans arrive
+    merged and non-overlapping per doc, so the cut is one
+    ``aggregate()`` cursor over the doc's own (few) spans — no
+    per-char explode, no window.  Docs with no marked span pass
+    through unchanged via the left join.
+
+    Returns ``(doc_id, clean_text, n_spans, n_cut)`` — ``n_cut`` =
+    chars removed, deterministic (first-occurrence keeps nothing
+    special: a whole-repeat span is cut in EVERY doc position it
+    covers, exactly Lee et al.'s "remove all but one" simplification to
+    "remove every marked occurrence" at the span grain).
+    """
+    spans = repeat_spans_sa(
+        df, id_col, text_col, max_chars=max_chars, min_len=min_len
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias(
+            "spans"
+        ),
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+    )
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("full_t"),
+    )
+    cut = F.expr(
+        """
+        aggregate(
+          spans,
+          named_struct('p', 1, 'acc', ''),
+          (a, sp) -> named_struct(
+              'p', CAST(sp.span_end + 1 AS INT),
+              'acc', concat(a.acc, substring(full_t, a.p, sp.span_start - a.p))),
+          a -> concat(a.acc, substring(full_t, a.p))
+        )
+        """
+    )
+    n_cut = F.expr(
+        "aggregate(spans, 0, (a, sp) -> a + sp.span_end - sp.span_start + 1)"
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .withColumn(
+            "spans",
+            F.coalesce(
+                "spans",
+                F.expr(
+                    "CAST(array() AS array<struct<span_start:int,span_end:int>>)"
+                ),
+            ),
+        )
+        .select(
+            "doc_id",
+            cut.alias("clean_text"),
+            F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
+            n_cut.cast("int").alias("n_cut"),
+        )
+    )
+
+
+def repeat_spans_sa_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_tokens: int = 64,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """TOKEN-grain twin of :func:`repeat_spans_sa`: per-document merged
+    TOKEN spans covered by a whole sequence of >= ``min_tokens``
+    whitespace tokens occurring at least twice in the corpus.  Same
+    neighbour-LCP identity, same gaps-and-islands merge — the LCP
+    cursor compares tokens via ``element_at`` instead of chars, and
+    spans are 1-based token indices (inclusive) within the first
+    ``max_tokens`` tokens of each doc."""
+    ranks = suffix_ranks_tokens(
+        df, id_col, text_col, max_tokens=max_tokens
+    )
+    toks = _token_docs(df, id_col, text_col, max_tokens)
+    rep = ranks.groupBy("rank").agg(
+        F.min(F.struct("doc_id", "off")).alias("p"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    suf = (
+        rep.select("rank", "m", F.col("p.doc_id").alias("doc_id"),
+                   F.col("p.off").alias("off"))
+        .join(toks, "doc_id")
+        .select(
+            "rank", "m",
+            F.expr(f"slice(toks, off, {max_tokens})").alias("suf"),
+        )
+    )
+    nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
+    lcp_expr = F.expr(
+        """
+        aggregate(
+          sequence(1, least(size(suf), size(suf2))),
+          named_struct('n', 0, 'go', true),
+          (acc, i) -> if(acc.go and element_at(suf, i) = element_at(suf2, i),
+                         named_struct('n', acc.n + 1, 'go', true),
+                         named_struct('n', acc.n, 'go', false))
+        ).n
+        """
+    )
+    l_next = (
+        suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"), "left")
+        .select(
+            "rank", "m", F.size("suf").alias("slen"),
+            F.coalesce(lcp_expr, F.lit(0)).alias("l_next"),
+        )
+    )
+    l_prev = l_next.select(
+        (F.col("rank") + F.col("m")).alias("rank"),
+        F.col("l_next").alias("l_prev"),
+    )
+    dup = (
+        l_next.join(l_prev, "rank", "left")
+        .select(
+            "rank",
+            F.greatest(
+                F.when(F.col("m") >= 2, F.col("slen")).otherwise(0),
+                F.col("l_next"),
+                F.coalesce("l_prev", F.lit(0)),
+            ).alias("dup_len"),
+        )
+        .filter(F.col("dup_len") >= min_tokens)
+    )
+    marked = ranks.join(dup, "rank").select(
+        "doc_id",
+        F.col("off").alias("s"),
+        (F.col("off") + F.col("dup_len") - 1).alias("e"),
+    )
     w = Window.partitionBy("doc_id").orderBy("s", "e")
     prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     islands = marked.withColumn(

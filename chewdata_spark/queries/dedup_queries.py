@@ -1434,3 +1434,182 @@ FROM isl2 GROUP BY doc_id, island
 
 QUERIES["documents_repeat_spans"] = documents_repeat_spans
 ORACLES["documents_repeat_spans"] = REPEAT_SPANS_SQL
+
+
+def dedup_cut_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END Lee et al. 2022 exact-substring dedup pipeline:
+    distributed suffix array → whole-repeat span marks → spans cut out
+    of the text → docs reassembled
+    (operators/suffix.py::cut_repeat_spans_sa).  The k-gram twin
+    (dedup_cut_spans_corpus) cuts k-gram islands, which may be
+    chimeric; this cuts only spans covered by a TRUE whole substring
+    repeated >= 2x in the corpus.  Marks within the first 128 chars
+    per doc (the declared SA window), repeats >= 30 chars; the tail
+    beyond the window is always kept."""
+    from chewdata_spark.operators.suffix import cut_repeat_spans_sa
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cut_repeat_spans_sa(docs, "doc_id", "text", max_chars=128, min_len=30)
+
+
+# the span CTEs replay REPEAT_SPANS_SQL verbatim; the cut is a per-char
+# left anti over covered head positions + the untouched tail
+CUT_SPANS_SA_SQL = """
+WITH d AS (
+    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
+    WHERE text IS NOT NULL AND length(substr(text, 1, 128)) > 0
+), p0 AS (
+    SELECT doc_id, t, unnest(generate_series(1, length(t))) AS off FROM d
+), pos AS (
+    SELECT doc_id, off, substr(t, off) AS suf FROM p0
+), ord AS (
+    SELECT suf, COUNT(*) AS m FROM pos GROUP BY 1
+), nb AS (
+    SELECT suf, m, length(suf) AS slen,
+           LEAD(suf) OVER (ORDER BY suf) AS suf2
+    FROM ord
+), ln AS (
+    SELECT suf, m, slen,
+           CASE WHEN suf2 IS NULL THEN 0 ELSE
+             COALESCE(
+               ([i FOR i IN generate_series(1, least(length(suf), length(suf2)))
+                   IF substr(suf, i, 1) <> substr(suf2, i, 1)])[1],
+               least(length(suf), length(suf2)) + 1) - 1
+           END AS l_next
+    FROM nb
+), dupg AS (
+    SELECT suf,
+           greatest(CASE WHEN m >= 2 THEN slen ELSE 0 END,
+                    l_next,
+                    COALESCE(LAG(l_next) OVER (ORDER BY suf), 0)) AS dup_len
+    FROM ln
+), marked AS (
+    SELECT p.doc_id, p.off AS s, p.off + g.dup_len - 1 AS e
+    FROM pos p JOIN dupg g USING (suf)
+    WHERE g.dup_len >= 30
+), isl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS ni
+    FROM marked
+), isl2 AS (
+    SELECT doc_id, s, e,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM isl
+), spans AS (
+    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+    FROM isl2 GROUP BY doc_id, island
+), cov AS (
+    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
+), alldocs AS (
+    SELECT doc_id, COALESCE(text, '') AS full_t,
+           substr(COALESCE(text, ''), 1, 128) AS head
+    FROM documents
+), hpos AS (
+    SELECT doc_id, head, unnest(generate_series(1, length(head))) AS i
+    FROM alldocs
+), hkeep AS (
+    SELECT h.doc_id,
+           COALESCE(string_agg(substr(h.head, h.i, 1), '' ORDER BY h.i)
+                    FILTER (WHERE c.i IS NULL), '') AS kept_head,
+           COUNT(*) FILTER (WHERE c.i IS NOT NULL) AS n_cut
+    FROM hpos h LEFT JOIN cov c ON h.doc_id = c.doc_id AND h.i = c.i
+    GROUP BY h.doc_id
+), nsp AS (
+    SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+)
+SELECT a.doc_id,
+       COALESCE(k.kept_head, '') || substr(a.full_t, 129) AS clean_text,
+       CAST(COALESCE(n.n_spans, 0) AS INT) AS n_spans,
+       CAST(COALESCE(k.n_cut, 0) AS INT) AS n_cut
+FROM alldocs a
+LEFT JOIN hkeep k USING (doc_id)
+LEFT JOIN nsp n USING (doc_id)
+"""
+
+QUERIES["dedup_cut_spans_sa"] = dedup_cut_spans_sa
+ORACLES["dedup_cut_spans_sa"] = CUT_SPANS_SA_SQL
+
+
+def documents_repeat_spans_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-grain twin of documents_repeat_spans: merged TOKEN spans
+    covered by a whole sequence of >= 5 whitespace tokens repeated in
+    the corpus, suffix array built over token positions
+    (operators/suffix.py::repeat_spans_sa_tokens).  Lee et al. 2022 run
+    their suffix arrays over TOKENS for exactly this trade: position
+    count (every doubling stage is linear in it) drops by the mean
+    token length (~5-6x on this corpus) for the same text-window
+    budget, at whole-token detection granularity.  First 64 tokens per
+    doc (~ the char twin's 128-char window at 5.9 chars/token)."""
+    from chewdata_spark.operators.suffix import repeat_spans_sa_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeat_spans_sa_tokens(
+        docs, "doc_id", "text", max_tokens=64, min_tokens=5
+    )
+
+
+# token-list suffixes: DuckDB compares lists lexicographically
+# element-wise with prefix-sorts-first — exactly the order the
+# doubling loop induces (0 = past-end sorts first)
+REPEAT_SPANS_TOKENS_SQL = """
+WITH d0 AS (
+    SELECT doc_id,
+           list_slice(string_split_regex(trim(text), '\\s+'), 1, 64) AS toks
+    FROM documents WHERE text IS NOT NULL
+), d AS (
+    SELECT doc_id, toks FROM d0
+    WHERE len(toks) > 1 OR (len(toks) = 1 AND toks[1] <> '')
+), pos AS (
+    SELECT doc_id, off, list_slice(toks, off, len(toks)) AS suf
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks))) AS off FROM d)
+), ord AS (
+    SELECT suf, COUNT(*) AS m FROM pos GROUP BY 1
+), nb AS (
+    SELECT suf, m, len(suf) AS slen,
+           LEAD(suf) OVER (ORDER BY suf) AS suf2
+    FROM ord
+), ln AS (
+    SELECT suf, m, slen,
+           CASE WHEN suf2 IS NULL THEN 0 ELSE
+             COALESCE(
+               ([i FOR i IN generate_series(1, least(len(suf), len(suf2)))
+                   IF suf[i] <> suf2[i]])[1],
+               least(len(suf), len(suf2)) + 1) - 1
+           END AS l_next
+    FROM nb
+), dupg AS (
+    SELECT suf,
+           greatest(CASE WHEN m >= 2 THEN slen ELSE 0 END,
+                    l_next,
+                    COALESCE(LAG(l_next) OVER (ORDER BY suf), 0)) AS dup_len
+    FROM ln
+), marked AS (
+    SELECT p.doc_id, p.off AS s, p.off + g.dup_len - 1 AS e
+    FROM pos p JOIN dupg g USING (suf)
+    WHERE g.dup_len >= 5
+), isl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS ni
+    FROM marked
+), isl2 AS (
+    SELECT doc_id, s, e,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM isl
+)
+SELECT doc_id, CAST(MIN(s) AS INT) AS span_start, CAST(MAX(e) AS INT) AS span_end
+FROM isl2 GROUP BY doc_id, island
+"""
+
+QUERIES["documents_repeat_spans_tokens"] = documents_repeat_spans_tokens
+ORACLES["documents_repeat_spans_tokens"] = REPEAT_SPANS_TOKENS_SQL

@@ -304,3 +304,105 @@ def test_repeat_spans_sa_whole_substring_semantics(spark):
     assert 3 not in out
     # periodic text: suffixes repeat against shifted selves -> one island
     assert out[4] == [(1, 22)], out
+
+
+def test_cut_repeat_spans_sa_cuts_only_whole_repeats(spark):
+    """End-to-end SA cut: the repeated passage is cut from EVERY doc
+    that carries it, non-repeated text survives verbatim, and the tail
+    beyond the max_chars window is never touched."""
+    from chewdata_spark.operators.suffix import cut_repeat_spans_sa
+
+    shared = "0123456789abcdefghij"  # 20 chars, >= min_len
+    rows = [
+        (1, "AAAA" + shared + "BBBB"),
+        (2, "CCCC" + shared + "DDDD"),
+        (3, "unique text, nothing repeated"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_spans, r.n_cut)
+        for r in cut_repeat_spans_sa(
+            df, "doc_id", "text", max_chars=64, min_len=10
+        ).collect()
+    }
+    assert got[1] == ("AAAABBBB", 1, 20)
+    assert got[2] == ("CCCCDDDD", 1, 20)
+    assert got[3] == ("unique text, nothing repeated", 0, 0)
+    assert got[4] == ("", 0, 0)
+    assert got[5] == ("", 0, 0)
+
+
+def test_cut_repeat_spans_sa_keeps_tail_beyond_window(spark):
+    from chewdata_spark.operators.suffix import cut_repeat_spans_sa
+
+    shared = "0123456789abcdefghij"
+    tail = "TAIL-BEYOND-THE-WINDOW" * 2
+    rows = [(1, shared + "xx" + tail), (2, shared + "yy" + tail)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # window of 24 chars: the shared 20-char head is marked; everything
+    # past char 24 (including the identical tails, also repeated but
+    # outside the declared window) is kept verbatim
+    got = {
+        r.doc_id: r.clean_text
+        for r in cut_repeat_spans_sa(
+            df, "doc_id", "text", max_chars=24, min_len=10
+        ).collect()
+    }
+    full1 = shared + "xx" + tail
+    full2 = shared + "yy" + tail
+    assert got[1] == full1[20:], got
+    assert got[2] == full2[20:], got
+
+
+def test_repeat_spans_sa_tokens_planted(spark):
+    """Token-grain SA spans: a shared 6-token run marks token indices
+    in both docs; substring-of-a-token sharing (quick vs quicker) never
+    marks; span bounds are token positions."""
+    from chewdata_spark.operators.suffix import repeat_spans_sa_tokens
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "hello world the quick brown fox jumps over a fence"),
+        (3, "quicker browner foxes jumping overly lazily nothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {}
+    for r in repeat_spans_sa_tokens(
+        df, "doc_id", "text", max_tokens=16, min_tokens=5
+    ).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    # "the quick brown fox jumps over": doc1 tokens 1-6, doc2 tokens 3-8
+    assert got[1] == [(1, 6)], got
+    assert got[2] == [(3, 8)], got
+    assert 3 not in got
+
+
+def test_suffix_ranks_tokens_total_order(spark):
+    """Non-dense token-grain rank contract: 1 + count of strictly
+    smaller token suffixes (token-array lexicographic order, prefix
+    sorts first)."""
+    from chewdata_spark.operators.suffix import suffix_ranks_tokens
+
+    rows = [
+        (1, "b a b a b"),
+        (2, "a b a"),
+        (3, "c"),
+    ]
+    toks = {i: t.split() for i, t in rows}
+    sufs = [
+        (d, o + 1, tuple(ts[o:])) for d, ts in toks.items()
+        for o in range(len(ts))
+    ]
+    want = {
+        (d, o): 1 + sum(1 for _, _, x in sufs if x < s) for d, o, s in sufs
+    }
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.doc_id, r.off): r.rank
+        for r in suffix_ranks_tokens(
+            df, "doc_id", "text", max_tokens=8
+        ).collect()
+    }
+    assert got == want
