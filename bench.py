@@ -48,6 +48,9 @@ HEADLINE = [
     "top_orders_per_customer",
     "rollup_revenue",
     "events_asof_orders",
+    # the round-10 interval_overlap_join rewrite (was 238 s and wrong;
+    # headline so every round re-times the emit-once year-grid plan)
+    "part_transit_conflicts",
     "sessionize_events",
     "validator_rules",
     "transformer_actions",

@@ -758,12 +758,18 @@ def part_transit_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("e_b"),
         F.col("iid").alias("iid_b"),
     )
+    # grid unit picked from the span stats: normalized spans average
+    # ~27 months here, so a month grid explodes ~27x and — because a
+    # span covers the same FRACTION of its cells at any grain — total
+    # per-cell candidate work scales with cell count too.  Year cells
+    # cut both by ~12x; the first-shared-cell predicate keeps emission
+    # exactly-once at any grain (unit-tested across all four).
     pairs = interval_overlap_join(
         a, b,
         on=["l_partkey"],
         left_start="s_a", left_end="e_a",
         right_start="s_b", right_end="e_b",
-        grid="month",
+        grid="year",
     ).filter(
         (F.col("iid_a") < F.col("iid_b"))
         & (F.col("supp_a") != F.col("supp_b"))
