@@ -588,3 +588,133 @@ def repeat_spans_sa_tokens(
         )
         .drop("island")
     )
+
+
+def sa_incremental_contamination(
+    new: DataFrame,
+    seen: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_chars: int = 128,
+    min_len: int = 30,
+    bucket_len: int = 8,
+) -> DataFrame:
+    """INCREMENTAL suffix-array maintenance for ingest dedup: each
+    arriving doc is ranked against the EXISTING corpus's suffix order
+    — no rebuild, no prefix doubling on either side.
+
+    Classic SA identity: the longest substring an arriving doc shares
+    with the seen corpus is ``max over its suffixes s of
+    max(LCP(s, pred), LCP(s, succ))`` where pred/succ are the nearest
+    SEEN suffixes below/above ``s`` in sorted suffix order (LCP is a
+    min over the sorted range, so the nearest neighbour on each side
+    maximizes it).  Neighbour-finding never needs a global sort:
+    suffixes bucket by their first ``bucket_len`` chars, and a
+    cross-bucket neighbour's LCP is < ``bucket_len`` <= ``min_len`` by
+    construction — provably irrelevant to the decision — so ONE
+    window per prefix bucket (ordered by suffix, seen rows before new
+    rows on ties so exact matches resolve to the full length) finds
+    both neighbours via seen-only last/first with ignorenulls.
+
+    Declared grain: shared lengths below ``bucket_len`` read as 0 (a
+    sub-anchor match can never reach ``min_len``); raise ``bucket_len``
+    toward ``min_len`` at scale to narrow the windows — bucket width is
+    the count of suffixes sharing a ``bucket_len``-char prefix, the
+    same knob as every LSH band here.
+
+    Returns one row per ARRIVING doc: ``(doc_id, max_shared_len,
+    kept)`` — ``kept = max_shared_len < min_len`` (docs with a whole
+    >= ``min_len``-char substring already in the corpus drop).  Batch
+    cost: new positions + seen suffixes in TOUCHED buckets only
+    (semi-join); per-batch, idempotent, history never re-ranked.
+    """
+    if bucket_len > min_len:
+        raise ValueError(
+            f"bucket_len ({bucket_len}) must be <= min_len ({min_len}): "
+            "cross-bucket neighbours have LCP < bucket_len, so a wider "
+            "bucket would silently miss qualifying matches"
+        )
+
+    def _sufs(df: DataFrame) -> DataFrame:
+        docs = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.substring(F.col(text_col), 1, max_chars).alias("t"),
+        ).filter(F.length("t") > 0)
+        return (
+            docs.select(
+                "doc_id",
+                F.posexplode(F.split(F.col("t"), "(?!^)")).alias("off0", "ch"),
+                "t",
+            )
+            .filter(F.col("ch") != "")
+            .select(
+                "doc_id",
+                F.expr(f"substring(t, off0 + 1, {max_chars})").alias("suf"),
+            )
+        )
+
+    new_suf = _sufs(new).withColumn("_bk", F.substring("suf", 1, bucket_len))
+    seen_suf = (
+        _sufs(seen)
+        .select("suf")
+        .distinct()
+        .withColumn("_bk", F.substring("suf", 1, bucket_len))
+    )
+    touched = new_suf.select("_bk").distinct()
+    seen_in = seen_suf.join(touched, "_bk", "left_semi").select(
+        F.lit(None).cast(new_suf.schema["doc_id"].dataType).alias("doc_id"),
+        "suf",
+        "_bk",
+        F.lit(1).alias("_seen"),
+    )
+    u = new_suf.select("doc_id", "suf", "_bk", F.lit(0).alias("_seen")).unionByName(
+        seen_in
+    )
+    # seen rows sort BEFORE new rows on equal suffixes (_seen desc), so
+    # an exact whole-suffix match becomes the predecessor
+    w = Window.partitionBy("_bk").orderBy("suf", F.col("_seen").desc())
+    seen_only = F.when(F.col("_seen") == 1, F.col("suf"))
+    pred = F.last(seen_only, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    succ = F.first(seen_only, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    lcp = """
+        aggregate(
+          sequence(1, least(length(suf), length({o}))),
+          named_struct('n', 0, 'go', true),
+          (acc, i) -> if(acc.go and substring(suf, i, 1) = substring({o}, i, 1),
+                         named_struct('n', acc.n + 1, 'go', true),
+                         named_struct('n', acc.n, 'go', false))
+        ).n
+    """
+    scored = (
+        u.withColumn("_pred", pred)
+        .withColumn("_succ", succ)
+        .filter(F.col("_seen") == 0)
+        .select(
+            "doc_id",
+            F.greatest(
+                F.when(
+                    F.col("_pred").isNotNull(), F.expr(lcp.format(o="_pred"))
+                ).otherwise(0),
+                F.when(
+                    F.col("_succ").isNotNull(), F.expr(lcp.format(o="_succ"))
+                ).otherwise(0),
+            ).alias("_m"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.max("_m").cast("int").alias("max_shared_len")
+    )
+    arriving = new.select(F.col(id_col).alias("doc_id"))
+    return (
+        arriving.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("max_shared_len", F.lit(0)).alias("max_shared_len"),
+            (F.coalesce("max_shared_len", F.lit(0)) < min_len).alias("kept"),
+        )
+    )

@@ -1613,3 +1613,84 @@ FROM isl2 GROUP BY doc_id, island
 
 QUERIES["documents_repeat_spans_tokens"] = documents_repeat_spans_tokens
 ORACLES["documents_repeat_spans_tokens"] = REPEAT_SPANS_TOKENS_SQL
+
+
+def dedup_incremental_ingest_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL suffix-array ingest dedup: odd doc_ids arrive, even
+    doc_ids are the existing corpus; each arriving doc is ranked
+    against the EXISTING suffix order — nearest seen neighbours by
+    prefix bucket, max neighbour-LCP = longest substring already in
+    the corpus — with NO suffix-array rebuild and no doubling on
+    either side (operators/suffix.py::sa_incremental_contamination).
+    The MinHash twin (dedup_incremental_ingest) gates on set
+    similarity; this gates on EXACT substring contamination >= 30
+    chars, Lee et al.'s criterion, at per-batch cost."""
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators.suffix import sa_incremental_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    return sa_incremental_contamination(
+        new, seen, "doc_id", "text",
+        max_chars=128, min_len=30, bucket_len=8,
+    )
+
+
+INCREMENTAL_INGEST_SA_SQL = """
+WITH newd AS (
+    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
+    WHERE doc_id % 2 = 1 AND text IS NOT NULL
+      AND length(substr(text, 1, 128)) > 0
+), seend AS (
+    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
+    WHERE doc_id % 2 = 0 AND text IS NOT NULL
+      AND length(substr(text, 1, 128)) > 0
+), newsuf AS (
+    SELECT doc_id, substr(t, off) AS suf
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, length(t))) AS off FROM newd)
+), seensuf AS (
+    SELECT DISTINCT substr(t, off) AS suf
+    FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
+), u AS (
+    SELECT CAST(NULL AS BIGINT) AS doc_id, suf, 1 AS is_seen FROM seensuf
+    UNION ALL
+    SELECT doc_id, suf, 0 AS is_seen FROM newsuf
+), nb AS (
+    SELECT doc_id, suf, is_seen,
+        LAST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
+            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pred,
+        FIRST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
+            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS succ
+    FROM u
+), scored AS (
+    SELECT doc_id,
+        greatest(
+            CASE WHEN pred IS NULL THEN 0 ELSE
+                COALESCE(([i FOR i IN generate_series(1,
+                               least(length(suf), length(pred)))
+                           IF substr(suf, i, 1) <> substr(pred, i, 1)])[1],
+                         least(length(suf), length(pred)) + 1) - 1 END,
+            CASE WHEN succ IS NULL THEN 0 ELSE
+                COALESCE(([i FOR i IN generate_series(1,
+                               least(length(suf), length(succ)))
+                           IF substr(suf, i, 1) <> substr(succ, i, 1)])[1],
+                         least(length(suf), length(succ)) + 1) - 1 END
+        ) AS m
+    FROM nb WHERE is_seen = 0
+), per_doc AS (
+    SELECT doc_id, MAX(m) AS msl FROM scored GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(COALESCE(p.msl, 0) AS INT) AS max_shared_len,
+       COALESCE(p.msl, 0) < 30 AS kept
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) a
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+QUERIES["dedup_incremental_ingest_sa"] = dedup_incremental_ingest_sa
+ORACLES["dedup_incremental_ingest_sa"] = INCREMENTAL_INGEST_SA_SQL

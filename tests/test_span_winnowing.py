@@ -7,6 +7,8 @@ from __future__ import annotations
 import hashlib
 import random
 
+import pytest
+
 from chewdata_spark.operators.dedup import duplicate_spans
 from chewdata_spark.operators.text import winnowing_fingerprints
 
@@ -406,3 +408,63 @@ def test_suffix_ranks_tokens_total_order(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_sa_incremental_contamination_vs_brute_force(spark):
+    """Incremental SA ranking: arriving docs' longest substring shared
+    with the SEEN corpus matches a brute-force scan (at the declared
+    grain: lengths below bucket_len read as 0); exact long runs drop,
+    short overlaps keep."""
+    from chewdata_spark.operators.suffix import sa_incremental_contamination
+
+    seen_rows = [
+        (2, "The existing corpus contains this exact boilerplate sentence right here."),
+        (4, "Another seen document with totally different words."),
+    ]
+    new_rows = [
+        (1, "prefix junk The existing corpus contains this exact boilerplate tail"),
+        (3, "completely novel arriving text zqx"),
+        (5, None),
+        (7, "different words."),
+    ]
+    seen = spark.createDataFrame(seen_rows, "doc_id int, text string")
+    new = spark.createDataFrame(new_rows, "doc_id int, text string")
+    out = {
+        r.doc_id: (r.max_shared_len, r.kept)
+        for r in sa_incremental_contamination(
+            new, seen, "doc_id", "text",
+            max_chars=128, min_len=30, bucket_len=8,
+        ).collect()
+    }
+
+    def brute(nt):
+        if not nt:
+            return 0
+        best = 0
+        for _, st in seen_rows:
+            for i in range(len(nt)):
+                for j in range(len(st)):
+                    l = 0
+                    while (i + l < len(nt) and j + l < len(st)
+                           and nt[i + l] == st[j + l]):
+                        l += 1
+                    best = max(best, l)
+        return best
+
+    for did, nt in new_rows:
+        b = brute(nt)
+        expect = b if b >= 8 else 0
+        assert out[did] == (expect, expect < 30), (did, out[did], b)
+    # the 52-char contaminated doc drops, everything else keeps
+    assert out[1][1] is False
+    assert out[3][1] and out[5][1] and out[7][1]
+
+
+def test_sa_incremental_contamination_rejects_wide_bucket(spark):
+    from chewdata_spark.operators.suffix import sa_incremental_contamination
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="bucket_len"):
+        sa_incremental_contamination(
+            df, df, "doc_id", "text", min_len=10, bucket_len=16
+        )
