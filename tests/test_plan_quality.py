@@ -888,3 +888,38 @@ def test_incremental_er_plan_shape(spark, sf_dir):
     assert "LogicalRDD" in analyzed or "ExistingRDD" in analyzed, analyzed
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_part_transit_conflicts_emit_once_plan(spark, sf_dir):
+    # the interval_overlap_join rewrite: NO Deduplicate/Distinct
+    # anywhere (each pair meets in exactly one grid cell), the final
+    # top-20 is a TakeOrderedAndProject, the pair source is ONE
+    # self-join on (partkey, cell), and everything stays JVM-side.
+    from chewdata_spark.queries.relational import part_transit_conflicts
+
+    df = part_transit_conflicts(spark, sf_dir)
+    plan = formatted_plan(df)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" not in optimized, optimized
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_sa_incremental_plan_no_global_window(spark, sf_dir):
+    # incremental SA ranking: every Window partitions by the prefix
+    # bucket (no unpartitioned window over the suffix space), the seen
+    # side is bucket-semi-joined before the union, and no Python.
+    import re
+
+    from chewdata_spark.queries.dedup_queries import dedup_incremental_ingest_sa
+
+    df = dedup_incremental_ingest_sa(spark, sf_dir)
+    plan = formatted_plan(df)
+    # every Window detail block ends "..., [<partition cols>], [<order>]"
+    # — each windowspecdefinition must lead with the bucket column
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert spec.startswith("_bk"), spec
+    assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
