@@ -1694,3 +1694,114 @@ LEFT JOIN per_doc p USING (doc_id)
 
 QUERIES["dedup_incremental_ingest_sa"] = dedup_incremental_ingest_sa
 ORACLES["dedup_incremental_ingest_sa"] = INCREMENTAL_INGEST_SA_SQL
+
+
+_SA_STREAM_RUN = {"n": 0}
+
+
+def stream_ingest_dedup_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of dedup_incremental_ingest_sa: odd doc_ids
+    arrive as a file stream and are gated on exact >= 30-char substring
+    contamination against the STATIC even-id corpus.
+
+    The batch twin finds seen neighbours with per-bucket windows; a
+    stream can't window across rows, so the static side pre-aggregates
+    to (bucket -> SORTED seen-suffix array) and each arriving suffix
+    finds its neighbours inside its bucket's array with higher-order
+    functions: ``pred = array_max(filter(arr, x -> x <= suf))`` /
+    ``succ = array_min(filter(arr, x -> x > suf))`` — exactly the
+    batch window's seen-before-new tie order, so the SAME oracle SQL
+    replays both twins.  Stream-static join is stateless; the only
+    stateful operator is the final per-doc max (complete mode,
+    availableNow into a memory sink).  ``explode_outer`` keeps
+    null/empty-text arrivals in the output at 0."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators.suffix import sa_incremental_contamination  # noqa: F401  (batch twin)
+    from chewdata_spark.streaming.ops import run_to_memory
+
+    max_chars, min_len, bucket_len = 128, 30, 8
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+
+    seen_arr = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.substring("text", 1, max_chars).alias("t"))
+        .filter(F.length("t") > 0)
+        .select(
+            F.posexplode(F.split(F.col("t"), "(?!^)")).alias("off0", "ch"), "t"
+        )
+        .filter(F.col("ch") != "")
+        .select(F.expr(f"substring(t, off0 + 1, {max_chars})").alias("suf"))
+        .distinct()
+        .groupBy(F.substring("suf", 1, bucket_len).alias("_bk"))
+        .agg(F.sort_array(F.collect_list("suf")).alias("arr"))
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(path + "*")
+        .filter(F.col("doc_id") % 2 == 1)
+        .withColumn("t", F.substring("text", 1, max_chars))
+        .withColumn(
+            "off",
+            F.explode_outer(
+                F.when(F.length("t") > 0, F.expr("sequence(1, length(t))"))
+            ),
+        )
+        .withColumn(
+            "suf",
+            F.when(
+                F.col("off").isNotNull(),
+                F.expr(f"substring(t, off, {max_chars})"),
+            ),
+        )
+        .withColumn("_bk", F.substring("suf", 1, bucket_len))
+    )
+    joined = stream.join(seen_arr, "_bk", "left")
+    nb = joined.withColumn(
+        "_pred", F.expr("array_max(filter(arr, x -> x <= suf))")
+    ).withColumn("_succ", F.expr("array_min(filter(arr, x -> x > suf))"))
+    lcp = """
+        aggregate(
+          sequence(1, least(length(suf), length({o}))),
+          named_struct('n', 0, 'go', true),
+          (acc, i) -> if(acc.go and substring(suf, i, 1) = substring({o}, i, 1),
+                         named_struct('n', acc.n + 1, 'go', true),
+                         named_struct('n', acc.n, 'go', false))
+        ).n
+    """
+    scored = nb.select(
+        "doc_id",
+        F.greatest(
+            F.when(
+                F.col("_pred").isNotNull(), F.expr(lcp.format(o="_pred"))
+            ).otherwise(0),
+            F.when(
+                F.col("_succ").isNotNull(), F.expr(lcp.format(o="_succ"))
+            ).otherwise(0),
+        ).alias("_m"),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.max("_m").cast("int").alias("max_shared_len")
+    )
+    out = per_doc.select(
+        "doc_id",
+        "max_shared_len",
+        (F.col("max_shared_len") < min_len).alias("kept"),
+    )
+    _SA_STREAM_RUN["n"] += 1
+    return run_to_memory(
+        out, f"_stream_ingest_dedup_sa_{_SA_STREAM_RUN['n']}",
+        output_mode="complete",
+    )
+
+
+QUERIES["stream_ingest_dedup_sa"] = stream_ingest_dedup_sa
+# the higher-order array neighbours equal the batch window neighbours
+# (greatest seen <= suf / least seen > suf), so the batch oracle
+# replays the stream verbatim
+ORACLES["stream_ingest_dedup_sa"] = INCREMENTAL_INGEST_SA_SQL
