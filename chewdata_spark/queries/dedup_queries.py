@@ -1805,3 +1805,83 @@ QUERIES["stream_ingest_dedup_sa"] = stream_ingest_dedup_sa
 # (greatest seen <= suf / least seen > suf), so the batch oracle
 # replays the stream verbatim
 ORACLES["stream_ingest_dedup_sa"] = INCREMENTAL_INGEST_SA_SQL
+
+
+def decontaminate_docs_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring benchmark decontamination via the incremental SA
+    ranker: training docs (doc_id % 97 != 0) rank against the
+    benchmark slice's suffix order; `max_shared_len` is the longest
+    verbatim run shared with the benchmark and docs with >= 30 shared
+    chars flag as contaminated (kept = false).  The n-gram twin
+    (decontaminate_docs) counts shared fixed-length 4-grams; this
+    reports the exact maximal contamination LENGTH — the quantity
+    benchmark-leakage audits actually rank by."""
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators.suffix import sa_incremental_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return sa_incremental_contamination(
+        train, bench, "doc_id", "text",
+        max_chars=128, min_len=30, bucket_len=8,
+    )
+
+
+DECONTAMINATE_SA_SQL = """
+WITH newd AS (
+    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
+    WHERE doc_id % 97 <> 0 AND text IS NOT NULL
+      AND length(substr(text, 1, 128)) > 0
+), seend AS (
+    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
+    WHERE doc_id % 97 = 0 AND text IS NOT NULL
+      AND length(substr(text, 1, 128)) > 0
+), newsuf AS (
+    SELECT doc_id, substr(t, off) AS suf
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, length(t))) AS off FROM newd)
+), seensuf AS (
+    SELECT DISTINCT substr(t, off) AS suf
+    FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
+), u AS (
+    SELECT CAST(NULL AS BIGINT) AS doc_id, suf, 1 AS is_seen FROM seensuf
+    UNION ALL
+    SELECT doc_id, suf, 0 AS is_seen FROM newsuf
+), nb AS (
+    SELECT doc_id, suf, is_seen,
+        LAST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
+            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pred,
+        FIRST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
+            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS succ
+    FROM u
+), scored AS (
+    SELECT doc_id,
+        greatest(
+            CASE WHEN pred IS NULL THEN 0 ELSE
+                COALESCE(([i FOR i IN generate_series(1,
+                               least(length(suf), length(pred)))
+                           IF substr(suf, i, 1) <> substr(pred, i, 1)])[1],
+                         least(length(suf), length(pred)) + 1) - 1 END,
+            CASE WHEN succ IS NULL THEN 0 ELSE
+                COALESCE(([i FOR i IN generate_series(1,
+                               least(length(suf), length(succ)))
+                           IF substr(suf, i, 1) <> substr(succ, i, 1)])[1],
+                         least(length(suf), length(succ)) + 1) - 1 END
+        ) AS m
+    FROM nb WHERE is_seen = 0
+), per_doc AS (
+    SELECT doc_id, MAX(m) AS msl FROM scored GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(COALESCE(p.msl, 0) AS INT) AS max_shared_len,
+       COALESCE(p.msl, 0) < 30 AS kept
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) a
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+QUERIES["decontaminate_docs_sa"] = decontaminate_docs_sa
+ORACLES["decontaminate_docs_sa"] = DECONTAMINATE_SA_SQL
