@@ -718,3 +718,78 @@ def sa_incremental_contamination(
             (F.coalesce("max_shared_len", F.lit(0)) < min_len).alias("kept"),
         )
     )
+
+
+def cut_repeat_spans_sa_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_tokens: int = 64,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """TOKEN-grain twin of :func:`cut_repeat_spans_sa`: merged
+    whole-repeat TOKEN spans (:func:`repeat_spans_sa_tokens`) are cut
+    out of each doc's token stream and the doc reassembles by joining
+    the surviving tokens with single spaces — the output is therefore
+    WHITESPACE-NORMALIZED by declaration (the token relation cannot
+    carry the original inter-token whitespace; this is the standard
+    contract of token-grain dedup pipelines, Lee et al. included).
+
+    Spans live within the first ``max_tokens`` tokens (the declared SA
+    window); tokens beyond the window are always kept.  The cut is one
+    ``aggregate()`` cursor over each doc's own merged spans — array
+    slices instead of substrings, no explode, no window.
+
+    Returns ``(doc_id, clean_text, n_spans, n_cut)`` — ``n_cut`` in
+    TOKENS."""
+    spans = repeat_spans_sa_tokens(
+        df, id_col, text_col, max_tokens=max_tokens, min_tokens=min_tokens
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias(
+            "spans"
+        ),
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+    )
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+").alias(
+            "toks"
+        ),
+    )
+    cut = F.expr(
+        """
+        array_join(
+          aggregate(
+            spans,
+            named_struct('p', 1, 'acc', CAST(array() AS array<string>)),
+            (a, sp) -> named_struct(
+                'p', CAST(sp.span_end + 1 AS INT),
+                'acc', concat(a.acc, slice(toks, a.p, sp.span_start - a.p))),
+            a -> concat(a.acc, slice(toks, a.p, size(toks) - a.p + 1))
+          ),
+          ' ')
+        """
+    )
+    n_cut = F.expr(
+        "aggregate(spans, 0, (a, sp) -> a + sp.span_end - sp.span_start + 1)"
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .withColumn(
+            "spans",
+            F.coalesce(
+                "spans",
+                F.expr(
+                    "CAST(array() AS array<struct<span_start:int,span_end:int>>)"
+                ),
+            ),
+        )
+        .select(
+            "doc_id",
+            cut.alias("clean_text"),
+            F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
+            n_cut.cast("int").alias("n_cut"),
+        )
+    )

@@ -1885,3 +1885,105 @@ LEFT JOIN per_doc p USING (doc_id)
 
 QUERIES["decontaminate_docs_sa"] = decontaminate_docs_sa
 ORACLES["decontaminate_docs_sa"] = DECONTAMINATE_SA_SQL
+
+
+def dedup_cut_spans_sa_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-grain end-to-end SA dedup: whole repeated sequences of
+    >= 5 whitespace tokens are cut from the token stream and docs
+    reassemble (whitespace-normalized by declaration)
+    (operators/suffix.py::cut_repeat_spans_sa_tokens).  At ~5.9
+    chars/token the 64-token window covers what the char twin's
+    128-char window covers at ~5x fewer suffix positions — on this
+    corpus (mean ~50 tokens/doc) it effectively dedups WHOLE docs."""
+    from chewdata_spark.operators.suffix import cut_repeat_spans_sa_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cut_repeat_spans_sa_tokens(
+        docs, "doc_id", "text", max_tokens=64, min_tokens=5
+    )
+
+
+CUT_SPANS_SA_TOKENS_SQL = """
+WITH d0 AS (
+    SELECT doc_id,
+           list_slice(string_split_regex(trim(text), '\\s+'), 1, 64) AS toks
+    FROM documents WHERE text IS NOT NULL
+), d AS (
+    SELECT doc_id, toks FROM d0
+    WHERE len(toks) > 1 OR (len(toks) = 1 AND toks[1] <> '')
+), pos AS (
+    SELECT doc_id, off, list_slice(toks, off, len(toks)) AS suf
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks))) AS off FROM d)
+), ord AS (
+    SELECT suf, COUNT(*) AS m FROM pos GROUP BY 1
+), nb AS (
+    SELECT suf, m, len(suf) AS slen,
+           LEAD(suf) OVER (ORDER BY suf) AS suf2
+    FROM ord
+), ln AS (
+    SELECT suf, m, slen,
+           CASE WHEN suf2 IS NULL THEN 0 ELSE
+             COALESCE(
+               ([i FOR i IN generate_series(1, least(len(suf), len(suf2)))
+                   IF suf[i] <> suf2[i]])[1],
+               least(len(suf), len(suf2)) + 1) - 1
+           END AS l_next
+    FROM nb
+), dupg AS (
+    SELECT suf,
+           greatest(CASE WHEN m >= 2 THEN slen ELSE 0 END,
+                    l_next,
+                    COALESCE(LAG(l_next) OVER (ORDER BY suf), 0)) AS dup_len
+    FROM ln
+), marked AS (
+    SELECT p.doc_id, p.off AS s, p.off + g.dup_len - 1 AS e
+    FROM pos p JOIN dupg g USING (suf)
+    WHERE g.dup_len >= 5
+), isl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS ni
+    FROM marked
+), isl2 AS (
+    SELECT doc_id, s, e,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM isl
+), spans AS (
+    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+    FROM isl2 GROUP BY doc_id, island
+), cov AS (
+    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
+), alldocs AS (
+    SELECT doc_id,
+           string_split_regex(trim(COALESCE(text, '')), '\\s+') AS ftoks
+    FROM documents
+), tpos AS (
+    SELECT doc_id, ftoks[i] AS w, i
+    FROM (SELECT doc_id, ftoks,
+                 unnest(generate_series(1, len(ftoks))) AS i FROM alldocs)
+), keep AS (
+    SELECT t.doc_id,
+           COALESCE(string_agg(t.w, ' ' ORDER BY t.i)
+                    FILTER (WHERE c.i IS NULL), '') AS clean_text,
+           COUNT(*) FILTER (WHERE c.i IS NOT NULL) AS n_cut
+    FROM tpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i
+    GROUP BY t.doc_id
+), nsp AS (
+    SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+)
+SELECT a.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(COALESCE(n.n_spans, 0) AS INT) AS n_spans,
+       CAST(COALESCE(k.n_cut, 0) AS INT) AS n_cut
+FROM alldocs a
+LEFT JOIN keep k USING (doc_id)
+LEFT JOIN nsp n USING (doc_id)
+"""
+
+QUERIES["dedup_cut_spans_sa_tokens"] = dedup_cut_spans_sa_tokens
+ORACLES["dedup_cut_spans_sa_tokens"] = CUT_SPANS_SA_TOKENS_SQL

@@ -468,3 +468,30 @@ def test_sa_incremental_contamination_rejects_wide_bucket(spark):
         sa_incremental_contamination(
             df, df, "doc_id", "text", min_len=10, bucket_len=16
         )
+
+
+def test_cut_repeat_spans_sa_tokens_planted(spark):
+    """Token-grain SA cut: a shared 6-token run is cut from both docs,
+    survivors rejoin with single spaces (whitespace-normalized by
+    declaration), and tokens beyond the window are kept."""
+    from chewdata_spark.operators.suffix import cut_repeat_spans_sa_tokens
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog"),
+        (2, "intro  words   the quick brown fox jumps over the end"),
+        (3, "nothing shared at all in this one document"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_spans, r.n_cut)
+        for r in cut_repeat_spans_sa_tokens(
+            df, "doc_id", "text", max_tokens=16, min_tokens=5
+        ).collect()
+    }
+    # shared run "the quick brown fox jumps over": doc1 tokens 1-6,
+    # doc2 tokens 3-8 (after whitespace-normalizing split)
+    assert got[1] == ("a lazy dog", 1, 6), got
+    assert got[2] == ("intro words the end", 1, 6), got
+    assert got[3] == ("nothing shared at all in this one document", 0, 0)
+    assert got[4] == ("", 0, 0)
