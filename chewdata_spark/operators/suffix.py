@@ -793,3 +793,74 @@ def cut_repeat_spans_sa_tokens(
             n_cut.cast("int").alias("n_cut"),
         )
     )
+
+
+def position_repeat_lengths(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_chars: int = 256,
+) -> DataFrame:
+    """(doc_id, off, dup_len): for every position, the length of the
+    longest WHOLE substring starting there that occurs at least twice
+    in the corpus — the raw per-position relation behind
+    :func:`repeat_spans_sa` (which thresholds and island-merges it),
+    exposed unfiltered so threshold-tuning queries can histogram it:
+    picking Lee et al.'s ``min_len`` IS a corpus measurement, not a
+    constant.  Same neighbour-LCP identity, one rank-group join."""
+    ranks = suffix_ranks(df, id_col, text_col, max_chars=max_chars)
+    docs = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.substring(F.col(text_col), 1, max_chars).alias("t"),
+        )
+        .filter(F.length("t") > 0)
+    )
+    rep = ranks.groupBy("rank").agg(
+        F.min(F.struct("doc_id", "off")).alias("p"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    suf = (
+        rep.select("rank", "m", F.col("p.doc_id").alias("doc_id"),
+                   F.col("p.off").alias("off"))
+        .join(docs, "doc_id")
+        .select(
+            "rank", "m",
+            F.expr(f"substring(t, off, {max_chars})").alias("suf"),
+        )
+    )
+    nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
+    lcp_expr = F.expr(
+        """
+        aggregate(
+          sequence(1, least(length(suf), length(suf2))),
+          named_struct('n', 0, 'go', true),
+          (acc, i) -> if(acc.go and substring(suf, i, 1) = substring(suf2, i, 1),
+                         named_struct('n', acc.n + 1, 'go', true),
+                         named_struct('n', acc.n, 'go', false))
+        ).n
+        """
+    )
+    l_next = (
+        suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"), "left")
+        .select(
+            "rank", "m", F.length("suf").alias("slen"),
+            F.coalesce(lcp_expr, F.lit(0)).alias("l_next"),
+        )
+    )
+    l_prev = l_next.select(
+        (F.col("rank") + F.col("m")).alias("rank"),
+        F.col("l_next").alias("l_prev"),
+    )
+    dup = l_next.join(l_prev, "rank", "left").select(
+        "rank",
+        F.greatest(
+            F.when(F.col("m") >= 2, F.col("slen")).otherwise(0),
+            F.col("l_next"),
+            F.coalesce("l_prev", F.lit(0)),
+        ).alias("dup_len"),
+    )
+    return ranks.join(dup, "rank").select(
+        "doc_id", "off", F.col("dup_len").cast("int").alias("dup_len")
+    )

@@ -1987,3 +1987,77 @@ LEFT JOIN nsp n USING (doc_id)
 
 QUERIES["dedup_cut_spans_sa_tokens"] = dedup_cut_spans_sa_tokens
 ORACLES["dedup_cut_spans_sa_tokens"] = CUT_SPANS_SA_TOKENS_SQL
+
+
+def documents_repeat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold TUNING CURVE: for each candidate ``min_len``,
+    how many positions start a whole >= min_len-char corpus repeat and
+    how many docs carry at least one — the measurement that picks Lee
+    et al.'s cut threshold (operators/suffix.py::
+    position_repeat_lengths; repeat marks within the declared 128-char
+    SA window).  Thresholds with zero coverage still appear (left
+    join), so the curve's tail is visible."""
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators.suffix import position_repeat_lengths
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = position_repeat_lengths(docs, "doc_id", "text", max_chars=128)
+    thresholds = spark.createDataFrame(
+        [(l,) for l in (10, 20, 30, 50, 80, 120)], "min_len int"
+    )
+    return (
+        thresholds.join(pos, pos["dup_len"] >= thresholds["min_len"], "left")
+        .groupBy("min_len")
+        .agg(
+            F.count("doc_id").alias("n_positions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("min_len")
+    )
+
+
+REPEAT_PROFILE_SQL = """
+WITH d AS (
+    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
+    WHERE text IS NOT NULL AND length(substr(text, 1, 128)) > 0
+), p0 AS (
+    SELECT doc_id, t, unnest(generate_series(1, length(t))) AS off FROM d
+), pos AS (
+    SELECT doc_id, off, substr(t, off) AS suf FROM p0
+), ord AS (
+    SELECT suf, COUNT(*) AS m FROM pos GROUP BY 1
+), nb AS (
+    SELECT suf, m, length(suf) AS slen,
+           LEAD(suf) OVER (ORDER BY suf) AS suf2
+    FROM ord
+), ln AS (
+    SELECT suf, m, slen,
+           CASE WHEN suf2 IS NULL THEN 0 ELSE
+             COALESCE(
+               ([i FOR i IN generate_series(1, least(length(suf), length(suf2)))
+                   IF substr(suf, i, 1) <> substr(suf2, i, 1)])[1],
+               least(length(suf), length(suf2)) + 1) - 1
+           END AS l_next
+    FROM nb
+), dupg AS (
+    SELECT suf,
+           greatest(CASE WHEN m >= 2 THEN slen ELSE 0 END,
+                    l_next,
+                    COALESCE(LAG(l_next) OVER (ORDER BY suf), 0)) AS dup_len
+    FROM ln
+), plen AS (
+    SELECT p.doc_id, g.dup_len FROM pos p JOIN dupg g USING (suf)
+), th AS (
+    SELECT unnest([10, 20, 30, 50, 80, 120]) AS min_len
+)
+SELECT th.min_len,
+       COUNT(p.doc_id) AS n_positions,
+       COUNT(DISTINCT p.doc_id) AS n_docs
+FROM th LEFT JOIN plen p ON p.dup_len >= th.min_len
+GROUP BY th.min_len
+ORDER BY th.min_len
+"""
+
+QUERIES["documents_repeat_profile"] = documents_repeat_profile
+ORACLES["documents_repeat_profile"] = REPEAT_PROFILE_SQL
