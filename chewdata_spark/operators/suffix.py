@@ -590,6 +590,105 @@ def repeat_spans_sa_tokens(
     )
 
 
+def sa_contamination_scores(
+    new: DataFrame,
+    seen: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_chars: int = 128,
+    min_len: int = 30,
+    bucket_len: int = 8,
+) -> DataFrame:
+    """(doc_id, off, m): for every suffix position of every ARRIVING
+    doc, the length of the longest prefix it shares with ANY seen
+    suffix — the raw per-position relation behind
+    :func:`sa_incremental_contamination` (which doc-maxes it) and the
+    contamination-evidence report (which needs ``off`` to excerpt the
+    leaked run).  Semantics, bucketing and the declared sub-bucket
+    grain are documented on the doc-grain wrapper."""
+    if bucket_len > min_len:
+        raise ValueError(
+            f"bucket_len ({bucket_len}) must be <= min_len ({min_len}): "
+            "cross-bucket neighbours have LCP < bucket_len, so a wider "
+            "bucket would silently miss qualifying matches"
+        )
+
+    def _sufs(df: DataFrame) -> DataFrame:
+        docs = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.substring(F.col(text_col), 1, max_chars).alias("t"),
+        ).filter(F.length("t") > 0)
+        return (
+            docs.select(
+                "doc_id",
+                F.posexplode(F.split(F.col("t"), "(?!^)")).alias("off0", "ch"),
+                "t",
+            )
+            .filter(F.col("ch") != "")
+            .select(
+                "doc_id",
+                (F.col("off0") + 1).cast("int").alias("off"),
+                F.expr(f"substring(t, off0 + 1, {max_chars})").alias("suf"),
+            )
+        )
+
+    new_suf = _sufs(new).withColumn("_bk", F.substring("suf", 1, bucket_len))
+    seen_suf = (
+        _sufs(seen)
+        .select("suf")
+        .distinct()
+        .withColumn("_bk", F.substring("suf", 1, bucket_len))
+    )
+    touched = new_suf.select("_bk").distinct()
+    seen_in = seen_suf.join(touched, "_bk", "left_semi").select(
+        F.lit(None).cast(new_suf.schema["doc_id"].dataType).alias("doc_id"),
+        F.lit(None).cast("int").alias("off"),
+        "suf",
+        "_bk",
+        F.lit(1).alias("_seen"),
+    )
+    u = new_suf.select(
+        "doc_id", "off", "suf", "_bk", F.lit(0).alias("_seen")
+    ).unionByName(seen_in)
+    # seen rows sort BEFORE new rows on equal suffixes (_seen desc), so
+    # an exact whole-suffix match becomes the predecessor
+    w = Window.partitionBy("_bk").orderBy("suf", F.col("_seen").desc())
+    seen_only = F.when(F.col("_seen") == 1, F.col("suf"))
+    pred = F.last(seen_only, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    succ = F.first(seen_only, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    lcp = """
+        aggregate(
+          sequence(1, least(length(suf), length({o}))),
+          named_struct('n', 0, 'go', true),
+          (acc, i) -> if(acc.go and substring(suf, i, 1) = substring({o}, i, 1),
+                         named_struct('n', acc.n + 1, 'go', true),
+                         named_struct('n', acc.n, 'go', false))
+        ).n
+    """
+    return (
+        u.withColumn("_pred", pred)
+        .withColumn("_succ", succ)
+        .filter(F.col("_seen") == 0)
+        .select(
+            "doc_id",
+            "off",
+            F.greatest(
+                F.when(
+                    F.col("_pred").isNotNull(), F.expr(lcp.format(o="_pred"))
+                ).otherwise(0),
+                F.when(
+                    F.col("_succ").isNotNull(), F.expr(lcp.format(o="_succ"))
+                ).otherwise(0),
+            ).cast("int").alias("m"),
+        )
+    )
+
+
 def sa_incremental_contamination(
     new: DataFrame,
     seen: DataFrame,
@@ -629,85 +728,12 @@ def sa_incremental_contamination(
     cost: new positions + seen suffixes in TOUCHED buckets only
     (semi-join); per-batch, idempotent, history never re-ranked.
     """
-    if bucket_len > min_len:
-        raise ValueError(
-            f"bucket_len ({bucket_len}) must be <= min_len ({min_len}): "
-            "cross-bucket neighbours have LCP < bucket_len, so a wider "
-            "bucket would silently miss qualifying matches"
-        )
-
-    def _sufs(df: DataFrame) -> DataFrame:
-        docs = df.select(
-            F.col(id_col).alias("doc_id"),
-            F.substring(F.col(text_col), 1, max_chars).alias("t"),
-        ).filter(F.length("t") > 0)
-        return (
-            docs.select(
-                "doc_id",
-                F.posexplode(F.split(F.col("t"), "(?!^)")).alias("off0", "ch"),
-                "t",
-            )
-            .filter(F.col("ch") != "")
-            .select(
-                "doc_id",
-                F.expr(f"substring(t, off0 + 1, {max_chars})").alias("suf"),
-            )
-        )
-
-    new_suf = _sufs(new).withColumn("_bk", F.substring("suf", 1, bucket_len))
-    seen_suf = (
-        _sufs(seen)
-        .select("suf")
-        .distinct()
-        .withColumn("_bk", F.substring("suf", 1, bucket_len))
-    )
-    touched = new_suf.select("_bk").distinct()
-    seen_in = seen_suf.join(touched, "_bk", "left_semi").select(
-        F.lit(None).cast(new_suf.schema["doc_id"].dataType).alias("doc_id"),
-        "suf",
-        "_bk",
-        F.lit(1).alias("_seen"),
-    )
-    u = new_suf.select("doc_id", "suf", "_bk", F.lit(0).alias("_seen")).unionByName(
-        seen_in
-    )
-    # seen rows sort BEFORE new rows on equal suffixes (_seen desc), so
-    # an exact whole-suffix match becomes the predecessor
-    w = Window.partitionBy("_bk").orderBy("suf", F.col("_seen").desc())
-    seen_only = F.when(F.col("_seen") == 1, F.col("suf"))
-    pred = F.last(seen_only, ignorenulls=True).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    succ = F.first(seen_only, ignorenulls=True).over(
-        w.rowsBetween(1, Window.unboundedFollowing)
-    )
-    lcp = """
-        aggregate(
-          sequence(1, least(length(suf), length({o}))),
-          named_struct('n', 0, 'go', true),
-          (acc, i) -> if(acc.go and substring(suf, i, 1) = substring({o}, i, 1),
-                         named_struct('n', acc.n + 1, 'go', true),
-                         named_struct('n', acc.n, 'go', false))
-        ).n
-    """
-    scored = (
-        u.withColumn("_pred", pred)
-        .withColumn("_succ", succ)
-        .filter(F.col("_seen") == 0)
-        .select(
-            "doc_id",
-            F.greatest(
-                F.when(
-                    F.col("_pred").isNotNull(), F.expr(lcp.format(o="_pred"))
-                ).otherwise(0),
-                F.when(
-                    F.col("_succ").isNotNull(), F.expr(lcp.format(o="_succ"))
-                ).otherwise(0),
-            ).alias("_m"),
-        )
+    scored = sa_contamination_scores(
+        new, seen, id_col, text_col,
+        max_chars=max_chars, min_len=min_len, bucket_len=bucket_len,
     )
     per_doc = scored.groupBy("doc_id").agg(
-        F.max("_m").cast("int").alias("max_shared_len")
+        F.max("m").cast("int").alias("max_shared_len")
     )
     arriving = new.select(F.col(id_col).alias("doc_id"))
     return (

@@ -2061,3 +2061,110 @@ ORDER BY th.min_len
 
 QUERIES["documents_repeat_profile"] = documents_repeat_profile
 ORACLES["documents_repeat_profile"] = REPEAT_PROFILE_SQL
+
+
+def contamination_evidence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIT-grade contamination report: the 20 most benchmark-
+    contaminated training docs with the VERBATIM leaked run excerpted
+    as evidence — the artifact a leakage review actually reads
+    (report threshold 15 chars; the ingest GATE stays at 30).  Per
+    train doc the winning position is deterministic (longest run,
+    earliest offset on ties); evidence = substring(text, off, len)
+    (operators/suffix.py::sa_contamination_scores)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from chewdata_spark.operators.suffix import sa_contamination_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    scored = sa_contamination_scores(
+        train, bench, "doc_id", "text",
+        max_chars=128, min_len=15, bucket_len=8,
+    ).filter(F.col("m") >= 15)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("m").desc(), F.col("off").asc()
+    )
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        best.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("m").alias("leak_len"),
+            F.col("off").alias("leak_off"),
+            F.expr("substring(text, off, m)").alias("evidence"),
+        )
+        .orderBy(F.col("leak_len").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+CONTAMINATION_EVIDENCE_SQL = """
+WITH newd AS (
+    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
+    WHERE doc_id % 97 <> 0 AND text IS NOT NULL
+      AND length(substr(text, 1, 128)) > 0
+), seend AS (
+    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
+    WHERE doc_id % 97 = 0 AND text IS NOT NULL
+      AND length(substr(text, 1, 128)) > 0
+), newsuf AS (
+    SELECT doc_id, off, substr(t, off) AS suf
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, length(t))) AS off FROM newd)
+), seensuf AS (
+    SELECT DISTINCT substr(t, off) AS suf
+    FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
+), u AS (
+    SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS off,
+           suf, 1 AS is_seen
+    FROM seensuf
+    UNION ALL
+    SELECT doc_id, CAST(off AS INT) AS off, suf, 0 AS is_seen FROM newsuf
+), nb AS (
+    SELECT doc_id, off, suf, is_seen,
+        LAST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
+            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pred,
+        FIRST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
+            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS succ
+    FROM u
+), scored AS (
+    SELECT doc_id, off,
+        greatest(
+            CASE WHEN pred IS NULL THEN 0 ELSE
+                COALESCE(([i FOR i IN generate_series(1,
+                               least(length(suf), length(pred)))
+                           IF substr(suf, i, 1) <> substr(pred, i, 1)])[1],
+                         least(length(suf), length(pred)) + 1) - 1 END,
+            CASE WHEN succ IS NULL THEN 0 ELSE
+                COALESCE(([i FOR i IN generate_series(1,
+                               least(length(suf), length(succ)))
+                           IF substr(suf, i, 1) <> substr(succ, i, 1)])[1],
+                         least(length(suf), length(succ)) + 1) - 1 END
+        ) AS m
+    FROM nb WHERE is_seen = 0
+), best AS (
+    SELECT doc_id, off, m,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY m DESC, off ASC) AS rn
+    FROM scored WHERE m >= 15
+)
+SELECT b.doc_id,
+       CAST(b.m AS INT) AS leak_len,
+       CAST(b.off AS INT) AS leak_off,
+       substr(d.text, b.off, b.m) AS evidence
+FROM best b JOIN documents d USING (doc_id)
+WHERE b.rn = 1
+ORDER BY leak_len DESC, b.doc_id ASC
+LIMIT 20
+"""
+
+QUERIES["contamination_evidence_topk"] = contamination_evidence_topk
+ORACLES["contamination_evidence_topk"] = CONTAMINATION_EVIDENCE_SQL
