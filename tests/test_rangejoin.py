@@ -117,3 +117,36 @@ def test_banded_range_join_still_exact(spark):
         if abs(i - j * 1.5) <= 2.0
     }
     assert pairs == want
+
+
+def test_interval_overlap_join_randomized_brute_force(spark):
+    """200 seeded-random intervals (random keys, ~half inverted, span
+    lengths from point to multi-year) vs a brute-force cross product,
+    at two grid units — emit-once must hold everywhere."""
+    import random
+
+    rng = random.Random(42)
+    base = dt.date(2019, 6, 1)
+    rows = []
+    for rid in range(200):
+        k = rng.randint(1, 8)
+        s = base + dt.timedelta(days=rng.randint(0, 900))
+        e = s + dt.timedelta(days=rng.randint(0, 700))
+        if rng.random() < 0.5:
+            s, e = e, s  # inverted window
+        rows.append((k, s.isoformat(), e.isoformat(), rid))
+    for grid in ("month", "year"):
+        left = _mk(spark, rows).withColumnsRenamed(
+            {"s": "s_a", "e": "e_a", "rid": "rid_a"}
+        )
+        right = _mk(spark, rows).withColumnsRenamed(
+            {"s": "s_b", "e": "e_b", "rid": "rid_b"}
+        )
+        got = interval_overlap_join(
+            left, right, on=["k"],
+            left_start="s_a", left_end="e_a",
+            right_start="s_b", right_end="e_b", grid=grid,
+        ).select("rid_a", "rid_b").collect()
+        pairs = [(r.rid_a, r.rid_b) for r in got]
+        assert len(pairs) == len(set(pairs)), f"dup pair at grid={grid}"
+        assert set(pairs) == _brute_pairs(rows), f"wrong pairs at grid={grid}"

@@ -495,3 +495,60 @@ def test_cut_repeat_spans_sa_tokens_planted(spark):
     assert got[2] == ("intro words the end", 1, 6), got
     assert got[3] == ("nothing shared at all in this one document", 0, 0)
     assert got[4] == ("", 0, 0)
+
+
+def test_sa_contamination_scores_randomized_brute_force(spark):
+    """Seeded-random repeat-heavy corpus (3-letter alphabet): the
+    operator's per-doc max must equal an exact Python replay of the
+    bucketed-neighbour definition (bucket = first bucket_len chars,
+    pred = greatest seen suffix <= s in bucket, succ = least seen > s,
+    m = max LCP) — including short-suffix buckets and exact ties."""
+    import random
+
+    from chewdata_spark.operators.suffix import sa_incremental_contamination
+
+    rng = random.Random(99)
+
+    def doc(n):
+        return "".join(rng.choice("abc") for _ in range(n))
+
+    seen_rows = [(i * 2, doc(rng.randint(0, 40))) for i in range(15)]
+    new_rows = [(i * 2 + 1, doc(rng.randint(0, 40))) for i in range(15)]
+    B, L, MC = 4, 6, 32
+
+    seen_sufs = sorted(
+        {t[:MC][o:] for _, t in seen_rows if t for o in range(len(t[:MC]))}
+    )
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    def brute(t):
+        best = 0
+        t = t[:MC]
+        for o in range(len(t)):
+            s = t[o:]
+            bucket = [x for x in seen_sufs if x[:B] == s[:B]]
+            pred = max((x for x in bucket if x <= s), default=None)
+            succ = min((x for x in bucket if x > s), default=None)
+            for nb in (pred, succ):
+                if nb is not None:
+                    best = max(best, lcp(s, nb))
+        return best
+
+    seen = spark.createDataFrame(seen_rows, "doc_id int, text string")
+    new = spark.createDataFrame(new_rows, "doc_id int, text string")
+    got = {
+        r.doc_id: r.max_shared_len
+        for r in sa_incremental_contamination(
+            new, seen, "doc_id", "text",
+            max_chars=MC, min_len=L, bucket_len=B,
+        ).collect()
+    }
+    for did, t in new_rows:
+        assert got[did] == brute(t), (did, t, got[did], brute(t))
