@@ -1050,3 +1050,69 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "adc_d2", "rank")
     )
+
+
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    coarse_dims: int = 16,
+    candidates: int = 50,
+) -> DataFrame:
+    """Two-stage top-k with a PREFIX-dimension coarse filter
+    (matryoshka-representation retrieval, Kusupati et al. 2022 —
+    public): stage 1 scores every corpus vector on only its first
+    ``coarse_dims`` components (a ``coarse_dims/dim`` FLOP and
+    bandwidth cut on the full corpus scan), keeps the top
+    ``candidates`` per query, and stage 2 re-ranks just those with the
+    EXACT full-dimension cosine.  The vector analogue of the PPJoin
+    prefix filter: cheap bound first, exact verify on survivors.
+
+    Both stages are deterministic (6-dp rounded scores, id
+    tie-breaks), so a SQL oracle replays the SAME two-stage
+    definition; recall vs the exact brute-force twin is asserted in
+    tests, not assumed.  Both windows partition by qid — parallelism =
+    query count, candidate stage is ``candidates``-bounded per query.
+    Output: (qid, vec_id, sim, rank), self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+    )
+    coarse_q = F.slice(F.col("qvec"), 1, coarse_dims)
+    coarse_c = F.slice(F.col("cvec"), 1, coarse_dims)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "qvec",
+            "cvec",
+            F.round(cosine(coarse_q, coarse_c), 6).alias("coarse"),
+        )
+    )
+    w1 = Window.partitionBy("qid").orderBy(
+        F.col("coarse").desc(), F.col("vec_id").asc()
+    )
+    cand = scored.withColumn("_crk", F.row_number().over(w1)).filter(
+        F.col("_crk") <= candidates
+    )
+    exact = cand.select(
+        "qid",
+        "vec_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "sim", "rank")
+    )

@@ -1035,3 +1035,59 @@ LIMIT 20
 
 QUERIES["embedding_outliers_mahalanobis"] = embedding_outliers_mahalanobis
 ORACLES["embedding_outliers_mahalanobis"] = MAHALANOBIS_OUTLIERS_SQL
+
+
+def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension two-stage retrieval (matryoshka): coarse
+    top-150 on the first 32 of 64 dims (a 2x FLOP/bandwidth cut on the
+    corpus scan), exact full-dim re-rank to top-10
+    (operators/similarity.py::matryoshka_topk).  Deterministic at both
+    stages, so the oracle replays the same two-stage definition;
+    recall vs cosine_topk asserted in tests/test_similarity.py (0.94+
+    on this synthetic corpus — the WORST case: random embeddings have
+    no matryoshka training, so the prefix is merely a random
+    projection; MRL-trained embeddings concentrate signal up front and
+    allow far smaller prefixes/candidate sets)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.matryoshka_topk(
+        emb, queries, k=TOPK, coarse_dims=32, candidates=150
+    )
+
+
+_COS16 = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+ANN_MATRYOSHKA_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+    FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+), coarse AS (
+    SELECT qid, e.vec_id, qvec, e.embedding::DOUBLE[] AS cvec,
+           ROUND({_COS16.format(a='qvec[1:32]', b='(e.embedding::DOUBLE[])[1:32]')}, 6)
+               AS coarse
+    FROM q, embeddings e
+    WHERE e.vec_id <> qid
+), cand AS (
+    SELECT qid, vec_id, qvec, cvec,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY coarse DESC, vec_id ASC) AS crk
+    FROM coarse
+), exact AS (
+    SELECT qid, vec_id,
+           ROUND({_COS16.format(a='qvec', b='cvec')}, 6) AS sim
+    FROM cand WHERE crk <= 150
+), ranked AS (
+    SELECT qid, vec_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id ASC) AS rank
+    FROM exact
+)
+SELECT qid, vec_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+QUERIES["ann_matryoshka_topk"] = ann_matryoshka_topk
+ORACLES["ann_matryoshka_topk"] = ANN_MATRYOSHKA_SQL

@@ -51,3 +51,32 @@ def test_pq_codes_pick_nearest_subspace_centroid(spark):
     # determinism
     again = {(r["vec_id"], r["subspace"]): r["code"] for r in out.collect()}
     assert got == again
+
+
+def test_matryoshka_topk_recall_vs_exact(spark, sf_dir):
+    """The prefix-dim coarse filter must keep >= 0.9 recall@10 vs the
+    exact brute-force top-k, and the scores it reports must be the
+    EXACT full-dim cosine (the re-rank never reports coarse scores)."""
+    from chewdata_spark.queries.similarity_queries import (
+        ann_matryoshka_topk,
+        cosine_topk,
+    )
+
+    exact = {}
+    for r in cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r.qid, set()).add(r.vec_id)
+    approx = {}
+    sims = {}
+    for r in ann_matryoshka_topk(spark, sf_dir).collect():
+        approx.setdefault(r.qid, set()).add(r.vec_id)
+        sims[(r.qid, r.vec_id)] = r.sim
+    assert exact.keys() == approx.keys()
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
+    # reported sims equal the exact twin's sims on shared pairs
+    exact_sims = {
+        (r.qid, r.vec_id): r.sim for r in cosine_topk(spark, sf_dir).collect()
+    }
+    for key in set(sims) & set(exact_sims):
+        assert sims[key] == exact_sims[key], key
