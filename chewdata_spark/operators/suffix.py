@@ -127,20 +127,21 @@ def _prefix_double(work: DataFrame, max_units: int) -> DataFrame:
     h = 1
     grp_w = Window.partitionBy("rank").orderBy("nxt")
     while h < max_units:
-        active_ranks = (
-            work.groupBy("rank")
-            .agg(F.count(F.lit(1)).alias("_m"))
-            .filter(F.col("_m") >= 2)
-            .select("rank")
-        )
-        still = work.join(active_ranks, "rank")
-        done = work.join(active_ranks, "rank", "left_anti").localCheckpoint()
+        # one window marks group sizes in place (the former
+        # groupBy-count + join + anti-join triple — two extra shuffles
+        # and a third job per round — collapses into this single
+        # checkpointed pass; filters over the materialized RDD are free)
+        sized = work.withColumn(
+            "_m", F.count(F.lit(1)).over(Window.partitionBy("rank"))
+        ).localCheckpoint()
+        still = sized.filter(F.col("_m") >= 2).drop("_m")
+        done = sized.filter(F.col("_m") == 1).drop("_m")
         frozen.append(done)
-        if active_ranks.isEmpty():
+        if still.isEmpty():
             work = None
             break  # every group a singleton: ranks are final
-        full = work
-        for piece in frozen[:-1]:
+        full = still
+        for piece in frozen:
             full = full.unionByName(piece)
         lookup = full.select(
             "doc_id", (F.col("off") - h).alias("off"), F.col("rank").alias("nxt")
