@@ -1074,10 +1074,14 @@ def matryoshka_topk(
     Both stages are deterministic (6-dp rounded scores, id
     tie-breaks), so a SQL oracle replays the SAME two-stage
     definition; recall vs the exact brute-force twin is asserted in
-    tests, not assumed.  Both windows partition by qid — parallelism =
-    query count, candidate stage is ``candidates``-bounded per query.
+    tests, not assumed.  The coarse top-``candidates`` is a TWO-LEVEL
+    selection (per-(qid, salt) top-C first, then top-C of the
+    ``n_salts * C`` survivors — lossless: every global top-C row is
+    top-C within its own salt), so no window ever spans the corpus per
+    query; the exact stage is ``candidates``-bounded.
     Output: (qid, vec_id, sim, rank), self-matches excluded.
     """
+    n_salts = 32
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
@@ -1095,12 +1099,19 @@ def matryoshka_topk(
             "qvec",
             "cvec",
             F.round(cosine(coarse_q, coarse_c), 6).alias("coarse"),
+            F.pmod(F.col("vec_id"), F.lit(n_salts)).alias("_salt"),
         )
+    )
+    w0 = Window.partitionBy("qid", "_salt").orderBy(
+        F.col("coarse").desc(), F.col("vec_id").asc()
+    )
+    pre = scored.withColumn("_prk", F.row_number().over(w0)).filter(
+        F.col("_prk") <= candidates
     )
     w1 = Window.partitionBy("qid").orderBy(
         F.col("coarse").desc(), F.col("vec_id").asc()
     )
-    cand = scored.withColumn("_crk", F.row_number().over(w1)).filter(
+    cand = pre.withColumn("_crk", F.row_number().over(w1)).filter(
         F.col("_crk") <= candidates
     )
     exact = cand.select(
