@@ -923,3 +923,18 @@ def test_sa_incremental_plan_no_global_window(spark, sf_dir):
         assert spec.startswith("_bk"), spec
     assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_matryoshka_two_level_coarse_topc(spark, sf_dir):
+    # the coarse stage must stay two-level: a (qid, _salt) ranking
+    # window before the per-qid one — no window spans the corpus per
+    # query — and the whole pipeline stays JVM-side.
+    import re
+
+    from chewdata_spark.queries.similarity_queries import ann_matryoshka_topk
+
+    df = ann_matryoshka_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_salt" in s for s in specs), specs
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
