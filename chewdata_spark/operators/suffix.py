@@ -891,3 +891,67 @@ def position_repeat_lengths(
     return ranks.join(dup, "rank").select(
         "doc_id", "off", F.col("dup_len").cast("int").alias("dup_len")
     )
+
+
+def longest_repeated_sequences_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_tokens: int = 64,
+    min_tokens: int = 3,
+    top_n: int = 20,
+) -> DataFrame:
+    """TOKEN-grain twin of :func:`longest_repeated_substrings`:
+    top-``top_n`` longest TOKEN sequences (within the first
+    ``max_tokens`` tokens of each doc) occurring at least twice in the
+    corpus, returned space-joined with their length in tokens.  Same
+    candidates as the char version — adjacent-group LCP prefixes plus
+    whole duplicated suffixes (rank multiplicity >= 2) — ordered by
+    (length desc, sequence asc)."""
+    ranks = suffix_ranks_tokens(df, id_col, text_col, max_tokens=max_tokens)
+    toks = _token_docs(df, id_col, text_col, max_tokens)
+    rep = ranks.groupBy("rank").agg(
+        F.min(F.struct("doc_id", "off")).alias("p"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    suf = (
+        rep.select("rank", "m", F.col("p.doc_id").alias("doc_id"),
+                   F.col("p.off").alias("off"))
+        .join(toks, "doc_id")
+        .select(
+            "rank", "m",
+            F.expr(f"slice(toks, off, {max_tokens})").alias("suf"),
+        )
+    )
+    nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
+    lcp_expr = F.expr(
+        """
+        aggregate(
+          sequence(1, least(size(suf), size(suf2))),
+          named_struct('n', 0, 'go', true),
+          (acc, i) -> if(acc.go and element_at(suf, i) = element_at(suf2, i),
+                         named_struct('n', acc.n + 1, 'go', true),
+                         named_struct('n', acc.n, 'go', false))
+        ).n
+        """
+    )
+    adjacent = (
+        suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"))
+        .select(lcp_expr.alias("lcp"), "suf")
+        .select(
+            F.array_join(F.expr("slice(suf, 1, lcp)"), " ").alias("seq"),
+            F.col("lcp").alias("length"),
+        )
+    )
+    dup_groups = suf.filter(F.col("m") >= 2).select(
+        F.array_join("suf", " ").alias("seq"), F.size("suf").alias("length")
+    )
+    return (
+        adjacent.unionByName(dup_groups)
+        .filter(F.col("length") >= min_tokens)
+        .dropDuplicates(["seq"])
+        .select("seq", F.col("length").cast("int").alias("length"))
+        .orderBy(F.col("length").desc(), F.col("seq").asc())
+        .limit(top_n)
+    )

@@ -2168,3 +2168,60 @@ LIMIT 20
 
 QUERIES["contamination_evidence_topk"] = contamination_evidence_topk
 ORACLES["contamination_evidence_topk"] = CONTAMINATION_EVIDENCE_SQL
+
+
+def documents_longest_repeats_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide longest repeated TOKEN sequences (token-grain twin
+    of documents_longest_repeats): top 20 by (token length desc,
+    sequence asc), within the first 64 tokens per doc, >= 3 tokens
+    (operators/suffix.py::longest_repeated_sequences_tokens)."""
+    from chewdata_spark.operators.suffix import (
+        longest_repeated_sequences_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return longest_repeated_sequences_tokens(
+        docs, "doc_id", "text", max_tokens=64, min_tokens=3, top_n=20
+    )
+
+
+LONGEST_REPEATS_TOKENS_SQL = """
+WITH d0 AS (
+    SELECT doc_id,
+           list_slice(string_split_regex(trim(text), '\\s+'), 1, 64) AS toks
+    FROM documents WHERE text IS NOT NULL
+), d AS (
+    SELECT doc_id, toks FROM d0
+    WHERE len(toks) > 1 OR (len(toks) = 1 AND toks[1] <> '')
+), pos AS (
+    SELECT doc_id, off, list_slice(toks, off, len(toks)) AS suf
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks))) AS off FROM d)
+), ord AS (
+    SELECT suf, COUNT(*) AS m FROM pos GROUP BY 1
+), adj AS (
+    SELECT suf, m, LEAD(suf) OVER (ORDER BY suf) AS suf2 FROM ord
+), lcp AS (
+    SELECT suf, m,
+           CASE WHEN suf2 IS NULL THEN 0 ELSE
+             COALESCE(
+               ([i FOR i IN generate_series(1, least(len(suf), len(suf2)))
+                   IF suf[i] <> suf2[i]])[1],
+               least(len(suf), len(suf2)) + 1) - 1
+           END AS l
+    FROM adj
+), cand AS (
+    SELECT array_to_string(list_slice(suf, 1, l), ' ') AS seq,
+           l AS length
+    FROM lcp WHERE l >= 3
+    UNION ALL
+    SELECT array_to_string(suf, ' '), len(suf)
+    FROM ord WHERE m >= 2 AND len(suf) >= 3
+)
+SELECT seq, CAST(length AS INT) AS length
+FROM (SELECT DISTINCT seq, length FROM cand)
+ORDER BY length DESC, seq ASC LIMIT 20
+"""
+
+QUERIES["documents_longest_repeats_tokens"] = documents_longest_repeats_tokens
+ORACLES["documents_longest_repeats_tokens"] = LONGEST_REPEATS_TOKENS_SQL

@@ -552,3 +552,27 @@ def test_sa_contamination_scores_randomized_brute_force(spark):
     }
     for did, t in new_rows:
         assert got[did] == brute(t), (did, t, got[did], brute(t))
+
+
+def test_longest_repeated_sequences_tokens_planted(spark):
+    from chewdata_spark.operators.suffix import (
+        longest_repeated_sequences_tokens,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog"),
+        (2, "intro words the quick brown fox jumps over the end"),
+        (3, "quick brown cows moo loudly"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = [
+        (r.seq, r.length)
+        for r in longest_repeated_sequences_tokens(
+            df, "doc_id", "text", max_tokens=16, min_tokens=2, top_n=5
+        ).collect()
+    ]
+    # the 6-token shared run wins; the 2-token "quick brown" from doc 3
+    # is subsumed as its prefix (dedup on the sequence string keeps the
+    # longest distinct sequences)
+    assert got[0] == ("the quick brown fox jumps over", 6), got
+    assert all(l >= 2 for _, l in got)
