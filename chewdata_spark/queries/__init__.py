@@ -54,13 +54,15 @@ def _modules():
 # NOT in this set — never-sampled queries get driver coverage first and
 # the backlog drains round over round.  Update after each round.
 _DRIVER_CHECKED = {
-    "ann_ivf_topk", "ann_ivfpq_topk", "ann_srp_topk", "ann_srp_topk_md5",
+    "ann_ivf_topk", "ann_ivfpq_topk", "ann_matryoshka_topk", "ann_srp_topk",
+    "ann_srp_topk_md5",
     "approx_distinct_users", "best_of_source_sample", "bigram_logprob_score",
     "bloom_seen_hashes", "bm25_search_topk", "bpe_encode_documents",
     "bpe_merge_rules", "ccnet_perplexity_buckets", "cdc_chunk_dedup",
     "char_entropy_junk_filter", "chunk_documents", "chunk_documents_udtf",
     "churned_customers", "classifier_quality_filter",
-    "contamination_ranked_pairs", "content_fingerprint",
+    "contamination_evidence_topk", "contamination_ranked_pairs",
+    "content_fingerprint",
     "copurchase_communities", "copurchase_kcore", "copurchase_triangles",
     "corpus_diff_manifest", "corpus_manifest", "corpus_summary_report",
     "corpus_top_terms", "corpus_vocab_ids", "corpus_zipf_fit", "cosine_topk",
@@ -69,18 +71,23 @@ _DRIVER_CHECKED = {
     "customer_order_stats", "customer_rfm_segments",
     "customer_spend_quartiles", "customers_with_open_orders",
     "customers_without_orders", "dataset_card_manifest", "decontaminate_docs",
+    "decontaminate_docs_sa",
     "dedup_clean_corpus", "dedup_clean_corpus_cc", "dedup_clean_corpus_lsh",
     "dedup_clean_corpus_lsh_cc", "dedup_clean_corpus_lsh_cc_md5",
     "dedup_clean_corpus_semantic", "dedup_cluster_components",
     "dedup_consensus_pairs", "dedup_containment_md5", "dedup_cut_spans_corpus",
+    "dedup_cut_spans_sa", "dedup_cut_spans_sa_tokens",
     "dedup_duplicate_spans", "dedup_exact", "dedup_fingerprint",
     "dedup_incremental_ingest", "dedup_incremental_ingest_md5",
+    "dedup_incremental_ingest_sa",
     "dedup_jaccard_prefix", "dedup_lines_global", "dedup_lines_within_doc",
     "dedup_minhash_lsh", "dedup_minhash_lsh_md5", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_simhash_md5", "distinct_users_by_type",
     "distinct_users_linear_count", "docs_embeddings_alignment",
     "documents_blocklist_hits", "documents_longest_repeats",
-    "documents_profile", "documents_redact_pii", "documents_repeat_spans",
+    "documents_longest_repeats_tokens", "documents_profile",
+    "documents_redact_pii", "documents_repeat_profile",
+    "documents_repeat_spans", "documents_repeat_spans_tokens",
     "documents_strip_boilerplate", "doremi_source_weights", "dp_noisy_counts",
     "dpo_preference_pairs", "dsir_importance", "embedding_anisotropy_report",
     "embedding_centroids", "embedding_debias_abtt", "embedding_near_dup",
@@ -131,6 +138,7 @@ _DRIVER_CHECKED = {
     "stratified_sample", "stream_classifier_scores", "stream_corpus_manifest",
     "stream_curate_corpus", "stream_events_hourly", "stream_events_zscore",
     "stream_hll_distinct_users", "stream_ingest_dedup",
+    "stream_ingest_dedup_sa",
     "stream_media_dhash_dedup", "stream_parts_entity_resolution",
     "stream_sessionize_events", "stream_view_to_purchase",
     "supplier_reliability", "table_stats_report", "temperature_mix_weights",
@@ -145,16 +153,12 @@ _DRIVER_CHECKED = {
 
 
 # Names the driver should sample FIRST next round (before other
-# unchecked names).  Empty as of the round-10 open: CORRECTNESS_r09
-# folded above gives 238/238 registry coverage — every registered name
-# has been driver-hard-checked at least once.  part_transit_conflicts
-# stays OUT of _DRIVER_CHECKED-only trust: it was judge-proven wrong at
-# sf0.001 despite its green sf0.01 driver row, fixed in round 10 via
-# interval_overlap_join (emit-once first-shared-cell), and is pinned
-# here for a re-check on the round-10 driver run.
-_DRIVER_BACKLOG = (
-    "part_transit_conflicts",
-)
+# unchecked names).  Empty as of the round-11 open: CORRECTNESS_r10
+# folded above gives 248/248 registry coverage — every registered name
+# has been driver-hard-checked at least once, with zero wrong answers
+# at latest status (part_transit_conflicts re-verified green in r10
+# after its round-10 interval_overlap_join rewrite, so its pin drops).
+_DRIVER_BACKLOG: tuple[str, ...] = ()
 
 
 def all_queries() -> dict[str, QueryFn]:
