@@ -77,13 +77,7 @@ def suffix_ranks(
     are final and leave the working set; every window partitions by
     the previous rank; an eager localCheckpoint per round truncates the
     iterative lineage (and flags the query construct-each for bench)."""
-    docs = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.substring(F.col(text_col), 1, max_chars).alias("t"),
-        )
-        .filter(F.length("t") > 0)
-    )
+    docs = _char_docs(df, id_col, text_col, max_chars)
     pos = (
         docs.select(
             "doc_id",
@@ -186,6 +180,137 @@ def _token_docs(
     )
 
 
+def _char_docs(
+    df: DataFrame, id_col: str, text_col: str, max_chars: int
+) -> DataFrame:
+    """(doc_id, t): the first ``max_chars`` chars of each non-empty doc
+    — the char-grain corpus relation both the rank builder and every
+    LCP re-fetch read, so the two sides always window identically."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.substring(F.col(text_col), 1, max_chars).alias("t"),
+        )
+        .filter(F.length("t") > 0)
+    )
+
+
+def _lcp_sql(unit: str, a: str = "suf", b: str = "suf2") -> str:
+    """SQL for the bounded LCP cursor between two suffix columns — ONE
+    ``aggregate()`` fold that stops counting at the first mismatch;
+    units are chars (string suffixes) or tokens (array suffixes)."""
+    if unit == "char":
+        size, at = "length", "substring({col}, i, 1)"
+    else:
+        size, at = "size", "element_at({col}, i)"
+    ea, eb = at.format(col=a), at.format(col=b)
+    return f"""
+        aggregate(
+          sequence(1, least({size}({a}), {size}({b}))),
+          named_struct('n', 0, 'go', true),
+          (acc, i) -> if(acc.go and {ea} = {eb},
+                         named_struct('n', acc.n + 1, 'go', true),
+                         named_struct('n', acc.n, 'go', false))
+        ).n
+    """
+
+
+def _rep_suffixes(
+    ranks: DataFrame, corpus: DataFrame, unit: str, max_units: int
+) -> DataFrame:
+    """(rank, m, suf): ONE representative suffix per rank group plus
+    the group's multiplicity — group members are identical suffixes,
+    so any member represents.  The suffix re-fetches from the corpus
+    relation (``(doc_id, t)`` char grain / ``(doc_id, toks)`` token
+    grain) as a bounded slice; it is never carried through the
+    doubling loop."""
+    rep = ranks.groupBy("rank").agg(
+        F.min(F.struct("doc_id", "off")).alias("p"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    sliced = (
+        F.expr(f"substring(t, off, {max_units})")
+        if unit == "char"
+        else F.expr(f"slice(toks, off, {max_units})")
+    )
+    return (
+        rep.select("rank", "m", F.col("p.doc_id").alias("doc_id"),
+                   F.col("p.off").alias("off"))
+        .join(corpus, "doc_id")
+        .select("rank", "m", sliced.alias("suf"))
+    )
+
+
+def _group_dup_lengths(suf: DataFrame, unit: str) -> DataFrame:
+    """(rank, dup_len): per rank group, the length of the longest WHOLE
+    repeated prefix of the group's suffix — the max of the LCPs with
+    its two NEIGHBOUR groups in suffix order (non-dense ranks: the
+    successor of ``(rank, m)`` sits at exactly ``rank + m``; a group's
+    LCP with its PREDECESSOR is the predecessor's own successor-LCP,
+    one more shifted self-join) and the whole suffix when the group
+    itself is duplicated (``m >= 2``).  Unfiltered — callers threshold."""
+    size = F.length if unit == "char" else F.size
+    nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
+    lcp = F.expr(_lcp_sql(unit))
+    l_next = (
+        suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"), "left")
+        .select(
+            "rank", "m", size("suf").alias("slen"),
+            F.coalesce(lcp, F.lit(0)).alias("l_next"),
+        )
+    )
+    l_prev = l_next.select(
+        (F.col("rank") + F.col("m")).alias("rank"),
+        F.col("l_next").alias("l_prev"),
+    )
+    return l_next.join(l_prev, "rank", "left").select(
+        "rank",
+        F.greatest(
+            F.when(F.col("m") >= 2, F.col("slen")).otherwise(0),
+            F.col("l_next"),
+            F.coalesce("l_prev", F.lit(0)),
+        ).alias("dup_len"),
+    )
+
+
+def _position_dup_lengths(
+    ranks: DataFrame, corpus: DataFrame, unit: str, max_units: int
+) -> DataFrame:
+    """(doc_id, off, dup_len): per position, the length of the longest
+    whole repeated substring STARTING there — the rank-group dup
+    length (:func:`_group_dup_lengths`) joined back to every member
+    position of the group."""
+    suf = _rep_suffixes(ranks, corpus, unit, max_units)
+    return ranks.join(_group_dup_lengths(suf, unit), "rank").select(
+        "doc_id", "off", "dup_len"
+    )
+
+
+def _merge_islands(marked: DataFrame) -> DataFrame:
+    """Merged (doc_id, span_start, span_end) islands of marked
+    ``(doc_id, s, e)`` intervals — standard gaps-and-islands (a new
+    island starts where ``s`` exceeds the running max end + 1, so
+    touching spans merge), every window bounded by the doc's own
+    positions."""
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = marked.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("s").cast("int").alias("span_start"),
+            F.max("e").cast("int").alias("span_end"),
+        )
+        .drop("island")
+    )
+
+
 def suffix_ranks_tokens(
     df: DataFrame,
     id_col: str,
@@ -263,42 +388,12 @@ def longest_repeated_substrings(
     equi-join; the LCP is one bounded ``aggregate()`` cursor per
     adjacent pair."""
     ranks = suffix_ranks(df, id_col, text_col, max_chars=max_chars)
-    docs = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.substring(F.col(text_col), 1, max_chars).alias("t"),
-        )
-        .filter(F.length("t") > 0)
-    )
-    # one representative (doc, off) per rank + the group's multiplicity
-    rep = ranks.groupBy("rank").agg(
-        F.min(F.struct("doc_id", "off")).alias("p"),
-        F.count(F.lit(1)).alias("m"),
-    )
-    suf = (
-        rep.select("rank", "m", F.col("p.doc_id").alias("doc_id"),
-                   F.col("p.off").alias("off"))
-        .join(docs, "doc_id")
-        .select(
-            "rank", "m",
-            F.expr("substring(t, off, {0})".format(max_chars)).alias("suf"),
-        )
-    )
+    docs = _char_docs(df, id_col, text_col, max_chars)
+    suf = _rep_suffixes(ranks, docs, "char", max_chars)
     nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
-    lcp_expr = F.expr(
-        """
-        aggregate(
-          sequence(1, least(length(suf), length(suf2))),
-          named_struct('n', 0, 'go', true),
-          (acc, i) -> if(acc.go and substring(suf, i, 1) = substring(suf2, i, 1),
-                         named_struct('n', acc.n + 1, 'go', true),
-                         named_struct('n', acc.n, 'go', false))
-        ).n
-        """
-    )
     adjacent = (
         suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"))
-        .select(lcp_expr.alias("lcp"), "suf")
+        .select(F.expr(_lcp_sql("char")).alias("lcp"), "suf")
         .select(F.expr("substring(suf, 1, lcp)").alias("substring"),
                 F.col("lcp").alias("length"))
     )
@@ -338,89 +433,13 @@ def repeat_spans_sa(
     Returns ``(doc_id, span_start, span_end)`` — 1-based, end
     inclusive, within the first ``max_chars`` chars of each doc.
     """
-    ranks = suffix_ranks(df, id_col, text_col, max_chars=max_chars)
-    docs = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.substring(F.col(text_col), 1, max_chars).alias("t"),
-        )
-        .filter(F.length("t") > 0)
-    )
-    rep = ranks.groupBy("rank").agg(
-        F.min(F.struct("doc_id", "off")).alias("p"),
-        F.count(F.lit(1)).alias("m"),
-    )
-    suf = (
-        rep.select("rank", "m", F.col("p.doc_id").alias("doc_id"),
-                   F.col("p.off").alias("off"))
-        .join(docs, "doc_id")
-        .select(
-            "rank", "m",
-            F.expr(f"substring(t, off, {max_chars})").alias("suf"),
-        )
-    )
-    nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
-    lcp_expr = F.expr(
-        """
-        aggregate(
-          sequence(1, least(length(suf), length(suf2))),
-          named_struct('n', 0, 'go', true),
-          (acc, i) -> if(acc.go and substring(suf, i, 1) = substring(suf2, i, 1),
-                         named_struct('n', acc.n + 1, 'go', true),
-                         named_struct('n', acc.n, 'go', false))
-        ).n
-        """
-    )
-    # lcp with the NEXT group (non-dense ranks: the successor of
-    # (rank, m) sits at rank + m); a group's lcp with the PREVIOUS
-    # group is the previous group's l_next — one more successor join
-    l_next = (
-        suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"), "left")
-        .select(
-            "rank", "m", F.length("suf").alias("slen"),
-            F.coalesce(lcp_expr, F.lit(0)).alias("l_next"),
-        )
-    )
-    l_prev = l_next.select(
-        (F.col("rank") + F.col("m")).alias("rank"),
-        F.col("l_next").alias("l_prev"),
-    )
-    dup = (
-        l_next.join(l_prev, "rank", "left")
-        .select(
-            "rank",
-            F.greatest(
-                F.when(F.col("m") >= 2, F.col("slen")).otherwise(0),
-                F.col("l_next"),
-                F.coalesce("l_prev", F.lit(0)),
-            ).alias("dup_len"),
-        )
-        .filter(F.col("dup_len") >= min_len)
-    )
-    marked = ranks.join(dup, "rank").select(
+    pos = position_repeat_lengths(df, id_col, text_col, max_chars=max_chars)
+    marked = pos.filter(F.col("dup_len") >= min_len).select(
         "doc_id",
         F.col("off").alias("s"),
         (F.col("off") + F.col("dup_len") - 1).alias("e"),
     )
-    # gaps-and-islands per doc: a new island starts where off exceeds
-    # the running max end of all earlier spans
-    w = Window.partitionBy("doc_id").orderBy("s", "e")
-    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    islands = marked.withColumn(
-        "new_island",
-        F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0),
-    ).withColumn(
-        "island",
-        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return (
-        islands.groupBy("doc_id", "island")
-        .agg(
-            F.min("s").cast("int").alias("span_start"),
-            F.max("e").cast("int").alias("span_end"),
-        )
-        .drop("island")
-    )
+    return _merge_islands(marked)
 
 
 def cut_repeat_spans_sa(
@@ -519,76 +538,13 @@ def repeat_spans_sa_tokens(
         df, id_col, text_col, max_tokens=max_tokens
     )
     toks = _token_docs(df, id_col, text_col, max_tokens)
-    rep = ranks.groupBy("rank").agg(
-        F.min(F.struct("doc_id", "off")).alias("p"),
-        F.count(F.lit(1)).alias("m"),
-    )
-    suf = (
-        rep.select("rank", "m", F.col("p.doc_id").alias("doc_id"),
-                   F.col("p.off").alias("off"))
-        .join(toks, "doc_id")
-        .select(
-            "rank", "m",
-            F.expr(f"slice(toks, off, {max_tokens})").alias("suf"),
-        )
-    )
-    nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
-    lcp_expr = F.expr(
-        """
-        aggregate(
-          sequence(1, least(size(suf), size(suf2))),
-          named_struct('n', 0, 'go', true),
-          (acc, i) -> if(acc.go and element_at(suf, i) = element_at(suf2, i),
-                         named_struct('n', acc.n + 1, 'go', true),
-                         named_struct('n', acc.n, 'go', false))
-        ).n
-        """
-    )
-    l_next = (
-        suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"), "left")
-        .select(
-            "rank", "m", F.size("suf").alias("slen"),
-            F.coalesce(lcp_expr, F.lit(0)).alias("l_next"),
-        )
-    )
-    l_prev = l_next.select(
-        (F.col("rank") + F.col("m")).alias("rank"),
-        F.col("l_next").alias("l_prev"),
-    )
-    dup = (
-        l_next.join(l_prev, "rank", "left")
-        .select(
-            "rank",
-            F.greatest(
-                F.when(F.col("m") >= 2, F.col("slen")).otherwise(0),
-                F.col("l_next"),
-                F.coalesce("l_prev", F.lit(0)),
-            ).alias("dup_len"),
-        )
-        .filter(F.col("dup_len") >= min_tokens)
-    )
-    marked = ranks.join(dup, "rank").select(
+    pos = _position_dup_lengths(ranks, toks, "token", max_tokens)
+    marked = pos.filter(F.col("dup_len") >= min_tokens).select(
         "doc_id",
         F.col("off").alias("s"),
         (F.col("off") + F.col("dup_len") - 1).alias("e"),
     )
-    w = Window.partitionBy("doc_id").orderBy("s", "e")
-    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    islands = marked.withColumn(
-        "new_island",
-        F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0),
-    ).withColumn(
-        "island",
-        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return (
-        islands.groupBy("doc_id", "island")
-        .agg(
-            F.min("s").cast("int").alias("span_start"),
-            F.max("e").cast("int").alias("span_end"),
-        )
-        .drop("island")
-    )
+    return _merge_islands(marked)
 
 
 def sa_contamination_scores(
@@ -662,15 +618,6 @@ def sa_contamination_scores(
     succ = F.first(seen_only, ignorenulls=True).over(
         w.rowsBetween(1, Window.unboundedFollowing)
     )
-    lcp = """
-        aggregate(
-          sequence(1, least(length(suf), length({o}))),
-          named_struct('n', 0, 'go', true),
-          (acc, i) -> if(acc.go and substring(suf, i, 1) = substring({o}, i, 1),
-                         named_struct('n', acc.n + 1, 'go', true),
-                         named_struct('n', acc.n, 'go', false))
-        ).n
-    """
     return (
         u.withColumn("_pred", pred)
         .withColumn("_succ", succ)
@@ -680,10 +627,12 @@ def sa_contamination_scores(
             "off",
             F.greatest(
                 F.when(
-                    F.col("_pred").isNotNull(), F.expr(lcp.format(o="_pred"))
+                    F.col("_pred").isNotNull(),
+                    F.expr(_lcp_sql("char", b="_pred")),
                 ).otherwise(0),
                 F.when(
-                    F.col("_succ").isNotNull(), F.expr(lcp.format(o="_succ"))
+                    F.col("_succ").isNotNull(),
+                    F.expr(_lcp_sql("char", b="_succ")),
                 ).otherwise(0),
             ).cast("int").alias("m"),
         )
@@ -837,58 +786,8 @@ def position_repeat_lengths(
     picking Lee et al.'s ``min_len`` IS a corpus measurement, not a
     constant.  Same neighbour-LCP identity, one rank-group join."""
     ranks = suffix_ranks(df, id_col, text_col, max_chars=max_chars)
-    docs = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.substring(F.col(text_col), 1, max_chars).alias("t"),
-        )
-        .filter(F.length("t") > 0)
-    )
-    rep = ranks.groupBy("rank").agg(
-        F.min(F.struct("doc_id", "off")).alias("p"),
-        F.count(F.lit(1)).alias("m"),
-    )
-    suf = (
-        rep.select("rank", "m", F.col("p.doc_id").alias("doc_id"),
-                   F.col("p.off").alias("off"))
-        .join(docs, "doc_id")
-        .select(
-            "rank", "m",
-            F.expr(f"substring(t, off, {max_chars})").alias("suf"),
-        )
-    )
-    nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
-    lcp_expr = F.expr(
-        """
-        aggregate(
-          sequence(1, least(length(suf), length(suf2))),
-          named_struct('n', 0, 'go', true),
-          (acc, i) -> if(acc.go and substring(suf, i, 1) = substring(suf2, i, 1),
-                         named_struct('n', acc.n + 1, 'go', true),
-                         named_struct('n', acc.n, 'go', false))
-        ).n
-        """
-    )
-    l_next = (
-        suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"), "left")
-        .select(
-            "rank", "m", F.length("suf").alias("slen"),
-            F.coalesce(lcp_expr, F.lit(0)).alias("l_next"),
-        )
-    )
-    l_prev = l_next.select(
-        (F.col("rank") + F.col("m")).alias("rank"),
-        F.col("l_next").alias("l_prev"),
-    )
-    dup = l_next.join(l_prev, "rank", "left").select(
-        "rank",
-        F.greatest(
-            F.when(F.col("m") >= 2, F.col("slen")).otherwise(0),
-            F.col("l_next"),
-            F.coalesce("l_prev", F.lit(0)),
-        ).alias("dup_len"),
-    )
-    return ranks.join(dup, "rank").select(
+    docs = _char_docs(df, id_col, text_col, max_chars)
+    return _position_dup_lengths(ranks, docs, "char", max_chars).select(
         "doc_id", "off", F.col("dup_len").cast("int").alias("dup_len")
     )
 
@@ -911,34 +810,11 @@ def longest_repeated_sequences_tokens(
     (length desc, sequence asc)."""
     ranks = suffix_ranks_tokens(df, id_col, text_col, max_tokens=max_tokens)
     toks = _token_docs(df, id_col, text_col, max_tokens)
-    rep = ranks.groupBy("rank").agg(
-        F.min(F.struct("doc_id", "off")).alias("p"),
-        F.count(F.lit(1)).alias("m"),
-    )
-    suf = (
-        rep.select("rank", "m", F.col("p.doc_id").alias("doc_id"),
-                   F.col("p.off").alias("off"))
-        .join(toks, "doc_id")
-        .select(
-            "rank", "m",
-            F.expr(f"slice(toks, off, {max_tokens})").alias("suf"),
-        )
-    )
+    suf = _rep_suffixes(ranks, toks, "token", max_tokens)
     nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
-    lcp_expr = F.expr(
-        """
-        aggregate(
-          sequence(1, least(size(suf), size(suf2))),
-          named_struct('n', 0, 'go', true),
-          (acc, i) -> if(acc.go and element_at(suf, i) = element_at(suf2, i),
-                         named_struct('n', acc.n + 1, 'go', true),
-                         named_struct('n', acc.n, 'go', false))
-        ).n
-        """
-    )
     adjacent = (
         suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"))
-        .select(lcp_expr.alias("lcp"), "suf")
+        .select(F.expr(_lcp_sql("token")).alias("lcp"), "suf")
         .select(
             F.array_join(F.expr("slice(suf, 1, lcp)"), " ").alias("seq"),
             F.col("lcp").alias("length"),
