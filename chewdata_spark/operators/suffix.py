@@ -77,7 +77,13 @@ def suffix_ranks(
     are final and leave the working set; every window partitions by
     the previous rank; an eager localCheckpoint per round truncates the
     iterative lineage (and flags the query construct-each for bench)."""
-    docs = _char_docs(df, id_col, text_col, max_chars)
+    return _char_ranks(_char_docs(df, id_col, text_col, max_chars), max_chars)
+
+
+def _char_ranks(docs: DataFrame, max_chars: int) -> DataFrame:
+    """The char-grain rank builder over an already-windowed
+    ``(doc_id, t)`` relation — ``doc_id`` may be any joinable type
+    (:func:`repeat_spans_sa_tiled` passes a (doc, window) struct)."""
     pos = (
         docs.select(
             "doc_id",
@@ -474,6 +480,17 @@ def cut_repeat_spans_sa(
     spans = repeat_spans_sa(
         df, id_col, text_col, max_chars=max_chars, min_len=min_len
     )
+    return _cut_char_spans(df, id_col, text_col, spans)
+
+
+def _cut_char_spans(
+    df: DataFrame, id_col: str, text_col: str, spans: DataFrame
+) -> DataFrame:
+    """The removal half shared by every char-grain span cutter: merged,
+    non-overlapping ``(doc_id, span_start, span_end)`` marks collect
+    per doc and ONE ``aggregate()`` cursor splices the kept pieces —
+    no per-char explode, no window; unmarked docs pass through via the
+    left join."""
     per_doc = spans.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias(
             "spans"
@@ -831,3 +848,109 @@ def longest_repeated_sequences_tokens(
         .orderBy(F.col("length").desc(), F.col("seq").asc())
         .limit(top_n)
     )
+
+
+def _tiled_docs(
+    df: DataFrame, id_col: str, text_col: str, tile: int, stride: int
+) -> DataFrame:
+    """(doc_id=struct(d, w), t): each doc split into consecutive
+    ``tile``-char windows starting every ``stride`` chars — the
+    pseudo-doc relation the tiled SA ranks over.  Window count per doc
+    is the smallest W with ``(W-1)*stride + tile >= len``, so windows
+    jointly cover every char and consecutive windows overlap by
+    ``tile - stride`` chars."""
+    full = df.select(
+        F.col(id_col).alias("_d"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_ft"),
+    ).filter(F.length("_ft") > 0)
+    nwin = F.greatest(
+        F.lit(1),
+        (F.ceil((F.length("_ft") - F.lit(tile)) / F.lit(stride)) + 1).cast("int"),
+    )
+    return full.select(
+        "_d", F.explode(F.sequence(F.lit(1), nwin)).alias("_w"), "_ft"
+    ).select(
+        F.struct(F.col("_d").alias("d"), F.col("_w").alias("w")).alias(
+            "doc_id"
+        ),
+        F.expr(f"substring(_ft, (_w - 1) * {stride} + 1, {tile})").alias("t"),
+    )
+
+
+def repeat_spans_sa_tiled(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    tile: int = 128,
+    min_len: int = 10,
+) -> DataFrame:
+    """FULL-DOCUMENT :func:`repeat_spans_sa`: merged char spans covered
+    by a whole substring of length >= ``min_len`` repeated in the
+    corpus, over the ENTIRE text of every doc — no head-window cap.
+
+    Device: tile each doc into ``tile``-char windows overlapping by
+    ``min_len - 1`` chars (stride = ``tile - min_len + 1``) and run the
+    shared SA machinery with ``(doc, window)`` as the pseudo-doc key;
+    marks map back to absolute char offsets and merge per REAL doc.
+    Per-window suffixes truncate at the window end, so the doubling
+    loop still runs log2(tile) rounds over ~``len/stride`` windows per
+    doc — position grain = doc chars x tile/stride (~1.3x at the 128/30
+    defaults), NOT chars x doc length.
+
+    Exactness (why tiling loses nothing):
+
+    * containment — every ``min_len``-char repeat occurrence fits
+      wholly inside at least one window (stride leaves ``min_len - 1``
+      overlap), and a position covered by a longer repeat is covered by
+      a ``min_len``-char sub-repeat ending no earlier, so the marked
+      POSITION SET equals the untiled full-document one;
+    * no self-collisions — the same absolute position appearing in two
+      adjacent windows carries suffix copies of which the shorter has
+      < ``min_len`` chars (the overlap region is the window's last
+      ``min_len - 1`` chars), so a position can never certify a repeat
+      against its own other copy.
+
+    Equivalently (and how the independent oracle computes it): the
+    marked set is exactly the positions covered by a ``min_len``-gram
+    occurring >= 2 times in the corpus — every >= ``min_len`` whole
+    repeat is a union of duplicated ``min_len``-grams and vice versa.
+
+    Returns ``(doc_id, span_start, span_end)`` — 1-based absolute char
+    offsets, end inclusive, anywhere in the doc."""
+    if min_len < 2 or min_len > tile:
+        raise ValueError(
+            f"need 2 <= min_len <= tile, got min_len={min_len} tile={tile}"
+        )
+    stride = tile - (min_len - 1)
+    wdocs = _tiled_docs(df, id_col, text_col, tile, stride)
+    ranks = _char_ranks(wdocs, tile)
+    pos = _position_dup_lengths(ranks, wdocs, "char", tile)
+    base = (F.col("doc_id.w") - 1) * stride + F.col("off")
+    marked = pos.filter(F.col("dup_len") >= min_len).select(
+        F.col("doc_id.d").alias("doc_id"),
+        base.alias("s"),
+        (base + F.col("dup_len") - 1).alias("e"),
+    )
+    return _merge_islands(marked)
+
+
+def cut_repeat_spans_sa_tiled(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    tile: int = 128,
+    min_len: int = 10,
+) -> DataFrame:
+    """FULL-DOCUMENT :func:`cut_repeat_spans_sa`: Lee et al. 2022
+    exact-substring dedup over the ENTIRE text of every doc — the
+    tiled-window span mark (:func:`repeat_spans_sa_tiled`) composed
+    with the shared span-cut cursor.  A repeat living at char 500 is
+    cut here; the head-window variant never sees it.
+
+    Returns ``(doc_id, clean_text, n_spans, n_cut)``."""
+    spans = repeat_spans_sa_tiled(
+        df, id_col, text_col, tile=tile, min_len=min_len
+    )
+    return _cut_char_spans(df, id_col, text_col, spans)

@@ -2225,3 +2225,111 @@ ORDER BY length DESC, seq ASC LIMIT 20
 
 QUERIES["documents_longest_repeats_tokens"] = documents_longest_repeats_tokens
 ORACLES["documents_longest_repeats_tokens"] = LONGEST_REPEATS_TOKENS_SQL
+
+
+def documents_repeat_spans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-DOCUMENT whole-repeat spans: merged char spans covered by a
+    whole substring >= 30 chars repeated in the corpus, anywhere in the
+    doc — the tiled-window suffix array
+    (operators/suffix.py::repeat_spans_sa_tiled: 128-char windows
+    overlapping by 29, (doc, window) pseudo-doc keys, marks mapped back
+    to absolute offsets).  documents_repeat_spans inspects only the
+    first 128 chars; on this corpus over half the duplicated-30-gram
+    marks live beyond char 128, all invisible to the head window.
+
+    The oracle is a genuinely different algorithm: positions covered by
+    a 30-gram occurring >= 2 times corpus-wide — provably the same
+    position set (every >= 30-char whole repeat is a union of
+    duplicated 30-grams and vice versa; see the operator docstring's
+    exactness argument)."""
+    from chewdata_spark.operators.suffix import repeat_spans_sa_tiled
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeat_spans_sa_tiled(docs, "doc_id", "text", tile=128, min_len=30)
+
+
+_SPANS_FULL_CTES = """
+WITH d AS (
+    SELECT doc_id, COALESCE(text, '') AS t FROM documents
+    WHERE length(COALESCE(text, '')) >= 30
+), gg AS (
+    SELECT doc_id, off, substr(t, off, 30) AS gram
+    FROM d, LATERAL unnest(generate_series(1, length(t) - 29)) AS u(off)
+), dup AS (
+    SELECT gram FROM gg GROUP BY gram HAVING COUNT(*) >= 2
+), marked AS (
+    SELECT doc_id, off AS s, off + 29 AS e FROM gg JOIN dup USING (gram)
+), isl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS ni
+    FROM marked
+), isl2 AS (
+    SELECT doc_id, s, e,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM isl
+), spans AS (
+    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+    FROM isl2 GROUP BY doc_id, island
+)
+"""
+
+REPEAT_SPANS_FULL_SQL = _SPANS_FULL_CTES + """
+SELECT doc_id, CAST(s AS INT) AS span_start, CAST(e AS INT) AS span_end
+FROM spans
+"""
+
+QUERIES["documents_repeat_spans_full"] = documents_repeat_spans_full
+ORACLES["documents_repeat_spans_full"] = REPEAT_SPANS_FULL_SQL
+
+
+def dedup_cut_spans_sa_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-DOCUMENT Lee et al. 2022 exact-substring dedup: whole-repeat
+    spans >= 30 chars marked ANYWHERE in each doc by the tiled-window
+    suffix array and cut out
+    (operators/suffix.py::cut_repeat_spans_sa_tiled).  Closes the
+    declared-window gap of dedup_cut_spans_sa: a repeat at char 500 is
+    cut here, while the head-window variant keeps it.  Same independent
+    duplicated-30-gram oracle as documents_repeat_spans_full, extended
+    with the per-char anti-join cut."""
+    from chewdata_spark.operators.suffix import cut_repeat_spans_sa_tiled
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cut_repeat_spans_sa_tiled(
+        docs, "doc_id", "text", tile=128, min_len=30
+    )
+
+
+CUT_SPANS_SA_FULL_SQL = _SPANS_FULL_CTES + """
+, cov AS (
+    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
+), alldocs AS (
+    SELECT doc_id, COALESCE(text, '') AS full_t FROM documents
+), apos AS (
+    SELECT doc_id, full_t, unnest(generate_series(1, length(full_t))) AS i
+    FROM alldocs
+), keepx AS (
+    SELECT a.doc_id,
+           COALESCE(string_agg(substr(a.full_t, a.i, 1), '' ORDER BY a.i)
+                    FILTER (WHERE c.i IS NULL), '') AS clean_text,
+           COUNT(*) FILTER (WHERE c.i IS NOT NULL) AS n_cut
+    FROM apos a LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.i = c.i
+    GROUP BY a.doc_id
+), nsp AS (
+    SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+)
+SELECT a.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(COALESCE(n.n_spans, 0) AS INT) AS n_spans,
+       CAST(COALESCE(k.n_cut, 0) AS INT) AS n_cut
+FROM alldocs a
+LEFT JOIN keepx k USING (doc_id)
+LEFT JOIN nsp n USING (doc_id)
+"""
+
+QUERIES["dedup_cut_spans_sa_full"] = dedup_cut_spans_sa_full
+ORACLES["dedup_cut_spans_sa_full"] = CUT_SPANS_SA_FULL_SQL

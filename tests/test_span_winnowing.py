@@ -576,3 +576,94 @@ def test_longest_repeated_sequences_tokens_planted(spark):
     # longest distinct sequences)
     assert got[0] == ("the quick brown fox jumps over", 6), got
     assert all(l >= 2 for _, l in got)
+
+
+def test_tiled_sa_cut_finds_repeat_beyond_head_window(spark):
+    """The tiled-window SA (full-document coverage) cuts a repeat
+    planted beyond char 128 that the head-window variant provably
+    misses, leaves a repeat-free doc untouched, and its span set
+    matches a brute-force duplicated-min_len-gram coverage oracle."""
+    import string
+
+    from chewdata_spark.operators.suffix import (
+        cut_repeat_spans_sa,
+        cut_repeat_spans_sa_tiled,
+        repeat_spans_sa_tiled,
+    )
+
+    rng = random.Random(11)
+
+    def noise(n):
+        return "".join(
+            rng.choice(string.ascii_lowercase + " ") for _ in range(n)
+        )
+
+    secret = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG AGAIN"  # 49 chars
+    texts = {
+        1: noise(300) + secret + noise(60),
+        2: noise(280) + secret + noise(90),
+        3: noise(420),
+    }
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    head = {
+        r["doc_id"]: r
+        for r in cut_repeat_spans_sa(
+            df, "doc_id", "text", max_chars=128, min_len=30
+        ).collect()
+    }
+    assert head[1]["n_cut"] == 0 and head[2]["n_cut"] == 0  # invisible
+    full = {
+        r["doc_id"]: r
+        for r in cut_repeat_spans_sa_tiled(
+            df, "doc_id", "text", tile=128, min_len=30
+        ).collect()
+    }
+    assert full[1]["clean_text"] == texts[1].replace(secret, "")
+    assert full[2]["clean_text"] == texts[2].replace(secret, "")
+    assert full[3]["n_cut"] == 0 and full[3]["clean_text"] == texts[3]
+
+    # exactness: spans == maximal runs of positions covered by a
+    # duplicated 30-gram (the operator docstring's equivalence)
+    from collections import Counter
+
+    grams = Counter(
+        t[i : i + 30]
+        for t in texts.values()
+        for i in range(len(t) - 29)
+    )
+    expected = []
+    for d, t in texts.items():
+        cov = sorted(
+            {
+                j
+                for i in range(len(t) - 29)
+                if grams[t[i : i + 30]] >= 2
+                for j in range(i + 1, i + 31)
+            }
+        )
+        run_s = None
+        for k, j in enumerate(cov):
+            if run_s is None:
+                run_s = j
+            if k + 1 == len(cov) or cov[k + 1] != j + 1:
+                expected.append((d, run_s, j))
+                run_s = None
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in repeat_spans_sa_tiled(
+            df, "doc_id", "text", tile=128, min_len=30
+        ).collect()
+    )
+    assert got == sorted(expected)
+
+
+def test_tiled_sa_rejects_bad_min_len(spark):
+    from chewdata_spark.operators.suffix import repeat_spans_sa_tiled
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        repeat_spans_sa_tiled(df, "doc_id", "text", tile=64, min_len=65)
+    with pytest.raises(ValueError):
+        repeat_spans_sa_tiled(df, "doc_id", "text", tile=64, min_len=1)
