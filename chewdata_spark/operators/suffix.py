@@ -573,6 +573,7 @@ def sa_contamination_scores(
     max_chars: int = 128,
     min_len: int = 30,
     bucket_len: int = 8,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """(doc_id, off, m): for every suffix position of every ARRIVING
     doc, the length of the longest prefix it shares with ANY seen
@@ -580,7 +581,20 @@ def sa_contamination_scores(
     :func:`sa_incremental_contamination` (which doc-maxes it) and the
     contamination-evidence report (which needs ``off`` to excerpt the
     leaked run).  Semantics, bucketing and the declared sub-bucket
-    grain are documented on the doc-grain wrapper."""
+    grain are documented on the doc-grain wrapper.
+
+    ``max_bucket`` is the standard hot-bucket cap every LSH-family
+    operator here carries: a prefix bucket holding more than
+    ``max_bucket`` DISTINCT seen suffixes (corpus-wide boilerplate —
+    every doc opening with the same ``bucket_len`` chars) is dropped
+    from the seen side BEFORE the per-bucket windows, so its width
+    never lands on one task; arrivals in a dropped bucket read as
+    uncontaminated there.  Never silent: the count of dropped buckets
+    rides the plan as an ``observe`` metric
+    (``sa_ingest_<n>/dropped_hot_buckets``), and the oracle mirrors
+    the cap with a HAVING on the same bucket grain.  Raise
+    ``bucket_len`` toward ``min_len`` to split hot buckets before
+    resorting to a higher cap; ``None`` disables."""
     if bucket_len > min_len:
         raise ValueError(
             f"bucket_len ({bucket_len}) must be <= min_len ({min_len}): "
@@ -614,6 +628,22 @@ def sa_contamination_scores(
         .distinct()
         .withColumn("_bk", F.substring("suf", 1, bucket_len))
     )
+    if max_bucket is not None:
+        from chewdata_spark.operators.dedup import _OBS_SEQ
+
+        sizes = seen_suf.groupBy("_bk").agg(
+            F.count(F.lit(1)).alias("_n")
+        ).observe(
+            f"sa_ingest_{next(_OBS_SEQ)}",
+            F.sum(
+                F.when(F.col("_n") > max_bucket, F.lit(1)).otherwise(F.lit(0))
+            ).alias("dropped_hot_buckets"),
+        )
+        seen_suf = seen_suf.join(
+            sizes.filter(F.col("_n") <= max_bucket).select("_bk"),
+            "_bk",
+            "left_semi",
+        )
     touched = new_suf.select("_bk").distinct()
     seen_in = seen_suf.join(touched, "_bk", "left_semi").select(
         F.lit(None).cast(new_suf.schema["doc_id"].dataType).alias("doc_id"),
@@ -665,6 +695,7 @@ def sa_incremental_contamination(
     max_chars: int = 128,
     min_len: int = 30,
     bucket_len: int = 8,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """INCREMENTAL suffix-array maintenance for ingest dedup: each
     arriving doc is ranked against the EXISTING corpus's suffix order
@@ -698,6 +729,7 @@ def sa_incremental_contamination(
     scored = sa_contamination_scores(
         new, seen, id_col, text_col,
         max_chars=max_chars, min_len=min_len, bucket_len=bucket_len,
+        max_bucket=max_bucket,
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.max("m").cast("int").alias("max_shared_len")

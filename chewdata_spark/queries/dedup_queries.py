@@ -1651,9 +1651,16 @@ WITH newd AS (
     SELECT doc_id, substr(t, off) AS suf
     FROM (SELECT doc_id, t,
                  unnest(generate_series(1, length(t))) AS off FROM newd)
-), seensuf AS (
+), seensuf0 AS (
     SELECT DISTINCT substr(t, off) AS suf
     FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
+), okbk AS (
+    -- hot-bucket cap mirror (max_bucket = 10000): a prefix bucket wider
+    -- than the cap drops from the seen side before neighbour-finding
+    SELECT substr(suf, 1, 8) AS bk FROM seensuf0
+    GROUP BY 1 HAVING COUNT(*) <= 10000
+), seensuf AS (
+    SELECT s.suf FROM seensuf0 s JOIN okbk k ON substr(s.suf, 1, 8) = k.bk
 ), u AS (
     SELECT CAST(NULL AS BIGINT) AS doc_id, suf, 1 AS is_seen FROM seensuf
     UNION ALL
@@ -1714,7 +1721,19 @@ def stream_ingest_dedup_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays both twins.  Stream-static join is stateless; the only
     stateful operator is the final per-doc max (complete mode,
     availableNow into a memory sink).  ``explode_outer`` keeps
-    null/empty-text arrivals in the output at 0."""
+    null/empty-text arrivals in the output at 0.
+
+    SCALE CONTRACT (stream path): each static-side bucket materializes
+    as ONE sorted array row, so a bucket's width IS a row's width — a
+    boilerplate-heavy corpus (every doc opening with the same
+    ``bucket_len`` chars) would build an unbounded row.  Both twins
+    therefore share the LSH-family ``max_bucket`` hot-bucket cap:
+    buckets wider than 10k distinct seen suffixes are dropped BEFORE
+    the collect (here) / the per-bucket window (batch twin), surfaced
+    via the ``sa_stream_ingest_<n>/dropped_hot_buckets`` observe
+    metric, and mirrored in the shared oracle's HAVING; raising
+    ``bucket_len`` toward ``min_len`` splits hot buckets without
+    recall loss."""
     import os
 
     from pyspark.sql import functions as F
@@ -1722,11 +1741,11 @@ def stream_ingest_dedup_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chewdata_spark.operators.suffix import sa_incremental_contamination  # noqa: F401  (batch twin)
     from chewdata_spark.streaming.ops import run_to_memory
 
-    max_chars, min_len, bucket_len = 128, 30, 8
+    max_chars, min_len, bucket_len, max_bucket = 128, 30, 8, 10_000
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
 
-    seen_arr = (
+    seen_suf = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 2 == 0)
         .select(F.substring("text", 1, max_chars).alias("t"))
@@ -1737,7 +1756,23 @@ def stream_ingest_dedup_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ch") != "")
         .select(F.expr(f"substring(t, off0 + 1, {max_chars})").alias("suf"))
         .distinct()
-        .groupBy(F.substring("suf", 1, bucket_len).alias("_bk"))
+        .withColumn("_bk", F.substring("suf", 1, bucket_len))
+    )
+    sizes = seen_suf.groupBy("_bk").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).observe(
+        f"sa_stream_ingest_{next(_OBS_SEQ)}",
+        F.sum(
+            F.when(F.col("_n") > max_bucket, F.lit(1)).otherwise(F.lit(0))
+        ).alias("dropped_hot_buckets"),
+    )
+    seen_arr = (
+        seen_suf.join(
+            sizes.filter(F.col("_n") <= max_bucket).select("_bk"),
+            "_bk",
+            "left_semi",
+        )
+        .groupBy("_bk")
         .agg(F.sort_array(F.collect_list("suf")).alias("arr"))
     )
 
@@ -1842,9 +1877,16 @@ WITH newd AS (
     SELECT doc_id, substr(t, off) AS suf
     FROM (SELECT doc_id, t,
                  unnest(generate_series(1, length(t))) AS off FROM newd)
-), seensuf AS (
+), seensuf0 AS (
     SELECT DISTINCT substr(t, off) AS suf
     FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
+), okbk AS (
+    -- hot-bucket cap mirror (max_bucket = 10000): a prefix bucket wider
+    -- than the cap drops from the seen side before neighbour-finding
+    SELECT substr(suf, 1, 8) AS bk FROM seensuf0
+    GROUP BY 1 HAVING COUNT(*) <= 10000
+), seensuf AS (
+    SELECT s.suf FROM seensuf0 s JOIN okbk k ON substr(s.suf, 1, 8) = k.bk
 ), u AS (
     SELECT CAST(NULL AS BIGINT) AS doc_id, suf, 1 AS is_seen FROM seensuf
     UNION ALL
@@ -2117,9 +2159,16 @@ WITH newd AS (
     SELECT doc_id, off, substr(t, off) AS suf
     FROM (SELECT doc_id, t,
                  unnest(generate_series(1, length(t))) AS off FROM newd)
-), seensuf AS (
+), seensuf0 AS (
     SELECT DISTINCT substr(t, off) AS suf
     FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
+), okbk AS (
+    -- hot-bucket cap mirror (max_bucket = 10000): a prefix bucket wider
+    -- than the cap drops from the seen side before neighbour-finding
+    SELECT substr(suf, 1, 8) AS bk FROM seensuf0
+    GROUP BY 1 HAVING COUNT(*) <= 10000
+), seensuf AS (
+    SELECT s.suf FROM seensuf0 s JOIN okbk k ON substr(s.suf, 1, 8) = k.bk
 ), u AS (
     SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS off,
            suf, 1 AS is_seen

@@ -667,3 +667,49 @@ def test_tiled_sa_rejects_bad_min_len(spark):
         repeat_spans_sa_tiled(df, "doc_id", "text", tile=64, min_len=65)
     with pytest.raises(ValueError):
         repeat_spans_sa_tiled(df, "doc_id", "text", tile=64, min_len=1)
+
+
+def test_sa_ingest_hot_bucket_cap(spark):
+    """The SA ingest hot-prefix-bucket cap (the LSH-family max_bucket
+    device): a seen-side bucket wider than the cap is dropped before
+    neighbour-finding, so a match detectable ONLY inside that bucket is
+    no longer reported, while matches in cold buckets still gate —
+    and uncapped (max_bucket=None) finds both."""
+    from chewdata_spark.operators.suffix import sa_incremental_contamination
+
+    # exactly-30-char run whose ONLY detecting suffix starts in the
+    # boilerplate bucket ("BOILERPL"); tails share <= 29 chars
+    run = "BOILERPLATE COMMON OPENING 001"
+    assert len(run) == 30
+    mid = "unique middle passage nobody else shares x"  # 42 chars
+    seen_rows = [(2 * i, run[:28] + f"{i:02d}" + f" filler tail {i}")
+                 for i in range(5)]
+    seen_rows[0] = (0, run + " filler tail 0")
+    seen_rows.append((10, "zz lead-in " + mid + " trailer"))
+    new_rows = [
+        (1, "prefix padding " + run),        # only hot-bucket evidence
+        (3, "other padding " + mid + " yy"), # cold-bucket evidence
+        (5, "no overlap at all here truly"),
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    seen = spark.createDataFrame(seen_rows, "doc_id long, text string")
+
+    def run_gate(cap):
+        return {
+            r["doc_id"]: r
+            for r in sa_incremental_contamination(
+                new, seen, "doc_id", "text",
+                max_chars=128, min_len=30, bucket_len=8, max_bucket=cap,
+            ).collect()
+        }
+
+    uncapped = run_gate(None)
+    assert uncapped[1]["kept"] is False          # hot-bucket match found
+    assert uncapped[3]["kept"] is False
+    assert uncapped[5]["kept"] is True
+
+    capped = run_gate(3)  # BOILERPL bucket holds 5 seen suffixes > 3
+    assert capped[1]["kept"] is True             # dropped with the bucket
+    assert capped[1]["max_shared_len"] < 30
+    assert capped[3]["kept"] is False            # cold bucket unaffected
+    assert capped[5]["kept"] is True
