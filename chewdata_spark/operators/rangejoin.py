@@ -110,6 +110,21 @@ def interval_overlap_join(
     }
     if grid not in steps:
         raise ValueError(f"grid must be one of {sorted(steps)}, got {grid!r}")
+    reserved = {"_iv_l0", "_iv_lc", "_iv_r0", "_iv_rc"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"reserved internal column name(s) {sorted(clash)} already "
+            "present in an input — rename them before joining (withColumn "
+            "would silently overwrite and emit grid cells under your name)"
+        )
+    shared = (set(left.columns) & set(right.columns)) - set(on)
+    if shared:
+        raise ValueError(
+            f"non-key columns {sorted(shared)} appear on BOTH sides — "
+            "alias them first; only the `on` keys may be shared (duplicate "
+            "names would surface later as ambiguous output columns)"
+        )
     lc0 = F.trunc(F.least(left_start, left_end), grid)
     lc1 = F.trunc(F.greatest(left_start, left_end), grid)
     rc0 = F.trunc(F.least(right_start, right_end), grid)

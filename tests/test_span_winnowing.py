@@ -713,3 +713,25 @@ def test_sa_ingest_hot_bucket_cap(spark):
     assert capped[1]["max_shared_len"] < 30
     assert capped[3]["kept"] is False            # cold bucket unaffected
     assert capped[5]["kept"] is True
+
+
+def test_interval_overlap_join_rejects_name_clashes(spark):
+    from chewdata_spark.operators.rangejoin import interval_overlap_join
+    import datetime as dt
+
+    d = dt.date(2024, 1, 1)
+    base = spark.createDataFrame(
+        [(1, d, d)], "k long, s date, e date"
+    )
+    clash = base.withColumn("_iv_lc", base["k"])
+    with pytest.raises(ValueError, match="reserved"):
+        interval_overlap_join(
+            clash, base.selectExpr("k", "s as s2", "e as e2"),
+            on=["k"], left_start="s", left_end="e",
+            right_start="s2", right_end="e2",
+        )
+    with pytest.raises(ValueError, match="BOTH sides"):
+        interval_overlap_join(
+            base, base, on=["k"], left_start="s", left_end="e",
+            right_start="s", right_end="e",
+        )
