@@ -437,7 +437,9 @@ def curate_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "clean_text")
 
 
-def _curate_pipeline_sql() -> str:
+def _norm_lined_ctes() -> str:
+    """The normalize + corpus-global-line-dedup CTE prefix shared by
+    both flagship oracles (k-gram and suffix-array cut variants)."""
     from chewdata_spark.queries.text_queries import _normalize_sql
 
     # stage 1: reuse the generated normalize expression verbatim
@@ -470,7 +472,11 @@ lined AS (
            COALESCE(string_agg(line, chr(10) ORDER BY pos)
                     FILTER (WHERE rnk = 1), '') AS text
     FROM lranked GROUP BY doc_id
-),
+)"""
+
+
+def _curate_pipeline_sql() -> str:
+    return _norm_lined_ctes() + """,
 -- stage 3: cut non-first duplicated 8-gram spans
 cs AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr FROM lined),
 ctoks AS (
@@ -521,6 +527,92 @@ SELECT doc_id, lang, source, clean_text FROM q WHERE rnk <= 15
 
 QUERIES["curate_pipeline_full"] = curate_pipeline_full
 ORACLES["curate_pipeline_full"] = _curate_pipeline_sql()
+
+
+def curate_pipeline_full_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composition, SUFFIX-ARRAY cut stage: normalize →
+    corpus-global line dedup → FULL-DOCUMENT whole-repeat span cut
+    (tiled-window suffix array, >= 30-char repeats cut ANYWHERE in the
+    doc — operators/suffix.py::cut_repeat_spans_sa_tiled) → per-source
+    anti-domination quota, as one lazy plan with the same
+    stage-materialization boundary as curate_pipeline_full.
+
+    The k-gram flagship cuts duplicated-8-gram islands, which can be
+    CHIMERIC (every window duplicated against a different partner, the
+    whole span never repeated) and fire on 8 shared tokens; this
+    variant cuts exactly the positions covered by a TRUE >= 30-char
+    whole repeat, Lee et al. 2022's criterion, with no head-window cap.
+    The composed oracle chains the shared normalize+line-dedup CTEs
+    with the independent duplicated-30-gram coverage cut."""
+    from chewdata_spark.operators import dedup as D
+    from chewdata_spark.operators.suffix import cut_repeat_spans_sa_tiled
+    from chewdata_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(docs, "doc_id", "text").select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    lined = D.dedup_lines_global(norm, "doc_id", "text", min_words=5).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    # same boundary as curate_pipeline_full: the SA stage consumes its
+    # input in several branches (window positions, suffix re-fetch, the
+    # final cut) — truncate lineage so normalize+line-dedup run ONCE
+    lined = lined.localCheckpoint(eager=False)
+    cut = cut_repeat_spans_sa_tiled(
+        lined, "doc_id", "text", tile=128, min_len=30
+    ).select("doc_id", "clean_text")
+    joined = cut.join(docs.select("doc_id", "lang", "source"), "doc_id")
+    out = curation.stratum_quota(joined, "source", "doc_id", max_per_stratum=15)
+    return out.select("doc_id", "lang", "source", "clean_text")
+
+
+def _curate_pipeline_sa_sql() -> str:
+    # stage 3': duplicated-30-gram coverage cut over the lined corpus —
+    # the independent algorithm equal to the tiled SA's whole-repeat
+    # marks (see repeat_spans_sa_tiled's exactness argument)
+    return _norm_lined_ctes() + """,
+sd AS (
+    SELECT doc_id, text AS t FROM lined WHERE length(text) >= 30
+), sgg AS (
+    SELECT doc_id, off, substr(t, off, 30) AS gram
+    FROM sd, LATERAL unnest(generate_series(1, length(t) - 29)) AS u(off)
+), sdup AS (
+    SELECT gram FROM sgg GROUP BY gram HAVING COUNT(*) >= 2
+), scov AS (
+    SELECT DISTINCT doc_id, i FROM (
+        SELECT doc_id, unnest(generate_series(off, off + 29)) AS i
+        FROM sgg JOIN sdup USING (gram)
+    )
+), spos AS (
+    SELECT doc_id, text AS full_t,
+           unnest(generate_series(1, length(text))) AS i
+    FROM lined
+), skeep AS (
+    SELECT p.doc_id,
+           COALESCE(string_agg(substr(p.full_t, p.i, 1), '' ORDER BY p.i)
+                    FILTER (WHERE c.i IS NULL), '') AS clean_text
+    FROM spos p LEFT JOIN scov c ON p.doc_id = c.doc_id AND p.i = c.i
+    GROUP BY p.doc_id
+), cut AS (
+    SELECT l.doc_id, COALESCE(k.clean_text, '') AS clean_text
+    FROM lined l LEFT JOIN skeep k USING (doc_id)
+),
+-- stage 4: per-source quota (deterministic md5 order, cap 15)
+q AS (
+    SELECT c.doc_id, d.lang, d.source, c.clean_text,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('0:' || CAST(c.doc_id AS VARCHAR)), c.doc_id) AS rnk
+    FROM cut c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, source, clean_text FROM q WHERE rnk <= 15
+"""
+
+
+QUERIES["curate_pipeline_full_sa"] = curate_pipeline_full_sa
+ORACLES["curate_pipeline_full_sa"] = _curate_pipeline_sa_sql()
+
 
 def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Padding-efficient batch layout: power-of-two length buckets,

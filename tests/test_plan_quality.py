@@ -938,3 +938,22 @@ def test_matryoshka_two_level_coarse_topc(spark, sf_dir):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert any("_salt" in s for s in specs), specs
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_curate_pipeline_full_sa_plan_shape(spark, sf_dir):
+    # the SA flagship is checkpoint-backed at every stage boundary:
+    # after execution the final plan re-scans ZERO parquet (normalize +
+    # line dedup ran once behind the lazy checkpoint, the doubling loop
+    # is eager-checkpointed), no Deduplicate sneaks in (the island
+    # merge and span cut are aggregate-shaped), and nothing drops to
+    # Python.
+    import re
+
+    from chewdata_spark.queries.curation_queries import curate_pipeline_full_sa
+
+    df = curate_pipeline_full_sa(spark, sf_dir)
+    df.collect()
+    plan = formatted_plan(df).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
+    assert "Deduplicate" not in df._jdf.queryExecution().optimizedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
