@@ -1127,3 +1127,94 @@ def matryoshka_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "sim", "rank")
     )
+
+
+def matryoshka_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    centroid_stride: int = 50,
+    nprobe: int = 4,
+    coarse_dims: int = 16,
+    candidates: int = 50,
+) -> DataFrame:
+    """IVF probe x matryoshka prefix — the two sub-linear retrieval
+    devices COMPOSED, and they multiply: the probe restricts the scan
+    to ~``nprobe/nclusters`` of the corpus (:func:`ivf_topk`), and
+    inside the probed clusters the coarse score reads only the first
+    ``coarse_dims`` vector components (:func:`matryoshka_topk`), so
+    stage-1 work is ``(nprobe/nclusters) x (coarse_dims/dim)`` of a
+    brute-force scan; the exact full-dimension re-rank touches only
+    ``candidates`` rows per query.
+
+    Probe SELECTION stays full-dimension (the centroid set is tiny by
+    the IVF contract — C ≈ √N broadcast rows — so prefix-truncating it
+    saves nothing and would stack a third recall loss).  Every stage is
+    deterministic (deterministic stride centroids, 6-dp rounding, id
+    tie-breaks), so a SQL oracle replays the SAME composed definition;
+    recall vs the brute-force twin is asserted in tests, not assumed.
+    The coarse top-``candidates`` is the same TWO-LEVEL lossless
+    selection as :func:`matryoshka_topk` (per-(qid, salt) top-C, then
+    top-C of survivors) — no window spans the probed set per query.
+    Output: (qid, vec_id, sim, rank), self-matches excluded."""
+    n_salts = 32
+    assigned, centroids = assign_ivf_clusters(
+        corpus, id_col=id_col, vec_col=vec_col, centroid_stride=centroid_stride
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("psim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("psim").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= nprobe)
+        .select("qid", "qvec", F.col("cid").alias("cluster"))
+    )
+    coarse_q = F.slice(F.col("qvec"), 1, coarse_dims)
+    coarse_c = F.slice(F.col("vec"), 1, coarse_dims)
+    scored = (
+        assigned.join(probes, "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "qvec",
+            "vec",
+            F.round(cosine(coarse_q, coarse_c), 6).alias("coarse"),
+            F.pmod(F.col("vec_id"), F.lit(n_salts)).alias("_salt"),
+        )
+    )
+    w0 = Window.partitionBy("qid", "_salt").orderBy(
+        F.col("coarse").desc(), F.col("vec_id").asc()
+    )
+    pre = scored.withColumn("_prk", F.row_number().over(w0)).filter(
+        F.col("_prk") <= candidates
+    )
+    w1 = Window.partitionBy("qid").orderBy(
+        F.col("coarse").desc(), F.col("vec_id").asc()
+    )
+    cand = pre.withColumn("_crk", F.row_number().over(w1)).filter(
+        F.col("_crk") <= candidates
+    )
+    exact = cand.select(
+        "qid",
+        "vec_id",
+        F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "sim", "rank")
+    )

@@ -1091,3 +1091,77 @@ FROM ranked WHERE rank <= {TOPK}
 
 QUERIES["ann_matryoshka_topk"] = ann_matryoshka_topk
 ORACLES["ann_matryoshka_topk"] = ANN_MATRYOSHKA_SQL
+
+
+def ann_matryoshka_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe x matryoshka prefix, composed
+    (operators/similarity.py::matryoshka_ivf_topk): probe the 4
+    nearest of the stride-50 clusters (scan cut ~ nprobe/nclusters),
+    score the probed vectors on only their first 32 of 64 dims (2x
+    FLOP/bandwidth cut on every scanned row — the two devices
+    MULTIPLY), two-level lossless top-100, exact full-dim re-rank to
+    top-10.  Fully deterministic, so the oracle replays the composed
+    definition; recall vs cosine_topk asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.matryoshka_ivf_topk(
+        emb, queries, k=TOPK, centroid_stride=50, nprobe=4,
+        coarse_dims=32, candidates=100,
+    )
+
+
+ANN_MATRYOSHKA_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+asg AS (
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND({_COS.format(a='e.v', b='c.cv')}, 6) DESC,
+                            c.cid ASC) AS rk
+        FROM e, cent c
+    ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERY_VECS}),
+probes AS (
+    SELECT qid, cid AS cluster FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND({_COS.format(a='q.qv', b='c.cv')}, 6) DESC,
+                            c.cid ASC) AS rk
+        FROM q, cent c
+    ) WHERE rk <= 4
+),
+coarse AS (
+    SELECT p.qid, a.vec_id, q.qv, e.v,
+           ROUND({_COS16.format(a='q.qv[1:32]', b='e.v[1:32]')}, 6) AS coarse
+    FROM probes p
+    JOIN asg a USING (cluster)
+    JOIN e ON e.vec_id = a.vec_id
+    JOIN q ON q.qid = p.qid
+    WHERE a.vec_id <> p.qid
+),
+cand AS (
+    SELECT qid, vec_id, qv, v,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY coarse DESC, vec_id ASC) AS crk
+    FROM coarse
+),
+exact AS (
+    SELECT qid, vec_id,
+           ROUND({_COS16.format(a='qv', b='v')}, 6) AS sim
+    FROM cand WHERE crk <= 100
+)
+SELECT qid, vec_id, sim, CAST(rk AS INT) AS rank FROM (
+    SELECT qid, vec_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id ASC) AS rk
+    FROM exact
+) WHERE rk <= {TOPK}
+"""
+
+QUERIES["ann_matryoshka_ivf_topk"] = ann_matryoshka_ivf_topk
+ORACLES["ann_matryoshka_ivf_topk"] = ANN_MATRYOSHKA_IVF_SQL

@@ -957,3 +957,21 @@ def test_curate_pipeline_full_sa_plan_shape(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
     assert "Deduplicate" not in df._jdf.queryExecution().optimizedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_matryoshka_ivf_plan_shape(spark, sf_dir):
+    # the composed retrieval keeps both devices' plan contracts: the
+    # probe list comes off a BROADCAST centroid join, the coarse stage
+    # stays two-level ((qid, _salt) ranking window before the per-qid
+    # one), and the only Python is the documented Arrow GEMM cluster
+    # assignment — never a per-row UDF in the scoring path.
+    import re
+
+    from chewdata_spark.queries.similarity_queries import ann_matryoshka_ivf_topk
+
+    df = ann_matryoshka_ivf_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_salt" in s for s in specs), specs
+    assert "BroadcastExchange" in plan, plan
+    assert "BatchEvalPython" not in plan, plan

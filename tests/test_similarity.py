@@ -80,3 +80,40 @@ def test_matryoshka_topk_recall_vs_exact(spark, sf_dir):
     }
     for key in set(sims) & set(exact_sims):
         assert sims[key] == exact_sims[key], key
+
+
+def test_matryoshka_ivf_recall_vs_exact_and_ivf(spark, sf_dir):
+    """The composed IVF x matryoshka retrieval keeps >= 0.5 recall@10
+    vs brute force on this worst-case corpus (random embeddings: the
+    prefix is an untrained random projection AND the stride centroids
+    are arbitrary), loses almost nothing vs IVF alone (the coarse
+    stage's extra loss is bounded), and reports EXACT full-dim sims."""
+    from chewdata_spark.queries.similarity_queries import (
+        ann_ivf_topk,
+        ann_matryoshka_ivf_topk,
+        cosine_topk,
+    )
+
+    exact = {}
+    for r in cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r.qid, set()).add(r.vec_id)
+    exact_sims = {
+        (r.qid, r.vec_id): r.sim for r in cosine_topk(spark, sf_dir).collect()
+    }
+    composed = {}
+    sims = {}
+    for r in ann_matryoshka_ivf_topk(spark, sf_dir).collect():
+        composed.setdefault(r.qid, set()).add(r.vec_id)
+        sims[(r.qid, r.vec_id)] = r.sim
+    ivf = {}
+    for r in ann_ivf_topk(spark, sf_dir).collect():
+        ivf.setdefault(r.qid, set()).add(r.vec_id)
+    total = sum(len(exact[q]) for q in exact)
+    rec_composed = sum(len(exact[q] & composed.get(q, set())) for q in exact) / total
+    rec_ivf = sum(len(exact[q] & ivf.get(q, set())) for q in exact) / total
+    assert rec_composed >= 0.5, rec_composed
+    # the coarse stage may cost a little recall on top of the probe's
+    # own loss, but never more than 0.1 at candidates=100
+    assert rec_composed >= rec_ivf - 0.1, (rec_composed, rec_ivf)
+    for key in set(sims) & set(exact_sims):
+        assert sims[key] == exact_sims[key], key
