@@ -986,3 +986,45 @@ def cut_repeat_spans_sa_tiled(
         df, id_col, text_col, tile=tile, min_len=min_len
     )
     return _cut_char_spans(df, id_col, text_col, spans)
+
+
+def cut_contaminated_spans_sa(
+    new: DataFrame,
+    seen: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_chars: int = 128,
+    min_len: int = 30,
+    bucket_len: int = 8,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """SPAN-grain decontamination of ARRIVING docs against a STATIC
+    corpus: every span of an arriving doc covered by a whole
+    >= ``min_len``-char substring ALREADY PRESENT in the seen corpus
+    is cut out and the doc reassembles —
+    :func:`sa_incremental_contamination` gates whole docs on the same
+    evidence; this removes just the leaked runs and keeps the rest,
+    the per-span analogue Lee et al. 2022 apply between train and
+    eval sets.
+
+    Marks come from the incremental ranker's per-position shared
+    lengths (:func:`sa_contamination_scores` — nearest SEEN neighbours
+    per prefix bucket, no rebuild, hot buckets capped), so the per-doc
+    span set is ``[off, off + m - 1]`` for every position sharing
+    >= ``min_len`` chars; spans merge per doc and the shared cut
+    cursor splices the kept pieces.  Marks live within the first
+    ``max_chars`` chars (the declared window); the tail beyond is
+    always kept.  Returns ``(doc_id, clean_text, n_spans, n_cut)``
+    for every arriving doc (unmarked docs pass through)."""
+    scored = sa_contamination_scores(
+        new, seen, id_col, text_col,
+        max_chars=max_chars, min_len=min_len, bucket_len=bucket_len,
+        max_bucket=max_bucket,
+    )
+    marked = scored.filter(F.col("m") >= min_len).select(
+        "doc_id",
+        F.col("off").alias("s"),
+        (F.col("off") + F.col("m") - 1).alias("e"),
+    )
+    return _cut_char_spans(new, id_col, text_col, _merge_islands(marked))

@@ -2382,3 +2382,289 @@ LEFT JOIN nsp n USING (doc_id)
 
 QUERIES["dedup_cut_spans_sa_full"] = dedup_cut_spans_sa_full
 ORACLES["dedup_cut_spans_sa_full"] = CUT_SPANS_SA_FULL_SQL
+
+
+def decontaminate_cut_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-grain decontamination (batch): every run of an odd-id
+    arriving doc covered by a whole >= 30-char substring already in the
+    even-id corpus is cut out and the doc reassembled
+    (operators/suffix.py::cut_contaminated_spans_sa).
+    dedup_incremental_ingest_sa GATES whole docs on the same evidence;
+    this keeps the doc and removes just the leaked runs — the per-span
+    train/eval decontamination Lee et al. 2022 apply.  Marks within the
+    first 128 chars (declared window, tail kept); hot prefix buckets
+    capped at 10k (oracle HAVING mirror)."""
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators.suffix import cut_contaminated_spans_sa
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    return cut_contaminated_spans_sa(
+        new, seen, "doc_id", "text",
+        max_chars=128, min_len=30, bucket_len=8,
+    )
+
+
+DECONTAMINATE_CUT_SPANS_SA_SQL = """
+WITH newd AS (
+    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
+    WHERE doc_id % 2 = 1 AND text IS NOT NULL
+      AND length(substr(text, 1, 128)) > 0
+), seend AS (
+    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
+    WHERE doc_id % 2 = 0 AND text IS NOT NULL
+      AND length(substr(text, 1, 128)) > 0
+), newsuf AS (
+    SELECT doc_id, off, substr(t, off) AS suf
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, length(t))) AS off FROM newd)
+), seensuf0 AS (
+    SELECT DISTINCT substr(t, off) AS suf
+    FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
+), okbk AS (
+    -- hot-bucket cap mirror (max_bucket = 10000)
+    SELECT substr(suf, 1, 8) AS bk FROM seensuf0
+    GROUP BY 1 HAVING COUNT(*) <= 10000
+), seensuf AS (
+    SELECT s.suf FROM seensuf0 s JOIN okbk k ON substr(s.suf, 1, 8) = k.bk
+), u AS (
+    SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS off,
+           suf, 1 AS is_seen
+    FROM seensuf
+    UNION ALL
+    SELECT doc_id, CAST(off AS INT) AS off, suf, 0 AS is_seen FROM newsuf
+), nb AS (
+    SELECT doc_id, off, suf, is_seen,
+        LAST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
+            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pred,
+        FIRST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
+            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS succ
+    FROM u
+), scored AS (
+    SELECT doc_id, off,
+        greatest(
+            CASE WHEN pred IS NULL THEN 0 ELSE
+                COALESCE(([i FOR i IN generate_series(1,
+                               least(length(suf), length(pred)))
+                           IF substr(suf, i, 1) <> substr(pred, i, 1)])[1],
+                         least(length(suf), length(pred)) + 1) - 1 END,
+            CASE WHEN succ IS NULL THEN 0 ELSE
+                COALESCE(([i FOR i IN generate_series(1,
+                               least(length(suf), length(succ)))
+                           IF substr(suf, i, 1) <> substr(succ, i, 1)])[1],
+                         least(length(suf), length(succ)) + 1) - 1 END
+        ) AS m
+    FROM nb WHERE is_seen = 0
+), marked AS (
+    SELECT doc_id, off AS s, off + m - 1 AS e FROM scored WHERE m >= 30
+), isl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS ni
+    FROM marked
+), isl2 AS (
+    SELECT doc_id, s, e,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM isl
+), spans AS (
+    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+    FROM isl2 GROUP BY doc_id, island
+), cov AS (
+    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
+), alldocs AS (
+    SELECT doc_id, COALESCE(text, '') AS full_t,
+           substr(COALESCE(text, ''), 1, 128) AS head
+    FROM documents WHERE doc_id % 2 = 1
+), hpos AS (
+    SELECT doc_id, head, unnest(generate_series(1, length(head))) AS i
+    FROM alldocs
+), hkeep AS (
+    SELECT h.doc_id,
+           COALESCE(string_agg(substr(h.head, h.i, 1), '' ORDER BY h.i)
+                    FILTER (WHERE c.i IS NULL), '') AS kept_head,
+           COUNT(*) FILTER (WHERE c.i IS NOT NULL) AS n_cut
+    FROM hpos h LEFT JOIN cov c ON h.doc_id = c.doc_id AND h.i = c.i
+    GROUP BY h.doc_id
+), nsp AS (
+    SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+)
+SELECT a.doc_id,
+       COALESCE(k.kept_head, '') || substr(a.full_t, 129) AS clean_text,
+       CAST(COALESCE(n.n_spans, 0) AS INT) AS n_spans,
+       CAST(COALESCE(k.n_cut, 0) AS INT) AS n_cut
+FROM alldocs a
+LEFT JOIN hkeep k USING (doc_id)
+LEFT JOIN nsp n USING (doc_id)
+"""
+
+QUERIES["decontaminate_cut_spans_sa"] = decontaminate_cut_spans_sa
+ORACLES["decontaminate_cut_spans_sa"] = DECONTAMINATE_CUT_SPANS_SA_SQL
+
+
+def stream_cut_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of decontaminate_cut_spans_sa — completes the
+    stream side of the Lee et al. pipeline: arriving docs are not just
+    GATED on contamination (stream_ingest_dedup_sa) but have the
+    leaked runs CUT OUT in flight.
+
+    Same static-side device as the ingest twin: the even-id corpus
+    pre-aggregates to (prefix bucket -> sorted seen-suffix array, hot
+    buckets capped at 10k BEFORE the collect), each arriving suffix
+    finds pred/succ inside its bucket's array with higher-order
+    functions, and positions sharing >= 30 chars mark ``[off,
+    off+m-1]``.  A stream cannot window per doc, so the island merge +
+    cut collapse into ONE ``aggregate()`` cursor over the doc's own
+    sorted (possibly overlapping) marks — the cursor skips covered
+    chars, counts islands, and splices the tail beyond the 128-char
+    window; the only stateful operator is the per-(doc, text)
+    collect_list (complete mode, availableNow into a memory sink).
+    The SAME oracle SQL replays both twins."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.streaming.ops import run_to_memory
+
+    max_chars, min_len, bucket_len, max_bucket = 128, 30, 8, 10_000
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+
+    seen_suf = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.substring("text", 1, max_chars).alias("t"))
+        .filter(F.length("t") > 0)
+        .select(
+            F.posexplode(F.split(F.col("t"), "(?!^)")).alias("off0", "ch"), "t"
+        )
+        .filter(F.col("ch") != "")
+        .select(F.expr(f"substring(t, off0 + 1, {max_chars})").alias("suf"))
+        .distinct()
+        .withColumn("_bk", F.substring("suf", 1, bucket_len))
+    )
+    sizes = seen_suf.groupBy("_bk").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).observe(
+        f"sa_stream_cut_{next(_OBS_SEQ)}",
+        F.sum(
+            F.when(F.col("_n") > max_bucket, F.lit(1)).otherwise(F.lit(0))
+        ).alias("dropped_hot_buckets"),
+    )
+    seen_arr = (
+        seen_suf.join(
+            sizes.filter(F.col("_n") <= max_bucket).select("_bk"),
+            "_bk",
+            "left_semi",
+        )
+        .groupBy("_bk")
+        .agg(F.sort_array(F.collect_list("suf")).alias("arr"))
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(path + "*")
+        .filter(F.col("doc_id") % 2 == 1)
+        .withColumn("ft", F.coalesce(F.col("text"), F.lit("")))
+        .withColumn("t", F.substring("ft", 1, max_chars))
+        .withColumn(
+            "off",
+            F.explode_outer(
+                F.when(F.length("t") > 0, F.expr("sequence(1, length(t))"))
+            ),
+        )
+        .withColumn(
+            "suf",
+            F.when(
+                F.col("off").isNotNull(),
+                F.expr(f"substring(t, off, {max_chars})"),
+            ),
+        )
+        .withColumn("_bk", F.substring("suf", 1, bucket_len))
+    )
+    joined = stream.join(seen_arr, "_bk", "left")
+    nb = joined.withColumn(
+        "_pred", F.expr("array_max(filter(arr, x -> x <= suf))")
+    ).withColumn("_succ", F.expr("array_min(filter(arr, x -> x > suf))"))
+    lcp = """
+        aggregate(
+          sequence(1, least(length(suf), length({o}))),
+          named_struct('n', 0, 'go', true),
+          (acc, i) -> if(acc.go and substring(suf, i, 1) = substring({o}, i, 1),
+                         named_struct('n', acc.n + 1, 'go', true),
+                         named_struct('n', acc.n, 'go', false))
+        ).n
+    """
+    scored = nb.select(
+        "doc_id",
+        "ft",
+        "off",
+        F.greatest(
+            F.when(
+                F.col("_pred").isNotNull(), F.expr(lcp.format(o="_pred"))
+            ).otherwise(0),
+            F.when(
+                F.col("_succ").isNotNull(), F.expr(lcp.format(o="_succ"))
+            ).otherwise(0),
+        ).alias("_m"),
+    )
+    per_doc = scored.groupBy("doc_id", "ft").agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("_m") >= min_len,
+                    F.struct(
+                        F.col("off").cast("int").alias("s"),
+                        (F.col("off") + F.col("_m") - 1).cast("int").alias("e"),
+                    ),
+                )
+            )
+        ).alias("spans")
+    )
+    cut = F.expr(
+        """
+        aggregate(
+          spans,
+          named_struct('p', 1, 'acc', ''),
+          (a, sp) -> if(sp.e < a.p, a,
+              named_struct(
+                  'p', CAST(sp.e + 1 AS INT),
+                  'acc', concat(a.acc,
+                                substring(ft, a.p, greatest(sp.s, a.p) - a.p)))),
+          a -> concat(a.acc, substring(ft, a.p))
+        )
+        """
+    )
+    n_spans = F.expr(
+        """
+        aggregate(
+          spans,
+          named_struct('le', CAST(0 AS INT), 'n', 0),
+          (a, sp) -> named_struct(
+              'le', CAST(greatest(a.le, sp.e) AS INT),
+              'n', a.n + IF(sp.s > a.le + 1 OR a.n = 0, 1, 0))
+        ).n
+        """
+    )
+    out = per_doc.select(
+        "doc_id",
+        cut.alias("clean_text"),
+        n_spans.cast("int").alias("n_spans"),
+        (F.length("ft") - F.length(cut)).cast("int").alias("n_cut"),
+    )
+    _SA_STREAM_RUN["n"] += 1
+    return run_to_memory(
+        out, f"_stream_cut_spans_sa_{_SA_STREAM_RUN['n']}",
+        output_mode="complete",
+    )
+
+
+QUERIES["stream_cut_spans_sa"] = stream_cut_spans_sa
+ORACLES["stream_cut_spans_sa"] = DECONTAMINATE_CUT_SPANS_SA_SQL

@@ -735,3 +735,60 @@ def test_interval_overlap_join_rejects_name_clashes(spark):
             base, base, on=["k"], left_start="s", left_end="e",
             right_start="s", right_end="e",
         )
+
+
+def test_cut_contaminated_spans_sa(spark):
+    """Span-grain decontamination: runs >= min_len shared with the
+    STATIC corpus are cut from arriving docs (and only those), checked
+    against a pure-Python per-position shared-length oracle."""
+    from chewdata_spark.operators.suffix import cut_contaminated_spans_sa
+
+    leak1 = "A" * 0 + "THE COMMON LEAKED EVAL PASSAGE NUMBER ONE X"   # 43
+    leak2 = "ANOTHER SHARED BENCHMARK SENTENCE HERE YY"              # 41
+    seen_rows = [
+        (0, "lead-in text " + leak1 + " seen tail"),
+        (2, leak2 + " more seen text"),
+    ]
+    new_rows = [
+        (1, "start " + leak1 + " mid " + leak2[:20] + "zz end"),  # 1 cut run
+        (3, "totally fresh arriving document with new words"),
+        (5, None),
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    seen = spark.createDataFrame(seen_rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in cut_contaminated_spans_sa(
+            new, seen, "doc_id", "text",
+            max_chars=128, min_len=30, bucket_len=8,
+        ).collect()
+    }
+    # python oracle: per-position longest shared prefix vs seen window
+    W = 128
+    seen_sufs = {
+        t[:W][i:] for _, t in seen_rows for i in range(len(t[:W]))
+    }
+    for did, txt in new_rows:
+        t = (txt or "")[:W]
+        cov = set()
+        for i in range(len(t)):
+            suf = t[i:]
+            m = 0
+            for ss in seen_sufs:
+                lcp = 0
+                for a, b in zip(suf, ss):
+                    if a != b:
+                        break
+                    lcp += 1
+                m = max(m, lcp)
+            if m >= 30:
+                cov.update(range(i + 1, i + m + 1))
+        full = txt or ""
+        expect = "".join(
+            ch for j, ch in enumerate(full, start=1) if j not in cov
+        )
+        assert out[did]["clean_text"] == expect, (did, out[did], expect)
+        assert out[did]["n_cut"] == len(cov), did
+    assert out[1]["n_spans"] == 1 and leak1 not in out[1]["clean_text"]
+    assert out[3]["clean_text"] == new_rows[1][1]
+    assert out[5]["clean_text"] == "" and out[5]["n_spans"] == 0
