@@ -30,10 +30,11 @@ Spark-first design (no concatenated corpus string, no driver-side sort):
    and no global re-ranking (sort, range partitioner, or unpartitioned
    window) exists anywhere — every window partitions by the previous
    rank;
-3. round-0 ranks come from per-character counts (a charset-sized
-   broadcast prefix sum), and the splitting window partitions by the
-   tie group — group width is the group's own multiplicity, never the
-   corpus;
+3. round-0 ranks cover the first FOUR chars (two-level
+   order-preserving prefix sum over the 4-gram alphabet — the loop
+   starts at h=4, skipping its two most expensive rounds), and the
+   splitting window partitions by the tie group — group width is the
+   group's own multiplicity, never the corpus;
 4. eager localCheckpoint per round exactly like
    graph.connected_components — bench.py's LogicalRDD detection rebuilds
    the loop inside the timed window; early exit when every group is a
@@ -83,40 +84,68 @@ def suffix_ranks(
 def _char_ranks(docs: DataFrame, max_chars: int) -> DataFrame:
     """The char-grain rank builder over an already-windowed
     ``(doc_id, t)`` relation — ``doc_id`` may be any joinable type
-    (:func:`repeat_spans_sa_tiled` passes a (doc, window) struct)."""
+    (:func:`repeat_spans_sa_tiled` passes a (doc, window) struct).
+
+    Round 0 ranks by the first FOUR chars, not one: the doubling loop
+    then starts at ``h = 4``, skipping its two most expensive rounds
+    (the early rounds touch every position — nothing has frozen yet).
+    4-gram ranks keep the suffix-order convention for free, because a
+    shorter suffix that is a prefix of a longer one compares smaller
+    as a plain string (``"ab" < "abX"``).  The 4-gram alphabet is
+    vocabulary-sized, so the base prefix sum is the two-level
+    ORDER-PRESERVING device shared with the token grain: the
+    corpus-sized window partitions by the gram's 2-char prefix (prefix
+    order agrees with gram order) and only the bucket-count offsets
+    (<= charset² rows) see an unpartitioned window."""
     pos = (
         docs.select(
             "doc_id",
-            F.posexplode(F.split(F.col("t"), "(?!^)")).alias("off0", "ch"),
+            F.explode(F.expr("sequence(1, length(t))")).alias("off"),
+            "t",
         )
-        # a zero-width regex also matches at end-of-string, yielding one
-        # trailing '' element — drop it, it is not a position
-        .filter(F.col("ch") != "")
-        .select("doc_id", (F.col("off0") + 1).alias("off"), "ch")
+        .select(
+            "doc_id",
+            "off",
+            F.expr("substring(t, off, 4)").alias("g4"),
+        )
     )
-    # round 0: non-dense position rank of the single character = 1 +
-    # count of positions carrying a strictly smaller char (per-char
-    # counts are a charset-sized broadcast prefix sum)
-    counts = pos.groupBy("ch").agg(F.count(F.lit(1)).alias("_n"))
-    off_w = Window.orderBy("ch").rowsBetween(Window.unboundedPreceding, -1)
-    base = counts.select(
-        "ch",
-        (F.coalesce(F.sum("_n").over(off_w), F.lit(0)) + 1)
-        .cast("bigint")
-        .alias("_base"),
+    counts = pos.groupBy("g4").agg(F.count(F.lit(1)).alias("_n"))
+    bucketed = counts.withColumn("_bk", F.substring("g4", 1, 2))
+    in_bucket = (
+        Window.partitionBy("_bk")
+        .orderBy("g4")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    work = pos.join(F.broadcast(base), "ch").select(
+    local = bucketed.withColumn(
+        "_loc", F.coalesce(F.sum("_n").over(in_bucket), F.lit(0))
+    )
+    bcounts = bucketed.groupBy("_bk").agg(F.sum("_n").alias("_bn"))
+    off_w = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    boffsets = bcounts.select(
+        "_bk",
+        F.coalesce(F.sum("_bn").over(off_w), F.lit(0)).alias("_boff"),
+    )
+    base = local.join(boffsets, "_bk").select(
+        "g4",
+        (F.col("_boff") + F.col("_loc") + 1).cast("bigint").alias("_base"),
+    )
+    work = pos.join(base, "g4").select(
         "doc_id", "off", F.col("_base").alias("rank")
     )
-    return _prefix_double(work, max_chars)
+    return _prefix_double(work, max_chars, h0=4)
 
 
-def _prefix_double(work: DataFrame, max_units: int) -> DataFrame:
+def _prefix_double(
+    work: DataFrame, max_units: int, *, h0: int = 1
+) -> DataFrame:
     """The grain-agnostic prefix-doubling loop: ``work`` is
-    ``(doc_id, off, rank)`` with round-0 (single-unit) non-dense ranks;
-    ``off`` counts UNITS (chars or tokens — the loop only ever shifts
-    it), and the refinement runs ``log2(max_units)`` rounds."""
+    ``(doc_id, off, rank)`` with round-0 non-dense ranks covering the
+    first ``h0`` units; ``off`` counts UNITS (chars or tokens — the
+    loop only ever shifts it), and the refinement runs
+    ``log2(max_units / h0)`` rounds."""
     work = work.localCheckpoint()
+    if h0 >= max_units:  # base ranks already cover the whole window
+        return work
 
     # a frozen (singleton-group) position never re-activates, so only
     # the last round's refined rows can still split: per-round work is
@@ -124,7 +153,7 @@ def _prefix_double(work: DataFrame, max_units: int) -> DataFrame:
     # near-duplicate tail after a few rounds.  Frozen pieces accumulate
     # as checkpointed RDDs and serve rank lookups without recompute.
     frozen: list[DataFrame] = []
-    h = 1
+    h = h0
     grp_w = Window.partitionBy("rank").orderBy("nxt")
     while h < max_units:
         # one window marks group sizes in place (the former
