@@ -372,7 +372,15 @@ def suffix_ranks_tokens(
     partitions by the token's 2-char PREFIX (prefix order agrees with
     token order), and only the bucket-count offsets (≤ charset² rows)
     see an unpartitioned window."""
-    toks = _token_docs(df, id_col, text_col, max_tokens)
+    return _token_ranks(
+        _token_docs(df, id_col, text_col, max_tokens), max_tokens
+    )
+
+
+def _token_ranks(toks: DataFrame, max_tokens: int) -> DataFrame:
+    """The token-grain rank builder over an already-windowed
+    ``(doc_id, toks)`` relation — ``doc_id`` may be any joinable type
+    (the tiled variant passes a (doc, window) struct)."""
     pos = toks.select(
         "doc_id", F.posexplode("toks").alias("off0", "w")
     ).select("doc_id", (F.col("off0") + 1).alias("off"), "w")
@@ -800,6 +808,17 @@ def cut_repeat_spans_sa_tokens(
     spans = repeat_spans_sa_tokens(
         df, id_col, text_col, max_tokens=max_tokens, min_tokens=min_tokens
     )
+    return _cut_token_spans(df, id_col, text_col, spans)
+
+
+def _cut_token_spans(
+    df: DataFrame, id_col: str, text_col: str, spans: DataFrame
+) -> DataFrame:
+    """The removal half shared by the token-grain span cutters: merged
+    ``(doc_id, span_start, span_end)`` TOKEN marks collect per doc and
+    ONE ``aggregate()`` cursor splices the kept token slices, joined
+    with single spaces (whitespace-normalized by the token-grain
+    contract); unmarked docs pass through the left join."""
     per_doc = spans.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias(
             "spans"
@@ -1057,3 +1076,98 @@ def cut_contaminated_spans_sa(
         (F.col("off") + F.col("m") - 1).alias("e"),
     )
     return _cut_char_spans(new, id_col, text_col, _merge_islands(marked))
+
+
+def _tiled_token_docs(
+    df: DataFrame, id_col: str, text_col: str, tile: int, stride: int
+) -> DataFrame:
+    """(doc_id=struct(d, w), toks): token-grain twin of
+    :func:`_tiled_docs` — each doc's whitespace-token stream split into
+    consecutive ``tile``-token windows starting every ``stride``
+    tokens; windows jointly cover every token and consecutive windows
+    overlap by ``tile - stride`` tokens."""
+    full = (
+        df.select(
+            F.col(id_col).alias("_d"),
+            F.split(
+                F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+            ).alias("_ft"),
+        )
+        .filter(
+            (F.size("_ft") > 1) | (F.element_at("_ft", 1) != "")
+        )
+    )
+    nwin = F.greatest(
+        F.lit(1),
+        (F.ceil((F.size("_ft") - F.lit(tile)) / F.lit(stride)) + 1).cast(
+            "int"
+        ),
+    )
+    return full.select(
+        "_d", F.explode(F.sequence(F.lit(1), nwin)).alias("_w"), "_ft"
+    ).select(
+        F.struct(F.col("_d").alias("d"), F.col("_w").alias("w")).alias(
+            "doc_id"
+        ),
+        F.expr(f"slice(_ft, (_w - 1) * {stride} + 1, {tile})").alias("toks"),
+    )
+
+
+def repeat_spans_sa_tokens_tiled(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    tile: int = 64,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """FULL-DOCUMENT :func:`repeat_spans_sa_tokens`: merged TOKEN spans
+    covered by a whole sequence of >= ``min_tokens`` tokens repeated in
+    the corpus, over the ENTIRE token stream of every doc — the
+    token-grain twin of :func:`repeat_spans_sa_tiled`, with the same
+    exactness argument one alphabet up: every >= ``min_tokens`` repeat
+    occurrence fits wholly inside at least one window (windows overlap
+    by ``min_tokens - 1`` tokens), a position's own copy in the
+    adjacent window carries < ``min_tokens`` tokens, and coverage by
+    whole repeats equals coverage by duplicated ``min_tokens``-grams —
+    the independent oracle's algorithm.
+
+    Returns ``(doc_id, span_start, span_end)`` — 1-based absolute
+    TOKEN indices, end inclusive, anywhere in the doc."""
+    if min_tokens < 2 or min_tokens > tile:
+        raise ValueError(
+            f"need 2 <= min_tokens <= tile, got min_tokens={min_tokens} "
+            f"tile={tile}"
+        )
+    stride = tile - (min_tokens - 1)
+    wdocs = _tiled_token_docs(df, id_col, text_col, tile, stride)
+    ranks = _token_ranks(wdocs, tile)
+    pos = _position_dup_lengths(ranks, wdocs, "token", tile)
+    base = (F.col("doc_id.w") - 1) * stride + F.col("off")
+    marked = pos.filter(F.col("dup_len") >= min_tokens).select(
+        F.col("doc_id.d").alias("doc_id"),
+        base.alias("s"),
+        (base + F.col("dup_len") - 1).alias("e"),
+    )
+    return _merge_islands(marked)
+
+
+def cut_repeat_spans_sa_tokens_tiled(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    tile: int = 64,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """FULL-DOCUMENT :func:`cut_repeat_spans_sa_tokens`: whole-repeat
+    token spans marked ANYWHERE in each doc by the tiled-window
+    token-grain suffix array and cut out of the token stream
+    (whitespace-normalized reassembly, the token-grain contract).
+
+    Returns ``(doc_id, clean_text, n_spans, n_cut)`` — ``n_cut`` in
+    TOKENS."""
+    spans = repeat_spans_sa_tokens_tiled(
+        df, id_col, text_col, tile=tile, min_tokens=min_tokens
+    )
+    return _cut_token_spans(df, id_col, text_col, spans)

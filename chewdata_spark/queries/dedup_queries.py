@@ -2668,3 +2668,85 @@ def stream_cut_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["stream_cut_spans_sa"] = stream_cut_spans_sa
 ORACLES["stream_cut_spans_sa"] = DECONTAMINATE_CUT_SPANS_SA_SQL
+
+
+def dedup_cut_spans_sa_tokens_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-DOCUMENT token-grain exact-sequence dedup: whole >= 5-token
+    repeats marked ANYWHERE in each doc by the TILED token-grain
+    suffix array (64-token windows overlapping by 4) and cut from the
+    token stream (operators/suffix.py::cut_repeat_spans_sa_tokens_tiled;
+    whitespace-normalized reassembly, the token-grain contract).
+    Completes the grain symmetry with dedup_cut_spans_sa_full — the
+    oracle is the same independent algorithm one alphabet up: coverage
+    by 5-token grams occurring >= 2 times corpus-wide."""
+    from chewdata_spark.operators.suffix import cut_repeat_spans_sa_tokens_tiled
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cut_repeat_spans_sa_tokens_tiled(
+        docs, "doc_id", "text", tile=64, min_tokens=5
+    )
+
+
+CUT_SPANS_SA_TOKENS_FULL_SQL = """
+WITH d0 AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+    FROM documents WHERE text IS NOT NULL
+), d AS (
+    SELECT doc_id, toks FROM d0
+    WHERE len(toks) > 1 OR (len(toks) = 1 AND toks[1] <> '')
+), gg AS (
+    SELECT doc_id, off, list_slice(toks, off, off + 4) AS gram
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - 4)) AS off
+          FROM d WHERE len(toks) >= 5)
+), dup AS (
+    SELECT gram FROM gg GROUP BY gram HAVING COUNT(*) >= 2
+), marked AS (
+    SELECT doc_id, off AS s, off + 4 AS e FROM gg JOIN dup USING (gram)
+), isl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS ni
+    FROM marked
+), isl2 AS (
+    SELECT doc_id, s, e,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM isl
+), spans AS (
+    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+    FROM isl2 GROUP BY doc_id, island
+), cov AS (
+    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
+), alldocs AS (
+    SELECT doc_id,
+           string_split_regex(trim(COALESCE(text, '')), '\\s+') AS ftoks
+    FROM documents
+), tpos AS (
+    SELECT doc_id, ftoks[i] AS w, i
+    FROM (SELECT doc_id, ftoks,
+                 unnest(generate_series(1, len(ftoks))) AS i FROM alldocs)
+), keep AS (
+    SELECT t.doc_id,
+           COALESCE(string_agg(t.w, ' ' ORDER BY t.i)
+                    FILTER (WHERE c.i IS NULL), '') AS clean_text,
+           COUNT(*) FILTER (WHERE c.i IS NOT NULL) AS n_cut
+    FROM tpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i
+    GROUP BY t.doc_id
+), nsp AS (
+    SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+)
+SELECT a.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(COALESCE(n.n_spans, 0) AS INT) AS n_spans,
+       CAST(COALESCE(k.n_cut, 0) AS INT) AS n_cut
+FROM alldocs a
+LEFT JOIN keep k USING (doc_id)
+LEFT JOIN nsp n USING (doc_id)
+"""
+
+QUERIES["dedup_cut_spans_sa_tokens_full"] = dedup_cut_spans_sa_tokens_full
+ORACLES["dedup_cut_spans_sa_tokens_full"] = CUT_SPANS_SA_TOKENS_FULL_SQL

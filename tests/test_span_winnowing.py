@@ -792,3 +792,81 @@ def test_cut_contaminated_spans_sa(spark):
     assert out[1]["n_spans"] == 1 and leak1 not in out[1]["clean_text"]
     assert out[3]["clean_text"] == new_rows[1][1]
     assert out[5]["clean_text"] == "" and out[5]["n_spans"] == 0
+
+
+def test_tiled_sa_tokens_cut_finds_repeat_beyond_head_window(spark):
+    """Token-grain tiled SA: a >= 5-token repeat planted beyond the
+    64-token head window is cut by the tiled variant (head-window twin
+    misses it); span set matches brute-force duplicated-5-token-gram
+    coverage."""
+    from chewdata_spark.operators.suffix import (
+        cut_repeat_spans_sa_tokens,
+        cut_repeat_spans_sa_tokens_tiled,
+        repeat_spans_sa_tokens_tiled,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(300)]
+
+    def noise(n):
+        return [rng.choice(vocab) for _ in range(n)]
+
+    passage = ["LEAK1", "LEAK2", "LEAK3", "LEAK4", "LEAK5", "LEAK6"]
+    toks = {
+        1: noise(80) + passage + noise(10),   # repeat at token 81+
+        2: noise(70) + passage + noise(20),
+        3: noise(95),
+    }
+    df = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in sorted(toks.items())],
+        "doc_id long, text string",
+    )
+    head = {
+        r["doc_id"]: r
+        for r in cut_repeat_spans_sa_tokens(
+            df, "doc_id", "text", max_tokens=64, min_tokens=5
+        ).collect()
+    }
+    assert head[1]["n_cut"] == 0 and head[2]["n_cut"] == 0
+    full = {
+        r["doc_id"]: r
+        for r in cut_repeat_spans_sa_tokens_tiled(
+            df, "doc_id", "text", tile=64, min_tokens=5
+        ).collect()
+    }
+    assert full[1]["n_cut"] == 6 and "LEAK1" not in full[1]["clean_text"]
+    assert full[2]["n_cut"] == 6 and "LEAK6" not in full[2]["clean_text"]
+    assert full[3]["clean_text"] == " ".join(toks[3])
+
+    # brute-force oracle: coverage by duplicated 5-token grams
+    from collections import Counter
+
+    grams = Counter(
+        tuple(t[i : i + 5])
+        for t in toks.values()
+        for i in range(len(t) - 4)
+    )
+    expected = []
+    for d, t in toks.items():
+        cov = sorted(
+            {
+                j
+                for i in range(len(t) - 4)
+                if grams[tuple(t[i : i + 5])] >= 2
+                for j in range(i + 1, i + 6)
+            }
+        )
+        run_s = None
+        for k2, j in enumerate(cov):
+            if run_s is None:
+                run_s = j
+            if k2 + 1 == len(cov) or cov[k2 + 1] != j + 1:
+                expected.append((d, run_s, j))
+                run_s = None
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in repeat_spans_sa_tokens_tiled(
+            df, "doc_id", "text", tile=64, min_tokens=5
+        ).collect()
+    )
+    assert got == sorted(expected)
