@@ -870,3 +870,54 @@ def test_tiled_sa_tokens_cut_finds_repeat_beyond_head_window(spark):
         ).collect()
     )
     assert got == sorted(expected)
+
+
+@pytest.mark.parametrize("seed,alpha", [(1, "ab"), (2, "abc"), (3, "ab")])
+def test_tiled_sa_randomized_equivalence(spark, seed, alpha):
+    """Adversarial randomized check of the tiled device: tiny alphabets
+    make repeats dense and periodic (self-overlap pressure at every
+    window boundary), where a tiling bug would show first.  Tiled spans
+    must equal brute-force duplicated-min_len-gram coverage runs
+    exactly, with tile=32 forcing many windows per doc."""
+    from collections import Counter
+
+    from chewdata_spark.operators.suffix import repeat_spans_sa_tiled
+
+    rng = random.Random(seed)
+    min_len, tile = 6, 32
+    texts = {
+        d: "".join(rng.choice(alpha) for _ in range(rng.randint(1, 220)))
+        for d in range(1, 7)
+    }
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in repeat_spans_sa_tiled(
+            df, "doc_id", "text", tile=tile, min_len=min_len
+        ).collect()
+    )
+    grams = Counter(
+        t[i : i + min_len]
+        for t in texts.values()
+        for i in range(len(t) - min_len + 1)
+    )
+    expected = []
+    for d, t in texts.items():
+        cov = sorted(
+            {
+                j
+                for i in range(len(t) - min_len + 1)
+                if grams[t[i : i + min_len]] >= 2
+                for j in range(i + 1, i + min_len + 1)
+            }
+        )
+        run_s = None
+        for k2, j in enumerate(cov):
+            if run_s is None:
+                run_s = j
+            if k2 + 1 == len(cov) or cov[k2 + 1] != j + 1:
+                expected.append((d, run_s, j))
+                run_s = None
+    assert got == sorted(expected)
