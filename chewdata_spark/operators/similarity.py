@@ -191,6 +191,64 @@ def assign_ivf_clusters(
     return renamed.mapInPandas(gen, out_schema), centroids
 
 
+def _ivf_probes(q, centroids, nprobe):
+    """(qid, qvec, cluster): each query's top-``nprobe`` clusters by
+    FULL-dimension cosine against the broadcast centroid set —
+    deterministic (6-dp rounding, cid tie-break); shared by
+    :func:`ivf_topk` and :func:`matryoshka_ivf_topk` so their oracles'
+    determinism contract can never diverge."""
+    return (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_psim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn(
+            "_prb",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("_psim").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("_prb") <= nprobe)
+        .select("qid", "qvec", F.col("cid").alias("cluster"))
+    )
+
+
+def _two_level_topc(
+    scored, order_col: str, candidates: int, n_salts: int = 32
+):
+    """Lossless per-qid top-``candidates`` by ``(order_col desc,
+    vec_id asc)`` WITHOUT a corpus-wide window: per-(qid, salt) top-C
+    first, then top-C of the ``n_salts * candidates`` survivors —
+    every global top-C row is top-C within its own salt.  ``scored``
+    must carry qid and vec_id; extra columns ride along."""
+    pre_w = Window.partitionBy("qid", "_salt").orderBy(
+        F.col(order_col).desc(), F.col("vec_id").asc()
+    )
+    fin_w = Window.partitionBy("qid").orderBy(
+        F.col(order_col).desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("_salt", F.pmod(F.col("vec_id"), F.lit(n_salts)))
+        .withColumn("_prk", F.row_number().over(pre_w))
+        .filter(F.col("_prk") <= candidates)
+        .withColumn("_crk", F.row_number().over(fin_w))
+        .filter(F.col("_crk") <= candidates)
+    )
+
+
+def _rank_topk(exact, k: int):
+    """Final exact-score top-``k`` per query: (qid, vec_id, sim, rank),
+    (sim desc, vec_id asc) deterministic order."""
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "sim", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -211,20 +269,8 @@ def ivf_topk(
         corpus, id_col=id_col, vec_col=vec_col, centroid_stride=centroid_stride
     )
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
-            ),
-        )
-        .filter(F.col("rk") <= nprobe)
-        .select("qid", "qvec", F.col("cid").alias("cluster"))
-    )
     scored = (
-        assigned.join(probes, "cluster")
+        assigned.join(_ivf_probes(q, centroids, nprobe), "cluster")
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
@@ -232,12 +278,7 @@ def ivf_topk(
             F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "vec_id", "sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def near_dup_pairs_exact(
@@ -1081,7 +1122,6 @@ def matryoshka_topk(
     query; the exact stage is ``candidates``-bounded.
     Output: (qid, vec_id, sim, rank), self-matches excluded.
     """
-    n_salts = 32
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
@@ -1099,34 +1139,15 @@ def matryoshka_topk(
             "qvec",
             "cvec",
             F.round(cosine(coarse_q, coarse_c), 6).alias("coarse"),
-            F.pmod(F.col("vec_id"), F.lit(n_salts)).alias("_salt"),
         )
     )
-    w0 = Window.partitionBy("qid", "_salt").orderBy(
-        F.col("coarse").desc(), F.col("vec_id").asc()
-    )
-    pre = scored.withColumn("_prk", F.row_number().over(w0)).filter(
-        F.col("_prk") <= candidates
-    )
-    w1 = Window.partitionBy("qid").orderBy(
-        F.col("coarse").desc(), F.col("vec_id").asc()
-    )
-    cand = pre.withColumn("_crk", F.row_number().over(w1)).filter(
-        F.col("_crk") <= candidates
-    )
+    cand = _two_level_topc(scored, "coarse", candidates)
     exact = cand.select(
         "qid",
         "vec_id",
         F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
     )
-    w2 = Window.partitionBy("qid").orderBy(
-        F.col("sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("qid", "vec_id", "sim", "rank")
-    )
+    return _rank_topk(exact, k)
 
 
 def matryoshka_ivf_topk(
@@ -1160,29 +1181,14 @@ def matryoshka_ivf_topk(
     selection as :func:`matryoshka_topk` (per-(qid, salt) top-C, then
     top-C of survivors) — no window spans the probed set per query.
     Output: (qid, vec_id, sim, rank), self-matches excluded."""
-    n_salts = 32
     assigned, centroids = assign_ivf_clusters(
         corpus, id_col=id_col, vec_col=vec_col, centroid_stride=centroid_stride
     )
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("psim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(
-                    F.col("psim").desc(), F.col("cid").asc()
-                )
-            ),
-        )
-        .filter(F.col("rk") <= nprobe)
-        .select("qid", "qvec", F.col("cid").alias("cluster"))
-    )
     coarse_q = F.slice(F.col("qvec"), 1, coarse_dims)
     coarse_c = F.slice(F.col("vec"), 1, coarse_dims)
     scored = (
-        assigned.join(probes, "cluster")
+        assigned.join(_ivf_probes(q, centroids, nprobe), "cluster")
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
@@ -1190,31 +1196,12 @@ def matryoshka_ivf_topk(
             "qvec",
             "vec",
             F.round(cosine(coarse_q, coarse_c), 6).alias("coarse"),
-            F.pmod(F.col("vec_id"), F.lit(n_salts)).alias("_salt"),
         )
     )
-    w0 = Window.partitionBy("qid", "_salt").orderBy(
-        F.col("coarse").desc(), F.col("vec_id").asc()
-    )
-    pre = scored.withColumn("_prk", F.row_number().over(w0)).filter(
-        F.col("_prk") <= candidates
-    )
-    w1 = Window.partitionBy("qid").orderBy(
-        F.col("coarse").desc(), F.col("vec_id").asc()
-    )
-    cand = pre.withColumn("_crk", F.row_number().over(w1)).filter(
-        F.col("_crk") <= candidates
-    )
+    cand = _two_level_topc(scored, "coarse", candidates)
     exact = cand.select(
         "qid",
         "vec_id",
         F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
     )
-    w2 = Window.partitionBy("qid").orderBy(
-        F.col("sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("qid", "vec_id", "sim", "rank")
-    )
+    return _rank_topk(exact, k)

@@ -109,11 +109,22 @@ def _char_ranks(docs: DataFrame, max_chars: int) -> DataFrame:
             F.expr("substring(t, off, 4)").alias("g4"),
         )
     )
-    counts = pos.groupBy("g4").agg(F.count(F.lit(1)).alias("_n"))
-    bucketed = counts.withColumn("_bk", F.substring("g4", 1, 2))
+    return _prefix_double(_two_level_base_ranks(pos, "g4"), max_chars, h0=4)
+
+
+def _two_level_base_ranks(pos: DataFrame, unit_col: str) -> DataFrame:
+    """(doc_id, off, rank): round-0 non-dense ranks of a
+    vocabulary-sized unit column (4-char gram or whole token) via the
+    two-level ORDER-PRESERVING prefix sum — the corpus-sized window
+    partitions by the unit's 2-char prefix (prefix order agrees with
+    unit order), and only the bucket-count offsets (<= charset² rows)
+    see an unpartitioned window.  ``rank = 1 + #positions with a
+    strictly smaller unit``; ties share."""
+    counts = pos.groupBy(unit_col).agg(F.count(F.lit(1)).alias("_n"))
+    bucketed = counts.withColumn("_bk", F.substring(unit_col, 1, 2))
     in_bucket = (
         Window.partitionBy("_bk")
-        .orderBy("g4")
+        .orderBy(unit_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = bucketed.withColumn(
@@ -126,13 +137,12 @@ def _char_ranks(docs: DataFrame, max_chars: int) -> DataFrame:
         F.coalesce(F.sum("_bn").over(off_w), F.lit(0)).alias("_boff"),
     )
     base = local.join(boffsets, "_bk").select(
-        "g4",
+        unit_col,
         (F.col("_boff") + F.col("_loc") + 1).cast("bigint").alias("_base"),
     )
-    work = pos.join(base, "g4").select(
+    return pos.join(base, unit_col).select(
         "doc_id", "off", F.col("_base").alias("rank")
     )
-    return _prefix_double(work, max_chars, h0=4)
 
 
 def _prefix_double(
@@ -384,30 +394,7 @@ def _token_ranks(toks: DataFrame, max_tokens: int) -> DataFrame:
     pos = toks.select(
         "doc_id", F.posexplode("toks").alias("off0", "w")
     ).select("doc_id", (F.col("off0") + 1).alias("off"), "w")
-    counts = pos.groupBy("w").agg(F.count(F.lit(1)).alias("_n"))
-    bucketed = counts.withColumn("_bk", F.substring("w", 1, 2))
-    in_bucket = (
-        Window.partitionBy("_bk")
-        .orderBy("w")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = bucketed.withColumn(
-        "_loc", F.coalesce(F.sum("_n").over(in_bucket), F.lit(0))
-    )
-    bcounts = bucketed.groupBy("_bk").agg(F.sum("_n").alias("_bn"))
-    off_w = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
-    boffsets = bcounts.select(
-        "_bk",
-        F.coalesce(F.sum("_bn").over(off_w), F.lit(0)).alias("_boff"),
-    )
-    base = local.join(boffsets, "_bk").select(
-        "w",
-        (F.col("_boff") + F.col("_loc") + 1).cast("bigint").alias("_base"),
-    )
-    work = pos.join(base, "w").select(
-        "doc_id", "off", F.col("_base").alias("rank")
-    )
-    return _prefix_double(work, max_tokens)
+    return _prefix_double(_two_level_base_ranks(pos, "w"), max_tokens)
 
 
 def longest_repeated_substrings(

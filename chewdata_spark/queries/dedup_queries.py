@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from chewdata_spark.operators import dedup
 from chewdata_spark.operators.dedup import _OBS_SEQ
+from chewdata_spark.operators.suffix import _lcp_sql
 from chewdata_spark.tables import load_table
 
 
@@ -1706,6 +1707,51 @@ ORACLES["dedup_incremental_ingest_sa"] = INCREMENTAL_INGEST_SA_SQL
 _SA_STREAM_RUN = {"n": 0}
 
 
+def _sa_seen_bucket_arrays(
+    spark, sf_dir, *, max_chars, bucket_len, max_bucket, obs_prefix
+):
+    """The static side shared by the streaming SA twins: the even-id
+    corpus's DISTINCT head-window suffixes grouped to (prefix bucket ->
+    SORTED suffix array), with hot buckets capped at ``max_bucket``
+    BEFORE the collect (so a boilerplate bucket never materializes an
+    unbounded array row) and the drop count riding the plan as the
+    ``<obs_prefix>_<n>/dropped_hot_buckets`` observe metric — the same
+    cap the batch twins apply, mirrored in the shared oracle HAVING."""
+    from pyspark.sql import functions as F
+
+    seen_suf = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.substring("text", 1, max_chars).alias("t"))
+        .filter(F.length("t") > 0)
+        .select(
+            F.posexplode(F.split(F.col("t"), "(?!^)")).alias("off0", "ch"), "t"
+        )
+        .filter(F.col("ch") != "")
+        .select(F.expr(f"substring(t, off0 + 1, {max_chars})").alias("suf"))
+        .distinct()
+        .withColumn("_bk", F.substring("suf", 1, bucket_len))
+    )
+    sizes = seen_suf.groupBy("_bk").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).observe(
+        f"{obs_prefix}_{next(_OBS_SEQ)}",
+        F.sum(
+            F.when(F.col("_n") > max_bucket, F.lit(1)).otherwise(F.lit(0))
+        ).alias("dropped_hot_buckets"),
+    )
+    return (
+        seen_suf.join(
+            sizes.filter(F.col("_n") <= max_bucket).select("_bk"),
+            "_bk",
+            "left_semi",
+        )
+        .groupBy("_bk")
+        .agg(F.sort_array(F.collect_list("suf")).alias("arr"))
+    )
+
+
+
 def stream_ingest_dedup_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of dedup_incremental_ingest_sa: odd doc_ids
     arrive as a file stream and are gated on exact >= 30-char substring
@@ -1744,36 +1790,9 @@ def stream_ingest_dedup_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_chars, min_len, bucket_len, max_bucket = 128, 30, 8, 10_000
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
-
-    seen_suf = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 2 == 0)
-        .select(F.substring("text", 1, max_chars).alias("t"))
-        .filter(F.length("t") > 0)
-        .select(
-            F.posexplode(F.split(F.col("t"), "(?!^)")).alias("off0", "ch"), "t"
-        )
-        .filter(F.col("ch") != "")
-        .select(F.expr(f"substring(t, off0 + 1, {max_chars})").alias("suf"))
-        .distinct()
-        .withColumn("_bk", F.substring("suf", 1, bucket_len))
-    )
-    sizes = seen_suf.groupBy("_bk").agg(
-        F.count(F.lit(1)).alias("_n")
-    ).observe(
-        f"sa_stream_ingest_{next(_OBS_SEQ)}",
-        F.sum(
-            F.when(F.col("_n") > max_bucket, F.lit(1)).otherwise(F.lit(0))
-        ).alias("dropped_hot_buckets"),
-    )
-    seen_arr = (
-        seen_suf.join(
-            sizes.filter(F.col("_n") <= max_bucket).select("_bk"),
-            "_bk",
-            "left_semi",
-        )
-        .groupBy("_bk")
-        .agg(F.sort_array(F.collect_list("suf")).alias("arr"))
+    seen_arr = _sa_seen_bucket_arrays(
+        spark, sf_dir, max_chars=max_chars, bucket_len=bucket_len,
+        max_bucket=max_bucket, obs_prefix="sa_stream_ingest",
     )
 
     stream = (
@@ -1800,23 +1819,16 @@ def stream_ingest_dedup_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = joined.withColumn(
         "_pred", F.expr("array_max(filter(arr, x -> x <= suf))")
     ).withColumn("_succ", F.expr("array_min(filter(arr, x -> x > suf))"))
-    lcp = """
-        aggregate(
-          sequence(1, least(length(suf), length({o}))),
-          named_struct('n', 0, 'go', true),
-          (acc, i) -> if(acc.go and substring(suf, i, 1) = substring({o}, i, 1),
-                         named_struct('n', acc.n + 1, 'go', true),
-                         named_struct('n', acc.n, 'go', false))
-        ).n
-    """
     scored = nb.select(
         "doc_id",
         F.greatest(
             F.when(
-                F.col("_pred").isNotNull(), F.expr(lcp.format(o="_pred"))
+                F.col("_pred").isNotNull(),
+                F.expr(_lcp_sql("char", b="_pred")),
             ).otherwise(0),
             F.when(
-                F.col("_succ").isNotNull(), F.expr(lcp.format(o="_succ"))
+                F.col("_succ").isNotNull(),
+                F.expr(_lcp_sql("char", b="_succ")),
             ).otherwise(0),
         ).alias("_m"),
     )
@@ -2536,36 +2548,9 @@ def stream_cut_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_chars, min_len, bucket_len, max_bucket = 128, 30, 8, 10_000
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
-
-    seen_suf = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 2 == 0)
-        .select(F.substring("text", 1, max_chars).alias("t"))
-        .filter(F.length("t") > 0)
-        .select(
-            F.posexplode(F.split(F.col("t"), "(?!^)")).alias("off0", "ch"), "t"
-        )
-        .filter(F.col("ch") != "")
-        .select(F.expr(f"substring(t, off0 + 1, {max_chars})").alias("suf"))
-        .distinct()
-        .withColumn("_bk", F.substring("suf", 1, bucket_len))
-    )
-    sizes = seen_suf.groupBy("_bk").agg(
-        F.count(F.lit(1)).alias("_n")
-    ).observe(
-        f"sa_stream_cut_{next(_OBS_SEQ)}",
-        F.sum(
-            F.when(F.col("_n") > max_bucket, F.lit(1)).otherwise(F.lit(0))
-        ).alias("dropped_hot_buckets"),
-    )
-    seen_arr = (
-        seen_suf.join(
-            sizes.filter(F.col("_n") <= max_bucket).select("_bk"),
-            "_bk",
-            "left_semi",
-        )
-        .groupBy("_bk")
-        .agg(F.sort_array(F.collect_list("suf")).alias("arr"))
+    seen_arr = _sa_seen_bucket_arrays(
+        spark, sf_dir, max_chars=max_chars, bucket_len=bucket_len,
+        max_bucket=max_bucket, obs_prefix="sa_stream_cut",
     )
 
     stream = (
@@ -2593,25 +2578,18 @@ def stream_cut_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = joined.withColumn(
         "_pred", F.expr("array_max(filter(arr, x -> x <= suf))")
     ).withColumn("_succ", F.expr("array_min(filter(arr, x -> x > suf))"))
-    lcp = """
-        aggregate(
-          sequence(1, least(length(suf), length({o}))),
-          named_struct('n', 0, 'go', true),
-          (acc, i) -> if(acc.go and substring(suf, i, 1) = substring({o}, i, 1),
-                         named_struct('n', acc.n + 1, 'go', true),
-                         named_struct('n', acc.n, 'go', false))
-        ).n
-    """
     scored = nb.select(
         "doc_id",
         "ft",
         "off",
         F.greatest(
             F.when(
-                F.col("_pred").isNotNull(), F.expr(lcp.format(o="_pred"))
+                F.col("_pred").isNotNull(),
+                F.expr(_lcp_sql("char", b="_pred")),
             ).otherwise(0),
             F.when(
-                F.col("_succ").isNotNull(), F.expr(lcp.format(o="_succ"))
+                F.col("_succ").isNotNull(),
+                F.expr(_lcp_sql("char", b="_succ")),
             ).otherwise(0),
         ).alias("_m"),
     )
