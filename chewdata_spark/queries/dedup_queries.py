@@ -2728,3 +2728,108 @@ LEFT JOIN nsp n USING (doc_id)
 
 QUERIES["dedup_cut_spans_sa_tokens_full"] = dedup_cut_spans_sa_tokens_full
 ORACLES["dedup_cut_spans_sa_tokens_full"] = CUT_SPANS_SA_TOKENS_FULL_SQL
+
+
+def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE benchmark-leakage report — the audit table that tells
+    an ingest owner WHICH feed is leaking the eval set: training docs
+    (doc_id % 97 != 0) rank against the benchmark slice's suffix order
+    (operators/suffix.py::sa_incremental_contamination, >= 30-char
+    exact runs), then roll up by ingest source: doc count, contaminated
+    count (the exact INT pair IS the contamination share — no float
+    column to hash), and the worst verbatim run length.  Sources
+    with zero contamination still appear — the all-clear rows are the
+    point of an audit."""
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators.suffix import sa_incremental_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    gate = sa_incremental_contamination(
+        train, bench, "doc_id", "text",
+        max_chars=128, min_len=30, bucket_len=8,
+    )
+    return (
+        gate.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_contaminated"),
+            F.max("max_shared_len").cast("int").alias("worst_run_len"),
+        )
+        .orderBy("source")
+    )
+
+
+CONTAMINATION_BY_SOURCE_SQL = """
+WITH newd AS (
+    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
+    WHERE doc_id % 97 <> 0 AND text IS NOT NULL
+      AND length(substr(text, 1, 128)) > 0
+), seend AS (
+    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
+    WHERE doc_id % 97 = 0 AND text IS NOT NULL
+      AND length(substr(text, 1, 128)) > 0
+), newsuf AS (
+    SELECT doc_id, substr(t, off) AS suf
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, length(t))) AS off FROM newd)
+), seensuf0 AS (
+    SELECT DISTINCT substr(t, off) AS suf
+    FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
+), okbk AS (
+    SELECT substr(suf, 1, 8) AS bk FROM seensuf0
+    GROUP BY 1 HAVING COUNT(*) <= 10000
+), seensuf AS (
+    SELECT s.suf FROM seensuf0 s JOIN okbk k ON substr(s.suf, 1, 8) = k.bk
+), u AS (
+    SELECT CAST(NULL AS BIGINT) AS doc_id, suf, 1 AS is_seen FROM seensuf
+    UNION ALL
+    SELECT doc_id, suf, 0 AS is_seen FROM newsuf
+), nb AS (
+    SELECT doc_id, suf, is_seen,
+        LAST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
+            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pred,
+        FIRST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
+            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS succ
+    FROM u
+), scored AS (
+    SELECT doc_id,
+        greatest(
+            CASE WHEN pred IS NULL THEN 0 ELSE
+                COALESCE(([i FOR i IN generate_series(1,
+                               least(length(suf), length(pred)))
+                           IF substr(suf, i, 1) <> substr(pred, i, 1)])[1],
+                         least(length(suf), length(pred)) + 1) - 1 END,
+            CASE WHEN succ IS NULL THEN 0 ELSE
+                COALESCE(([i FOR i IN generate_series(1,
+                               least(length(suf), length(succ)))
+                           IF substr(suf, i, 1) <> substr(succ, i, 1)])[1],
+                         least(length(suf), length(succ)) + 1) - 1 END
+        ) AS m
+    FROM nb WHERE is_seen = 0
+), per_doc AS (
+    SELECT doc_id, MAX(m) AS msl FROM scored GROUP BY doc_id
+), gate AS (
+    SELECT a.doc_id, d.source,
+           COALESCE(p.msl, 0) AS msl
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) a
+    JOIN documents d USING (doc_id)
+    LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(SUM(CASE WHEN msl >= 30 THEN 1 ELSE 0 END) AS INT)
+           AS n_contaminated,
+       CAST(MAX(msl) AS INT) AS worst_run_len
+FROM gate GROUP BY source ORDER BY source
+"""
+
+QUERIES["contamination_by_source"] = contamination_by_source
+ORACLES["contamination_by_source"] = CONTAMINATION_BY_SOURCE_SQL
