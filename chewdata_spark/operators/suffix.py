@@ -390,11 +390,29 @@ def suffix_ranks_tokens(
 def _token_ranks(toks: DataFrame, max_tokens: int) -> DataFrame:
     """The token-grain rank builder over an already-windowed
     ``(doc_id, toks)`` relation — ``doc_id`` may be any joinable type
-    (the tiled variant passes a (doc, window) struct)."""
+    (the tiled variant passes a (doc, window) struct).
+
+    Round 0 ranks the first TWO tokens (h0=2), the token-grain twin of
+    the char path's 4-gram base: the base key is ``w1 || ' ' || w2``
+    (just ``w1`` for a final-position suffix) — whitespace-split
+    tokens cannot contain a space and the space sorts below every
+    token char, so plain string order of the joined key IS pair
+    lexicographic order with shorter-suffix-sorts-first, the exact
+    suffix convention the doubling loop refines."""
     pos = toks.select(
-        "doc_id", F.posexplode("toks").alias("off0", "w")
-    ).select("doc_id", (F.col("off0") + 1).alias("off"), "w")
-    return _prefix_double(_two_level_base_ranks(pos, "w"), max_tokens)
+        "doc_id",
+        F.posexplode("toks").alias("off0", "w"),
+        F.col("toks").alias("_tk"),
+    ).select(
+        "doc_id",
+        (F.col("off0") + 1).alias("off"),
+        F.concat_ws(
+            " ", "w", F.expr("try_element_at(_tk, CAST(off0 + 2 AS INT))")
+        ).alias("w2"),
+    )
+    return _prefix_double(
+        _two_level_base_ranks(pos, "w2"), max_tokens, h0=2
+    )
 
 
 def longest_repeated_substrings(
