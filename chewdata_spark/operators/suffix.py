@@ -616,6 +616,7 @@ def sa_contamination_scores(
     min_len: int = 30,
     bucket_len: int = 8,
     max_bucket: int | None = 10_000,
+    full_doc: bool = False,
 ) -> DataFrame:
     """(doc_id, off, m): for every suffix position of every ARRIVING
     doc, the length of the longest prefix it shares with ANY seen
@@ -624,6 +625,18 @@ def sa_contamination_scores(
     contamination-evidence report (which needs ``off`` to excerpt the
     leaked run).  Semantics, bucketing and the declared sub-bucket
     grain are documented on the doc-grain wrapper.
+
+    ``full_doc=True`` scans EVERY position of every doc on both sides
+    (no head window — a leak at char 500 is found); ``max_chars`` then
+    bounds only the per-suffix COMPARE length, which is sound for the
+    >= ``min_len`` decision because truncating both sides at any
+    ``L >= min_len`` preserves "shared prefix >= min_len" exactly — it
+    merely caps the reported ``m`` at ``L`` (so positions inside a
+    longer run chain overlapping caps; the span union still covers the
+    whole run).  Unlike the repeat-spans family, full-document
+    contamination needs NO window tiling: no suffix array is built —
+    arrivals compare directly against seen neighbours per prefix
+    bucket.
 
     ``max_bucket`` is the standard hot-bucket cap every LSH-family
     operator here carries: a prefix bucket holding more than
@@ -643,23 +656,32 @@ def sa_contamination_scores(
             "cross-bucket neighbours have LCP < bucket_len, so a wider "
             "bucket would silently miss qualifying matches"
         )
+    if full_doc and max_chars < min_len:
+        raise ValueError(
+            f"full_doc compare length max_chars ({max_chars}) must be >= "
+            f"min_len ({min_len}): a shorter compare window could not "
+            "certify a qualifying match"
+        )
 
     def _sufs(df: DataFrame) -> DataFrame:
+        t = (
+            F.coalesce(F.col(text_col), F.lit(""))
+            if full_doc
+            else F.substring(F.col(text_col), 1, max_chars)
+        )
         docs = df.select(
-            F.col(id_col).alias("doc_id"),
-            F.substring(F.col(text_col), 1, max_chars).alias("t"),
+            F.col(id_col).alias("doc_id"), t.alias("t")
         ).filter(F.length("t") > 0)
         return (
             docs.select(
                 "doc_id",
-                F.posexplode(F.split(F.col("t"), "(?!^)")).alias("off0", "ch"),
+                F.explode(F.expr("sequence(1, length(t))")).alias("off"),
                 "t",
             )
-            .filter(F.col("ch") != "")
             .select(
                 "doc_id",
-                (F.col("off0") + 1).cast("int").alias("off"),
-                F.expr(f"substring(t, off0 + 1, {max_chars})").alias("suf"),
+                F.col("off").cast("int").alias("off"),
+                F.expr(f"substring(t, off, {max_chars})").alias("suf"),
             )
         )
 
@@ -738,6 +760,7 @@ def sa_incremental_contamination(
     min_len: int = 30,
     bucket_len: int = 8,
     max_bucket: int | None = 10_000,
+    full_doc: bool = False,
 ) -> DataFrame:
     """INCREMENTAL suffix-array maintenance for ingest dedup: each
     arriving doc is ranked against the EXISTING corpus's suffix order
@@ -771,7 +794,7 @@ def sa_incremental_contamination(
     scored = sa_contamination_scores(
         new, seen, id_col, text_col,
         max_chars=max_chars, min_len=min_len, bucket_len=bucket_len,
-        max_bucket=max_bucket,
+        max_bucket=max_bucket, full_doc=full_doc,
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.max("m").cast("int").alias("max_shared_len")
@@ -1051,6 +1074,7 @@ def cut_contaminated_spans_sa(
     min_len: int = 30,
     bucket_len: int = 8,
     max_bucket: int | None = 10_000,
+    full_doc: bool = False,
 ) -> DataFrame:
     """SPAN-grain decontamination of ARRIVING docs against a STATIC
     corpus: every span of an arriving doc covered by a whole
@@ -1066,14 +1090,18 @@ def cut_contaminated_spans_sa(
     per prefix bucket, no rebuild, hot buckets capped), so the per-doc
     span set is ``[off, off + m - 1]`` for every position sharing
     >= ``min_len`` chars; spans merge per doc and the shared cut
-    cursor splices the kept pieces.  Marks live within the first
-    ``max_chars`` chars (the declared window); the tail beyond is
-    always kept.  Returns ``(doc_id, clean_text, n_spans, n_cut)``
-    for every arriving doc (unmarked docs pass through)."""
+    cursor splices the kept pieces.  By default marks live within the
+    first ``max_chars`` chars (the declared window) and the tail
+    beyond is always kept; ``full_doc=True`` marks and cuts leaked
+    runs ANYWHERE in the doc (``max_chars`` then only bounds the
+    per-suffix compare — overlapping capped marks still cover a run
+    longer than the cap, see :func:`sa_contamination_scores`).
+    Returns ``(doc_id, clean_text, n_spans, n_cut)`` for every
+    arriving doc (unmarked docs pass through)."""
     scored = sa_contamination_scores(
         new, seen, id_col, text_col,
         max_chars=max_chars, min_len=min_len, bucket_len=bucket_len,
-        max_bucket=max_bucket,
+        max_bucket=max_bucket, full_doc=full_doc,
     )
     marked = scored.filter(F.col("m") >= min_len).select(
         "doc_id",

