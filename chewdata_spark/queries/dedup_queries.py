@@ -1708,7 +1708,8 @@ _SA_STREAM_RUN = {"n": 0}
 
 
 def _sa_seen_bucket_arrays(
-    spark, sf_dir, *, max_chars, bucket_len, max_bucket, obs_prefix
+    spark, sf_dir, *, max_chars, bucket_len, max_bucket, obs_prefix,
+    full_doc=False,
 ):
     """The static side shared by the streaming SA twins: the even-id
     corpus's DISTINCT head-window suffixes grouped to (prefix bucket ->
@@ -1719,16 +1720,18 @@ def _sa_seen_bucket_arrays(
     cap the batch twins apply, mirrored in the shared oracle HAVING."""
     from pyspark.sql import functions as F
 
+    t = (
+        F.coalesce(F.col("text"), F.lit(""))
+        if full_doc
+        else F.substring("text", 1, max_chars)
+    )
     seen_suf = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 2 == 0)
-        .select(F.substring("text", 1, max_chars).alias("t"))
+        .select(t.alias("t"))
         .filter(F.length("t") > 0)
-        .select(
-            F.posexplode(F.split(F.col("t"), "(?!^)")).alias("off0", "ch"), "t"
-        )
-        .filter(F.col("ch") != "")
-        .select(F.expr(f"substring(t, off0 + 1, {max_chars})").alias("suf"))
+        .select("t", F.explode(F.expr("sequence(1, length(t))")).alias("off"))
+        .select(F.expr(f"substring(t, off, {max_chars})").alias("suf"))
         .distinct()
         .withColumn("_bk", F.substring("suf", 1, bucket_len))
     )
@@ -2539,26 +2542,49 @@ def stream_cut_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; the only stateful operator is the per-(doc, text)
     collect_list (complete mode, availableNow into a memory sink).
     The SAME oracle SQL replays both twins."""
+    return _stream_cut_spans_sa(spark, sf_dir, full_doc=False)
+
+
+def stream_cut_spans_sa_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-DOCUMENT streaming span decontamination — the fourth cell
+    of the head/full x batch/stream matrix: leaked >= 30-char runs are
+    cut from arriving docs WHEREVER they occur, in flight.  Positions
+    cover the whole doc on both sides and the 64-char compare cap
+    bounds only per-suffix work (sound for the >= 30 decision, chained
+    capped marks cover longer runs — see
+    decontaminate_cut_spans_sa_full, whose oracle replays this twin
+    verbatim)."""
+    return _stream_cut_spans_sa(spark, sf_dir, full_doc=True)
+
+
+def _stream_cut_spans_sa(
+    spark: SparkSession, sf_dir: str, *, full_doc: bool
+) -> DataFrame:
     import os
 
     from pyspark.sql import functions as F
 
     from chewdata_spark.streaming.ops import run_to_memory
 
-    max_chars, min_len, bucket_len, max_bucket = 128, 30, 8, 10_000
+    max_chars = 64 if full_doc else 128
+    min_len, bucket_len, max_bucket = 30, 8, 10_000
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
     seen_arr = _sa_seen_bucket_arrays(
         spark, sf_dir, max_chars=max_chars, bucket_len=bucket_len,
         max_bucket=max_bucket, obs_prefix="sa_stream_cut",
+        full_doc=full_doc,
     )
 
+    scan_t = (
+        F.col("ft") if full_doc else F.substring("ft", 1, max_chars)
+    )
     stream = (
         spark.readStream.schema(schema)
         .parquet(path + "*")
         .filter(F.col("doc_id") % 2 == 1)
         .withColumn("ft", F.coalesce(F.col("text"), F.lit("")))
-        .withColumn("t", F.substring("ft", 1, max_chars))
+        .withColumn("t", scan_t)
         .withColumn(
             "off",
             F.explode_outer(
@@ -2638,8 +2664,9 @@ def stream_cut_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("ft") - F.length(cut)).cast("int").alias("n_cut"),
     )
     _SA_STREAM_RUN["n"] += 1
+    kind = "full" if full_doc else "head"
     return run_to_memory(
-        out, f"_stream_cut_spans_sa_{_SA_STREAM_RUN['n']}",
+        out, f"_stream_cut_spans_sa_{kind}_{_SA_STREAM_RUN['n']}",
         output_mode="complete",
     )
 
@@ -2958,3 +2985,6 @@ LEFT JOIN nsp n USING (doc_id)
 
 QUERIES["decontaminate_cut_spans_sa_full"] = decontaminate_cut_spans_sa_full
 ORACLES["decontaminate_cut_spans_sa_full"] = DECONTAMINATE_CUT_SPANS_SA_FULL_SQL
+
+QUERIES["stream_cut_spans_sa_full"] = stream_cut_spans_sa_full
+ORACLES["stream_cut_spans_sa_full"] = DECONTAMINATE_CUT_SPANS_SA_FULL_SQL
