@@ -185,6 +185,10 @@ HEADLINE = [
     "table_stats_report",
     "vocab_coverage_curve",
     "corpus_diff_manifest",
+    # round-11 flagship SA surface: full-document coverage — headline so
+    # every round re-times the tiled device and the composed pipeline
+    "dedup_cut_spans_sa_full",
+    "curate_pipeline_full_sa",
 ]
 
 # How many non-headline registry queries get timed per run (rotating
