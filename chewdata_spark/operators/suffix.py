@@ -112,16 +112,22 @@ def _char_ranks(docs: DataFrame, max_chars: int) -> DataFrame:
     return _prefix_double(_two_level_base_ranks(pos, "g4"), max_chars, h0=4)
 
 
-def _two_level_base_ranks(pos: DataFrame, unit_col: str) -> DataFrame:
+def _two_level_base_ranks(
+    pos: DataFrame, unit_col: str, bucket=None
+) -> DataFrame:
     """(doc_id, off, rank): round-0 non-dense ranks of a
-    vocabulary-sized unit column (4-char gram or whole token) via the
-    two-level ORDER-PRESERVING prefix sum — the corpus-sized window
-    partitions by the unit's 2-char prefix (prefix order agrees with
-    unit order), and only the bucket-count offsets (<= charset² rows)
-    see an unpartitioned window.  ``rank = 1 + #positions with a
-    strictly smaller unit``; ties share."""
+    vocabulary-sized unit column (4-char gram or a token-pair struct)
+    via the two-level ORDER-PRESERVING prefix sum — the corpus-sized
+    window partitions by a 2-char prefix bucket (``bucket`` must be an
+    expression whose order agrees with the unit order on bucket
+    boundaries; default = the unit's own 2-char prefix), and only the
+    bucket-count offsets (<= charset² rows) see an unpartitioned
+    window.  ``rank = 1 + #positions with a strictly smaller unit``;
+    ties share."""
+    if bucket is None:
+        bucket = F.substring(unit_col, 1, 2)
     counts = pos.groupBy(unit_col).agg(F.count(F.lit(1)).alias("_n"))
-    bucketed = counts.withColumn("_bk", F.substring(unit_col, 1, 2))
+    bucketed = counts.withColumn("_bk", bucket)
     in_bucket = (
         Window.partitionBy("_bk")
         .orderBy(unit_col)
@@ -375,13 +381,15 @@ def suffix_ranks_tokens(
     price is granularity: repeats are detected at whole-token
     boundaries only.
 
-    Round-0 ranks come from per-token counts.  The token alphabet is
-    VOCABULARY-sized (not charset-sized), so the base prefix sum is the
-    two-level order-preserving device (`_bucketed_rank` in
-    operators/curation.py, same argument): the corpus-sized window
-    partitions by the token's 2-char PREFIX (prefix order agrees with
-    token order), and only the bucket-count offsets (≤ charset² rows)
-    see an unpartitioned window."""
+    Round-0 ranks cover the first TWO tokens via a (w1, w2) STRUCT
+    key (see :func:`_token_ranks` for why a joined-string key is
+    unsound).  The token alphabet is VOCABULARY-sized (not
+    charset-sized), so the base prefix sum is the two-level
+    order-preserving device (`_bucketed_rank` in operators/curation.py,
+    same argument): the corpus-sized window partitions by the FIRST
+    token's 2-char prefix (prefix order agrees with pair order), and
+    only the bucket-count offsets (≤ charset² rows) see an
+    unpartitioned window."""
     return _token_ranks(
         _token_docs(df, id_col, text_col, max_tokens), max_tokens
     )
@@ -393,12 +401,17 @@ def _token_ranks(toks: DataFrame, max_tokens: int) -> DataFrame:
     (the tiled variant passes a (doc, window) struct).
 
     Round 0 ranks the first TWO tokens (h0=2), the token-grain twin of
-    the char path's 4-gram base: the base key is ``w1 || ' ' || w2``
-    (just ``w1`` for a final-position suffix) — whitespace-split
-    tokens cannot contain a space and the space sorts below every
-    token char, so plain string order of the joined key IS pair
+    the char path's 4-gram base.  The base key is a STRUCT
+    ``(w1, w2)`` with ``w2`` null at a final position — Spark struct
+    ordering compares field-wise with null-sorts-first, which IS pair
     lexicographic order with shorter-suffix-sorts-first, the exact
-    suffix convention the doubling loop refines."""
+    suffix convention the doubling loop refines.  (A separator-joined
+    string key is NOT sound here: no separator sorts below every
+    possible token byte — whitespace-split tokens can contain control
+    chars below 0x20, even \x00 — so ``w1 || ' ' || w2`` misorders
+    such corpora; the struct comparison has no separator to collide.)
+    The two-level bucket stays ``substring(w1, 1, 2)`` — prefix order
+    of the FIRST field agrees with pair order."""
     pos = toks.select(
         "doc_id",
         F.posexplode("toks").alias("off0", "w"),
@@ -406,12 +419,17 @@ def _token_ranks(toks: DataFrame, max_tokens: int) -> DataFrame:
     ).select(
         "doc_id",
         (F.col("off0") + 1).alias("off"),
-        F.concat_ws(
-            " ", "w", F.expr("try_element_at(_tk, CAST(off0 + 2 AS INT))")
-        ).alias("w2"),
+        F.struct(
+            F.col("w").alias("w1"),
+            F.expr("try_element_at(_tk, CAST(off0 + 2 AS INT))").alias("w2"),
+        ).alias("u2"),
     )
     return _prefix_double(
-        _two_level_base_ranks(pos, "w2"), max_tokens, h0=2
+        _two_level_base_ranks(
+            pos, "u2", bucket=F.substring(F.col("u2.w1"), 1, 2)
+        ),
+        max_tokens,
+        h0=2,
     )
 
 

@@ -15,6 +15,104 @@ from chewdata_spark.operators.suffix import _lcp_sql
 from chewdata_spark.tables import load_table
 
 
+def _sa_scoring_ctes(
+    *,
+    new_where: str,
+    seen_where: str,
+    with_off: bool = False,
+    full_doc: bool = False,
+    cmp_len: int = 128,
+) -> str:
+    """The WITH-prefix shared by every incremental-SA oracle: arriving
+    and seen suffix relations, the hot-bucket cap mirror (HAVING on the
+    8-char bucket grain), the per-bucket seen neighbours (seen rows
+    sort before new on ties), and the per-position shared length ``m``
+    — ONE builder so the six consumer oracles cannot drift on tie
+    order, LCP fallback, or the cap.  ``with_off`` threads the arriving
+    position through (the span-cut and evidence oracles need it);
+    ``full_doc`` scans whole docs with ``cmp_len`` as the per-suffix
+    compare cap (see decontaminate_cut_spans_sa_full)."""
+    if full_doc:
+        t_new = "COALESCE(text, '') AS t"
+        w_new = f"{new_where} AND length(COALESCE(text, '')) > 0"
+        w_seen = f"{seen_where} AND length(COALESCE(text, '')) > 0"
+        suf = f"substr(t, off, {cmp_len})"
+    else:
+        t_new = f"substr(text, 1, {cmp_len}) AS t"
+        w_new = (f"{new_where} AND text IS NOT NULL\n"
+                 f"      AND length(substr(text, 1, {cmp_len})) > 0")
+        w_seen = (f"{seen_where} AND text IS NOT NULL\n"
+                  f"      AND length(substr(text, 1, {cmp_len})) > 0")
+        suf = "substr(t, off)"
+    if with_off:
+        new_cols = "doc_id, off, " + suf + " AS suf"
+        u_seen = ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                  "CAST(NULL AS INT) AS off,\n           suf, 1 AS is_seen"
+                  "\n    FROM seensuf")
+        u_new = ("SELECT doc_id, CAST(off AS INT) AS off, suf, 0 AS is_seen "
+                 "FROM newsuf")
+        nb_cols = "doc_id, off, suf, is_seen"
+        sc_cols = "doc_id, off"
+    else:
+        new_cols = "doc_id, " + suf + " AS suf"
+        u_seen = ("SELECT CAST(NULL AS BIGINT) AS doc_id, suf, 1 AS is_seen "
+                  "FROM seensuf")
+        u_new = "SELECT doc_id, suf, 0 AS is_seen FROM newsuf"
+        nb_cols = "doc_id, suf, is_seen"
+        sc_cols = "doc_id"
+    return f"""
+WITH newd AS (
+    SELECT doc_id, {t_new} FROM documents
+    WHERE {w_new}
+), seend AS (
+    SELECT doc_id, {t_new} FROM documents
+    WHERE {w_seen}
+), newsuf AS (
+    SELECT {new_cols}
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, length(t))) AS off FROM newd)
+), seensuf0 AS (
+    SELECT DISTINCT {suf} AS suf
+    FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
+), okbk AS (
+    -- hot-bucket cap mirror (max_bucket = 10000): a prefix bucket wider
+    -- than the cap drops from the seen side before neighbour-finding
+    SELECT substr(suf, 1, 8) AS bk FROM seensuf0
+    GROUP BY 1 HAVING COUNT(*) <= 10000
+), seensuf AS (
+    SELECT s.suf FROM seensuf0 s JOIN okbk k ON substr(s.suf, 1, 8) = k.bk
+), u AS (
+    {u_seen}
+    UNION ALL
+    {u_new}
+), nb AS (
+    SELECT {nb_cols},
+        LAST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
+            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pred,
+        FIRST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
+            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS succ
+    FROM u
+), scored AS (
+    SELECT {sc_cols},
+        greatest(
+            CASE WHEN pred IS NULL THEN 0 ELSE
+                COALESCE(([i FOR i IN generate_series(1,
+                               least(length(suf), length(pred)))
+                           IF substr(suf, i, 1) <> substr(pred, i, 1)])[1],
+                         least(length(suf), length(pred)) + 1) - 1 END,
+            CASE WHEN succ IS NULL THEN 0 ELSE
+                COALESCE(([i FOR i IN generate_series(1,
+                               least(length(suf), length(succ)))
+                           IF substr(suf, i, 1) <> substr(succ, i, 1)])[1],
+                         least(length(suf), length(succ)) + 1) - 1 END
+        ) AS m
+    FROM nb WHERE is_seen = 0
+)"""
+
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate groups by content md5 (min-id representative per group)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1639,58 +1737,9 @@ def dedup_incremental_ingest_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-INCREMENTAL_INGEST_SA_SQL = """
-WITH newd AS (
-    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
-    WHERE doc_id % 2 = 1 AND text IS NOT NULL
-      AND length(substr(text, 1, 128)) > 0
-), seend AS (
-    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
-    WHERE doc_id % 2 = 0 AND text IS NOT NULL
-      AND length(substr(text, 1, 128)) > 0
-), newsuf AS (
-    SELECT doc_id, substr(t, off) AS suf
-    FROM (SELECT doc_id, t,
-                 unnest(generate_series(1, length(t))) AS off FROM newd)
-), seensuf0 AS (
-    SELECT DISTINCT substr(t, off) AS suf
-    FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
-), okbk AS (
-    -- hot-bucket cap mirror (max_bucket = 10000): a prefix bucket wider
-    -- than the cap drops from the seen side before neighbour-finding
-    SELECT substr(suf, 1, 8) AS bk FROM seensuf0
-    GROUP BY 1 HAVING COUNT(*) <= 10000
-), seensuf AS (
-    SELECT s.suf FROM seensuf0 s JOIN okbk k ON substr(s.suf, 1, 8) = k.bk
-), u AS (
-    SELECT CAST(NULL AS BIGINT) AS doc_id, suf, 1 AS is_seen FROM seensuf
-    UNION ALL
-    SELECT doc_id, suf, 0 AS is_seen FROM newsuf
-), nb AS (
-    SELECT doc_id, suf, is_seen,
-        LAST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
-            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pred,
-        FIRST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
-            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
-            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS succ
-    FROM u
-), scored AS (
-    SELECT doc_id,
-        greatest(
-            CASE WHEN pred IS NULL THEN 0 ELSE
-                COALESCE(([i FOR i IN generate_series(1,
-                               least(length(suf), length(pred)))
-                           IF substr(suf, i, 1) <> substr(pred, i, 1)])[1],
-                         least(length(suf), length(pred)) + 1) - 1 END,
-            CASE WHEN succ IS NULL THEN 0 ELSE
-                COALESCE(([i FOR i IN generate_series(1,
-                               least(length(suf), length(succ)))
-                           IF substr(suf, i, 1) <> substr(succ, i, 1)])[1],
-                         least(length(suf), length(succ)) + 1) - 1 END
-        ) AS m
-    FROM nb WHERE is_seen = 0
-), per_doc AS (
+INCREMENTAL_INGEST_SA_SQL = _sa_scoring_ctes(
+    new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0"
+) + """, per_doc AS (
     SELECT doc_id, MAX(m) AS msl FROM scored GROUP BY doc_id
 )
 SELECT a.doc_id,
@@ -1712,8 +1761,11 @@ def _sa_seen_bucket_arrays(
     full_doc=False,
 ):
     """The static side shared by the streaming SA twins: the even-id
-    corpus's DISTINCT head-window suffixes grouped to (prefix bucket ->
-    SORTED suffix array), with hot buckets capped at ``max_bucket``
+    corpus's DISTINCT suffixes (head-window by default; every position
+    of whole docs with ``full_doc=True``, where ``max_chars`` becomes
+    the per-suffix compare cap and bucket width grows from <= 128/doc
+    to length(doc)/doc) grouped to (prefix bucket -> SORTED suffix
+    array), with hot buckets capped at ``max_bucket``
     BEFORE the collect (so a boilerplate bucket never materializes an
     unbounded array row) and the drop count riding the plan as the
     ``<obs_prefix>_<n>/dropped_hot_buckets`` observe metric — the same
@@ -1879,58 +1931,9 @@ def decontaminate_docs_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DECONTAMINATE_SA_SQL = """
-WITH newd AS (
-    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
-    WHERE doc_id % 97 <> 0 AND text IS NOT NULL
-      AND length(substr(text, 1, 128)) > 0
-), seend AS (
-    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
-    WHERE doc_id % 97 = 0 AND text IS NOT NULL
-      AND length(substr(text, 1, 128)) > 0
-), newsuf AS (
-    SELECT doc_id, substr(t, off) AS suf
-    FROM (SELECT doc_id, t,
-                 unnest(generate_series(1, length(t))) AS off FROM newd)
-), seensuf0 AS (
-    SELECT DISTINCT substr(t, off) AS suf
-    FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
-), okbk AS (
-    -- hot-bucket cap mirror (max_bucket = 10000): a prefix bucket wider
-    -- than the cap drops from the seen side before neighbour-finding
-    SELECT substr(suf, 1, 8) AS bk FROM seensuf0
-    GROUP BY 1 HAVING COUNT(*) <= 10000
-), seensuf AS (
-    SELECT s.suf FROM seensuf0 s JOIN okbk k ON substr(s.suf, 1, 8) = k.bk
-), u AS (
-    SELECT CAST(NULL AS BIGINT) AS doc_id, suf, 1 AS is_seen FROM seensuf
-    UNION ALL
-    SELECT doc_id, suf, 0 AS is_seen FROM newsuf
-), nb AS (
-    SELECT doc_id, suf, is_seen,
-        LAST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
-            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pred,
-        FIRST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
-            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
-            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS succ
-    FROM u
-), scored AS (
-    SELECT doc_id,
-        greatest(
-            CASE WHEN pred IS NULL THEN 0 ELSE
-                COALESCE(([i FOR i IN generate_series(1,
-                               least(length(suf), length(pred)))
-                           IF substr(suf, i, 1) <> substr(pred, i, 1)])[1],
-                         least(length(suf), length(pred)) + 1) - 1 END,
-            CASE WHEN succ IS NULL THEN 0 ELSE
-                COALESCE(([i FOR i IN generate_series(1,
-                               least(length(suf), length(succ)))
-                           IF substr(suf, i, 1) <> substr(succ, i, 1)])[1],
-                         least(length(suf), length(succ)) + 1) - 1 END
-        ) AS m
-    FROM nb WHERE is_seen = 0
-), per_doc AS (
+DECONTAMINATE_SA_SQL = _sa_scoring_ctes(
+    new_where="doc_id % 97 <> 0", seen_where="doc_id % 97 = 0"
+) + """, per_doc AS (
     SELECT doc_id, MAX(m) AS msl FROM scored GROUP BY doc_id
 )
 SELECT a.doc_id,
@@ -2161,60 +2164,9 @@ def contamination_evidence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CONTAMINATION_EVIDENCE_SQL = """
-WITH newd AS (
-    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
-    WHERE doc_id % 97 <> 0 AND text IS NOT NULL
-      AND length(substr(text, 1, 128)) > 0
-), seend AS (
-    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
-    WHERE doc_id % 97 = 0 AND text IS NOT NULL
-      AND length(substr(text, 1, 128)) > 0
-), newsuf AS (
-    SELECT doc_id, off, substr(t, off) AS suf
-    FROM (SELECT doc_id, t,
-                 unnest(generate_series(1, length(t))) AS off FROM newd)
-), seensuf0 AS (
-    SELECT DISTINCT substr(t, off) AS suf
-    FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
-), okbk AS (
-    -- hot-bucket cap mirror (max_bucket = 10000): a prefix bucket wider
-    -- than the cap drops from the seen side before neighbour-finding
-    SELECT substr(suf, 1, 8) AS bk FROM seensuf0
-    GROUP BY 1 HAVING COUNT(*) <= 10000
-), seensuf AS (
-    SELECT s.suf FROM seensuf0 s JOIN okbk k ON substr(s.suf, 1, 8) = k.bk
-), u AS (
-    SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS off,
-           suf, 1 AS is_seen
-    FROM seensuf
-    UNION ALL
-    SELECT doc_id, CAST(off AS INT) AS off, suf, 0 AS is_seen FROM newsuf
-), nb AS (
-    SELECT doc_id, off, suf, is_seen,
-        LAST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
-            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pred,
-        FIRST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
-            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
-            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS succ
-    FROM u
-), scored AS (
-    SELECT doc_id, off,
-        greatest(
-            CASE WHEN pred IS NULL THEN 0 ELSE
-                COALESCE(([i FOR i IN generate_series(1,
-                               least(length(suf), length(pred)))
-                           IF substr(suf, i, 1) <> substr(pred, i, 1)])[1],
-                         least(length(suf), length(pred)) + 1) - 1 END,
-            CASE WHEN succ IS NULL THEN 0 ELSE
-                COALESCE(([i FOR i IN generate_series(1,
-                               least(length(suf), length(succ)))
-                           IF substr(suf, i, 1) <> substr(succ, i, 1)])[1],
-                         least(length(suf), length(succ)) + 1) - 1 END
-        ) AS m
-    FROM nb WHERE is_seen = 0
-), best AS (
+CONTAMINATION_EVIDENCE_SQL = _sa_scoring_ctes(
+    new_where="doc_id % 97 <> 0", seen_where="doc_id % 97 = 0", with_off=True
+) + """, best AS (
     SELECT doc_id, off, m,
            ROW_NUMBER() OVER (PARTITION BY doc_id
                               ORDER BY m DESC, off ASC) AS rn
@@ -2422,59 +2374,9 @@ def decontaminate_cut_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DECONTAMINATE_CUT_SPANS_SA_SQL = """
-WITH newd AS (
-    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
-    WHERE doc_id % 2 = 1 AND text IS NOT NULL
-      AND length(substr(text, 1, 128)) > 0
-), seend AS (
-    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
-    WHERE doc_id % 2 = 0 AND text IS NOT NULL
-      AND length(substr(text, 1, 128)) > 0
-), newsuf AS (
-    SELECT doc_id, off, substr(t, off) AS suf
-    FROM (SELECT doc_id, t,
-                 unnest(generate_series(1, length(t))) AS off FROM newd)
-), seensuf0 AS (
-    SELECT DISTINCT substr(t, off) AS suf
-    FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
-), okbk AS (
-    -- hot-bucket cap mirror (max_bucket = 10000)
-    SELECT substr(suf, 1, 8) AS bk FROM seensuf0
-    GROUP BY 1 HAVING COUNT(*) <= 10000
-), seensuf AS (
-    SELECT s.suf FROM seensuf0 s JOIN okbk k ON substr(s.suf, 1, 8) = k.bk
-), u AS (
-    SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS off,
-           suf, 1 AS is_seen
-    FROM seensuf
-    UNION ALL
-    SELECT doc_id, CAST(off AS INT) AS off, suf, 0 AS is_seen FROM newsuf
-), nb AS (
-    SELECT doc_id, off, suf, is_seen,
-        LAST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
-            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pred,
-        FIRST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
-            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
-            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS succ
-    FROM u
-), scored AS (
-    SELECT doc_id, off,
-        greatest(
-            CASE WHEN pred IS NULL THEN 0 ELSE
-                COALESCE(([i FOR i IN generate_series(1,
-                               least(length(suf), length(pred)))
-                           IF substr(suf, i, 1) <> substr(pred, i, 1)])[1],
-                         least(length(suf), length(pred)) + 1) - 1 END,
-            CASE WHEN succ IS NULL THEN 0 ELSE
-                COALESCE(([i FOR i IN generate_series(1,
-                               least(length(suf), length(succ)))
-                           IF substr(suf, i, 1) <> substr(succ, i, 1)])[1],
-                         least(length(suf), length(succ)) + 1) - 1 END
-        ) AS m
-    FROM nb WHERE is_seen = 0
-), marked AS (
+DECONTAMINATE_CUT_SPANS_SA_SQL = _sa_scoring_ctes(
+    new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0", with_off=True
+) + """, marked AS (
     SELECT doc_id, off AS s, off + m - 1 AS e FROM scored WHERE m >= 30
 ), isl AS (
     SELECT doc_id, s, e,
@@ -2792,56 +2694,9 @@ def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CONTAMINATION_BY_SOURCE_SQL = """
-WITH newd AS (
-    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
-    WHERE doc_id % 97 <> 0 AND text IS NOT NULL
-      AND length(substr(text, 1, 128)) > 0
-), seend AS (
-    SELECT doc_id, substr(text, 1, 128) AS t FROM documents
-    WHERE doc_id % 97 = 0 AND text IS NOT NULL
-      AND length(substr(text, 1, 128)) > 0
-), newsuf AS (
-    SELECT doc_id, substr(t, off) AS suf
-    FROM (SELECT doc_id, t,
-                 unnest(generate_series(1, length(t))) AS off FROM newd)
-), seensuf0 AS (
-    SELECT DISTINCT substr(t, off) AS suf
-    FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
-), okbk AS (
-    SELECT substr(suf, 1, 8) AS bk FROM seensuf0
-    GROUP BY 1 HAVING COUNT(*) <= 10000
-), seensuf AS (
-    SELECT s.suf FROM seensuf0 s JOIN okbk k ON substr(s.suf, 1, 8) = k.bk
-), u AS (
-    SELECT CAST(NULL AS BIGINT) AS doc_id, suf, 1 AS is_seen FROM seensuf
-    UNION ALL
-    SELECT doc_id, suf, 0 AS is_seen FROM newsuf
-), nb AS (
-    SELECT doc_id, suf, is_seen,
-        LAST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
-            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pred,
-        FIRST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
-            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
-            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS succ
-    FROM u
-), scored AS (
-    SELECT doc_id,
-        greatest(
-            CASE WHEN pred IS NULL THEN 0 ELSE
-                COALESCE(([i FOR i IN generate_series(1,
-                               least(length(suf), length(pred)))
-                           IF substr(suf, i, 1) <> substr(pred, i, 1)])[1],
-                         least(length(suf), length(pred)) + 1) - 1 END,
-            CASE WHEN succ IS NULL THEN 0 ELSE
-                COALESCE(([i FOR i IN generate_series(1,
-                               least(length(suf), length(succ)))
-                           IF substr(suf, i, 1) <> substr(succ, i, 1)])[1],
-                         least(length(suf), length(succ)) + 1) - 1 END
-        ) AS m
-    FROM nb WHERE is_seen = 0
-), per_doc AS (
+CONTAMINATION_BY_SOURCE_SQL = _sa_scoring_ctes(
+    new_where="doc_id % 97 <> 0", seen_where="doc_id % 97 = 0"
+) + """, per_doc AS (
     SELECT doc_id, MAX(m) AS msl FROM scored GROUP BY doc_id
 ), gate AS (
     SELECT a.doc_id, d.source,
@@ -2889,56 +2744,9 @@ def decontaminate_cut_spans_sa_full(
     )
 
 
-DECONTAMINATE_CUT_SPANS_SA_FULL_SQL = """
-WITH newd AS (
-    SELECT doc_id, COALESCE(text, '') AS t FROM documents
-    WHERE doc_id % 2 = 1 AND length(COALESCE(text, '')) > 0
-), seend AS (
-    SELECT doc_id, COALESCE(text, '') AS t FROM documents
-    WHERE doc_id % 2 = 0 AND length(COALESCE(text, '')) > 0
-), newsuf AS (
-    SELECT doc_id, off, substr(t, off, 64) AS suf
-    FROM (SELECT doc_id, t,
-                 unnest(generate_series(1, length(t))) AS off FROM newd)
-), seensuf0 AS (
-    SELECT DISTINCT substr(t, off, 64) AS suf
-    FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
-), okbk AS (
-    SELECT substr(suf, 1, 8) AS bk FROM seensuf0
-    GROUP BY 1 HAVING COUNT(*) <= 10000
-), seensuf AS (
-    SELECT s.suf FROM seensuf0 s JOIN okbk k ON substr(s.suf, 1, 8) = k.bk
-), u AS (
-    SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS off,
-           suf, 1 AS is_seen
-    FROM seensuf
-    UNION ALL
-    SELECT doc_id, CAST(off AS INT) AS off, suf, 0 AS is_seen FROM newsuf
-), nb AS (
-    SELECT doc_id, off, suf, is_seen,
-        LAST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
-            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pred,
-        FIRST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
-            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
-            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS succ
-    FROM u
-), scored AS (
-    SELECT doc_id, off,
-        greatest(
-            CASE WHEN pred IS NULL THEN 0 ELSE
-                COALESCE(([i FOR i IN generate_series(1,
-                               least(length(suf), length(pred)))
-                           IF substr(suf, i, 1) <> substr(pred, i, 1)])[1],
-                         least(length(suf), length(pred)) + 1) - 1 END,
-            CASE WHEN succ IS NULL THEN 0 ELSE
-                COALESCE(([i FOR i IN generate_series(1,
-                               least(length(suf), length(succ)))
-                           IF substr(suf, i, 1) <> substr(succ, i, 1)])[1],
-                         least(length(suf), length(succ)) + 1) - 1 END
-        ) AS m
-    FROM nb WHERE is_seen = 0
-), marked AS (
+DECONTAMINATE_CUT_SPANS_SA_FULL_SQL = _sa_scoring_ctes(
+    new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0", with_off=True, full_doc=True, cmp_len=64
+) + """, marked AS (
     SELECT doc_id, off AS s, off + m - 1 AS e FROM scored WHERE m >= 30
 ), isl AS (
     SELECT doc_id, s, e,

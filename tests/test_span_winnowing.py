@@ -965,7 +965,8 @@ def test_cut_contaminated_spans_sa_full_doc(spark):
     assert long_leak not in full[1]["clean_text"]
     assert full[1]["n_cut"] >= len(long_leak)
     assert full[1]["n_spans"] == 1  # chained capped marks merge to one
-    assert full[3]["clean_text"] == new.collect()[1]["text"] or True
+    fresh_text = {r["doc_id"]: r["text"] for r in new.collect()}[3]
+    assert full[3]["clean_text"] == fresh_text
     assert full[3]["n_cut"] == 0
 
 
@@ -978,3 +979,29 @@ def test_contamination_full_doc_rejects_short_compare(spark):
             df, df, "doc_id", "text",
             max_chars=20, min_len=30, bucket_len=8, full_doc=True,
         )
+
+
+def test_token_ranks_control_char_tokens(spark):
+    """Regression: tokens may contain bytes below 0x20 (whitespace
+    split keeps them), where a separator-joined pair key misorders —
+    the struct pair base must reproduce the brute-force token-suffix
+    order exactly (reviewer repro: 'a x' vs 'a\x01')."""
+    from chewdata_spark.operators.suffix import suffix_ranks_tokens
+
+    rows = [(1, "a x"), (2, "a\x01"), (3, "a\x01b c\x00d a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["off"]): r["rank"]
+        for r in suffix_ranks_tokens(
+            df, "doc_id", "text", max_tokens=8
+        ).collect()
+    }
+    sufs = []
+    for d, t in rows:
+        toks = t.split()
+        for i in range(len(toks)):
+            sufs.append(((d, i + 1), toks[i:]))
+    expected = {
+        k: 1 + sum(1 for _, o in sufs if o < suf) for k, suf in sufs
+    }
+    assert got == expected, (got, expected)
