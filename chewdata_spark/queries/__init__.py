@@ -54,29 +54,32 @@ def _modules():
 # NOT in this set — never-sampled queries get driver coverage first and
 # the backlog drains round over round.  Update after each round.
 _DRIVER_CHECKED = {
-    "ann_ivf_topk", "ann_ivfpq_topk", "ann_matryoshka_topk", "ann_srp_topk",
-    "ann_srp_topk_md5",
+    "ann_ivf_topk", "ann_ivfpq_topk", "ann_matryoshka_ivf_topk",
+    "ann_matryoshka_topk", "ann_srp_topk", "ann_srp_topk_md5",
     "approx_distinct_users", "best_of_source_sample", "bigram_logprob_score",
     "bloom_seen_hashes", "bm25_search_topk", "bpe_encode_documents",
     "bpe_merge_rules", "ccnet_perplexity_buckets", "cdc_chunk_dedup",
     "char_entropy_junk_filter", "chunk_documents", "chunk_documents_udtf",
     "churned_customers", "classifier_quality_filter",
-    "contamination_evidence_topk", "contamination_ranked_pairs",
-    "content_fingerprint",
+    "contamination_by_source", "contamination_evidence_topk",
+    "contamination_ranked_pairs", "content_fingerprint",
     "copurchase_communities", "copurchase_kcore", "copurchase_triangles",
     "corpus_diff_manifest", "corpus_manifest", "corpus_summary_report",
     "corpus_top_terms", "corpus_vocab_ids", "corpus_zipf_fit", "cosine_topk",
     "countmin_sketch_terms", "cube_order_stats", "curate_corpus",
-    "curate_pipeline_full", "curation_audit_report", "curriculum_phases",
+    "curate_pipeline_full", "curate_pipeline_full_sa",
+    "curation_audit_report", "curriculum_phases",
     "customer_order_stats", "customer_rfm_segments",
     "customer_spend_quartiles", "customers_with_open_orders",
-    "customers_without_orders", "dataset_card_manifest", "decontaminate_docs",
-    "decontaminate_docs_sa",
+    "customers_without_orders", "dataset_card_manifest",
+    "decontaminate_cut_spans_sa", "decontaminate_cut_spans_sa_full",
+    "decontaminate_docs", "decontaminate_docs_sa",
     "dedup_clean_corpus", "dedup_clean_corpus_cc", "dedup_clean_corpus_lsh",
     "dedup_clean_corpus_lsh_cc", "dedup_clean_corpus_lsh_cc_md5",
     "dedup_clean_corpus_semantic", "dedup_cluster_components",
     "dedup_consensus_pairs", "dedup_containment_md5", "dedup_cut_spans_corpus",
-    "dedup_cut_spans_sa", "dedup_cut_spans_sa_tokens",
+    "dedup_cut_spans_sa", "dedup_cut_spans_sa_full",
+    "dedup_cut_spans_sa_tokens", "dedup_cut_spans_sa_tokens_full",
     "dedup_duplicate_spans", "dedup_exact", "dedup_fingerprint",
     "dedup_incremental_ingest", "dedup_incremental_ingest_md5",
     "dedup_incremental_ingest_sa",
@@ -87,7 +90,8 @@ _DRIVER_CHECKED = {
     "documents_blocklist_hits", "documents_longest_repeats",
     "documents_longest_repeats_tokens", "documents_profile",
     "documents_redact_pii", "documents_repeat_profile",
-    "documents_repeat_spans", "documents_repeat_spans_tokens",
+    "documents_repeat_spans", "documents_repeat_spans_full",
+    "documents_repeat_spans_tokens",
     "documents_strip_boilerplate", "doremi_source_weights", "dp_noisy_counts",
     "dpo_preference_pairs", "dsir_importance", "embedding_anisotropy_report",
     "embedding_centroids", "embedding_debias_abtt", "embedding_near_dup",
@@ -137,6 +141,7 @@ _DRIVER_CHECKED = {
     "split_embedding_leakage", "split_leakage_audit", "split_train_val_test",
     "stratified_sample", "stream_classifier_scores", "stream_corpus_manifest",
     "stream_curate_corpus", "stream_events_hourly", "stream_events_zscore",
+    "stream_cut_spans_sa", "stream_cut_spans_sa_full",
     "stream_hll_distinct_users", "stream_ingest_dedup",
     "stream_ingest_dedup_sa",
     "stream_media_dhash_dedup", "stream_parts_entity_resolution",
@@ -153,11 +158,10 @@ _DRIVER_CHECKED = {
 
 
 # Names the driver should sample FIRST next round (before other
-# unchecked names).  Empty as of the round-11 open: CORRECTNESS_r10
-# folded above gives 248/248 registry coverage — every registered name
+# unchecked names).  Empty as of the round-12 open: CORRECTNESS_r11
+# folded above gives 258/258 registry coverage — every registered name
 # has been driver-hard-checked at least once, with zero wrong answers
-# at latest status (part_transit_conflicts re-verified green in r10
-# after its round-10 interval_overlap_join rewrite, so its pin drops).
+# at latest status for the second round running.
 _DRIVER_BACKLOG: tuple[str, ...] = ()
 
 
