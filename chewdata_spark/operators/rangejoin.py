@@ -95,7 +95,10 @@ def interval_overlap_join(
     two raw-overlapping intervals always share a normalized cell.
 
     Non-key column names must be disjoint between the sides (alias
-    first); ``on`` keys are emitted once.  ``grid`` is any
+    first); a shared non-key name raises ``ValueError`` — tightened
+    from earlier releases, which silently emitted duplicate-named
+    output columns that broke on the first downstream select.  ``on``
+    keys are emitted once.  ``grid`` is any
     ``trunc``/INTERVAL unit — ``month`` (default), ``quarter``,
     ``year``, ``week``: wider cells shrink the explode fan-out but
     densify per-cell candidate pairs; pick by span length / key

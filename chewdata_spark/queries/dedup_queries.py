@@ -22,16 +22,21 @@ def _sa_scoring_ctes(
     with_off: bool = False,
     full_doc: bool = False,
     cmp_len: int = 128,
+    bucket_len: int = 8,
+    max_bucket: int = 10_000,
 ) -> str:
     """The WITH-prefix shared by every incremental-SA oracle: arriving
     and seen suffix relations, the hot-bucket cap mirror (HAVING on the
-    8-char bucket grain), the per-bucket seen neighbours (seen rows
-    sort before new on ties), and the per-position shared length ``m``
-    — ONE builder so the six consumer oracles cannot drift on tie
-    order, LCP fallback, or the cap.  ``with_off`` threads the arriving
-    position through (the span-cut and evidence oracles need it);
-    ``full_doc`` scans whole docs with ``cmp_len`` as the per-suffix
-    compare cap (see decontaminate_cut_spans_sa_full)."""
+    ``bucket_len``-char bucket grain), the per-bucket seen neighbours
+    (seen rows sort before new on ties), and the per-position shared
+    length ``m`` — ONE builder so the six consumer oracles cannot drift
+    on tie order, LCP fallback, or the cap.  ``with_off`` threads the
+    arriving position through (the span-cut and evidence oracles need
+    it); ``full_doc`` scans whole docs with ``cmp_len`` as the
+    per-suffix compare cap (see decontaminate_cut_spans_sa_full).
+    ``bucket_len``/``max_bucket`` MUST match the values the query
+    passes to the operator (sa_contamination_scores and friends) —
+    thread the same constants to both sides."""
     if full_doc:
         t_new = "COALESCE(text, '') AS t"
         w_new = f"{new_where} AND length(COALESCE(text, '')) > 0"
@@ -75,12 +80,13 @@ WITH newd AS (
     SELECT DISTINCT {suf} AS suf
     FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
 ), okbk AS (
-    -- hot-bucket cap mirror (max_bucket = 10000): a prefix bucket wider
-    -- than the cap drops from the seen side before neighbour-finding
-    SELECT substr(suf, 1, 8) AS bk FROM seensuf0
-    GROUP BY 1 HAVING COUNT(*) <= 10000
+    -- hot-bucket cap mirror (max_bucket = {max_bucket}): a prefix bucket
+    -- wider than the cap drops from the seen side before neighbour-finding
+    SELECT substr(suf, 1, {bucket_len}) AS bk FROM seensuf0
+    GROUP BY 1 HAVING COUNT(*) <= {max_bucket}
 ), seensuf AS (
-    SELECT s.suf FROM seensuf0 s JOIN okbk k ON substr(s.suf, 1, 8) = k.bk
+    SELECT s.suf FROM seensuf0 s
+    JOIN okbk k ON substr(s.suf, 1, {bucket_len}) = k.bk
 ), u AS (
     {u_seen}
     UNION ALL
@@ -88,10 +94,12 @@ WITH newd AS (
 ), nb AS (
     SELECT {nb_cols},
         LAST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
-            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
+            PARTITION BY substr(suf, 1, {bucket_len})
+            ORDER BY suf, is_seen DESC
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pred,
         FIRST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
-            PARTITION BY substr(suf, 1, 8) ORDER BY suf, is_seen DESC
+            PARTITION BY substr(suf, 1, {bucket_len})
+            ORDER BY suf, is_seen DESC
             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS succ
     FROM u
 ), scored AS (
@@ -1738,7 +1746,8 @@ def dedup_incremental_ingest_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 INCREMENTAL_INGEST_SA_SQL = _sa_scoring_ctes(
-    new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0"
+    new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0",
+    bucket_len=8, max_bucket=10_000,
 ) + """, per_doc AS (
     SELECT doc_id, MAX(m) AS msl FROM scored GROUP BY doc_id
 )
@@ -1932,7 +1941,8 @@ def decontaminate_docs_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DECONTAMINATE_SA_SQL = _sa_scoring_ctes(
-    new_where="doc_id % 97 <> 0", seen_where="doc_id % 97 = 0"
+    new_where="doc_id % 97 <> 0", seen_where="doc_id % 97 = 0",
+    bucket_len=8, max_bucket=10_000,
 ) + """, per_doc AS (
     SELECT doc_id, MAX(m) AS msl FROM scored GROUP BY doc_id
 )
@@ -2165,7 +2175,8 @@ def contamination_evidence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTAMINATION_EVIDENCE_SQL = _sa_scoring_ctes(
-    new_where="doc_id % 97 <> 0", seen_where="doc_id % 97 = 0", with_off=True
+    new_where="doc_id % 97 <> 0", seen_where="doc_id % 97 = 0",
+    with_off=True, bucket_len=8, max_bucket=10_000,
 ) + """, best AS (
     SELECT doc_id, off, m,
            ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -2375,7 +2386,8 @@ def decontaminate_cut_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DECONTAMINATE_CUT_SPANS_SA_SQL = _sa_scoring_ctes(
-    new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0", with_off=True
+    new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0",
+    with_off=True, bucket_len=8, max_bucket=10_000,
 ) + """, marked AS (
     SELECT doc_id, off AS s, off + m - 1 AS e FROM scored WHERE m >= 30
 ), isl AS (
@@ -2695,7 +2707,8 @@ def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTAMINATION_BY_SOURCE_SQL = _sa_scoring_ctes(
-    new_where="doc_id % 97 <> 0", seen_where="doc_id % 97 = 0"
+    new_where="doc_id % 97 <> 0", seen_where="doc_id % 97 = 0",
+    bucket_len=8, max_bucket=10_000,
 ) + """, per_doc AS (
     SELECT doc_id, MAX(m) AS msl FROM scored GROUP BY doc_id
 ), gate AS (
@@ -2745,7 +2758,9 @@ def decontaminate_cut_spans_sa_full(
 
 
 DECONTAMINATE_CUT_SPANS_SA_FULL_SQL = _sa_scoring_ctes(
-    new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0", with_off=True, full_doc=True, cmp_len=64
+    new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0",
+    with_off=True, full_doc=True, cmp_len=64,
+    bucket_len=8, max_bucket=10_000,
 ) + """, marked AS (
     SELECT doc_id, off AS s, off + m - 1 AS e FROM scored WHERE m >= 30
 ), isl AS (

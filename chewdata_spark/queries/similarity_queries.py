@@ -1055,18 +1055,13 @@ def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COS16 = (
-    "list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-)
-
 ANN_MATRYOSHKA_SQL = f"""
 WITH q AS (
     SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
     FROM embeddings WHERE vec_id < {N_QUERY_VECS}
 ), coarse AS (
     SELECT qid, e.vec_id, qvec, e.embedding::DOUBLE[] AS cvec,
-           ROUND({_COS16.format(a='qvec[1:32]', b='(e.embedding::DOUBLE[])[1:32]')}, 6)
+           ROUND({_COS.format(a='qvec[1:32]', b='(e.embedding::DOUBLE[])[1:32]')}, 6)
                AS coarse
     FROM q, embeddings e
     WHERE e.vec_id <> qid
@@ -1077,7 +1072,7 @@ WITH q AS (
     FROM coarse
 ), exact AS (
     SELECT qid, vec_id,
-           ROUND({_COS16.format(a='qvec', b='cvec')}, 6) AS sim
+           ROUND({_COS.format(a='qvec', b='cvec')}, 6) AS sim
     FROM cand WHERE crk <= 150
 ), ranked AS (
     SELECT qid, vec_id, sim,
@@ -1137,7 +1132,7 @@ probes AS (
 ),
 coarse AS (
     SELECT p.qid, a.vec_id, q.qv, e.v,
-           ROUND({_COS16.format(a='q.qv[1:32]', b='e.v[1:32]')}, 6) AS coarse
+           ROUND({_COS.format(a='q.qv[1:32]', b='e.v[1:32]')}, 6) AS coarse
     FROM probes p
     JOIN asg a USING (cluster)
     JOIN e ON e.vec_id = a.vec_id
@@ -1152,7 +1147,7 @@ cand AS (
 ),
 exact AS (
     SELECT qid, vec_id,
-           ROUND({_COS16.format(a='qv', b='v')}, 6) AS sim
+           ROUND({_COS.format(a='qv', b='v')}, 6) AS sim
     FROM cand WHERE crk <= 100
 )
 SELECT qid, vec_id, sim, CAST(rk AS INT) AS rank FROM (
