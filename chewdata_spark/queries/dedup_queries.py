@@ -1815,6 +1815,57 @@ def _sa_seen_bucket_arrays(
     )
 
 
+def _sa_bs_neighbours(df, *, max_bucket):
+    """Adds ``_pred``/``_succ`` — the greatest seen suffix <= ``suf``
+    and the least seen suffix > ``suf`` inside the SORTED bucket array
+    ``arr`` — via a fixed-depth binary search: O(log ``max_bucket``)
+    string compares per arriving suffix.  An earlier revision used two
+    ``filter()`` scans (``array_max(filter(arr, x -> x <= suf))``),
+    which cost O(|arr|) compares per arrival — the hot bucket then
+    multiplied |arr| into every one of its arrivals (~100 s of the
+    sf0.1 full-doc stream's wall-clock).  Sortedness makes them equal:
+    with ``ub`` = count of elements <= ``suf`` (classic upper-bound
+    bisection), ``pred = arr[ub]`` and ``succ = arr[ub+1]``.  The
+    iteration count covers ``size(arr) <= max_bucket`` (the cap is
+    enforced BEFORE the collect); extra iterations are no-ops once
+    lo == hi.  Randomized equivalence vs the filter device:
+    tests/test_span_winnowing.py::test_bs_neighbours_equal_filter_scan.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    iters = max(1, math.ceil(math.log2(max_bucket + 1))) + 1
+    ub = f"""
+    IF(suf IS NULL OR arr IS NULL, NULL,
+      aggregate(
+        sequence(1, {iters}),
+        named_struct('lo', 0, 'hi', size(arr)),
+        (a, i) -> CASE
+            WHEN a.lo >= a.hi THEN a
+            WHEN element_at(arr, CAST((a.lo + a.hi + 1) DIV 2 AS INT)) <= suf
+                THEN named_struct(
+                    'lo', CAST((a.lo + a.hi + 1) DIV 2 AS INT), 'hi', a.hi)
+            ELSE named_struct(
+                'lo', a.lo, 'hi', CAST((a.lo + a.hi + 1) DIV 2 AS INT) - 1)
+        END,
+        a -> a.lo))
+    """
+    return (
+        df.withColumn("_ub", F.expr(ub))
+        .withColumn(
+            "_pred", F.expr("IF(_ub >= 1, element_at(arr, _ub), NULL)")
+        )
+        .withColumn(
+            "_succ",
+            F.expr(
+                "IF(_ub IS NOT NULL AND _ub < size(arr), "
+                "element_at(arr, _ub + 1), NULL)"
+            ),
+        )
+    )
+
+
 
 def stream_ingest_dedup_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of dedup_incremental_ingest_sa: odd doc_ids
@@ -1824,11 +1875,11 @@ def stream_ingest_dedup_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     The batch twin finds seen neighbours with per-bucket windows; a
     stream can't window across rows, so the static side pre-aggregates
     to (bucket -> SORTED seen-suffix array) and each arriving suffix
-    finds its neighbours inside its bucket's array with higher-order
-    functions: ``pred = array_max(filter(arr, x -> x <= suf))`` /
-    ``succ = array_min(filter(arr, x -> x > suf))`` — exactly the
-    batch window's seen-before-new tie order, so the SAME oracle SQL
-    replays both twins.  Stream-static join is stateless; the only
+    bisects its bucket's array (``_sa_bs_neighbours``: upper-bound
+    binary search, O(log max_bucket) compares per arrival) for
+    ``pred`` = greatest seen <= suf / ``succ`` = least seen > suf —
+    exactly the batch window's seen-before-new tie order, so the SAME
+    oracle SQL replays both twins.  Stream-static join is stateless; the only
     stateful operator is the final per-doc max (complete mode,
     availableNow into a memory sink).  ``explode_outer`` keeps
     null/empty-text arrivals in the output at 0.
@@ -1864,6 +1915,12 @@ def stream_ingest_dedup_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path + "*")
         .filter(F.col("doc_id") % 2 == 1)
         .withColumn("t", F.substring("text", 1, max_chars))
+        # a micro-batch inherits the FILE source's partitioning — one
+        # arriving file would run every downstream bisection on one
+        # task.  One narrow doc-grain shuffle (docs, not positions)
+        # decouples scoring parallelism from the arrival file layout.
+        .select("doc_id", "t")
+        .repartition(F.col("doc_id"))
         .withColumn(
             "off",
             F.explode_outer(
@@ -1880,9 +1937,7 @@ def stream_ingest_dedup_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_bk", F.substring("suf", 1, bucket_len))
     )
     joined = stream.join(seen_arr, "_bk", "left")
-    nb = joined.withColumn(
-        "_pred", F.expr("array_max(filter(arr, x -> x <= suf))")
-    ).withColumn("_succ", F.expr("array_min(filter(arr, x -> x > suf))"))
+    nb = _sa_bs_neighbours(joined, max_bucket=max_bucket)
     scored = nb.select(
         "doc_id",
         F.greatest(
@@ -1905,10 +1960,25 @@ def stream_ingest_dedup_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_shared_len") < min_len).alias("kept"),
     )
     _SA_STREAM_RUN["n"] += 1
-    return run_to_memory(
-        out, f"_stream_ingest_dedup_sa_{_SA_STREAM_RUN['n']}",
-        output_mode="complete",
-    )
+    # a stream-static join re-executes the static side EVERY micro-batch
+    # — and executing the aggregation pipeline INSIDE a micro-batch is
+    # far slower than as a plain batch job (no AQE, no exchange reuse
+    # across the cap/observe branches).  Persist AND materialize the
+    # bucket arrays before the stream starts: one batch-mode compute,
+    # then every micro-batch reads the spillable cache.  At a scale
+    # where the arrays outgrow cluster memory, write them to a compacted
+    # table once and stream against that instead.
+    from pyspark import StorageLevel
+
+    seen_arr.persist(StorageLevel.MEMORY_AND_DISK)
+    seen_arr.count()
+    try:
+        return run_to_memory(
+            out, f"_stream_ingest_dedup_sa_{_SA_STREAM_RUN['n']}",
+            output_mode="complete",
+        )
+    finally:
+        seen_arr.unpersist()
 
 
 QUERIES["stream_ingest_dedup_sa"] = stream_ingest_dedup_sa
@@ -2447,15 +2517,17 @@ def stream_cut_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same static-side device as the ingest twin: the even-id corpus
     pre-aggregates to (prefix bucket -> sorted seen-suffix array, hot
     buckets capped at 10k BEFORE the collect), each arriving suffix
-    finds pred/succ inside its bucket's array with higher-order
-    functions, and positions sharing >= 30 chars mark ``[off,
-    off+m-1]``.  A stream cannot window per doc, so the island merge +
+    bisects its bucket's array for pred/succ (``_sa_bs_neighbours``),
+    and positions sharing >= 30 chars mark ``[off, off+m-1]``.  A stream cannot window per doc, so the island merge +
     cut collapse into ONE ``aggregate()`` cursor over the doc's own
     sorted (possibly overlapping) marks — the cursor skips covered
     chars, counts islands, and splices the tail beyond the 128-char
-    window; the only stateful operator is the per-(doc, text)
-    collect_list (complete mode, availableNow into a memory sink).
-    The SAME oracle SQL replays both twins."""
+    window.  The only stateful operator is a per-``doc_id``
+    collect_list of INTEGER marks (complete mode, availableNow into a
+    memory sink) — state is O(marks), never the arriving text; the
+    splice joins the static doc relation AFTER the sink (the cut is
+    stateless given merged marks).  The SAME oracle SQL replays both
+    twins."""
     return _stream_cut_spans_sa(spark, sf_dir, full_doc=False)
 
 
@@ -2471,14 +2543,27 @@ def stream_cut_spans_sa_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_cut_spans_sa(spark, sf_dir, full_doc=True)
 
 
-def _stream_cut_spans_sa(
+def _stream_cut_spans_sa_marks(
     spark: SparkSession, sf_dir: str, *, full_doc: bool
 ) -> DataFrame:
+    """The STATEFUL half of the streaming span cut: arriving suffixes
+    scored against the static capped bucket arrays, marks aggregated
+    per ``doc_id`` ALONE — the state store carries one row per doc of
+    ``(bigint, array<struct<s int, e int>>)`` and nothing else.  State
+    size is O(marks), never O(corpus text): earlier revisions grouped
+    by ``(doc_id, full text)``, which made the complete-mode state THE
+    ARRIVING CORPUS and ran the full-doc variant 6.5x slower than its
+    batch twin (round-11 finding).  The text splice is stateless given
+    the merged marks, so it happens OUTSIDE the stream — see
+    :func:`_stream_cut_spans_sa`.  Pinned by
+    tests/test_plan_quality.py::test_stream_cut_spans_state_carries_no_text.
+
+    Returns ``(marks_stream, seen_arr)`` — the caller persists
+    ``seen_arr`` for the run (stream-static joins re-execute the static
+    side per micro-batch)."""
     import os
 
     from pyspark.sql import functions as F
-
-    from chewdata_spark.streaming.ops import run_to_memory
 
     max_chars = 64 if full_doc else 128
     min_len, bucket_len, max_bucket = 30, 8, 10_000
@@ -2490,15 +2575,20 @@ def _stream_cut_spans_sa(
         full_doc=full_doc,
     )
 
-    scan_t = (
-        F.col("ft") if full_doc else F.substring("ft", 1, max_chars)
-    )
     stream = (
         spark.readStream.schema(schema)
         .parquet(path + "*")
         .filter(F.col("doc_id") % 2 == 1)
         .withColumn("ft", F.coalesce(F.col("text"), F.lit("")))
-        .withColumn("t", scan_t)
+        .withColumn(
+            "t",
+            F.col("ft") if full_doc else F.substring("ft", 1, max_chars),
+        )
+        # decouple scoring parallelism from the arrival file layout:
+        # one narrow doc-grain shuffle BEFORE the position explode (see
+        # stream_ingest_dedup_sa — same device, same reason)
+        .select("doc_id", "t")
+        .repartition(F.col("doc_id"))
         .withColumn(
             "off",
             F.explode_outer(
@@ -2515,12 +2605,9 @@ def _stream_cut_spans_sa(
         .withColumn("_bk", F.substring("suf", 1, bucket_len))
     )
     joined = stream.join(seen_arr, "_bk", "left")
-    nb = joined.withColumn(
-        "_pred", F.expr("array_max(filter(arr, x -> x <= suf))")
-    ).withColumn("_succ", F.expr("array_min(filter(arr, x -> x > suf))"))
+    nb = _sa_bs_neighbours(joined, max_bucket=max_bucket)
     scored = nb.select(
         "doc_id",
-        "ft",
         "off",
         F.greatest(
             F.when(
@@ -2533,7 +2620,7 @@ def _stream_cut_spans_sa(
             ).otherwise(0),
         ).alias("_m"),
     )
-    per_doc = scored.groupBy("doc_id", "ft").agg(
+    per_doc = scored.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(
                 F.when(
@@ -2545,6 +2632,51 @@ def _stream_cut_spans_sa(
                 )
             )
         ).alias("spans")
+    )
+    return per_doc, seen_arr
+
+
+def _stream_cut_spans_sa(
+    spark: SparkSession, sf_dir: str, *, full_doc: bool
+) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.streaming.ops import run_to_memory
+
+    per_doc, seen_arr = _stream_cut_spans_sa_marks(
+        spark, sf_dir, full_doc=full_doc
+    )
+    _SA_STREAM_RUN["n"] += 1
+    kind = "full" if full_doc else "head"
+    # persist AND materialize the static bucket arrays before the
+    # stream starts — a stream-static join re-executes the static side
+    # every micro-batch, and in-micro-batch execution of the build
+    # pipeline is far slower than batch mode (see stream_ingest_dedup_sa;
+    # same contract, same 100 TB note)
+    from pyspark import StorageLevel
+
+    seen_arr.persist(StorageLevel.MEMORY_AND_DISK)
+    seen_arr.count()
+    try:
+        marks = run_to_memory(
+            per_doc, f"_stream_cut_spans_sa_{kind}_{_SA_STREAM_RUN['n']}",
+            output_mode="complete",
+        )
+    finally:
+        seen_arr.unpersist()
+
+    # Stateless finish OUTSIDE the stream: the cut is a pure function of
+    # (merged marks, text), so the text rides the static doc relation —
+    # one equi-join on doc_id, never the state store.
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = (
+        spark.read.parquet(path)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("ft")
+        )
     )
     cut = F.expr(
         """
@@ -2571,17 +2703,11 @@ def _stream_cut_spans_sa(
         ).n
         """
     )
-    out = per_doc.select(
+    return marks.join(docs, "doc_id").select(
         "doc_id",
         cut.alias("clean_text"),
         n_spans.cast("int").alias("n_spans"),
         (F.length("ft") - F.length(cut)).cast("int").alias("n_cut"),
-    )
-    _SA_STREAM_RUN["n"] += 1
-    kind = "full" if full_doc else "head"
-    return run_to_memory(
-        out, f"_stream_cut_spans_sa_{kind}_{_SA_STREAM_RUN['n']}",
-        output_mode="complete",
     )
 
 

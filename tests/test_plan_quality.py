@@ -975,3 +975,39 @@ def test_matryoshka_ivf_plan_shape(spark, sf_dir):
     assert any("_salt" in s for s in specs), specs
     assert "BroadcastExchange" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_stream_cut_spans_state_carries_no_text(spark, sf_dir):
+    # the streaming span cut's ONLY stateful operator must aggregate
+    # integer marks keyed by doc_id alone — state O(marks).  Round 11
+    # shipped it grouped by (doc_id, full text), making complete-mode
+    # state THE ARRIVING CORPUS (121 s vs the batch twin's 19 s); this
+    # pin keeps text columns out of the state schema for good.
+    from pyspark.sql.types import ArrayType, StringType, StructType
+
+    from chewdata_spark.queries.dedup_queries import _stream_cut_spans_sa_marks
+
+    def strings_in(dt, path=""):
+        if isinstance(dt, StringType):
+            return [path]
+        if isinstance(dt, StructType):
+            return [
+                p for f in dt.fields
+                for p in strings_in(f.dataType, f"{path}.{f.name}")
+            ]
+        if isinstance(dt, ArrayType):
+            return strings_in(dt.elementType, path + "[]")
+        return []
+
+    for full_doc in (False, True):
+        marks, _seen = _stream_cut_spans_sa_marks(
+            spark, sf_dir, full_doc=full_doc
+        )
+        assert marks.isStreaming
+        leaked = [
+            p
+            for f in marks.schema.fields
+            for p in strings_in(f.dataType, f.name)
+        ]
+        assert not leaked, f"text column(s) in stateful schema: {leaked}"
+        assert [f.name for f in marks.schema.fields] == ["doc_id", "spans"]

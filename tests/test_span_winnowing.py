@@ -1005,3 +1005,48 @@ def test_token_ranks_control_char_tokens(spark):
         k: 1 + sum(1 for _, o in sufs if o < suf) for k, suf in sufs
     }
     assert got == expected, (got, expected)
+
+
+def test_bs_neighbours_equal_filter_scan(spark):
+    # the streaming SA scorers bisect the sorted bucket array for
+    # pred/succ (O(log cap) per arrival); this replays the original
+    # O(|arr|) filter-scan definition on randomized arrays/keys and
+    # asserts element-wise equality, including the edge cases (empty
+    # match side, key below/above every element, exact hits, NULL key,
+    # missing bucket -> NULL array).
+    import random
+
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.queries.dedup_queries import _sa_bs_neighbours
+
+    rng = random.Random(1207)
+    alpha = "abcd"
+    rows = []
+    for i in range(300):
+        arr = sorted(
+            {"".join(rng.choices(alpha, k=rng.randint(1, 6)))
+             for _ in range(rng.randint(1, 40))}
+        )
+        suf = "".join(rng.choices(alpha, k=rng.randint(1, 6)))
+        if rng.random() < 0.2 and arr:
+            suf = rng.choice(arr)  # exact hit
+        rows.append((i, suf, arr))
+    rows.append((1000, None, ["ab", "cd"]))   # NULL key
+    rows.append((1001, "bb", None))           # missing bucket
+    rows.append((1002, "", ["a"]))            # below every element
+    rows.append((1003, "ddddddd", ["a", "d"]))  # above every element
+    df = spark.createDataFrame(rows, "id long, suf string, arr array<string>")
+    got = _sa_bs_neighbours(df, max_bucket=40).select(
+        "id", "_pred", "_succ"
+    )
+    want = (
+        df.withColumn(
+            "_pred", F.expr("array_max(filter(arr, x -> x <= suf))")
+        )
+        .withColumn("_succ", F.expr("array_min(filter(arr, x -> x > suf))"))
+        .select("id", "_pred", "_succ")
+    )
+    g = {r["id"]: (r["_pred"], r["_succ"]) for r in got.collect()}
+    w = {r["id"]: (r["_pred"], r["_succ"]) for r in want.collect()}
+    assert g == w
