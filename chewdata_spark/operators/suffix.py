@@ -667,7 +667,16 @@ def sa_contamination_scores(
     (``sa_ingest_<n>/dropped_hot_buckets``), and the oracle mirrors
     the cap with a HAVING on the same bucket grain.  Raise
     ``bucket_len`` toward ``min_len`` to split hot buckets before
-    resorting to a higher cap; ``None`` disables."""
+    resorting to a higher cap; ``None`` disables.
+
+    The ARRIVAL side needs no cap: hot arrival buckets are split into
+    salt sub-groups (seen rows replicated into each, so pred/succ —
+    seen-only aggregates — are bit-identical to the unsalted window;
+    no oracle mirror needed) and the per-task window partition is
+    bounded by ``max_bucket`` seen + ``max_bucket`` new rows.  Salted
+    bucket count rides the ``sa_arrivals_<n>/
+    salted_hot_arrival_buckets`` observe metric; planted test:
+    tests/test_span_winnowing.py::test_sa_arrival_hot_bucket_salting."""
     if bucket_len > min_len:
         raise ValueError(
             f"bucket_len ({bucket_len}) must be <= min_len ({min_len}): "
@@ -703,6 +712,8 @@ def sa_contamination_scores(
             )
         )
 
+    from chewdata_spark.operators.dedup import _OBS_SEQ
+
     new_suf = _sufs(new).withColumn("_bk", F.substring("suf", 1, bucket_len))
     seen_suf = (
         _sufs(seen)
@@ -711,8 +722,6 @@ def sa_contamination_scores(
         .withColumn("_bk", F.substring("suf", 1, bucket_len))
     )
     if max_bucket is not None:
-        from chewdata_spark.operators.dedup import _OBS_SEQ
-
         sizes = seen_suf.groupBy("_bk").agg(
             F.count(F.lit(1)).alias("_n")
         ).observe(
@@ -726,20 +735,56 @@ def sa_contamination_scores(
             "_bk",
             "left_semi",
         )
-    touched = new_suf.select("_bk").distinct()
-    seen_in = seen_suf.join(touched, "_bk", "left_semi").select(
+    # the seen-side cap bounds the SEEN rows per bucket, but the window
+    # below would still land every ARRIVING row of a bucket on one task
+    # — a boilerplate-heavy arriving batch (every new doc opening with
+    # the same bucket_len chars) is the skew case.  EXACT dynamic
+    # salting: hot arrival buckets split into ceil(arrivals /
+    # arrival_chunk) salt groups, the (capped) seen rows REPLICATE into
+    # every salt group, and each new row hashes into exactly one — the
+    # pred/succ aggregates read only seen rows, which every group holds
+    # in full, so results are bit-identical to the unsalted window (the
+    # oracle needs no mirror) while partition width is bounded by
+    # max_bucket + arrival_chunk.  Replication is 1x everywhere except
+    # hot arrival buckets; the salted-bucket count rides the plan as
+    # the sa_arrivals_<n>/salted_hot_arrival_buckets observe metric.
+    chunk = max_bucket if max_bucket is not None else 10_000
+    salts_plain = new_suf.groupBy("_bk").agg(
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.count(F.lit(1)) / F.lit(chunk)),
+        ).cast("int").alias("_ns")
+    )
+    salts_obs = salts_plain.observe(
+        f"sa_arrivals_{next(_OBS_SEQ)}",
+        F.sum(
+            F.when(F.col("_ns") > 1, F.lit(1)).otherwise(F.lit(0))
+        ).alias("salted_hot_arrival_buckets"),
+    )
+    seen_in = seen_suf.join(salts_obs, "_bk").select(
         F.lit(None).cast(new_suf.schema["doc_id"].dataType).alias("doc_id"),
         F.lit(None).cast("int").alias("off"),
         "suf",
         "_bk",
         F.lit(1).alias("_seen"),
+        F.explode(F.expr("sequence(0, _ns - 1)")).alias("_salt"),
     )
-    u = new_suf.select(
-        "doc_id", "off", "suf", "_bk", F.lit(0).alias("_seen")
-    ).unionByName(seen_in)
+    new_in = new_suf.join(salts_plain, "_bk").select(
+        "doc_id",
+        "off",
+        "suf",
+        "_bk",
+        F.lit(0).alias("_seen"),
+        F.pmod(F.xxhash64("doc_id", "off"), F.col("_ns"))
+        .cast("int")
+        .alias("_salt"),
+    )
+    u = new_in.unionByName(seen_in)
     # seen rows sort BEFORE new rows on equal suffixes (_seen desc), so
     # an exact whole-suffix match becomes the predecessor
-    w = Window.partitionBy("_bk").orderBy("suf", F.col("_seen").desc())
+    w = Window.partitionBy("_bk", "_salt").orderBy(
+        "suf", F.col("_seen").desc()
+    )
     seen_only = F.when(F.col("_seen") == 1, F.col("suf"))
     pred = F.last(seen_only, ignorenulls=True).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

@@ -1050,3 +1050,47 @@ def test_bs_neighbours_equal_filter_scan(spark):
     g = {r["id"]: (r["_pred"], r["_succ"]) for r in got.collect()}
     w = {r["id"]: (r["_pred"], r["_succ"]) for r in want.collect()}
     assert g == w
+
+
+def test_sa_arrival_hot_bucket_salting(spark):
+    """Boilerplate-heavy ARRIVALS: every new doc opens with the same
+    8-char prefix, so all their position-1..k suffixes land in one
+    prefix bucket.  With max_bucket=3 the salting splits that bucket's
+    window into ceil(arrivals/3) salt groups; results must be
+    bit-identical to the effectively-unsalted run (huge cap), because
+    every salt group replicates the full (capped) seen row set and
+    pred/succ read only seen rows."""
+    from chewdata_spark.operators.suffix import sa_contamination_scores
+
+    boiler = "BOILERPLATE-HEADER "  # shared opener, hot arrival bucket
+    seen_rows = [
+        (100, boiler + "canonical body zero zero zero zero"),
+        (102, "completely different seen text here"),
+    ]
+    new_rows = [
+        (2 * i + 1, boiler + f"variant body number {i:03d} trailing")
+        for i in range(12)
+    ]
+    # one exact long repeat so at least one arrival scores >= min_len
+    new_rows.append((99, boiler + "canonical body zero zero zero zero"))
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    seen = spark.createDataFrame(seen_rows, "doc_id long, text string")
+
+    def scores(cap):
+        return sorted(
+            (r["doc_id"], r["off"], r["m"])
+            for r in sa_contamination_scores(
+                new, seen, "doc_id", "text",
+                max_chars=64, min_len=30, bucket_len=8, max_bucket=cap,
+            ).collect()
+        )
+
+    salted = scores(3)           # arrivals per bucket >> 3 -> _ns > 1
+    wide = scores(1_000_000)     # _ns == 1 everywhere
+    assert salted == wide
+    # the planted exact repeat is still found under salting
+    by_doc = {}
+    for d, _o, m in salted:
+        by_doc[d] = max(by_doc.get(d, 0), m)
+    assert by_doc[99] >= 30
+    assert all(v < 30 for d, v in by_doc.items() if d != 99)
