@@ -638,3 +638,117 @@ FROM rec WHERE pos = length(word) + 1
 
 QUERIES["wordpiece_segments_top"] = wordpiece_segments_top
 ORACLES["wordpiece_segments_top"] = WORDPIECE_SQL
+
+
+def dedup_cut_spans_sa_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-GRAIN suffix-array dedup — the tokenizer family and the SA
+    family COMPOSED, the grain Lee et al. 2022 actually run their
+    suffix arrays at (BPE token streams, not raw chars): every document
+    re-segments under the corpus's own 2 trained BPE merges
+    (operators/tokenize.py::bpe_encode_corpus) and whole >= 30-PIECE
+    repeats are marked ANYWHERE in each piece stream by the TILED
+    token-grain suffix array and cut out
+    (operators/suffix.py::cut_repeat_spans_sa_tokens_tiled).  Pieces
+    are whitespace-joined and contain no whitespace, so the piece
+    string IS a token-grain document and the whole token-SA machinery
+    applies verbatim — the same family multiplication as
+    ann_matryoshka_ivf_topk.  Scale shape: BPE training stays on the
+    VOCAB-grain symbol relation, encode is one join on word, and the
+    SA stage adds only the tiled doubling rounds over ~1.3x the piece
+    count.  Only 2 merges train here, so pieces sit near char grain
+    and the threshold mirrors the char family's 30 (a 5-piece minimum
+    would cut ubiquitous language).  Oracle: the bpe_encode CTE chain
+    replayed verbatim, then the INDEPENDENT duplicated-30-gram
+    coverage algorithm over the
+    piece sequences (GROUP BY gram HAVING COUNT >= 2 -> coverage ->
+    cut), never a suffix rank."""
+    from chewdata_spark.operators.suffix import cut_repeat_spans_sa_tokens_tiled
+    from chewdata_spark.operators.tokenize import bpe_encode_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = bpe_encode_corpus(docs, "doc_id", "text", iters=2).select(
+        "doc_id", "pieces"
+    )
+    return cut_repeat_spans_sa_tokens_tiled(
+        pieces, "doc_id", "pieces", tile=64, min_tokens=30
+    )
+
+
+BPE_SA_CUT_SQL = """
+WITH words AS (
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+          FROM documents)
+    WHERE word <> '' GROUP BY 1
+), syms1 AS (
+    SELECT word, freq, i AS pos, word[i] AS sym
+    FROM (SELECT word, freq, unnest(generate_series(1, len(word))) AS i
+          FROM words)
+), {iters}, seg AS (
+    SELECT word, string_agg(sym, ' ' ORDER BY pos) AS seg
+    FROM syms3 GROUP BY word
+), toks AS (
+    SELECT doc_id, pos, word
+    FROM (SELECT doc_id, unnest(w) AS word,
+                 unnest(range(1, len(w) + 1)) AS pos
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents))
+    WHERE word <> ''
+), d AS (
+    SELECT doc_id,
+           string_split(string_agg(s.seg, ' ' ORDER BY t.pos), ' ') AS toks
+    FROM toks t JOIN seg s ON s.word = t.word
+    GROUP BY doc_id
+), gg AS (
+    SELECT doc_id, off, list_slice(toks, off, off + 29) AS gram
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - 29)) AS off
+          FROM d WHERE len(toks) >= 30)
+), dup AS (
+    SELECT gram FROM gg GROUP BY gram HAVING COUNT(*) >= 2
+), marked AS (
+    SELECT doc_id, off AS s, off + 29 AS e FROM gg JOIN dup USING (gram)
+), isl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS ni
+    FROM marked
+), isl2 AS (
+    SELECT doc_id, s, e,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM isl
+), spans AS (
+    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+    FROM isl2 GROUP BY doc_id, island
+), cov AS (
+    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
+), tpos AS (
+    SELECT doc_id, toks[i] AS w, i
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks))) AS i FROM d)
+), keep AS (
+    SELECT t.doc_id,
+           COALESCE(string_agg(t.w, ' ' ORDER BY t.i)
+                    FILTER (WHERE c.i IS NULL), '') AS clean_text,
+           COUNT(*) FILTER (WHERE c.i IS NOT NULL) AS n_cut
+    FROM tpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i
+    GROUP BY t.doc_id
+), nsp AS (
+    SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+)
+SELECT a.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(COALESCE(n.n_spans, 0) AS INT) AS n_spans,
+       CAST(COALESCE(k.n_cut, 0) AS INT) AS n_cut
+FROM d a
+LEFT JOIN keep k USING (doc_id)
+LEFT JOIN nsp n USING (doc_id)
+""".format(iters=f"{_bpe_iter_sql(1)}, {_bpe_iter_sql(2)}")
+
+QUERIES["dedup_cut_spans_sa_bpe"] = dedup_cut_spans_sa_bpe
+ORACLES["dedup_cut_spans_sa_bpe"] = BPE_SA_CUT_SQL
