@@ -437,15 +437,18 @@ def curate_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "clean_text")
 
 
-def _norm_lined_ctes() -> str:
+def _norm_lined_ctes(where_sql: str = "TRUE") -> str:
     """The normalize + corpus-global-line-dedup CTE prefix shared by
-    both flagship oracles (k-gram and suffix-array cut variants)."""
+    the flagship oracles (k-gram, suffix-array, and decontaminating
+    variants).  ``where_sql`` filters the documents slice entering the
+    pipeline (the decontaminating flagship curates only the non-
+    benchmark slice)."""
     from chewdata_spark.queries.text_queries import _normalize_sql
 
     # stage 1: reuse the generated normalize expression verbatim
     norm_select = _normalize_sql().strip().rstrip(";")
     return f"""
-WITH norm0 AS ({norm_select}),
+WITH norm0 AS (SELECT * FROM ({norm_select}) WHERE {where_sql}),
 norm AS (SELECT doc_id, norm_text AS text FROM norm0),
 -- stage 2: corpus-global line dedup (first (doc_id, pos) occurrence wins)
 ls AS (SELECT doc_id, string_split(text, chr(10)) AS ln FROM norm),
@@ -567,11 +570,13 @@ def curate_pipeline_full_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "clean_text")
 
 
-def _curate_pipeline_sa_sql() -> str:
+def _sa_cut_ctes() -> str:
     # stage 3': duplicated-30-gram coverage cut over the lined corpus —
     # the independent algorithm equal to the tiled SA's whole-repeat
-    # marks (see repeat_spans_sa_tiled's exactness argument)
-    return _norm_lined_ctes() + """,
+    # marks (see repeat_spans_sa_tiled's exactness argument).  Ends at
+    # ``cut (doc_id, clean_text)``; shared by the SA flagship and the
+    # decontaminating flagship oracles.
+    return """,
 sd AS (
     SELECT doc_id, text AS t FROM lined WHERE length(text) >= 30
 ), sgg AS (
@@ -597,7 +602,11 @@ sd AS (
 ), cut AS (
     SELECT l.doc_id, COALESCE(k.clean_text, '') AS clean_text
     FROM lined l LEFT JOIN skeep k USING (doc_id)
-),
+)"""
+
+
+def _curate_pipeline_sa_sql() -> str:
+    return _norm_lined_ctes() + _sa_cut_ctes() + """,
 -- stage 4: per-source quota (deterministic md5 order, cap 15)
 q AS (
     SELECT c.doc_id, d.lang, d.source, c.clean_text,
@@ -612,6 +621,157 @@ SELECT doc_id, lang, source, clean_text FROM q WHERE rnk <= 15
 
 QUERIES["curate_pipeline_full_sa"] = curate_pipeline_full_sa
 ORACLES["curate_pipeline_full_sa"] = _curate_pipeline_sa_sql()
+
+
+def curate_pipeline_decontam_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE Lee et al. 2022 pipeline as one lazy plan —
+    curate_pipeline_full_sa plus the missing stage: benchmark
+    DECONTAMINATION between the repeat cut and the quota.
+
+    normalize → corpus-global line dedup → full-document whole-repeat
+    span cut (tiled SA, >= 30-char repeats WITHIN the training slice)
+    → full-document span decontamination (>= 30-char runs shared with
+    the normalized BENCHMARK slice cut out —
+    operators/suffix.py::cut_contaminated_spans_sa, full_doc) →
+    per-source anti-domination quota.  The slice convention matches
+    the span-decontamination family (odd ids = training corpus, even
+    ids = benchmark — decontaminate_cut_spans_sa*): the %97 audit
+    slice shares no >= 30-char run with the training text at test SFs,
+    which would leave this stage vacuously green.  The benchmark slice
+    is normalized by the SAME pass as the training text so matching
+    happens at one canonical form; it is never line-deduped or cut
+    (eval text stays verbatim).  Note the stage ORDER matters: a
+    training doc whose leaked run is ALSO repeated within the training
+    slice loses it at stage 3 (whole-repeat cut), so stage 4 cuts
+    exactly the leaks that are UNIQUE in training — together they
+    remove every leaked copy.  Output carries the decontamination
+    evidence (``n_spans``/``n_cut``) per surviving doc, so the curated
+    corpus ships with its leakage audit attached.
+
+    The composed DuckDB oracle chains the shared normalize+line-dedup
+    CTEs, the independent duplicated-30-gram coverage cut, and the
+    independent per-bucket neighbour scoring (dedup_queries's
+    ``_sa_scoring_ctes`` pointed at the intermediate relations) —
+    END-TO-END value-checked across all five stages."""
+    from chewdata_spark.operators import dedup as D
+    from chewdata_spark.operators.suffix import (
+        cut_contaminated_spans_sa,
+        cut_repeat_spans_sa_tiled,
+    )
+    from chewdata_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 1)
+    bench = docs.filter(F.col("doc_id") % 2 == 0)
+    norm = normalize_text(train, "doc_id", "text").select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    lined = D.dedup_lines_global(norm, "doc_id", "text", min_words=5).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    # same stage-materialization boundaries as curate_pipeline_full_sa:
+    # each downstream stage consumes its input in several branches
+    lined = lined.localCheckpoint(eager=False)
+    cut = cut_repeat_spans_sa_tiled(
+        lined, "doc_id", "text", tile=128, min_len=30
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    cut = cut.localCheckpoint(eager=False)
+    evaln = normalize_text(bench, "doc_id", "text").select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    decon = cut_contaminated_spans_sa(
+        cut, evaln, "doc_id", "text",
+        max_chars=64, min_len=30, bucket_len=8, full_doc=True,
+    )
+    joined = decon.join(docs.select("doc_id", "lang", "source"), "doc_id")
+    out = curation.stratum_quota(joined, "source", "doc_id", max_per_stratum=15)
+    return out.select(
+        "doc_id", "lang", "source", "clean_text", "n_spans", "n_cut"
+    )
+
+
+def _curate_pipeline_decontam_sql() -> str:
+    from chewdata_spark.queries.dedup_queries import _sa_scoring_ctes
+    from chewdata_spark.queries.text_queries import _normalize_sql
+
+    norm_select = _normalize_sql().strip().rstrip(";")
+    scoring = _sa_scoring_ctes(
+        new_where="TRUE", seen_where="TRUE",
+        with_off=True, full_doc=True, cmp_len=64,
+        bucket_len=8, max_bucket=10_000,
+        new_rel="trainrel", seen_rel="seenrel", lead=",",
+    )
+    return (
+        _norm_lined_ctes(where_sql="doc_id % 2 = 1")
+        + _sa_cut_ctes()
+        + f""",
+-- stage 4: decontaminate the curated slice against the NORMALIZED
+-- benchmark slice (same normalize pass, no line dedup / cut on eval)
+trainrel AS (SELECT doc_id, clean_text AS text FROM cut),
+seenrel AS (
+    SELECT doc_id, norm_text AS text
+    FROM ({norm_select}) WHERE doc_id % 2 = 0
+)"""
+        + scoring
+        + """, marked AS (
+    SELECT doc_id, off AS s, off + m - 1 AS e FROM scored WHERE m >= 30
+), isl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS ni
+    FROM marked
+), isl2 AS (
+    SELECT doc_id, s, e,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM isl
+), spans AS (
+    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+    FROM isl2 GROUP BY doc_id, island
+), cov AS (
+    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
+), alldocs AS (
+    SELECT doc_id, COALESCE(text, '') AS full_t FROM trainrel
+), apos AS (
+    SELECT doc_id, full_t, unnest(generate_series(1, length(full_t))) AS i
+    FROM alldocs
+), keepx AS (
+    SELECT a.doc_id,
+           COALESCE(string_agg(substr(a.full_t, a.i, 1), '' ORDER BY a.i)
+                    FILTER (WHERE c.i IS NULL), '') AS clean_text,
+           COUNT(*) FILTER (WHERE c.i IS NOT NULL) AS n_cut
+    FROM apos a LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.i = c.i
+    GROUP BY a.doc_id
+), nsp AS (
+    SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+), dc AS (
+    SELECT a.doc_id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           CAST(COALESCE(n.n_spans, 0) AS INT) AS n_spans,
+           CAST(COALESCE(k.n_cut, 0) AS INT) AS n_cut
+    FROM alldocs a
+    LEFT JOIN keepx k USING (doc_id)
+    LEFT JOIN nsp n USING (doc_id)
+),
+-- stage 5: per-source quota (deterministic md5 order, cap 15)
+q AS (
+    SELECT c.doc_id, d.lang, d.source, c.clean_text, c.n_spans, c.n_cut,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('0:' || CAST(c.doc_id AS VARCHAR)), c.doc_id) AS rnk
+    FROM dc c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, source, clean_text, n_spans, n_cut
+FROM q WHERE rnk <= 15
+"""
+    )
+
+
+QUERIES["curate_pipeline_decontam_sa"] = curate_pipeline_decontam_sa
+ORACLES["curate_pipeline_decontam_sa"] = _curate_pipeline_decontam_sql()
 
 
 def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:

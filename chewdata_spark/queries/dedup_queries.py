@@ -24,6 +24,9 @@ def _sa_scoring_ctes(
     cmp_len: int = 128,
     bucket_len: int = 8,
     max_bucket: int = 10_000,
+    new_rel: str = "documents",
+    seen_rel: str = "documents",
+    lead: str = "WITH",
 ) -> str:
     """The WITH-prefix shared by every incremental-SA oracle: arriving
     and seen suffix relations, the hot-bucket cap mirror (HAVING on the
@@ -36,7 +39,11 @@ def _sa_scoring_ctes(
     per-suffix compare cap (see decontaminate_cut_spans_sa_full).
     ``bucket_len``/``max_bucket`` MUST match the values the query
     passes to the operator (sa_contamination_scores and friends) —
-    thread the same constants to both sides."""
+    thread the same constants to both sides.  ``new_rel``/``seen_rel``
+    name the relations scanned (default the raw ``documents`` view;
+    composed oracles point them at earlier CTEs exposing
+    ``(doc_id, text)``), and ``lead`` lets the block continue an
+    existing WITH chain (pass ``lead=","``)."""
     if full_doc:
         t_new = "COALESCE(text, '') AS t"
         w_new = f"{new_where} AND length(COALESCE(text, '')) > 0"
@@ -66,11 +73,11 @@ def _sa_scoring_ctes(
         nb_cols = "doc_id, suf, is_seen"
         sc_cols = "doc_id"
     return f"""
-WITH newd AS (
-    SELECT doc_id, {t_new} FROM documents
+{lead} newd AS (
+    SELECT doc_id, {t_new} FROM {new_rel}
     WHERE {w_new}
 ), seend AS (
-    SELECT doc_id, {t_new} FROM documents
+    SELECT doc_id, {t_new} FROM {seen_rel}
     WHERE {w_seen}
 ), newsuf AS (
     SELECT {new_cols}

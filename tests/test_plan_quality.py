@@ -959,6 +959,26 @@ def test_curate_pipeline_full_sa_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_curate_pipeline_decontam_sa_plan_shape(spark, sf_dir):
+    # the decontaminating flagship keeps the SA flagship's plan
+    # contract across its FIVE stages: checkpoint-backed boundaries
+    # mean zero parquet re-scans after execution, the island merge /
+    # span cuts stay aggregate-shaped (no Deduplicate), and nothing
+    # drops to Python.
+    import re
+
+    from chewdata_spark.queries.curation_queries import (
+        curate_pipeline_decontam_sa,
+    )
+
+    df = curate_pipeline_decontam_sa(spark, sf_dir)
+    df.collect()
+    plan = formatted_plan(df).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
+    assert "Deduplicate" not in df._jdf.queryExecution().optimizedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_matryoshka_ivf_plan_shape(spark, sf_dir):
     # the composed retrieval keeps both devices' plan contracts: the
     # probe list comes off a BROADCAST centroid join, the coarse stage
