@@ -30,11 +30,12 @@ Spark-first design (no concatenated corpus string, no driver-side sort):
    and no global re-ranking (sort, range partitioner, or unpartitioned
    window) exists anywhere — every window partitions by the previous
    rank;
-3. round-0 ranks cover the first FOUR chars (two-level
-   order-preserving prefix sum over the 4-gram alphabet — the loop
-   starts at h=4, skipping its two most expensive rounds), and the
-   splitting window partitions by the tie group — group width is the
-   group's own multiplicity, never the corpus;
+3. round-0 ranks cover the first EIGHT chars (three-level
+   order-preserving prefix sum over the 8-gram alphabet — the loop
+   starts at h=8, skipping its three most expensive rounds, and
+   corpus-unique 8-char contexts freeze before entering the loop), and
+   the splitting window partitions by the tie group — group width is
+   the group's own multiplicity, never the corpus;
 4. eager localCheckpoint per round exactly like
    graph.connected_components — bench.py's LogicalRDD detection rebuilds
    the loop inside the timed window; early exit when every group is a
@@ -86,17 +87,20 @@ def _char_ranks(docs: DataFrame, max_chars: int) -> DataFrame:
     ``(doc_id, t)`` relation — ``doc_id`` may be any joinable type
     (:func:`repeat_spans_sa_tiled` passes a (doc, window) struct).
 
-    Round 0 ranks by the first FOUR chars, not one: the doubling loop
-    then starts at ``h = 4``, skipping its two most expensive rounds
-    (the early rounds touch every position — nothing has frozen yet).
-    4-gram ranks keep the suffix-order convention for free, because a
-    shorter suffix that is a prefix of a longer one compares smaller
-    as a plain string (``"ab" < "abX"``).  The 4-gram alphabet is
-    vocabulary-sized, so the base prefix sum is the two-level
-    ORDER-PRESERVING device shared with the token grain: the
-    corpus-sized window partitions by the gram's 2-char prefix (prefix
-    order agrees with gram order) and only the bucket-count offsets
-    (<= charset² rows) see an unpartitioned window."""
+    Round 0 ranks by the first EIGHT chars, not one: the doubling loop
+    then starts at ``h = 8``, skipping its three most expensive rounds
+    (the early rounds touch every position — nothing has frozen yet),
+    and positions whose 8-char context is corpus-unique freeze at
+    round 0 without entering the loop at all.  8-gram ranks keep the
+    suffix-order convention for free, because a shorter suffix that is
+    a prefix of a longer one compares smaller as a plain string
+    (``"ab" < "abX"``).  The 8-gram alphabet is too wide for a single
+    2-char-bucketed pass, so the base prefix sum runs the THREE-level
+    ORDER-PRESERVING device: the distinct-gram window partitions by
+    the gram's 4-char prefix (prefix order agrees with gram order),
+    the 4-char bucket offsets partition by THEIR 2-char prefix, and
+    only the 2-char bucket-of-bucket offsets (<= charset² rows) see an
+    unpartitioned window — bounded width at every level."""
     pos = (
         docs.select(
             "doc_id",
@@ -106,23 +110,37 @@ def _char_ranks(docs: DataFrame, max_chars: int) -> DataFrame:
         .select(
             "doc_id",
             "off",
-            F.expr("substring(t, off, 4)").alias("g4"),
+            F.expr("substring(t, off, 8)").alias("g8"),
         )
     )
-    return _prefix_double(_two_level_base_ranks(pos, "g4"), max_chars, h0=4)
+    return _prefix_double(
+        _two_level_base_ranks(
+            pos,
+            "g8",
+            bucket=F.substring("g8", 1, 4),
+            bucket2=F.substring(F.col("_bk"), 1, 2),
+        ),
+        max_chars,
+        h0=8,
+    )
 
 
 def _two_level_base_ranks(
-    pos: DataFrame, unit_col: str, bucket=None
+    pos: DataFrame, unit_col: str, bucket=None, bucket2=None
 ) -> DataFrame:
     """(doc_id, off, rank): round-0 non-dense ranks of a
-    vocabulary-sized unit column (4-char gram or a token-pair struct)
-    via the two-level ORDER-PRESERVING prefix sum — the corpus-sized
-    window partitions by a 2-char prefix bucket (``bucket`` must be an
-    expression whose order agrees with the unit order on bucket
-    boundaries; default = the unit's own 2-char prefix), and only the
-    bucket-count offsets (<= charset² rows) see an unpartitioned
-    window.  ``rank = 1 + #positions with a strictly smaller unit``;
+    vocabulary-sized unit column (char gram or a token struct) via the
+    two-level ORDER-PRESERVING prefix sum — the corpus-sized window
+    partitions by a prefix bucket (``bucket`` must be an expression
+    whose order agrees with the unit order on bucket boundaries;
+    default = the unit's own 2-char prefix), and only the bucket-count
+    offsets see an unpartitioned window.  When ``bucket`` is wider
+    than 2 chars the bucket-count relation itself outgrows one
+    partition; ``bucket2`` (an expression over the ``_bk`` column —
+    e.g. its 2-char prefix) then adds a THIRD level: bucket offsets
+    partition by ``bucket2`` and only the bucket2-count offsets
+    (<= charset² rows) run unpartitioned — bounded width at every
+    level.  ``rank = 1 + #positions with a strictly smaller unit``;
     ties share."""
     if bucket is None:
         bucket = F.substring(unit_col, 1, 2)
@@ -137,11 +155,35 @@ def _two_level_base_ranks(
         "_loc", F.coalesce(F.sum("_n").over(in_bucket), F.lit(0))
     )
     bcounts = bucketed.groupBy("_bk").agg(F.sum("_n").alias("_bn"))
-    off_w = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
-    boffsets = bcounts.select(
-        "_bk",
-        F.coalesce(F.sum("_bn").over(off_w), F.lit(0)).alias("_boff"),
-    )
+    if bucket2 is not None:
+        b2 = bcounts.withColumn("_bk2", bucket2)
+        in_b2 = (
+            Window.partitionBy("_bk2")
+            .orderBy("_bk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        b2local = b2.withColumn(
+            "_loc2", F.coalesce(F.sum("_bn").over(in_b2), F.lit(0))
+        )
+        b2counts = b2.groupBy("_bk2").agg(F.sum("_bn").alias("_b2n"))
+        off2_w = Window.orderBy("_bk2").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        b2offsets = b2counts.select(
+            "_bk2",
+            F.coalesce(F.sum("_b2n").over(off2_w), F.lit(0)).alias("_b2off"),
+        )
+        boffsets = b2local.join(b2offsets, "_bk2").select(
+            "_bk", (F.col("_b2off") + F.col("_loc2")).alias("_boff")
+        )
+    else:
+        off_w = Window.orderBy("_bk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        boffsets = bcounts.select(
+            "_bk",
+            F.coalesce(F.sum("_bn").over(off_w), F.lit(0)).alias("_boff"),
+        )
     base = local.join(boffsets, "_bk").select(
         unit_col,
         (F.col("_boff") + F.col("_loc") + 1).cast("bigint").alias("_base"),
@@ -400,18 +442,20 @@ def _token_ranks(toks: DataFrame, max_tokens: int) -> DataFrame:
     ``(doc_id, toks)`` relation — ``doc_id`` may be any joinable type
     (the tiled variant passes a (doc, window) struct).
 
-    Round 0 ranks the first TWO tokens (h0=2), the token-grain twin of
-    the char path's 4-gram base.  The base key is a STRUCT
-    ``(w1, w2)`` with ``w2`` null at a final position — Spark struct
-    ordering compares field-wise with null-sorts-first, which IS pair
-    lexicographic order with shorter-suffix-sorts-first, the exact
-    suffix convention the doubling loop refines.  (A separator-joined
-    string key is NOT sound here: no separator sorts below every
-    possible token byte — whitespace-split tokens can contain control
-    chars below 0x20, even \x00 — so ``w1 || ' ' || w2`` misorders
-    such corpora; the struct comparison has no separator to collide.)
-    The two-level bucket stays ``substring(w1, 1, 2)`` — prefix order
-    of the FIRST field agrees with pair order."""
+    Round 0 ranks the first FOUR tokens (h0=4), the token-grain twin
+    of the char path's 8-gram base.  The base key is a STRUCT
+    ``(w1..w4)`` with trailing fields null where the suffix runs out —
+    Spark struct ordering compares field-wise with null-sorts-first,
+    which IS tuple lexicographic order with shorter-suffix-sorts-first
+    (nulls fill monotonically from the end, so a null field always
+    means "suffix ended here"), the exact suffix convention the
+    doubling loop refines.  (A separator-joined string key is NOT
+    sound here: no separator sorts below every possible token byte —
+    whitespace-split tokens can contain control chars below 0x20, even
+    \x00 — so ``w1 || ' ' || w2`` misorders such corpora; the struct
+    comparison has no separator to collide.)  The two-level bucket
+    stays ``substring(w1, 1, 2)`` — prefix order of the FIRST field
+    agrees with tuple order."""
     pos = toks.select(
         "doc_id",
         F.posexplode("toks").alias("off0", "w"),
@@ -422,14 +466,16 @@ def _token_ranks(toks: DataFrame, max_tokens: int) -> DataFrame:
         F.struct(
             F.col("w").alias("w1"),
             F.expr("try_element_at(_tk, CAST(off0 + 2 AS INT))").alias("w2"),
-        ).alias("u2"),
+            F.expr("try_element_at(_tk, CAST(off0 + 3 AS INT))").alias("w3"),
+            F.expr("try_element_at(_tk, CAST(off0 + 4 AS INT))").alias("w4"),
+        ).alias("u4"),
     )
     return _prefix_double(
         _two_level_base_ranks(
-            pos, "u2", bucket=F.substring(F.col("u2.w1"), 1, 2)
+            pos, "u4", bucket=F.substring(F.col("u4.w1"), 1, 2)
         ),
         max_tokens,
-        h0=2,
+        h0=4,
     )
 
 
