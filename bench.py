@@ -189,6 +189,9 @@ HEADLINE = [
     # every round re-times the tiled device and the composed pipeline
     "dedup_cut_spans_sa_full",
     "curate_pipeline_full_sa",
+    # round-12: the complete Lee et al. pipeline (repeat cut + benchmark
+    # span decontamination + quota in one plan)
+    "curate_pipeline_decontam_sa",
 ]
 
 # How many non-headline registry queries get timed per run (rotating
