@@ -794,6 +794,20 @@ def sa_contamination_scores(
     # max_bucket + arrival_chunk.  Replication is 1x everywhere except
     # hot arrival buckets; the salted-bucket count rides the plan as
     # the sa_arrivals_<n>/salted_hot_arrival_buckets observe metric.
+    # EXACT bucket prefilter: an arriving position whose prefix bucket
+    # holds NO seen suffix has pred = succ = NULL in the window below
+    # and scores m = 0 — identical to what every consumer reads for it
+    # (thresholds are >= min_len >= bucket_len; doc-grain wrappers
+    # left-join + coalesce(0)).  Dropping those positions BEFORE the
+    # window shrinks its input from ALL arriving positions to the
+    # benchmark-adjacent fraction — at 100 TB, full-document
+    # decontamination of a training corpus against a (relatively tiny)
+    # eval slice stops sorting positions the eval slice cannot touch.
+    # The semi-join rides the same _bk exchange the salting join needs,
+    # and AQE broadcasts the distinct-bucket set when it is small.
+    new_suf = new_suf.join(
+        seen_suf.select("_bk").distinct(), "_bk", "left_semi"
+    )
     chunk = max_bucket if max_bucket is not None else 10_000
     salts_plain = new_suf.groupBy("_bk").agg(
         F.greatest(

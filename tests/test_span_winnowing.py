@@ -1094,3 +1094,46 @@ def test_sa_arrival_hot_bucket_salting(spark):
         by_doc[d] = max(by_doc.get(d, 0), m)
     assert by_doc[99] >= 30
     assert all(v < 30 for d, v in by_doc.items() if d != 99)
+
+
+def test_sa_bucket_prefilter_contract(spark):
+    """Arriving positions whose prefix bucket holds NO seen suffix are
+    DROPPED before the neighbour window (they would score m = 0 there:
+    pred/succ are per-bucket, seen-only) — the position relation must
+    omit them, and the doc-grain gate must still report the untouched
+    docs as kept with max_shared_len 0 (left join + coalesce, the
+    contract every scored consumer relies on)."""
+    from chewdata_spark.operators.suffix import (
+        sa_contamination_scores,
+        sa_incremental_contamination,
+    )
+
+    seen = spark.createDataFrame(
+        [(100, "zzzz-anchor canonical body here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # no 8-char prefix of any suffix matches the seen doc
+            (1, "ABCDEFGH IJKLMNOP QRSTUVWX 12345"),
+            # tail shares the seen doc's whole anchor run (>= 30 chars)
+            (3, "lead-in zzzz-anchor canonical body here"),
+        ],
+        "doc_id long, text string",
+    )
+    scored = sa_contamination_scores(
+        new, seen, "doc_id", "text",
+        max_chars=64, min_len=30, bucket_len=8, full_doc=True,
+    )
+    rows = scored.collect()
+    assert {r["doc_id"] for r in rows} == {3}  # doc 1 prefiltered away
+    assert max(r["m"] for r in rows) >= 30
+    gate = {
+        r["doc_id"]: (r["max_shared_len"], r["kept"])
+        for r in sa_incremental_contamination(
+            new, seen, "doc_id", "text",
+            max_chars=64, min_len=30, bucket_len=8, full_doc=True,
+        ).collect()
+    }
+    assert gate[1] == (0, True)      # absent from scored, still reported
+    assert gate[3][0] >= 30 and gate[3][1] is False
