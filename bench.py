@@ -190,8 +190,11 @@ HEADLINE = [
     "dedup_cut_spans_sa_full",
     "curate_pipeline_full_sa",
     # round-12: the complete Lee et al. pipeline (repeat cut + benchmark
-    # span decontamination + quota in one plan)
+    # span decontamination + quota in one plan), and the streaming
+    # full-doc span cut — the query whose state contract cost 121 s in
+    # round 11; headline keeps its O(marks) state shape honest per round
     "curate_pipeline_decontam_sa",
+    "stream_cut_spans_sa_full",
 ]
 
 # How many non-headline registry queries get timed per run (rotating

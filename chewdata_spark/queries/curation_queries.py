@@ -1777,6 +1777,103 @@ QUERIES["source_vocab_health"] = source_vocab_health
 ORACLES["source_vocab_health"] = SOURCE_VOCAB_SQL
 
 
+def source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(P_source || P_corpus) over the
+    top-1000 corpus terms with add-1 smoothing on the source side — the
+    corpus-version monitoring number (a source whose language shifts
+    between crawls spikes its KL against the mix; `source_vocab_health`
+    flags degenerate sources, this ranks DIVERGENT ones).
+
+    Exactness: all counts are exact integers; the float pipeline is
+    one division pair + one ln per (source, top-term), summed and
+    rounded to 6 dp (the lang_entropy device).  Scale shape: ONE
+    (source, term) token shuffle; the comparison vocabulary is the
+    top-V corpus terms (TakeOrdered, V=1000, term tie-break) so the
+    source x vocab relation is bounded at |sources| x V regardless of
+    corpus size — the smoothed source model is over this fixed
+    vocabulary, corpus probabilities renormalize over the same slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    top = (
+        st.groupBy("term")
+        .agg(F.sum("tf").alias("ctf"))
+        .orderBy(F.col("ctf").desc(), F.col("term").asc())
+        .limit(1000)
+    )
+    corpus_n = top.agg(F.sum("ctf").alias("_cn"))
+    src = (
+        st.join(top.select("term"), "term", "left_semi")
+        .groupBy("source")
+        .agg(F.sum("tf").alias("n_s"))
+    )
+    vsize = top.agg(F.count(F.lit(1)).alias("_v"))
+    grid = src.crossJoin(F.broadcast(top)).join(
+        st, ["source", "term"], "left"
+    )
+    kl = (
+        grid.crossJoin(F.broadcast(vsize))
+        .crossJoin(F.broadcast(corpus_n))
+        .select(
+            "source",
+            "n_s",
+            (
+                (F.coalesce("tf", F.lit(0)) + 1)
+                / (F.col("n_s") + F.col("_v"))
+            ).alias("_ps"),
+            (F.col("ctf") / F.col("_cn")).alias("_pc"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_top_tokens"),
+            F.round(
+                F.sum(F.col("_ps") * F.log(F.col("_ps") / F.col("_pc"))), 6
+            ).alias("kl_nats"),
+        )
+    )
+    return kl.select("source", "n_top_tokens", "kl_nats")
+
+
+SOURCE_DRIFT_KL_SQL = """
+WITH toks AS (
+    SELECT source,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+),
+st AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+top AS (
+    SELECT term, SUM(tf) AS ctf FROM st GROUP BY term
+    ORDER BY ctf DESC, term ASC LIMIT 1000
+),
+cn AS (SELECT SUM(ctf) AS _cn FROM top),
+v AS (SELECT COUNT(*) AS _v FROM top),
+src AS (
+    SELECT s.source, SUM(s.tf) AS n_s
+    FROM st s JOIN top USING (term) GROUP BY s.source
+),
+grid AS (
+    SELECT src.source, src.n_s, top.term, top.ctf, COALESCE(s.tf, 0) AS tf
+    FROM src CROSS JOIN top
+    LEFT JOIN st s ON s.source = src.source AND s.term = top.term
+)
+SELECT g.source,
+       CAST(MAX(g.n_s) AS BIGINT) AS n_top_tokens,
+       ROUND(SUM(((g.tf + 1) * 1.0 / (g.n_s + v._v))
+                 * ln(((g.tf + 1) * 1.0 / (g.n_s + v._v))
+                      / (g.ctf * 1.0 / cn._cn))), 6) AS kl_nats
+FROM grid g CROSS JOIN v CROSS JOIN cn
+GROUP BY g.source
+"""
+
+QUERIES["source_drift_kl"] = source_drift_kl
+ORACLES["source_drift_kl"] = SOURCE_DRIFT_KL_SQL
+
+
 def _manifest_agg(docs: DataFrame) -> DataFrame:
     """Shared shard/digest aggregate of `corpus_manifest` and its
     streaming twin (both pinned to CORPUS_MANIFEST_SQL — one builder so

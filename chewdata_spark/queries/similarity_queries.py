@@ -154,6 +154,56 @@ SELECT qid, vec_id, sim, CAST(rk AS INT) AS rank FROM (
 """
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality audit: per-query recall@10 of the IVF index
+    against the exact brute-force ranking — the dashboard number an
+    ANN deployment watches (tests assert recall bounds; this exposes
+    the same measurement as a driver-checked QUERY so index quality is
+    an auditable artifact, not a test-only fact).  Exact INT hit
+    counts; recall rounded to 6 dp.  At scale both sides are the
+    already-benched operators — brute force stays the verification
+    twin you run on a sampled query set, the IVF side is the
+    production path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = similarity.cosine_topk(emb, queries, k=TOPK).select(
+        "qid", "vec_id"
+    )
+    approx = similarity.ivf_topk(
+        emb, queries, k=TOPK, centroid_stride=50, nprobe=4
+    ).select("qid", "vec_id")
+    hits = exact.join(approx, ["qid", "vec_id"], "left_semi")
+    per_q = (
+        exact.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .join(
+            hits.groupBy("qid").agg(F.count(F.lit(1)).alias("_h")),
+            "qid",
+            "left",
+        )
+    )
+    return per_q.select(
+        "qid",
+        F.coalesce("_h", F.lit(0)).cast("int").alias("n_hits"),
+        F.round(F.coalesce("_h", F.lit(0)) / F.col("_k"), 6).alias("recall"),
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH brute AS (SELECT qid, vec_id FROM ({COSINE_TOPK_SQL})),
+approx AS (SELECT qid, vec_id FROM ({IVF_TOPK_SQL})),
+hits AS (
+    SELECT b.qid, COUNT(*) AS n
+    FROM brute b JOIN approx a USING (qid, vec_id)
+    GROUP BY b.qid
+), ke AS (SELECT qid, COUNT(*) AS k FROM brute GROUP BY qid)
+SELECT ke.qid,
+       CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
+       ROUND(COALESCE(h.n, 0) * 1.0 / ke.k, 6) AS recall
+FROM ke LEFT JOIN hits h USING (qid)
+"""
+
+
 def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate top-k (Charikar hyperplane hashing): banded
     sign-bit buckets propose candidates, exact cosine verifies.  The
@@ -359,6 +409,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_srp_topk": ann_srp_topk,
     "ann_srp_topk_md5": ann_srp_topk_md5,
+    "ann_recall_report": ann_recall_report,
 }
 
 ORACLES = {
@@ -371,6 +422,7 @@ ORACLES = {
     "quantize_embeddings": QUANTIZE_SQL,
     "cosine_topk": COSINE_TOPK_SQL,
     "embedding_near_dup": NEAR_DUP_SQL,
+    "ann_recall_report": ANN_RECALL_SQL,
 }
 
 def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
