@@ -528,6 +528,93 @@ FROM lab
 """
 
 
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: near-dup clusters keep their
+    HIGHEST-QUALITY member, not their first — the curation policy that
+    beats first-occurrence-wins when duplicates differ (an OCR-noisy
+    copy and a clean copy of the same page cluster together; keeping
+    the min-id can keep the noisy one).  Clusters are connected
+    components over the exact trigram-Jaccard pair graph (the checkable
+    twin of the LSH pair source, like dedup_cluster_components);
+    survivor = max 6-dp surface quality (text.quality_score), tie
+    lowest doc_id; unclustered docs are their own survivors.  Output is
+    the full audit relation (doc_id, cluster_id, quality, kept).
+
+    Scale shape: pair graph + alternating-star CC as everywhere; the
+    survivor window partitions by cluster_id — width = that cluster's
+    size, the same bound every per-cluster step here carries."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from chewdata_spark.operators.graph import connected_components
+    from chewdata_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    q = quality_score(docs, "doc_id", "text")
+    lab = q.join(labels.select("doc_id", "cluster_id"), "doc_id", "left")
+    lab = lab.withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+
+
+def _keep_best_quality_sql() -> str:
+    from chewdata_spark.queries.text_queries import QUALITY_SQL
+
+    quality_select = QUALITY_SQL.strip().rstrip(";")
+    return f"""
+WITH RECURSIVE d AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+    FROM d
+), e AS (
+    SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+), pairs AS (
+    SELECT id_a, id_b FROM inter WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+), reach(node, lbl) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+), lab AS (
+    SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+), qd AS (SELECT * FROM ({quality_select})),
+fullrel AS (
+    SELECT q.doc_id,
+           COALESCE(l.cluster_id, q.doc_id) AS cluster_id,
+           q.quality
+    FROM qd q LEFT JOIN lab l ON l.node = q.doc_id
+)
+SELECT doc_id, cluster_id, quality,
+       (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                           ORDER BY quality DESC, doc_id ASC) = 1) AS kept
+FROM fullrel
+"""
+
+
 def dedup_clean_corpus_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-correct clean corpus: one survivor (min doc_id) per
     connected duplicate component.  Where the greedy pairwise anti-join
@@ -896,6 +983,9 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.incremental_ingest_dedup(new, seen, "doc_id", "text")
     return out.select("doc_id", "lang", "source")
 
+
+QUERIES["dedup_keep_best_quality"] = dedup_keep_best_quality
+ORACLES["dedup_keep_best_quality"] = _keep_best_quality_sql()
 
 QUERIES["dedup_incremental_ingest"] = dedup_incremental_ingest
 
