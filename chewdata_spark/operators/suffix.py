@@ -758,8 +758,6 @@ def sa_contamination_scores(
             )
         )
 
-    from chewdata_spark.operators.dedup import _OBS_SEQ
-
     new_suf = _sufs(new).withColumn("_bk", F.substring("suf", 1, bucket_len))
     seen_suf = (
         _sufs(seen)
@@ -767,6 +765,28 @@ def sa_contamination_scores(
         .distinct()
         .withColumn("_bk", F.substring("suf", 1, bucket_len))
     )
+    return _neighbour_scores(
+        new_suf, seen_suf, max_bucket=max_bucket, unit="char"
+    )
+
+
+def _neighbour_scores(
+    new_suf: DataFrame,
+    seen_suf: DataFrame,
+    *,
+    max_bucket: int | None,
+    unit: str,
+) -> DataFrame:
+    """The unit-agnostic scoring core shared by the char and token
+    contamination scorers: seen-side hot-bucket cap (+ observe),
+    arrival prefilter to seen-occupied buckets, exact arrival salting,
+    ONE window per (bucket, salt) for the seen neighbours, bounded LCP
+    cursors.  ``new_suf`` is ``(doc_id, off, suf, _bk)``, ``seen_suf``
+    is distinct ``(suf, _bk)``; ``suf`` is a string (char grain) or an
+    array (token grain — Spark array ordering is lexicographic with
+    shorter-prefix-first, the exact suffix convention)."""
+    from chewdata_spark.operators.dedup import _OBS_SEQ
+
     if max_bucket is not None:
         sizes = seen_suf.groupBy("_bk").agg(
             F.count(F.lit(1)).alias("_n")
@@ -862,15 +882,131 @@ def sa_contamination_scores(
             F.greatest(
                 F.when(
                     F.col("_pred").isNotNull(),
-                    F.expr(_lcp_sql("char", b="_pred")),
+                    F.expr(_lcp_sql(unit, b="_pred")),
                 ).otherwise(0),
                 F.when(
                     F.col("_succ").isNotNull(),
-                    F.expr(_lcp_sql("char", b="_succ")),
+                    F.expr(_lcp_sql(unit, b="_succ")),
                 ).otherwise(0),
             ).cast("int").alias("m"),
         )
     )
+
+
+def sa_contamination_scores_tokens(
+    new: DataFrame,
+    seen: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_tokens: int = 32,
+    min_tokens: int = 5,
+    bucket_tokens: int = 2,
+    max_bucket: int | None = 10_000,
+    full_doc: bool = False,
+) -> DataFrame:
+    """(doc_id, off, m): TOKEN-grain twin of
+    :func:`sa_contamination_scores` — ``m`` is the longest TOKEN
+    prefix an arriving token-suffix shares with any seen token-suffix,
+    robust to the whitespace/formatting differences the char grain
+    trips over (Lee et al. 2022 match at token grain for this reason).
+    Suffixes are token ARRAYS (never separator-joined strings — no
+    separator sorts below every token byte, see :func:`_token_ranks`;
+    Spark array ordering is lexicographic with shorter-prefix-first,
+    the exact suffix convention) and the prefix bucket is the first
+    ``bucket_tokens`` tokens, so cross-bucket neighbours share
+    < ``bucket_tokens`` <= ``min_tokens`` tokens — provably below the
+    decision threshold.  Cap, arrival prefilter, salting and the
+    per-bucket window are the shared unit-agnostic core
+    (:func:`_neighbour_scores`); ``full_doc=True`` scans every token
+    position with ``max_tokens`` as the per-suffix COMPARE cap (sound
+    for the >= ``min_tokens`` decision by the same truncation argument
+    as the char scorer)."""
+    if bucket_tokens > min_tokens:
+        raise ValueError(
+            f"bucket_tokens ({bucket_tokens}) must be <= min_tokens "
+            f"({min_tokens}): cross-bucket neighbours share fewer than "
+            "bucket_tokens tokens, so a wider bucket would silently "
+            "miss qualifying matches"
+        )
+    if full_doc and max_tokens < min_tokens:
+        raise ValueError(
+            f"full_doc compare length max_tokens ({max_tokens}) must be "
+            f">= min_tokens ({min_tokens})"
+        )
+
+    def _sufs(df: DataFrame) -> DataFrame:
+        if full_doc:
+            toks = (
+                df.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.split(
+                        F.trim(F.coalesce(F.col(text_col), F.lit(""))),
+                        r"\s+",
+                    ).alias("toks"),
+                )
+                .filter(
+                    (F.size("toks") > 1) | (F.element_at("toks", 1) != "")
+                )
+            )
+        else:
+            toks = _token_docs(df, id_col, text_col, max_tokens)
+        return toks.select(
+            "doc_id",
+            F.explode(F.expr("sequence(1, size(toks))")).alias("off"),
+            "toks",
+        ).select(
+            "doc_id",
+            F.col("off").cast("int").alias("off"),
+            F.expr(f"slice(toks, off, {max_tokens})").alias("suf"),
+        )
+
+    new_suf = _sufs(new).withColumn(
+        "_bk", F.expr(f"slice(suf, 1, {bucket_tokens})")
+    )
+    seen_suf = (
+        _sufs(seen)
+        .select("suf")
+        .distinct()
+        .withColumn("_bk", F.expr(f"slice(suf, 1, {bucket_tokens})"))
+    )
+    return _neighbour_scores(
+        new_suf, seen_suf, max_bucket=max_bucket, unit="token"
+    )
+
+
+def cut_contaminated_spans_sa_tokens(
+    new: DataFrame,
+    seen: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_tokens: int = 32,
+    min_tokens: int = 5,
+    bucket_tokens: int = 2,
+    max_bucket: int | None = 10_000,
+    full_doc: bool = False,
+) -> DataFrame:
+    """TOKEN-grain span decontamination: every run of >= ``min_tokens``
+    tokens an arriving doc shares verbatim with the seen corpus is cut
+    from its token stream and the doc reassembles whitespace-normalized
+    (the token-grain contract, see :func:`cut_repeat_spans_sa_tokens`).
+    Marks are ``[off, off + m - 1]`` token intervals from
+    :func:`sa_contamination_scores_tokens`; merge + cut reuse the
+    shared island/splice devices.  Returns ``(doc_id, clean_text,
+    n_spans, n_cut)`` with ``n_cut`` in TOKENS."""
+    scored = sa_contamination_scores_tokens(
+        new, seen, id_col, text_col,
+        max_tokens=max_tokens, min_tokens=min_tokens,
+        bucket_tokens=bucket_tokens, max_bucket=max_bucket,
+        full_doc=full_doc,
+    )
+    marked = scored.filter(F.col("m") >= min_tokens).select(
+        "doc_id",
+        F.col("off").alias("s"),
+        (F.col("off") + F.col("m") - 1).alias("e"),
+    )
+    return _cut_token_spans(new, id_col, text_col, _merge_islands(marked))
 
 
 def sa_incremental_contamination(

@@ -128,6 +128,102 @@ def _sa_scoring_ctes(
 
 
 
+def _sa_scoring_ctes_tokens(
+    *,
+    new_where: str,
+    seen_where: str,
+    with_off: bool = False,
+    full_doc: bool = False,
+    cmp_tokens: int = 32,
+    bucket_tokens: int = 2,
+    max_bucket: int = 10_000,
+) -> str:
+    """TOKEN-grain twin of :func:`_sa_scoring_ctes`: suffixes are
+    DuckDB LISTS (list comparison is lexicographic with shorter-prefix
+    -first — the suffix convention), the prefix bucket is the first
+    ``bucket_tokens`` tokens, and the per-position shared length ``m``
+    counts TOKENS.  Parameters must match the operator call
+    (sa_contamination_scores_tokens) exactly."""
+    if full_doc:
+        tk = "string_split_regex(trim(COALESCE(text, '')), '\\s+')"
+        w_new = f"{new_where} AND length(trim(COALESCE(text, ''))) > 0"
+        w_seen = f"{seen_where} AND length(trim(COALESCE(text, ''))) > 0"
+        t_new = f"{tk} AS tk"
+    else:
+        tk = "string_split_regex(trim(COALESCE(text, '')), '\\s+')"
+        w_new = f"{new_where} AND length(trim(COALESCE(text, ''))) > 0"
+        w_seen = f"{seen_where} AND length(trim(COALESCE(text, ''))) > 0"
+        t_new = f"list_slice({tk}, 1, {cmp_tokens}) AS tk"
+    suf = f"list_slice(tk, off, off + {cmp_tokens} - 1)"
+    if with_off:
+        new_cols = "doc_id, off, " + suf + " AS suf"
+        u_seen = ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                  "CAST(NULL AS INT) AS off,\n           suf, 1 AS is_seen"
+                  "\n    FROM seensuf")
+        u_new = ("SELECT doc_id, CAST(off AS INT) AS off, suf, 0 AS is_seen "
+                 "FROM newsuf")
+        nb_cols = "doc_id, off, suf, is_seen"
+        sc_cols = "doc_id, off"
+    else:
+        new_cols = "doc_id, " + suf + " AS suf"
+        u_seen = ("SELECT CAST(NULL AS BIGINT) AS doc_id, suf, 1 AS is_seen "
+                  "FROM seensuf")
+        u_new = "SELECT doc_id, suf, 0 AS is_seen FROM newsuf"
+        nb_cols = "doc_id, suf, is_seen"
+        sc_cols = "doc_id"
+    return f"""
+WITH newd AS (
+    SELECT doc_id, {t_new} FROM documents
+    WHERE {w_new}
+), seend AS (
+    SELECT doc_id, {t_new} FROM documents
+    WHERE {w_seen}
+), newsuf AS (
+    SELECT {new_cols}
+    FROM (SELECT doc_id, tk,
+                 unnest(generate_series(1, len(tk))) AS off FROM newd)
+), seensuf0 AS (
+    SELECT DISTINCT {suf} AS suf
+    FROM (SELECT tk, unnest(generate_series(1, len(tk))) AS off FROM seend)
+), okbk AS (
+    SELECT list_slice(suf, 1, {bucket_tokens}) AS bk FROM seensuf0
+    GROUP BY 1 HAVING COUNT(*) <= {max_bucket}
+), seensuf AS (
+    SELECT s.suf FROM seensuf0 s
+    JOIN okbk k ON list_slice(s.suf, 1, {bucket_tokens}) = k.bk
+), u AS (
+    {u_seen}
+    UNION ALL
+    {u_new}
+), nb AS (
+    SELECT {nb_cols},
+        LAST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
+            PARTITION BY list_slice(suf, 1, {bucket_tokens})
+            ORDER BY suf, is_seen DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pred,
+        FIRST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
+            PARTITION BY list_slice(suf, 1, {bucket_tokens})
+            ORDER BY suf, is_seen DESC
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS succ
+    FROM u
+), scored AS (
+    SELECT {sc_cols},
+        greatest(
+            CASE WHEN pred IS NULL THEN 0 ELSE
+                COALESCE(([i FOR i IN generate_series(1,
+                               least(len(suf), len(pred)))
+                           IF suf[i] <> pred[i]])[1],
+                         least(len(suf), len(pred)) + 1) - 1 END,
+            CASE WHEN succ IS NULL THEN 0 ELSE
+                COALESCE(([i FOR i IN generate_series(1,
+                               least(len(suf), len(succ)))
+                           IF suf[i] <> succ[i]])[1],
+                         least(len(suf), len(succ)) + 1) - 1 END
+        ) AS m
+    FROM nb WHERE is_seen = 0
+)"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate groups by content md5 (min-id representative per group)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -986,6 +1082,144 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_keep_best_quality"] = dedup_keep_best_quality
 ORACLES["dedup_keep_best_quality"] = _keep_best_quality_sql()
+
+
+def dedup_incremental_ingest_sa_tokens(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOKEN-grain incremental SA contamination gate — the grain
+    dedup_incremental_ingest_sa's char windows trip over whitespace or
+    formatting noise on: arriving odd-id docs sharing a whole
+    >= 5-TOKEN run with the even-id corpus drop
+    (operators/suffix.py::sa_contamination_scores_tokens; first-32-
+    tokens declared window, 2-token prefix buckets, hot buckets capped
+    at 10k with the oracle HAVING mirror)."""
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators.suffix import sa_contamination_scores_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    scored = sa_contamination_scores_tokens(
+        new, seen, "doc_id", "text",
+        max_tokens=32, min_tokens=5, bucket_tokens=2, max_bucket=10_000,
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.max("m").cast("int").alias("max_shared_tokens")
+    )
+    return (
+        new.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("max_shared_tokens", F.lit(0)).alias(
+                "max_shared_tokens"
+            ),
+            (F.coalesce("max_shared_tokens", F.lit(0)) < 5).alias("kept"),
+        )
+    )
+
+
+INGEST_SA_TOKENS_SQL = _sa_scoring_ctes_tokens(
+    new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0",
+    cmp_tokens=32, bucket_tokens=2, max_bucket=10_000,
+) + """, gate AS (
+    SELECT doc_id, MAX(m) AS ms FROM scored GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(COALESCE(g.ms, 0) AS INT) AS max_shared_tokens,
+       (COALESCE(g.ms, 0) < 5) AS kept
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) a
+LEFT JOIN gate g USING (doc_id)
+"""
+
+QUERIES["dedup_incremental_ingest_sa_tokens"] = dedup_incremental_ingest_sa_tokens
+ORACLES["dedup_incremental_ingest_sa_tokens"] = INGEST_SA_TOKENS_SQL
+
+
+def decontaminate_cut_spans_sa_tokens(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL-DOCUMENT TOKEN-grain span decontamination: leaked
+    >= 5-token runs are cut from arriving odd-id docs WHEREVER they
+    occur in the token stream, and the doc reassembles
+    whitespace-normalized (the token-grain contract).  Completes the
+    grain matrix of the decontamination family — char head / char full
+    / token full — at the grain Lee et al. 2022 match on; the 32-token
+    compare cap is sound for the >= 5 decision by the shared
+    truncation argument (operators/suffix.py::
+    cut_contaminated_spans_sa_tokens)."""
+    from pyspark.sql import functions as F
+
+    from chewdata_spark.operators.suffix import (
+        cut_contaminated_spans_sa_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    return cut_contaminated_spans_sa_tokens(
+        new, seen, "doc_id", "text",
+        max_tokens=32, min_tokens=5, bucket_tokens=2, max_bucket=10_000,
+        full_doc=True,
+    )
+
+
+DECONTAMINATE_CUT_SPANS_SA_TOKENS_SQL = _sa_scoring_ctes_tokens(
+    new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0",
+    with_off=True, full_doc=True,
+    cmp_tokens=32, bucket_tokens=2, max_bucket=10_000,
+) + """, marked AS (
+    SELECT doc_id, off AS s, off + m - 1 AS e FROM scored WHERE m >= 5
+), isl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS ni
+    FROM marked
+), isl2 AS (
+    SELECT doc_id, s, e,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM isl
+), spans AS (
+    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+    FROM isl2 GROUP BY doc_id, island
+), cov AS (
+    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
+), alldocs AS (
+    SELECT doc_id,
+           string_split_regex(trim(COALESCE(text, '')), '\\s+') AS tk
+    FROM documents WHERE doc_id % 2 = 1
+), tpos AS (
+    SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+    FROM alldocs
+), keepx AS (
+    SELECT t.doc_id,
+           COALESCE(string_agg(t.tk[t.i], ' ' ORDER BY t.i)
+                    FILTER (WHERE c.i IS NULL), '') AS clean_text,
+           COUNT(*) FILTER (WHERE c.i IS NOT NULL) AS n_cut
+    FROM tpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i
+    GROUP BY t.doc_id
+), nsp AS (
+    SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+)
+SELECT a.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(COALESCE(n.n_spans, 0) AS INT) AS n_spans,
+       CAST(COALESCE(k.n_cut, 0) AS INT) AS n_cut
+FROM alldocs a
+LEFT JOIN keepx k USING (doc_id)
+LEFT JOIN nsp n USING (doc_id)
+"""
+
+QUERIES["decontaminate_cut_spans_sa_tokens"] = decontaminate_cut_spans_sa_tokens
+ORACLES["decontaminate_cut_spans_sa_tokens"] = (
+    DECONTAMINATE_CUT_SPANS_SA_TOKENS_SQL
+)
 
 QUERIES["dedup_incremental_ingest"] = dedup_incremental_ingest
 

@@ -1137,3 +1137,82 @@ def test_sa_bucket_prefilter_contract(spark):
     }
     assert gate[1] == (0, True)      # absent from scored, still reported
     assert gate[3][0] >= 30 and gate[3][1] is False
+
+
+def test_token_grain_contamination_survives_whitespace_noise(spark):
+    """The reason the token grain exists: a leak reformatted with
+    doubled spaces / tabs is INVISIBLE to the char-grain scorer (no
+    >= min_len shared char run) but identical at token grain — the
+    whitespace-robust match Lee et al. 2022 get from matching on
+    tokens."""
+    from chewdata_spark.operators.suffix import (
+        sa_contamination_scores,
+        sa_contamination_scores_tokens,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    seen = spark.createDataFrame(
+        [(100, leak)], "doc_id long, text string"
+    )
+    # same ten tokens, every separator doubled — char runs cap at the
+    # longest single token (< 30 chars)
+    noisy = leak.replace(" ", "  ")
+    new = spark.createDataFrame(
+        [(1, noisy), (3, "totally unrelated words only here")],
+        "doc_id long, text string",
+    )
+    char_hits = (
+        sa_contamination_scores(
+            new, seen, "doc_id", "text",
+            max_chars=64, min_len=30, bucket_len=8, full_doc=True,
+        )
+        .filter("m >= 30")
+        .count()
+    )
+    assert char_hits == 0
+    tok = {
+        r["doc_id"]: r["m"]
+        for r in sa_contamination_scores_tokens(
+            new, seen, "doc_id", "text",
+            max_tokens=32, min_tokens=5, bucket_tokens=2, full_doc=True,
+        )
+        .groupBy("doc_id")
+        .agg({"m": "max"})
+        .withColumnRenamed("max(m)", "m")
+        .collect()
+    }
+    assert tok.get(1, 0) == 10      # the whole 10-token leak matches
+    assert tok.get(3, 0) < 5
+
+
+def test_cut_contaminated_spans_sa_tokens_planted(spark):
+    """Planted token-grain decontamination: the leaked 6-token run is
+    cut from the arriving doc's token stream (whitespace-normalized
+    output), the rest survives, and clean docs pass through."""
+    from chewdata_spark.operators.suffix import (
+        cut_contaminated_spans_sa_tokens,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta"
+    seen = spark.createDataFrame(
+        [(100, f"prefix words {run} suffix words")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, f"my own opening {run} my own closing"),
+            (3, "nothing shared with the seen corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cut_contaminated_spans_sa_tokens(
+            new, seen, "doc_id", "text",
+            max_tokens=32, min_tokens=5, bucket_tokens=2, full_doc=True,
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "my own opening my own closing"
+    assert out[1]["n_spans"] == 1 and out[1]["n_cut"] == 6
+    assert out[3]["clean_text"] == "nothing shared with the seen corpus at all"
+    assert out[3]["n_spans"] == 0 and out[3]["n_cut"] == 0
