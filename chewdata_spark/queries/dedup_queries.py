@@ -137,23 +137,27 @@ def _sa_scoring_ctes_tokens(
     cmp_tokens: int = 32,
     bucket_tokens: int = 2,
     max_bucket: int = 10_000,
+    rel: str = "documents",
+    tk_expr: str | None = None,
+    lead: str = "WITH",
 ) -> str:
     """TOKEN-grain twin of :func:`_sa_scoring_ctes`: suffixes are
     DuckDB LISTS (list comparison is lexicographic with shorter-prefix
     -first — the suffix convention), the prefix bucket is the first
     ``bucket_tokens`` tokens, and the per-position shared length ``m``
     counts TOKENS.  Parameters must match the operator call
-    (sa_contamination_scores_tokens) exactly."""
+    (sa_contamination_scores_tokens) exactly.  ``rel``/``tk_expr``
+    point the builder at another relation's token-list column (the
+    BPE-grain oracle passes the encoded piece relation); ``lead=","``
+    continues an existing WITH chain."""
+    if tk_expr is None:
+        tk_expr = "string_split_regex(trim(COALESCE(text, '')), '\\s+')"
     if full_doc:
-        tk = "string_split_regex(trim(COALESCE(text, '')), '\\s+')"
-        w_new = f"{new_where} AND length(trim(COALESCE(text, ''))) > 0"
-        w_seen = f"{seen_where} AND length(trim(COALESCE(text, ''))) > 0"
-        t_new = f"{tk} AS tk"
+        t_sel = f"{tk_expr} AS tk0"
     else:
-        tk = "string_split_regex(trim(COALESCE(text, '')), '\\s+')"
-        w_new = f"{new_where} AND length(trim(COALESCE(text, ''))) > 0"
-        w_seen = f"{seen_where} AND length(trim(COALESCE(text, ''))) > 0"
-        t_new = f"list_slice({tk}, 1, {cmp_tokens}) AS tk"
+        t_sel = f"list_slice({tk_expr}, 1, {cmp_tokens}) AS tk0"
+    w_new = new_where
+    w_seen = seen_where
     suf = f"list_slice(tk, off, off + {cmp_tokens} - 1)"
     if with_off:
         new_cols = "doc_id, off, " + suf + " AS suf"
@@ -171,13 +175,16 @@ def _sa_scoring_ctes_tokens(
         u_new = "SELECT doc_id, suf, 0 AS is_seen FROM newsuf"
         nb_cols = "doc_id, suf, is_seen"
         sc_cols = "doc_id"
+    nonempty = "len(tk0) >= 1 AND (len(tk0) > 1 OR tk0[1] <> '')"
     return f"""
-WITH newd AS (
-    SELECT doc_id, {t_new} FROM documents
-    WHERE {w_new}
+{lead} newd AS (
+    SELECT doc_id, tk0 AS tk
+    FROM (SELECT doc_id, {t_sel} FROM {rel} WHERE {w_new})
+    WHERE {nonempty}
 ), seend AS (
-    SELECT doc_id, {t_new} FROM documents
-    WHERE {w_seen}
+    SELECT doc_id, tk0 AS tk
+    FROM (SELECT doc_id, {t_sel} FROM {rel} WHERE {w_seen})
+    WHERE {nonempty}
 ), newsuf AS (
     SELECT {new_cols}
     FROM (SELECT doc_id, tk,

@@ -674,7 +674,12 @@ def dedup_cut_spans_sa_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BPE_SA_CUT_SQL = """
+def _bpe_doc_pieces_ctes() -> str:
+    """The corpus-trained-BPE encode chain as a WITH prefix ending at
+    ``d (doc_id, toks)`` — the per-doc piece-sequence relation.  Shared
+    by the BPE-grain SA cut oracle and the BPE-grain contamination
+    gate oracle (one builder so the encode replay cannot drift)."""
+    return """
 WITH words AS (
     SELECT word, COUNT(*) AS freq
     FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
@@ -700,7 +705,10 @@ WITH words AS (
            string_split(string_agg(s.seg, ' ' ORDER BY t.pos), ' ') AS toks
     FROM toks t JOIN seg s ON s.word = t.word
     GROUP BY doc_id
-), gg AS (
+)""".format(iters=f"{_bpe_iter_sql(1)}, {_bpe_iter_sql(2)}")
+
+
+BPE_SA_CUT_SQL = _bpe_doc_pieces_ctes() + """, gg AS (
     SELECT doc_id, off, list_slice(toks, off, off + 29) AS gram
     FROM (SELECT doc_id, toks,
                  unnest(generate_series(1, len(toks) - 29)) AS off
@@ -748,7 +756,75 @@ SELECT a.doc_id,
 FROM d a
 LEFT JOIN keep k USING (doc_id)
 LEFT JOIN nsp n USING (doc_id)
-""".format(iters=f"{_bpe_iter_sql(1)}, {_bpe_iter_sql(2)}")
+"""
 
 QUERIES["dedup_cut_spans_sa_bpe"] = dedup_cut_spans_sa_bpe
 ORACLES["dedup_cut_spans_sa_bpe"] = BPE_SA_CUT_SQL
+
+
+def dedup_incremental_ingest_sa_bpe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BPE-GRAIN incremental contamination gate — the third grain of
+    the ingest family (char / whitespace-token / BPE-piece), matching
+    at the grain Lee et al. 2022 match on: every doc re-segments under
+    the corpus's own 2 trained merges (bpe_encode_corpus), and an
+    arriving odd-id doc sharing a whole >= 30-PIECE run with the
+    even-id corpus's piece streams drops.  The piece string is a
+    token-grain document (pieces contain no whitespace), so the
+    token scorer applies verbatim — the same family multiplication as
+    dedup_cut_spans_sa_bpe; the 30-piece threshold mirrors it (2
+    merges leave pieces near char grain).  full-document positions
+    with the 64-piece compare cap (sound for the >= 30 decision).
+    Docs with no non-empty tokens have no piece stream and are not
+    arrivals (encode is an inner join — both engines)."""
+    from chewdata_spark.operators.suffix import sa_contamination_scores_tokens
+    from chewdata_spark.operators.tokenize import bpe_encode_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = bpe_encode_corpus(docs, "doc_id", "text", iters=2).select(
+        "doc_id", "pieces"
+    )
+    new = pieces.filter(F.col("doc_id") % 2 == 1)
+    seen = pieces.filter(F.col("doc_id") % 2 == 0)
+    scored = sa_contamination_scores_tokens(
+        new, seen, "doc_id", "pieces",
+        max_tokens=64, min_tokens=30, bucket_tokens=2, max_bucket=10_000,
+        full_doc=True,
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.max("m").cast("int").alias("max_shared_pieces")
+    )
+    return (
+        new.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("max_shared_pieces", F.lit(0)).alias(
+                "max_shared_pieces"
+            ),
+            (F.coalesce("max_shared_pieces", F.lit(0)) < 30).alias("kept"),
+        )
+    )
+
+
+def _ingest_sa_bpe_sql() -> str:
+    from chewdata_spark.queries.dedup_queries import _sa_scoring_ctes_tokens
+
+    return _bpe_doc_pieces_ctes() + _sa_scoring_ctes_tokens(
+        new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0",
+        full_doc=True, cmp_tokens=64, bucket_tokens=2, max_bucket=10_000,
+        rel="d", tk_expr="toks", lead=",",
+    ) + """, gate AS (
+    SELECT doc_id, MAX(m) AS ms FROM scored GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(COALESCE(g.ms, 0) AS INT) AS max_shared_pieces,
+       (COALESCE(g.ms, 0) < 30) AS kept
+FROM (SELECT doc_id FROM d WHERE doc_id % 2 = 1) a
+LEFT JOIN gate g USING (doc_id)
+"""
+
+
+QUERIES["dedup_incremental_ingest_sa_bpe"] = dedup_incremental_ingest_sa_bpe
+ORACLES["dedup_incremental_ingest_sa_bpe"] = _ingest_sa_bpe_sql()
