@@ -292,16 +292,38 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         return best
 
+    _n_measured = [0]
+
+    def measure_clean(name: str) -> float:
+        # persisted relations accumulate across the session (streaming
+        # SA queries persist their static bucket arrays per
+        # CONSTRUCTION — 3 per measure) and eventually GC-choke the
+        # single local JVM: the r12 session died of GCLocker starvation
+        # in the calibration job AFTER timing all 160+ queries.  Evict
+        # between queries (each query's own persists live only within
+        # its measure, so timings are untouched) and nudge a full GC
+        # every 20 measures so the ContextCleaner can drop dead
+        # checkpoint blocks.
+        t = measure(name)
+        try:
+            spark.catalog.clearCache()
+            _n_measured[0] += 1
+            if _n_measured[0] % 20 == 0:
+                spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        return t
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(measure(name), 3)
+        timings[name] = round(measure_clean(name), 3)
 
     # A flagged query gets ONE re-measure before it is reported: JIT
     # compile order and host noise produce 2-4x outliers on sub-second
     # queries, and a false regression flag is worse than 2 extra runs.
     regressions = _regressions_vs_baseline(timings, sf_val)
     for name in list(regressions):
-        timings[name] = round(min(timings[name], measure(name)), 3)
+        timings[name] = round(min(timings[name], measure_clean(name)), 3)
     if regressions:
         regressions = _regressions_vs_baseline(timings, sf_val)
 
@@ -310,13 +332,26 @@ def main() -> None:
     second: dict[str, float] = {}
     for name in _second_string(queries, sf_val):
         try:
-            second[name] = round(measure(name), 3)
+            second[name] = round(measure_clean(name), 3)
         except Exception as exc:  # a broken second-string query must not
             second[name] = -1.0  # sink the headline record
             print(f"second-string {name} failed: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    calib = _calibration(spark)
+    # the calibration probe must not be able to sink the run: the r12
+    # session's JVM died INSIDE this job (GCLocker starvation after the
+    # full timing pass) and every timing above was lost because the
+    # detail write sat after it.  One GC nudge, one retry, then -1.0.
+    try:
+        calib = _calibration(spark)
+    except Exception:
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            calib = _calibration(spark)
+        except Exception as exc:
+            print(f"calibration failed: {exc}", file=sys.stderr)
+            calib = -1.0
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -374,7 +409,10 @@ def main() -> None:
         f.write("\n")
 
     print(json.dumps(out))
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception:
+        pass  # a dying JVM must not retract an already-printed record
 
 
 def _calibration(spark) -> float:

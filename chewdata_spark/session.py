@@ -48,7 +48,18 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs the WHOLE engine in the driver JVM: 8g
+        # GC-starved (GCLocker retry storms, then JVM death) once a
+        # full bench session's accumulated code cache / checkpoint
+        # blocks / Arrow JNI buffers met the late heavy queries.  The
+        # test host has 128 GiB; -Xmx is reserved, not committed, so a
+        # generous ceiling costs nothing on smaller hosts.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # long single-JVM sessions (160+ benched queries) need the
+        # ContextCleaner to actually run: it only frees checkpoint/
+        # shuffle blocks after a driver GC, and a big heap may not GC
+        # for a long time on its own
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
