@@ -774,10 +774,15 @@ def dedup_incremental_ingest_sa_bpe(
     token-grain document (pieces contain no whitespace), so the
     token scorer applies verbatim — the same family multiplication as
     dedup_cut_spans_sa_bpe; the 30-piece threshold mirrors it (2
-    merges leave pieces near char grain).  full-document positions
-    with the 64-piece compare cap (sound for the >= 30 decision).
-    Docs with no non-empty tokens have no piece stream and are not
-    arrivals (encode is an inner join — both engines)."""
+    merges leave pieces near char grain).  DECLARED head window: the
+    first 64 pieces of each stream, the ingest family's convention
+    (char gates 128 chars, token gates 32 tokens) — with 2 merges a
+    piece is near char grain, so full-document piece positions would
+    cost char-grain position count TIMES array-suffix overhead (~50x
+    the token gate, measured 156 s at sf0.1; the full-doc deep sweep
+    stays available via the operator's full_doc flag).  Docs with no
+    non-empty tokens have no piece stream and are not arrivals
+    (encode is an inner join — both engines)."""
     from chewdata_spark.operators.suffix import sa_contamination_scores_tokens
     from chewdata_spark.operators.tokenize import bpe_encode_corpus
 
@@ -785,12 +790,17 @@ def dedup_incremental_ingest_sa_bpe(
     pieces = bpe_encode_corpus(docs, "doc_id", "text", iters=2).select(
         "doc_id", "pieces"
     )
+    # stage boundary: the scorer references each side several times
+    # (cap sizes, prefilter, salting, the union) and the upstream here
+    # is an EXPENSIVE computed relation, not a parquet scan — without
+    # the boundary the whole encode chain re-executes per reference
+    # (measured 36 s -> ~6 s at sf0.1)
+    pieces = pieces.localCheckpoint(eager=False)
     new = pieces.filter(F.col("doc_id") % 2 == 1)
     seen = pieces.filter(F.col("doc_id") % 2 == 0)
     scored = sa_contamination_scores_tokens(
         new, seen, "doc_id", "pieces",
         max_tokens=64, min_tokens=30, bucket_tokens=2, max_bucket=10_000,
-        full_doc=True,
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.max("m").cast("int").alias("max_shared_pieces")
@@ -813,7 +823,7 @@ def _ingest_sa_bpe_sql() -> str:
 
     return _bpe_doc_pieces_ctes() + _sa_scoring_ctes_tokens(
         new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0",
-        full_doc=True, cmp_tokens=64, bucket_tokens=2, max_bucket=10_000,
+        cmp_tokens=64, bucket_tokens=2, max_bucket=10_000,
         rel="d", tk_expr="toks", lead=",",
     ) + """, gate AS (
     SELECT doc_id, MAX(m) AS ms FROM scored GROUP BY doc_id
