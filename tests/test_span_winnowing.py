@@ -1216,3 +1216,65 @@ def test_cut_contaminated_spans_sa_tokens_planted(spark):
     assert out[1]["n_spans"] == 1 and out[1]["n_cut"] == 6
     assert out[3]["clean_text"] == "nothing shared with the seen corpus at all"
     assert out[3]["n_spans"] == 0 and out[3]["n_cut"] == 0
+
+
+def test_sa_contamination_scores_tokens_randomized_brute_force(spark):
+    """Token-grain twin of the char randomized equivalence test:
+    seeded-random repeat-heavy token streams (3-word vocabulary plus a
+    control-char word, so list order vs any separator-string order
+    diverges), operator per-doc max vs an exact Python replay of the
+    bucketed-neighbour definition over token TUPLES."""
+    import random
+
+    from chewdata_spark.operators.suffix import sa_contamination_scores_tokens
+
+    rng = random.Random(7)
+    VOCAB = ["aa", "ab", "b", "a\x00c"]
+
+    def doc(n):
+        return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+    seen_rows = [(i * 2, doc(rng.randint(0, 18))) for i in range(12)]
+    new_rows = [(i * 2 + 1, doc(rng.randint(0, 18))) for i in range(12)]
+    B, L, MT = 2, 3, 12
+
+    def toks(t):
+        return tuple(t.split()) if t.strip() else ()
+
+    seen_sufs = sorted(
+        {toks(t)[:MT][o:][:MT] for _, t in seen_rows for o in range(len(toks(t)[:MT]))}
+    )
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    def brute(t):
+        best = 0
+        tk = toks(t)[:MT]
+        for o in range(len(tk)):
+            s = tk[o:][:MT]
+            bucket = [x for x in seen_sufs if x[:B] == s[:B]]
+            pred = max((x for x in bucket if x <= s), default=None)
+            succ = min((x for x in bucket if x > s), default=None)
+            for nb in (pred, succ):
+                if nb is not None:
+                    best = max(best, lcp(s, nb))
+        return best
+
+    seen = spark.createDataFrame(seen_rows, "doc_id int, text string")
+    new = spark.createDataFrame(new_rows, "doc_id int, text string")
+    scored = sa_contamination_scores_tokens(
+        new, seen, "doc_id", "text",
+        max_tokens=MT, min_tokens=L, bucket_tokens=B,
+    )
+    got = {}
+    for r in scored.collect():
+        got[r["doc_id"]] = max(got.get(r["doc_id"], 0), r["m"])
+    for did, t in new_rows:
+        want = brute(t)
+        assert got.get(did, 0) == want, (did, t, got.get(did, 0), want)
