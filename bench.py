@@ -305,13 +305,16 @@ def main() -> None:
         # every 20 measures so the ContextCleaner can drop dead
         # checkpoint blocks.
         t = measure(name)
+        _n_measured[0] += 1
         try:
             spark.catalog.clearCache()
-            _n_measured[0] += 1
             if _n_measured[0] % 20 == 0:
                 spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
+        except Exception as exc:
+            # never let hygiene sink a timing — but never go silent
+            # either: an inert mitigation must be visible in the log
+            print(f"cache hygiene failed after {name}: {exc}",
+                  file=sys.stderr)
         return t
 
     timings: dict[str, float] = {}

@@ -682,13 +682,22 @@ def sa_contamination_scores(
     max_bucket: int | None = 10_000,
     full_doc: bool = False,
 ) -> DataFrame:
-    """(doc_id, off, m): for every suffix position of every ARRIVING
-    doc, the length of the longest prefix it shares with ANY seen
-    suffix — the raw per-position relation behind
+    """(doc_id, off, m): per ARRIVING suffix position, the length of
+    the longest prefix it shares with ANY seen suffix — the raw
+    per-position relation behind
     :func:`sa_incremental_contamination` (which doc-maxes it) and the
     contamination-evidence report (which needs ``off`` to excerpt the
     leaked run).  Semantics, bucketing and the declared sub-bucket
     grain are documented on the doc-grain wrapper.
+
+    OUTPUT CONTRACT: positions whose prefix bucket holds NO seen
+    suffix are OMITTED, not emitted with ``m = 0`` (the exact arrival
+    prefilter — their score is provably 0, below every decision
+    threshold).  Consumers must therefore treat a missing position as
+    ``m = 0``: filter on ``m >= min_len`` (absent rows cannot
+    qualify) or doc-max through a LEFT join from the arrivals with
+    ``coalesce(0)`` — never count rows or average ``m`` over this
+    relation as if it were position-complete.
 
     ``full_doc=True`` scans EVERY position of every doc on both sides
     (no head window — a leak at char 500 is found); ``max_chars`` then
@@ -972,6 +981,45 @@ def sa_contamination_scores_tokens(
     )
     return _neighbour_scores(
         new_suf, seen_suf, max_bucket=max_bucket, unit="token"
+    )
+
+
+def sa_incremental_contamination_tokens(
+    new: DataFrame,
+    seen: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_tokens: int = 32,
+    min_tokens: int = 5,
+    bucket_tokens: int = 2,
+    max_bucket: int | None = 10_000,
+    full_doc: bool = False,
+) -> DataFrame:
+    """Doc-grain TOKEN contamination gate — the token twin of
+    :func:`sa_incremental_contamination`: one row per ARRIVING doc,
+    ``(doc_id, max_shared_tokens, kept)`` with ``kept =
+    max_shared_tokens < min_tokens``.  Owns the gate contract for the
+    grain (left-join pass-through of every arrival, coalesce-to-0 for
+    docs the position scorer omitted, strict ``<`` threshold) so the
+    token and BPE queries cannot drift from each other — scoring
+    semantics on :func:`sa_contamination_scores_tokens`."""
+    scored = sa_contamination_scores_tokens(
+        new, seen, id_col, text_col,
+        max_tokens=max_tokens, min_tokens=min_tokens,
+        bucket_tokens=bucket_tokens, max_bucket=max_bucket,
+        full_doc=full_doc,
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.max("m").cast("int").alias("max_shared_tokens")
+    )
+    arriving = new.select(F.col(id_col).alias("doc_id"))
+    return arriving.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("max_shared_tokens", F.lit(0)).alias("max_shared_tokens"),
+        (F.coalesce("max_shared_tokens", F.lit(0)) < min_tokens).alias(
+            "kept"
+        ),
     )
 
 

@@ -691,7 +691,10 @@ def curate_pipeline_decontam_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curate_pipeline_decontam_sql() -> str:
-    from chewdata_spark.queries.dedup_queries import _sa_scoring_ctes
+    from chewdata_spark.queries.dedup_queries import (
+        _ISLAND_COV_CTES,
+        _sa_scoring_ctes,
+    )
     from chewdata_spark.queries.text_queries import _normalize_sql
 
     norm_select = _normalize_sql().strip().rstrip(";")
@@ -715,25 +718,7 @@ seenrel AS (
         + scoring
         + """, marked AS (
     SELECT doc_id, off AS s, off + m - 1 AS e FROM scored WHERE m >= 30
-), isl AS (
-    SELECT doc_id, s, e,
-           CASE WHEN s > COALESCE(MAX(e) OVER (
-                    PARTITION BY doc_id ORDER BY s, e
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-                THEN 1 ELSE 0 END AS ni
-    FROM marked
-), isl2 AS (
-    SELECT doc_id, s, e,
-           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS island
-    FROM isl
-), spans AS (
-    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
-    FROM isl2 GROUP BY doc_id, island
-), cov AS (
-    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
-), alldocs AS (
+)""" + _ISLAND_COV_CTES + """, alldocs AS (
     SELECT doc_id, COALESCE(text, '') AS full_t FROM trainrel
 ), apos AS (
     SELECT doc_id, full_t, unnest(generate_series(1, length(full_t))) AS i
@@ -1800,12 +1785,18 @@ def source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # stage boundary: st feeds top / src / grid and top feeds four more
+    # branches — without it the corpus token explode + aggregate
+    # re-executes per reference (the dedup_incremental_ingest_sa_bpe
+    # lesson: expensive computed upstream, not a parquet scan)
+    st = st.localCheckpoint(eager=False)
     top = (
         st.groupBy("term")
         .agg(F.sum("tf").alias("ctf"))
         .orderBy(F.col("ctf").desc(), F.col("term").asc())
         .limit(1000)
     )
+    top = top.localCheckpoint(eager=False)
     corpus_n = top.agg(F.sum("ctf").alias("_cn"))
     src = (
         st.join(top.select("term"), "term", "left_semi")

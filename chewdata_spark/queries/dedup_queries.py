@@ -231,6 +231,33 @@ def _sa_scoring_ctes_tokens(
 )"""
 
 
+# Gaps-and-islands merge of a ``marked (doc_id, s, e)`` interval CTE
+# into ``spans`` plus the covered-position explode ``cov`` — ONE
+# literal shared by every span-cut oracle (char head/full, token, BPE,
+# the decontaminating flagship), so the merge convention (touching
+# spans fuse via the +1 rule) cannot drift between an oracle and its
+# operator twin (_merge_islands).
+_ISLAND_COV_CTES = """, isl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS ni
+    FROM marked
+), isl2 AS (
+    SELECT doc_id, s, e,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM isl
+), spans AS (
+    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+    FROM isl2 GROUP BY doc_id, island
+), cov AS (
+    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
+)"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate groups by content md5 (min-id representative per group)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1103,28 +1130,16 @@ def dedup_incremental_ingest_sa_tokens(
     at 10k with the oracle HAVING mirror)."""
     from pyspark.sql import functions as F
 
-    from chewdata_spark.operators.suffix import sa_contamination_scores_tokens
+    from chewdata_spark.operators.suffix import (
+        sa_incremental_contamination_tokens,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 2 == 1)
     seen = docs.filter(F.col("doc_id") % 2 == 0)
-    scored = sa_contamination_scores_tokens(
+    return sa_incremental_contamination_tokens(
         new, seen, "doc_id", "text",
         max_tokens=32, min_tokens=5, bucket_tokens=2, max_bucket=10_000,
-    )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.max("m").cast("int").alias("max_shared_tokens")
-    )
-    return (
-        new.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("max_shared_tokens", F.lit(0)).alias(
-                "max_shared_tokens"
-            ),
-            (F.coalesce("max_shared_tokens", F.lit(0)) < 5).alias("kept"),
-        )
     )
 
 
@@ -1179,25 +1194,7 @@ DECONTAMINATE_CUT_SPANS_SA_TOKENS_SQL = _sa_scoring_ctes_tokens(
     cmp_tokens=32, bucket_tokens=2, max_bucket=10_000,
 ) + """, marked AS (
     SELECT doc_id, off AS s, off + m - 1 AS e FROM scored WHERE m >= 5
-), isl AS (
-    SELECT doc_id, s, e,
-           CASE WHEN s > COALESCE(MAX(e) OVER (
-                    PARTITION BY doc_id ORDER BY s, e
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-                THEN 1 ELSE 0 END AS ni
-    FROM marked
-), isl2 AS (
-    SELECT doc_id, s, e,
-           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS island
-    FROM isl
-), spans AS (
-    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
-    FROM isl2 GROUP BY doc_id, island
-), cov AS (
-    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
-), alldocs AS (
+)""" + _ISLAND_COV_CTES + """, alldocs AS (
     SELECT doc_id,
            string_split_regex(trim(COALESCE(text, '')), '\\s+') AS tk
     FROM documents WHERE doc_id % 2 = 1
@@ -1932,25 +1929,7 @@ WITH d AS (
     SELECT p.doc_id, p.off AS s, p.off + g.dup_len - 1 AS e
     FROM pos p JOIN dupg g USING (suf)
     WHERE g.dup_len >= 30
-), isl AS (
-    SELECT doc_id, s, e,
-           CASE WHEN s > COALESCE(MAX(e) OVER (
-                    PARTITION BY doc_id ORDER BY s, e
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-                THEN 1 ELSE 0 END AS ni
-    FROM marked
-), isl2 AS (
-    SELECT doc_id, s, e,
-           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS island
-    FROM isl
-), spans AS (
-    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
-    FROM isl2 GROUP BY doc_id, island
-), cov AS (
-    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
-), alldocs AS (
+)""" + _ISLAND_COV_CTES + """, alldocs AS (
     SELECT doc_id, COALESCE(text, '') AS full_t,
            substr(COALESCE(text, ''), 1, 128) AS head
     FROM documents
@@ -2418,25 +2397,7 @@ WITH d0 AS (
     SELECT p.doc_id, p.off AS s, p.off + g.dup_len - 1 AS e
     FROM pos p JOIN dupg g USING (suf)
     WHERE g.dup_len >= 5
-), isl AS (
-    SELECT doc_id, s, e,
-           CASE WHEN s > COALESCE(MAX(e) OVER (
-                    PARTITION BY doc_id ORDER BY s, e
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-                THEN 1 ELSE 0 END AS ni
-    FROM marked
-), isl2 AS (
-    SELECT doc_id, s, e,
-           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS island
-    FROM isl
-), spans AS (
-    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
-    FROM isl2 GROUP BY doc_id, island
-), cov AS (
-    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
-), alldocs AS (
+)""" + _ISLAND_COV_CTES + """, alldocs AS (
     SELECT doc_id,
            string_split_regex(trim(COALESCE(text, '')), '\\s+') AS ftoks
     FROM documents
@@ -2798,25 +2759,7 @@ DECONTAMINATE_CUT_SPANS_SA_SQL = _sa_scoring_ctes(
     with_off=True, bucket_len=8, max_bucket=10_000,
 ) + """, marked AS (
     SELECT doc_id, off AS s, off + m - 1 AS e FROM scored WHERE m >= 30
-), isl AS (
-    SELECT doc_id, s, e,
-           CASE WHEN s > COALESCE(MAX(e) OVER (
-                    PARTITION BY doc_id ORDER BY s, e
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-                THEN 1 ELSE 0 END AS ni
-    FROM marked
-), isl2 AS (
-    SELECT doc_id, s, e,
-           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS island
-    FROM isl
-), spans AS (
-    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
-    FROM isl2 GROUP BY doc_id, island
-), cov AS (
-    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
-), alldocs AS (
+)""" + _ISLAND_COV_CTES + """, alldocs AS (
     SELECT doc_id, COALESCE(text, '') AS full_t,
            substr(COALESCE(text, ''), 1, 128) AS head
     FROM documents WHERE doc_id % 2 = 1
@@ -3086,25 +3029,7 @@ WITH d0 AS (
     SELECT gram FROM gg GROUP BY gram HAVING COUNT(*) >= 2
 ), marked AS (
     SELECT doc_id, off AS s, off + 4 AS e FROM gg JOIN dup USING (gram)
-), isl AS (
-    SELECT doc_id, s, e,
-           CASE WHEN s > COALESCE(MAX(e) OVER (
-                    PARTITION BY doc_id ORDER BY s, e
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-                THEN 1 ELSE 0 END AS ni
-    FROM marked
-), isl2 AS (
-    SELECT doc_id, s, e,
-           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS island
-    FROM isl
-), spans AS (
-    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
-    FROM isl2 GROUP BY doc_id, island
-), cov AS (
-    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
-), alldocs AS (
+)""" + _ISLAND_COV_CTES + """, alldocs AS (
     SELECT doc_id,
            string_split_regex(trim(COALESCE(text, '')), '\\s+') AS ftoks
     FROM documents
@@ -3227,25 +3152,7 @@ DECONTAMINATE_CUT_SPANS_SA_FULL_SQL = _sa_scoring_ctes(
     bucket_len=8, max_bucket=10_000,
 ) + """, marked AS (
     SELECT doc_id, off AS s, off + m - 1 AS e FROM scored WHERE m >= 30
-), isl AS (
-    SELECT doc_id, s, e,
-           CASE WHEN s > COALESCE(MAX(e) OVER (
-                    PARTITION BY doc_id ORDER BY s, e
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-                THEN 1 ELSE 0 END AS ni
-    FROM marked
-), isl2 AS (
-    SELECT doc_id, s, e,
-           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS island
-    FROM isl
-), spans AS (
-    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
-    FROM isl2 GROUP BY doc_id, island
-), cov AS (
-    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
-), alldocs AS (
+)""" + _ISLAND_COV_CTES + """, alldocs AS (
     SELECT doc_id, COALESCE(text, '') AS full_t
     FROM documents WHERE doc_id % 2 = 1
 ), apos AS (

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chewdata_spark.operators.tokenize import build_vocab, tokenize_corpus
+from chewdata_spark.queries.dedup_queries import _ISLAND_COV_CTES
 from chewdata_spark.tables import load_table
 
 VOCAB_K = 200
@@ -717,25 +718,7 @@ BPE_SA_CUT_SQL = _bpe_doc_pieces_ctes() + """, gg AS (
     SELECT gram FROM gg GROUP BY gram HAVING COUNT(*) >= 2
 ), marked AS (
     SELECT doc_id, off AS s, off + 29 AS e FROM gg JOIN dup USING (gram)
-), isl AS (
-    SELECT doc_id, s, e,
-           CASE WHEN s > COALESCE(MAX(e) OVER (
-                    PARTITION BY doc_id ORDER BY s, e
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-                THEN 1 ELSE 0 END AS ni
-    FROM marked
-), isl2 AS (
-    SELECT doc_id, s, e,
-           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS island
-    FROM isl
-), spans AS (
-    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
-    FROM isl2 GROUP BY doc_id, island
-), cov AS (
-    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans
-), tpos AS (
+)""" + _ISLAND_COV_CTES + """, tpos AS (
     SELECT doc_id, toks[i] AS w, i
     FROM (SELECT doc_id, toks,
                  unnest(generate_series(1, len(toks))) AS i FROM d)
@@ -783,7 +766,9 @@ def dedup_incremental_ingest_sa_bpe(
     stays available via the operator's full_doc flag).  Docs with no
     non-empty tokens have no piece stream and are not arrivals
     (encode is an inner join — both engines)."""
-    from chewdata_spark.operators.suffix import sa_contamination_scores_tokens
+    from chewdata_spark.operators.suffix import (
+        sa_incremental_contamination_tokens,
+    )
     from chewdata_spark.operators.tokenize import bpe_encode_corpus
 
     docs = load_table(spark, sf_dir, "documents")
@@ -798,23 +783,14 @@ def dedup_incremental_ingest_sa_bpe(
     pieces = pieces.localCheckpoint(eager=False)
     new = pieces.filter(F.col("doc_id") % 2 == 1)
     seen = pieces.filter(F.col("doc_id") % 2 == 0)
-    scored = sa_contamination_scores_tokens(
+    gate = sa_incremental_contamination_tokens(
         new, seen, "doc_id", "pieces",
         max_tokens=64, min_tokens=30, bucket_tokens=2, max_bucket=10_000,
     )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.max("m").cast("int").alias("max_shared_pieces")
-    )
-    return (
-        new.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("max_shared_pieces", F.lit(0)).alias(
-                "max_shared_pieces"
-            ),
-            (F.coalesce("max_shared_pieces", F.lit(0)) < 30).alias("kept"),
-        )
+    return gate.select(
+        "doc_id",
+        F.col("max_shared_tokens").alias("max_shared_pieces"),
+        "kept",
     )
 
 

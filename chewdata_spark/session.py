@@ -53,8 +53,11 @@ def get_spark(
         # full bench session's accumulated code cache / checkpoint
         # blocks / Arrow JNI buffers met the late heavy queries.  The
         # test host has 128 GiB; -Xmx is reserved, not committed, so a
-        # generous ceiling costs nothing on smaller hosts.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # generous ceiling costs nothing on smaller hosts.  31g, not
+        # 32g: at the 32 GiB boundary HotSpot disables CompressedOops
+        # and every pointer-heavy structure grows ~10-40% — the worst
+        # possible trade for a fix aimed at GC pressure.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "31g"))
         # long single-JVM sessions (160+ benched queries) need the
         # ContextCleaner to actually run: it only frees checkpoint/
         # shuffle blocks after a driver GC, and a big heap may not GC
