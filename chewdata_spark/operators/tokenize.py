@@ -19,6 +19,7 @@ Scale shapes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -248,6 +249,128 @@ def bpe_encode_corpus(
         F.concat_ws(
             " ", F.array_sort(F.collect_list(F.struct("pos", "sym"))).getField("sym")
         ).alias("seg"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "word"),
+    ).filter(F.length("word") > 0)
+    return (
+        toks.join(segs, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_word_pieces").cast("int").alias("n_pieces"),
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("pos", "seg"))).getField("seg")
+            ).alias("pieces"),
+        )
+    )
+
+
+def _fuse_pass(syms: list, lhs: str, rhs: str) -> list:
+    """One greedy left-to-right application of merge rule (lhs, rhs)
+    over a symbol list — the scan form of :func:`bpe_merges`' parity
+    rule (on a run of overlapping matches, fusing and skipping two
+    symbols keeps exactly the 1st, 3rd, ... matches)."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
+            out.append(lhs + rhs)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_merges_py(
+    word_freqs: list[tuple[str, int]], iters: int
+) -> list[tuple[int, str, str, int]]:
+    """The BPE merge loop in plain Python over an in-memory word-count
+    table: per round, frequency-weighted adjacent-pair counts, argmax
+    by (count DESC, lhs ASC, rhs ASC) — byte-identical to the
+    distributed loop's and the DuckDB oracle's ORDER BY — then the
+    greedy left-to-right fuse.  Stops early when no pairs remain
+    (every word a single symbol).  Returns
+    ``[(merge_rank, lhs, rhs, pair_count)]``."""
+    segs = [(list(w), f) for w, f in word_freqs if w]
+    rules: list[tuple[int, str, str, int]] = []
+    for rank in range(1, iters + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for s, f in segs:
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (lhs, rhs), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        rules.append((rank, lhs, rhs, c))
+        segs = [(_fuse_pass(s, lhs, rhs), f) for s, f in segs]
+    return rules
+
+
+def bpe_train_rules(
+    df: DataFrame,
+    text_col: str,
+    *,
+    iters: int,
+    max_train_vocab: int = 1 << 20,
+) -> list[tuple[int, str, str, int]]:
+    """Scalable BPE merge training: the WORD COUNT is distributed (the
+    only corpus-sized pass), the merge loop runs driver-side over the
+    aggregated vocabulary — how production tokenizer trainers
+    (SentencePiece, HuggingFace tokenizers) actually work, because the
+    loop's input is vocabulary-bounded, never corpus-bounded.  At
+    100 TB the vocabulary can still be huge (junk strings), so it is
+    capped to the ``max_train_vocab`` most frequent words by
+    (freq DESC, word ASC) — a bounded, deterministic driver payload
+    (same contract as the k-means centroid collect); the default 1M
+    cap covers >99.9% of token mass on natural corpora.  Encoding
+    (:func:`bpe_encode_corpus_rules`) still applies the trained rules
+    to EVERY word, in or out of cap.
+
+    Contrast :func:`bpe_merges`: that keeps even the merge loop
+    distributed (vocab-grain shuffles per round) — the right choice
+    for a handful of demonstration merges, but 64+ sequential rounds
+    of shuffle latency (and a 64-deep Catalyst plan) lose to one
+    bounded collect.  Both trainers implement the identical algorithm
+    and are equivalence-tested against each other."""
+    rows = (
+        _bpe_words(df, text_col)
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(max_train_vocab)
+        .collect()
+    )
+    return _train_merges_py([(r["word"], r["freq"]) for r in rows], iters)
+
+
+def bpe_encode_corpus_rules(
+    df: DataFrame, id_col: str, text_col: str, rules: list
+) -> DataFrame:
+    """Re-segment every document under an already-trained ordered merge
+    list: a VOCAB-grain Arrow UDF applies the rules per distinct word
+    (rule k applied globally before rule k+1 ≡ rules applied per word
+    in rank order — words evolve independently), then ONE join on word
+    and ONE doc-keyed reassembly, exactly :func:`bpe_encode_corpus`'s
+    encode half.  The Python loop runs over DISTINCT WORDS (bounded by
+    vocabulary), never corpus positions, so the UDF is off the
+    corpus-sized hot path.  Returns ``(doc_id, n_pieces, pieces)``."""
+    ordered = [(lhs, rhs) for _rank, lhs, rhs, *_ in rules]
+
+    @F.pandas_udf("string")
+    def _seg(words: pd.Series) -> pd.Series:
+        def enc(w: str) -> str:
+            s = list(w)
+            for lhs, rhs in ordered:
+                s = _fuse_pass(s, lhs, rhs)
+            return " ".join(s)
+
+        return words.map(enc)
+
+    segs = (
+        _bpe_words(df, text_col)
+        .select("word", _seg("word").alias("seg"))
+        .withColumn("n_word_pieces", F.size(F.split("seg", " ")))
     )
     toks = df.select(
         F.col(id_col).alias("doc_id"),

@@ -55,7 +55,8 @@ def _modules():
 # the backlog drains round over round.  Update after each round.
 _DRIVER_CHECKED = {
     "ann_ivf_topk", "ann_ivfpq_topk", "ann_matryoshka_ivf_topk",
-    "ann_matryoshka_topk", "ann_srp_topk", "ann_srp_topk_md5",
+    "ann_matryoshka_topk", "ann_recall_report", "ann_srp_topk",
+    "ann_srp_topk_md5",
     "approx_distinct_users", "best_of_source_sample", "bigram_logprob_score",
     "bloom_seen_hashes", "bm25_search_topk", "bpe_encode_documents",
     "bpe_merge_rules", "ccnet_perplexity_buckets", "cdc_chunk_dedup",
@@ -67,22 +68,26 @@ _DRIVER_CHECKED = {
     "corpus_diff_manifest", "corpus_manifest", "corpus_summary_report",
     "corpus_top_terms", "corpus_vocab_ids", "corpus_zipf_fit", "cosine_topk",
     "countmin_sketch_terms", "cube_order_stats", "curate_corpus",
+    "curate_pipeline_decontam_sa",
     "curate_pipeline_full", "curate_pipeline_full_sa",
     "curation_audit_report", "curriculum_phases",
     "customer_order_stats", "customer_rfm_segments",
     "customer_spend_quartiles", "customers_with_open_orders",
     "customers_without_orders", "dataset_card_manifest",
     "decontaminate_cut_spans_sa", "decontaminate_cut_spans_sa_full",
+    "decontaminate_cut_spans_sa_tokens",
     "decontaminate_docs", "decontaminate_docs_sa",
     "dedup_clean_corpus", "dedup_clean_corpus_cc", "dedup_clean_corpus_lsh",
     "dedup_clean_corpus_lsh_cc", "dedup_clean_corpus_lsh_cc_md5",
     "dedup_clean_corpus_semantic", "dedup_cluster_components",
     "dedup_consensus_pairs", "dedup_containment_md5", "dedup_cut_spans_corpus",
-    "dedup_cut_spans_sa", "dedup_cut_spans_sa_full",
+    "dedup_cut_spans_sa", "dedup_cut_spans_sa_bpe",
+    "dedup_cut_spans_sa_full",
     "dedup_cut_spans_sa_tokens", "dedup_cut_spans_sa_tokens_full",
     "dedup_duplicate_spans", "dedup_exact", "dedup_fingerprint",
     "dedup_incremental_ingest", "dedup_incremental_ingest_md5",
-    "dedup_incremental_ingest_sa",
+    "dedup_incremental_ingest_sa", "dedup_incremental_ingest_sa_bpe",
+    "dedup_incremental_ingest_sa_tokens", "dedup_keep_best_quality",
     "dedup_jaccard_prefix", "dedup_lines_global", "dedup_lines_within_doc",
     "dedup_minhash_lsh", "dedup_minhash_lsh_md5", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_simhash_md5", "distinct_users_by_type",
@@ -136,7 +141,8 @@ _DRIVER_CHECKED = {
     "running_daily_revenue", "salted_event_stats", "sentence_segments",
     "sessionize_events", "sft_loss_mask_layout", "shard_shuffle_corpus",
     "shuffle_skew_audit", "signup_conversion_funnel",
-    "source_concentration_hhi", "source_distinctive_terms", "source_dup_rate",
+    "source_concentration_hhi", "source_distinctive_terms",
+    "source_drift_kl", "source_dup_rate",
     "source_overlap_matrix", "source_quota_sample", "source_vocab_health",
     "split_embedding_leakage", "split_leakage_audit", "split_train_val_test",
     "stratified_sample", "stream_classifier_scores", "stream_corpus_manifest",
@@ -158,10 +164,10 @@ _DRIVER_CHECKED = {
 
 
 # Names the driver should sample FIRST next round (before other
-# unchecked names).  Empty as of the round-12 open: CORRECTNESS_r11
-# folded above gives 258/258 registry coverage — every registered name
+# unchecked names).  Empty as of the round-13 open: CORRECTNESS_r12
+# folded above gives 266/266 registry coverage — every registered name
 # has been driver-hard-checked at least once, with zero wrong answers
-# at latest status for the second round running.
+# at latest status for the third round running.
 _DRIVER_BACKLOG: tuple[str, ...] = ()
 
 

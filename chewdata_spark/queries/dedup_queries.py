@@ -27,6 +27,7 @@ def _sa_scoring_ctes(
     new_rel: str = "documents",
     seen_rel: str = "documents",
     lead: str = "WITH",
+    prefix: str = "",
 ) -> str:
     """The WITH-prefix shared by every incremental-SA oracle: arriving
     and seen suffix relations, the hot-bucket cap mirror (HAVING on the
@@ -60,45 +61,45 @@ def _sa_scoring_ctes(
         new_cols = "doc_id, off, " + suf + " AS suf"
         u_seen = ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
                   "CAST(NULL AS INT) AS off,\n           suf, 1 AS is_seen"
-                  "\n    FROM seensuf")
+                  f"\n    FROM {prefix}seensuf")
         u_new = ("SELECT doc_id, CAST(off AS INT) AS off, suf, 0 AS is_seen "
-                 "FROM newsuf")
+                 f"FROM {prefix}newsuf")
         nb_cols = "doc_id, off, suf, is_seen"
         sc_cols = "doc_id, off"
     else:
         new_cols = "doc_id, " + suf + " AS suf"
         u_seen = ("SELECT CAST(NULL AS BIGINT) AS doc_id, suf, 1 AS is_seen "
-                  "FROM seensuf")
-        u_new = "SELECT doc_id, suf, 0 AS is_seen FROM newsuf"
+                  f"FROM {prefix}seensuf")
+        u_new = f"SELECT doc_id, suf, 0 AS is_seen FROM {prefix}newsuf"
         nb_cols = "doc_id, suf, is_seen"
         sc_cols = "doc_id"
     return f"""
-{lead} newd AS (
+{lead} {prefix}newd AS (
     SELECT doc_id, {t_new} FROM {new_rel}
     WHERE {w_new}
-), seend AS (
+), {prefix}seend AS (
     SELECT doc_id, {t_new} FROM {seen_rel}
     WHERE {w_seen}
-), newsuf AS (
+), {prefix}newsuf AS (
     SELECT {new_cols}
     FROM (SELECT doc_id, t,
-                 unnest(generate_series(1, length(t))) AS off FROM newd)
-), seensuf0 AS (
+                 unnest(generate_series(1, length(t))) AS off FROM {prefix}newd)
+), {prefix}seensuf0 AS (
     SELECT DISTINCT {suf} AS suf
-    FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM seend)
-), okbk AS (
+    FROM (SELECT t, unnest(generate_series(1, length(t))) AS off FROM {prefix}seend)
+), {prefix}okbk AS (
     -- hot-bucket cap mirror (max_bucket = {max_bucket}): a prefix bucket
     -- wider than the cap drops from the seen side before neighbour-finding
-    SELECT substr(suf, 1, {bucket_len}) AS bk FROM seensuf0
+    SELECT substr(suf, 1, {bucket_len}) AS bk FROM {prefix}seensuf0
     GROUP BY 1 HAVING COUNT(*) <= {max_bucket}
-), seensuf AS (
-    SELECT s.suf FROM seensuf0 s
-    JOIN okbk k ON substr(s.suf, 1, {bucket_len}) = k.bk
-), u AS (
+), {prefix}seensuf AS (
+    SELECT s.suf FROM {prefix}seensuf0 s
+    JOIN {prefix}okbk k ON substr(s.suf, 1, {bucket_len}) = k.bk
+), {prefix}u AS (
     {u_seen}
     UNION ALL
     {u_new}
-), nb AS (
+), {prefix}nb AS (
     SELECT {nb_cols},
         LAST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
             PARTITION BY substr(suf, 1, {bucket_len})
@@ -108,8 +109,8 @@ def _sa_scoring_ctes(
             PARTITION BY substr(suf, 1, {bucket_len})
             ORDER BY suf, is_seen DESC
             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS succ
-    FROM u
-), scored AS (
+    FROM {prefix}u
+), {prefix}scored AS (
     SELECT {sc_cols},
         greatest(
             CASE WHEN pred IS NULL THEN 0 ELSE
@@ -123,7 +124,7 @@ def _sa_scoring_ctes(
                            IF substr(suf, i, 1) <> substr(succ, i, 1)])[1],
                          least(length(suf), length(succ)) + 1) - 1 END
         ) AS m
-    FROM nb WHERE is_seen = 0
+    FROM {prefix}nb WHERE is_seen = 0
 )"""
 
 
@@ -140,6 +141,7 @@ def _sa_scoring_ctes_tokens(
     rel: str = "documents",
     tk_expr: str | None = None,
     lead: str = "WITH",
+    prefix: str = "",
 ) -> str:
     """TOKEN-grain twin of :func:`_sa_scoring_ctes`: suffixes are
     DuckDB LISTS (list comparison is lexicographic with shorter-prefix
@@ -163,46 +165,46 @@ def _sa_scoring_ctes_tokens(
         new_cols = "doc_id, off, " + suf + " AS suf"
         u_seen = ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
                   "CAST(NULL AS INT) AS off,\n           suf, 1 AS is_seen"
-                  "\n    FROM seensuf")
+                  f"\n    FROM {prefix}seensuf")
         u_new = ("SELECT doc_id, CAST(off AS INT) AS off, suf, 0 AS is_seen "
-                 "FROM newsuf")
+                 f"FROM {prefix}newsuf")
         nb_cols = "doc_id, off, suf, is_seen"
         sc_cols = "doc_id, off"
     else:
         new_cols = "doc_id, " + suf + " AS suf"
         u_seen = ("SELECT CAST(NULL AS BIGINT) AS doc_id, suf, 1 AS is_seen "
-                  "FROM seensuf")
-        u_new = "SELECT doc_id, suf, 0 AS is_seen FROM newsuf"
+                  f"FROM {prefix}seensuf")
+        u_new = f"SELECT doc_id, suf, 0 AS is_seen FROM {prefix}newsuf"
         nb_cols = "doc_id, suf, is_seen"
         sc_cols = "doc_id"
     nonempty = "len(tk0) >= 1 AND (len(tk0) > 1 OR tk0[1] <> '')"
     return f"""
-{lead} newd AS (
+{lead} {prefix}newd AS (
     SELECT doc_id, tk0 AS tk
     FROM (SELECT doc_id, {t_sel} FROM {rel} WHERE {w_new})
     WHERE {nonempty}
-), seend AS (
+), {prefix}seend AS (
     SELECT doc_id, tk0 AS tk
     FROM (SELECT doc_id, {t_sel} FROM {rel} WHERE {w_seen})
     WHERE {nonempty}
-), newsuf AS (
+), {prefix}newsuf AS (
     SELECT {new_cols}
     FROM (SELECT doc_id, tk,
-                 unnest(generate_series(1, len(tk))) AS off FROM newd)
-), seensuf0 AS (
+                 unnest(generate_series(1, len(tk))) AS off FROM {prefix}newd)
+), {prefix}seensuf0 AS (
     SELECT DISTINCT {suf} AS suf
-    FROM (SELECT tk, unnest(generate_series(1, len(tk))) AS off FROM seend)
-), okbk AS (
-    SELECT list_slice(suf, 1, {bucket_tokens}) AS bk FROM seensuf0
+    FROM (SELECT tk, unnest(generate_series(1, len(tk))) AS off FROM {prefix}seend)
+), {prefix}okbk AS (
+    SELECT list_slice(suf, 1, {bucket_tokens}) AS bk FROM {prefix}seensuf0
     GROUP BY 1 HAVING COUNT(*) <= {max_bucket}
-), seensuf AS (
-    SELECT s.suf FROM seensuf0 s
-    JOIN okbk k ON list_slice(s.suf, 1, {bucket_tokens}) = k.bk
-), u AS (
+), {prefix}seensuf AS (
+    SELECT s.suf FROM {prefix}seensuf0 s
+    JOIN {prefix}okbk k ON list_slice(s.suf, 1, {bucket_tokens}) = k.bk
+), {prefix}u AS (
     {u_seen}
     UNION ALL
     {u_new}
-), nb AS (
+), {prefix}nb AS (
     SELECT {nb_cols},
         LAST_VALUE(CASE WHEN is_seen = 1 THEN suf END IGNORE NULLS) OVER (
             PARTITION BY list_slice(suf, 1, {bucket_tokens})
@@ -212,8 +214,8 @@ def _sa_scoring_ctes_tokens(
             PARTITION BY list_slice(suf, 1, {bucket_tokens})
             ORDER BY suf, is_seen DESC
             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS succ
-    FROM u
-), scored AS (
+    FROM {prefix}u
+), {prefix}scored AS (
     SELECT {sc_cols},
         greatest(
             CASE WHEN pred IS NULL THEN 0 ELSE
@@ -227,7 +229,7 @@ def _sa_scoring_ctes_tokens(
                            IF suf[i] <> succ[i]])[1],
                          least(len(suf), len(succ)) + 1) - 1 END
         ) AS m
-    FROM nb WHERE is_seen = 0
+    FROM {prefix}nb WHERE is_seen = 0
 )"""
 
 

@@ -186,24 +186,35 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(docs, "text", iters=2)
 
 
-def _bpe_iter_sql(i: int) -> str:
+def _bpe_iter_sql(i: int, *, materialized: bool = False) -> str:
     """CTE block for BPE iteration ``i`` over symbol relation syms{i}:
-    pair counts c{i}, winning rule t{i}, merged relation syms{i+1}."""
-    return f"""p{i} AS (
+    pair counts c{i}, winning rule t{i}, merged relation syms{i+1}.
+
+    ``materialized`` emits ``AS MATERIALIZED`` on every CTE: each
+    iteration references its predecessors several times, so DuckDB's
+    default inlining makes an N-iteration chain EXPONENTIAL in plan
+    size (a 64-chain exhausts file handles before it even scans);
+    materialization bounds it linearly (measured 4.3 s for 64
+    iterations at sf0.01).  The single-row t{i} joins via LEFT JOIN ON
+    TRUE, so an exhausted vocabulary (no pairs left -> empty t{i})
+    passes symbols through unchanged instead of annihilating the
+    relation — mirroring the trainers' early stop."""
+    m = "MATERIALIZED " if materialized else ""
+    return f"""p{i} AS {m}(
     SELECT word, freq, pos, sym,
            lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
     FROM syms{i}
-), c{i} AS (
+), c{i} AS {m}(
     SELECT sym, nxt, CAST(SUM(freq) AS BIGINT) AS pair_count
     FROM p{i} WHERE nxt IS NOT NULL GROUP BY 1, 2
-), t{i} AS (
+), t{i} AS {m}(
     SELECT {i} AS merge_rank, sym AS lhs, nxt AS rhs, pair_count
     FROM c{i} ORDER BY pair_count DESC, sym ASC, nxt ASC LIMIT 1
-), m{i} AS (
+), m{i} AS {m}(
     SELECT p.word, p.freq, p.pos, p.sym, t.lhs, t.rhs,
            (p.sym = t.lhs AND p.nxt = t.rhs) AS mt
-    FROM p{i} p, t{i} t
-), st{i} AS (
+    FROM p{i} p LEFT JOIN t{i} t ON TRUE
+), st{i} AS {m}(
     SELECT word, pos FROM (
         SELECT word, pos,
                ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY pos) AS k
@@ -211,11 +222,11 @@ def _bpe_iter_sql(i: int) -> str:
                      pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS isl
               FROM m{i} WHERE mt)
     ) WHERE k % 2 = 1
-), mk{i} AS (
+), mk{i} AS {m}(
     SELECT word, pos, 1 AS mk FROM st{i}
     UNION ALL
     SELECT word, pos + 1, 2 FROM st{i}
-), syms{i + 1} AS (
+), syms{i + 1} AS {m}(
     SELECT word, freq,
            ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
            CASE WHEN mk = 1 THEN lhs || rhs ELSE sym END AS sym
@@ -641,58 +652,85 @@ QUERIES["wordpiece_segments_top"] = wordpiece_segments_top
 ORACLES["wordpiece_segments_top"] = WORDPIECE_SQL
 
 
+_BPE_SA_ITERS = 64  # trained merges for the BPE-grain SA queries
+# >= 9-piece repeats: the token family cuts whole >= 5-token repeats,
+# and at 64 merges this corpus averages ~1.8 pieces per word (the
+# 31-word synthetic vocabulary fuses hard), so 5 tokens ~ 9 pieces —
+# the same sensitivity expressed at the trained-piece grain.  (The
+# round-12 version trained only 2 merges, leaving pieces near char
+# grain and the threshold at the char family's 30.)
+_BPE_SA_MIN_PIECES = 9
+
+
 def dedup_cut_spans_sa_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-GRAIN suffix-array dedup — the tokenizer family and the SA
     family COMPOSED, the grain Lee et al. 2022 actually run their
     suffix arrays at (BPE token streams, not raw chars): every document
-    re-segments under the corpus's own 2 trained BPE merges
-    (operators/tokenize.py::bpe_encode_corpus) and whole >= 30-PIECE
-    repeats are marked ANYWHERE in each piece stream by the TILED
-    token-grain suffix array and cut out
+    re-segments under the corpus's own 64 trained BPE merges and whole
+    >= 9-PIECE repeats are marked ANYWHERE in each piece stream by the
+    TILED token-grain suffix array and cut out
     (operators/suffix.py::cut_repeat_spans_sa_tokens_tiled).  Pieces
     are whitespace-joined and contain no whitespace, so the piece
     string IS a token-grain document and the whole token-SA machinery
     applies verbatim — the same family multiplication as
-    ann_matryoshka_ivf_topk.  Scale shape: BPE training stays on the
-    VOCAB-grain symbol relation, encode is one join on word, and the
-    SA stage adds only the tiled doubling rounds over ~1.3x the piece
-    count.  Only 2 merges train here, so pieces sit near char grain
-    and the threshold mirrors the char family's 30 (a 5-piece minimum
-    would cut ubiquitous language).  Oracle: the bpe_encode CTE chain
-    replayed verbatim, then the INDEPENDENT duplicated-30-gram
-    coverage algorithm over the
-    piece sequences (GROUP BY gram HAVING COUNT >= 2 -> coverage ->
-    cut), never a suffix rank."""
+    ann_matryoshka_ivf_topk.  Scale shape: the 64-merge training runs
+    driver-side over the DISTRIBUTED word-count table capped to the
+    top-1M vocabulary (operators/tokenize.py::bpe_train_rules — how
+    production tokenizer trainers work; 64 distributed rounds would
+    pay 64 shuffle latencies for a vocabulary-bounded loop), encode is
+    a vocab-grain Arrow UDF plus one join on word
+    (bpe_encode_corpus_rules), and the SA stage adds only the tiled
+    doubling rounds over ~1.3x the piece count.  Oracle: the
+    64-iteration bpe CTE chain (MATERIALIZED per block — inlining is
+    exponential) replayed verbatim, then the INDEPENDENT
+    duplicated-9-gram coverage algorithm over the piece sequences
+    (GROUP BY gram HAVING COUNT >= 2 -> coverage -> cut), never a
+    suffix rank."""
     from chewdata_spark.operators.suffix import cut_repeat_spans_sa_tokens_tiled
-    from chewdata_spark.operators.tokenize import bpe_encode_corpus
+    from chewdata_spark.operators.tokenize import (
+        bpe_encode_corpus_rules,
+        bpe_train_rules,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    pieces = bpe_encode_corpus(docs, "doc_id", "text", iters=2).select(
+    rules = bpe_train_rules(docs, "text", iters=_BPE_SA_ITERS)
+    pieces = bpe_encode_corpus_rules(docs, "doc_id", "text", rules).select(
         "doc_id", "pieces"
     )
+    # stage boundary: the tiled SA references the piece relation from
+    # several stages (tiling, ranks, marks, reassembly) and the
+    # upstream is a computed relation (Arrow-UDF encode + join), not a
+    # parquet scan — without the boundary the encode re-executes per
+    # reference
+    pieces = pieces.localCheckpoint(eager=False)
     return cut_repeat_spans_sa_tokens_tiled(
-        pieces, "doc_id", "pieces", tile=64, min_tokens=30
+        pieces, "doc_id", "pieces", tile=64, min_tokens=_BPE_SA_MIN_PIECES
     )
 
 
-def _bpe_doc_pieces_ctes() -> str:
+def _bpe_doc_pieces_ctes(n_iters: int = 2) -> str:
     """The corpus-trained-BPE encode chain as a WITH prefix ending at
     ``d (doc_id, toks)`` — the per-doc piece-sequence relation.  Shared
     by the BPE-grain SA cut oracle and the BPE-grain contamination
-    gate oracle (one builder so the encode replay cannot drift)."""
+    gate oracle (one builder so the encode replay cannot drift).
+    ``n_iters`` chains that many per-iteration CTE blocks; above 2 the
+    blocks are emitted MATERIALIZED (see :func:`_bpe_iter_sql` — plain
+    inlining is exponential in chain depth)."""
+    mat = n_iters > 2
+    m = "MATERIALIZED " if mat else ""
     return """
-WITH words AS (
+WITH words AS {m}(
     SELECT word, COUNT(*) AS freq
     FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
           FROM documents)
     WHERE word <> '' GROUP BY 1
-), syms1 AS (
+), syms1 AS {m}(
     SELECT word, freq, i AS pos, word[i] AS sym
     FROM (SELECT word, freq, unnest(generate_series(1, len(word))) AS i
           FROM words)
 ), {iters}, seg AS (
     SELECT word, string_agg(sym, ' ' ORDER BY pos) AS seg
-    FROM syms3 GROUP BY word
+    FROM syms{top} GROUP BY word
 ), toks AS (
     SELECT doc_id, pos, word
     FROM (SELECT doc_id, unnest(w) AS word,
@@ -706,19 +744,25 @@ WITH words AS (
            string_split(string_agg(s.seg, ' ' ORDER BY t.pos), ' ') AS toks
     FROM toks t JOIN seg s ON s.word = t.word
     GROUP BY doc_id
-)""".format(iters=f"{_bpe_iter_sql(1)}, {_bpe_iter_sql(2)}")
+)""".format(
+        m=m,
+        top=n_iters + 1,
+        iters=", ".join(
+            _bpe_iter_sql(i, materialized=mat) for i in range(1, n_iters + 1)
+        ),
+    )
 
 
-BPE_SA_CUT_SQL = _bpe_doc_pieces_ctes() + """, gg AS (
-    SELECT doc_id, off, list_slice(toks, off, off + 29) AS gram
+BPE_SA_CUT_SQL = _bpe_doc_pieces_ctes(_BPE_SA_ITERS) + """, gg AS (
+    SELECT doc_id, off, list_slice(toks, off, off + {gm1}) AS gram
     FROM (SELECT doc_id, toks,
-                 unnest(generate_series(1, len(toks) - 29)) AS off
-          FROM d WHERE len(toks) >= 30)
+                 unnest(generate_series(1, len(toks) - {gm1})) AS off
+          FROM d WHERE len(toks) >= {g})
 ), dup AS (
     SELECT gram FROM gg GROUP BY gram HAVING COUNT(*) >= 2
 ), marked AS (
-    SELECT doc_id, off AS s, off + 29 AS e FROM gg JOIN dup USING (gram)
-)""" + _ISLAND_COV_CTES + """, tpos AS (
+    SELECT doc_id, off AS s, off + {gm1} AS e FROM gg JOIN dup USING (gram)
+)""".format(g=_BPE_SA_MIN_PIECES, gm1=_BPE_SA_MIN_PIECES - 1) + _ISLAND_COV_CTES + """, tpos AS (
     SELECT doc_id, toks[i] AS w, i
     FROM (SELECT doc_id, toks,
                  unnest(generate_series(1, len(toks))) AS i FROM d)
@@ -751,28 +795,33 @@ def dedup_incremental_ingest_sa_bpe(
     """BPE-GRAIN incremental contamination gate — the third grain of
     the ingest family (char / whitespace-token / BPE-piece), matching
     at the grain Lee et al. 2022 match on: every doc re-segments under
-    the corpus's own 2 trained merges (bpe_encode_corpus), and an
-    arriving odd-id doc sharing a whole >= 30-PIECE run with the
+    the corpus's own 64 trained merges (bpe_train_rules +
+    bpe_encode_corpus_rules — driver-side training over the capped
+    distributed word-count table, vocab-grain Arrow-UDF encode), and
+    an arriving odd-id doc sharing a whole >= 9-PIECE run with the
     even-id corpus's piece streams drops.  The piece string is a
     token-grain document (pieces contain no whitespace), so the
     token scorer applies verbatim — the same family multiplication as
-    dedup_cut_spans_sa_bpe; the 30-piece threshold mirrors it (2
-    merges leave pieces near char grain).  DECLARED head window: the
-    first 64 pieces of each stream, the ingest family's convention
-    (char gates 128 chars, token gates 32 tokens) — with 2 merges a
-    piece is near char grain, so full-document piece positions would
-    cost char-grain position count TIMES array-suffix overhead (~50x
-    the token gate, measured 156 s at sf0.1; the full-doc deep sweep
-    stays available via the operator's full_doc flag).  Docs with no
-    non-empty tokens have no piece stream and are not arrivals
-    (encode is an inner join — both engines)."""
+    dedup_cut_spans_sa_bpe; the 9-piece threshold mirrors its
+    derivation (token family gates on 5 whitespace tokens; at 64
+    merges this corpus runs ~1.8 pieces/word, so 5 tokens ~ 9
+    pieces).  DECLARED head window: the first 64 pieces of each
+    stream, the ingest family's convention (char gates 128 chars,
+    token gates 32 tokens ~ 58 pieces at 1.8 pieces/token; the
+    full-doc deep sweep stays available via the operator's full_doc
+    flag).  Docs with no non-empty tokens have no piece stream and
+    are not arrivals (encode is an inner join — both engines)."""
     from chewdata_spark.operators.suffix import (
         sa_incremental_contamination_tokens,
     )
-    from chewdata_spark.operators.tokenize import bpe_encode_corpus
+    from chewdata_spark.operators.tokenize import (
+        bpe_encode_corpus_rules,
+        bpe_train_rules,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    pieces = bpe_encode_corpus(docs, "doc_id", "text", iters=2).select(
+    rules = bpe_train_rules(docs, "text", iters=_BPE_SA_ITERS)
+    pieces = bpe_encode_corpus_rules(docs, "doc_id", "text", rules).select(
         "doc_id", "pieces"
     )
     # stage boundary: the scorer references each side several times
@@ -783,9 +832,16 @@ def dedup_incremental_ingest_sa_bpe(
     pieces = pieces.localCheckpoint(eager=False)
     new = pieces.filter(F.col("doc_id") % 2 == 1)
     seen = pieces.filter(F.col("doc_id") % 2 == 0)
+    # bucket_tokens=4, not the token family's 2: at 64 merges a piece
+    # is near word grain over a 31-word vocabulary, so 2-piece prefix
+    # buckets collapse into ~10^3 hot buckets (measured 27.6 s); 4
+    # pieces give ~10^6 possible buckets (5.1 s).  Declared sub-bucket
+    # grain: shares shorter than 4 pieces score 0 — irrelevant to the
+    # >= 9 decision, mirrored exactly by the oracle.
     gate = sa_incremental_contamination_tokens(
         new, seen, "doc_id", "pieces",
-        max_tokens=64, min_tokens=30, bucket_tokens=2, max_bucket=10_000,
+        max_tokens=64, min_tokens=_BPE_SA_MIN_PIECES,
+        bucket_tokens=4, max_bucket=10_000,
     )
     return gate.select(
         "doc_id",
@@ -797,20 +853,159 @@ def dedup_incremental_ingest_sa_bpe(
 def _ingest_sa_bpe_sql() -> str:
     from chewdata_spark.queries.dedup_queries import _sa_scoring_ctes_tokens
 
-    return _bpe_doc_pieces_ctes() + _sa_scoring_ctes_tokens(
+    return _bpe_doc_pieces_ctes(_BPE_SA_ITERS) + _sa_scoring_ctes_tokens(
         new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0",
-        cmp_tokens=64, bucket_tokens=2, max_bucket=10_000,
+        cmp_tokens=64, bucket_tokens=4, max_bucket=10_000,
         rel="d", tk_expr="toks", lead=",",
     ) + """, gate AS (
     SELECT doc_id, MAX(m) AS ms FROM scored GROUP BY doc_id
 )
 SELECT a.doc_id,
        CAST(COALESCE(g.ms, 0) AS INT) AS max_shared_pieces,
-       (COALESCE(g.ms, 0) < 30) AS kept
+       (COALESCE(g.ms, 0) < {g}) AS kept
 FROM (SELECT doc_id FROM d WHERE doc_id % 2 = 1) a
 LEFT JOIN gate g USING (doc_id)
-"""
+""".format(g=_BPE_SA_MIN_PIECES)
 
 
 QUERIES["dedup_incremental_ingest_sa_bpe"] = dedup_incremental_ingest_sa_bpe
 ORACLES["dedup_incremental_ingest_sa_bpe"] = _ingest_sa_bpe_sql()
+
+
+def contamination_grain_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-GRAIN contamination agreement audit — the artifact that
+    tells an operator which single matching grain suffices for their
+    corpus: every arriving (odd-id) doc is scored by ALL THREE
+    contamination gates — char (>= 30-char shared run, 128-char head),
+    whitespace-token (>= 5 tokens, 32-token head), and BPE-piece
+    (>= 9 pieces under the corpus's own 64 trained merges, 64-piece
+    head) — and each doc any grain flags is reported with its shared
+    length AT EVERY grain plus per-grain hit flags and the agreement
+    count.  A corpus where ``n_grains`` is always 3 needs only the
+    cheapest grain; rows with ``n_grains = 1`` show exactly which
+    leaks the other grains would have missed (char catches
+    sub-token-boundary overlap; token/BPE catch rephrasing-resistant
+    runs the 30-char bar misses in short-word text).  Composition
+    only: the three scorers run side by side on the same odd/even
+    slice convention as the ingest family, one left-join spine, no
+    new machinery.  Scale shape: three independent bucket-scored
+    passes (each with its family's cap/prefilter/salt bounds) + three
+    broadcast-sized doc-grain joins.  Oracle: the three scoring CTE
+    families chained in ONE WITH under distinct prefixes (c_/t_/b_)
+    — each an independent per-bucket neighbour replay, never a rank
+    replay."""
+    from chewdata_spark.operators.suffix import (
+        sa_incremental_contamination,
+        sa_incremental_contamination_tokens,
+    )
+    from chewdata_spark.operators.tokenize import (
+        bpe_encode_corpus_rules,
+        bpe_train_rules,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    cg = sa_incremental_contamination(
+        new, seen, "doc_id", "text",
+        max_chars=128, min_len=30, bucket_len=8, max_bucket=10_000,
+    ).select("doc_id", F.col("max_shared_len").alias("m_char"))
+    tg = sa_incremental_contamination_tokens(
+        new, seen, "doc_id", "text",
+        max_tokens=32, min_tokens=5, bucket_tokens=2, max_bucket=10_000,
+    ).select("doc_id", F.col("max_shared_tokens").alias("m_token"))
+    rules = bpe_train_rules(docs, "text", iters=_BPE_SA_ITERS)
+    pieces = bpe_encode_corpus_rules(docs, "doc_id", "text", rules).select(
+        "doc_id", "pieces"
+    )
+    # stage boundary: the piece scorer references each side several
+    # times and the upstream is the computed encode relation
+    pieces = pieces.localCheckpoint(eager=False)
+    bg = sa_incremental_contamination_tokens(
+        pieces.filter(F.col("doc_id") % 2 == 1),
+        pieces.filter(F.col("doc_id") % 2 == 0),
+        "doc_id", "pieces",
+        max_tokens=64, min_tokens=_BPE_SA_MIN_PIECES,
+        bucket_tokens=4, max_bucket=10_000,
+    ).select("doc_id", F.col("max_shared_tokens").alias("m_piece"))
+    spine = new.select("doc_id")
+    out = (
+        spine.join(cg, "doc_id", "left")
+        .join(tg, "doc_id", "left")
+        .join(bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("m_char", F.lit(0)).cast("int").alias("m_char"),
+            F.coalesce("m_token", F.lit(0)).cast("int").alias("m_token"),
+            F.coalesce("m_piece", F.lit(0)).cast("int").alias("m_piece"),
+        )
+        .withColumn("hit_char", F.col("m_char") >= 30)
+        .withColumn("hit_token", F.col("m_token") >= 5)
+        .withColumn("hit_piece", F.col("m_piece") >= _BPE_SA_MIN_PIECES)
+        .withColumn(
+            "n_grains",
+            (
+                F.col("hit_char").cast("int")
+                + F.col("hit_token").cast("int")
+                + F.col("hit_piece").cast("int")
+            ).cast("int"),
+        )
+    )
+    return out.filter(F.col("n_grains") >= 1)
+
+
+def _grain_agreement_sql() -> str:
+    from chewdata_spark.queries.dedup_queries import (
+        _sa_scoring_ctes,
+        _sa_scoring_ctes_tokens,
+    )
+
+    return (
+        _bpe_doc_pieces_ctes(_BPE_SA_ITERS)
+        + _sa_scoring_ctes(
+            new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0",
+            cmp_len=128, bucket_len=8, max_bucket=10_000,
+            lead=",", prefix="c_",
+        )
+        + _sa_scoring_ctes_tokens(
+            new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0",
+            cmp_tokens=32, bucket_tokens=2, max_bucket=10_000,
+            lead=",", prefix="t_",
+        )
+        + _sa_scoring_ctes_tokens(
+            new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0",
+            cmp_tokens=64, bucket_tokens=4, max_bucket=10_000,
+            rel="d", tk_expr="toks", lead=",", prefix="b_",
+        )
+        + """, cgate AS (
+    SELECT doc_id, MAX(m) AS m FROM c_scored GROUP BY doc_id
+), tgate AS (
+    SELECT doc_id, MAX(m) AS m FROM t_scored GROUP BY doc_id
+), bgate AS (
+    SELECT doc_id, MAX(m) AS m FROM b_scored GROUP BY doc_id
+), agr AS (
+    SELECT a.doc_id,
+           CAST(COALESCE(c.m, 0) AS INT) AS m_char,
+           CAST(COALESCE(t.m, 0) AS INT) AS m_token,
+           CAST(COALESCE(b.m, 0) AS INT) AS m_piece
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) a
+    LEFT JOIN cgate c USING (doc_id)
+    LEFT JOIN tgate t USING (doc_id)
+    LEFT JOIN bgate b USING (doc_id)
+)
+SELECT doc_id, m_char, m_token, m_piece,
+       (m_char >= 30) AS hit_char,
+       (m_token >= 5) AS hit_token,
+       (m_piece >= {g}) AS hit_piece,
+       CAST(CAST(m_char >= 30 AS INT) + CAST(m_token >= 5 AS INT)
+            + CAST(m_piece >= {g} AS INT) AS INT) AS n_grains
+FROM agr
+WHERE m_char >= 30 OR m_token >= 5 OR m_piece >= {g}
+""".format(g=_BPE_SA_MIN_PIECES)
+    )
+
+
+QUERIES["contamination_grain_agreement"] = contamination_grain_agreement
+ORACLES["contamination_grain_agreement"] = _grain_agreement_sql()

@@ -16,6 +16,42 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _host_memory_bytes() -> int:
+    """Effective memory ceiling: the tighter of the cgroup limit (v2
+    then v1 — containers enforce these with the OOM killer, so they
+    dominate) and physical RAM.  0 if nothing is detectable."""
+    limits = []
+    for path in (
+        "/sys/fs/cgroup/memory.max",  # cgroup v2
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # cgroup v1
+    ):
+        try:
+            with open(path) as fh:
+                raw = fh.read().strip()
+            if raw.isdigit():
+                val = int(raw)
+                # v1 reports "no limit" as a huge page-rounded number
+                if val < 1 << 50:
+                    limits.append(val)
+        except OSError:
+            continue
+    try:
+        limits.append(os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES"))
+    except (ValueError, OSError):
+        pass
+    return min(limits) if limits else 0
+
+
+def _default_driver_memory() -> str:
+    """min(31g, ~45% of the detected host/cgroup memory), floored at
+    2g; '8g' when detection fails (the old safe default)."""
+    total = _host_memory_bytes()
+    if total <= 0:
+        return "8g"
+    gib = max(2, min(31, int(total * 0.45) >> 30))
+    return f"{gib}g"
+
+
 def get_spark(
     app_name: str = "chewdata_spark",
     *,
@@ -51,13 +87,19 @@ def get_spark(
         # local mode runs the WHOLE engine in the driver JVM: 8g
         # GC-starved (GCLocker retry storms, then JVM death) once a
         # full bench session's accumulated code cache / checkpoint
-        # blocks / Arrow JNI buffers met the late heavy queries.  The
-        # test host has 128 GiB; -Xmx is reserved, not committed, so a
-        # generous ceiling costs nothing on smaller hosts.  31g, not
-        # 32g: at the 32 GiB boundary HotSpot disables CompressedOops
-        # and every pointer-heavy structure grows ~10-40% — the worst
-        # possible trade for a fix aimed at GC pressure.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "31g"))
+        # blocks / Arrow JNI buffers met the late heavy queries.  But
+        # "-Xmx is reserved, not committed" does NOT hold under cgroup
+        # memory limits (a containerized host OOM-kills the JVM as the
+        # heap grows), so the default is min(31g, ~45% of the detected
+        # host/cgroup limit) rather than a flat 31g.  31g, not 32g: at
+        # the 32 GiB boundary HotSpot disables CompressedOops and every
+        # pointer-heavy structure grows ~10-40% — the worst possible
+        # trade for a fix aimed at GC pressure.  SPARK_GRAFT_DRIVER_MEM
+        # overrides outright.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_memory()),
+        )
         # long single-JVM sessions (160+ benched queries) need the
         # ContextCleaner to actually run: it only frees checkpoint/
         # shuffle blocks after a driver GC, and a big heap may not GC

@@ -125,6 +125,61 @@ def test_bpe_matches_python_reference(spark, corpus):
     assert got == want, (got, want)
 
 
+def test_bpe_driver_trainer_equals_distributed_loop(spark, sf_dir):
+    # bpe_train_rules (driver loop over the collected word-count
+    # table) and bpe_merges (distributed vocab-grain loop) implement
+    # the same algorithm with the same tie-break — rules must be
+    # byte-identical on real data, deep enough to pass several
+    # tie-broken rounds
+    from chewdata_spark.operators.tokenize import bpe_merges, bpe_train_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dist = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_merges(docs, "text", iters=8).orderBy("merge_rank").collect()
+    ]
+    assert dist == bpe_train_rules(docs, "text", iters=8)
+
+
+def test_bpe_rules_encode_equals_distributed_encode(spark, sf_dir):
+    # per-word rank-ordered rule application (vocab-grain Arrow UDF)
+    # must reproduce the distributed training loop's final
+    # segmentation exactly — same pieces, same counts, same doc set
+    from chewdata_spark.operators.tokenize import (
+        bpe_encode_corpus,
+        bpe_encode_corpus_rules,
+        bpe_train_rules,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {
+        r.doc_id: (r.n_pieces, r.pieces)
+        for r in bpe_encode_corpus(docs, "doc_id", "text", iters=4).collect()
+    }
+    rules = bpe_train_rules(docs, "text", iters=4)
+    b = {
+        r.doc_id: (r.n_pieces, r.pieces)
+        for r in bpe_encode_corpus_rules(docs, "doc_id", "text", rules).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_bpe_trainer_stops_when_vocabulary_exhausts(spark):
+    # asking for more merges than the symbol relation can yield must
+    # return only the feasible prefix (every word fused to one piece),
+    # mirroring the oracle chain's empty-t{i} pass-through
+    from chewdata_spark.operators.tokenize import (
+        bpe_encode_corpus_rules,
+        bpe_train_rules,
+    )
+
+    df = spark.createDataFrame([(1, "ab ab cd")], ["doc_id", "text"])
+    rules = bpe_train_rules(df, "text", iters=50)
+    assert 0 < len(rules) < 50
+    enc = bpe_encode_corpus_rules(df, "doc_id", "text", rules).collect()[0]
+    assert enc.pieces == "ab ab cd" and enc.n_pieces == 3
+
+
 def test_fim_lengths_partition_the_document(spark):
     # the three segments must tile the doc exactly (no char lost or
     # duplicated), and untouched docs must hash to their raw text
