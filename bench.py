@@ -226,6 +226,7 @@ STREAMING_PREFIX = "stream_"
 # the timer includes them
 CONSTRUCT_EACH_EXTRA: set[str] = {
     "contamination_grain_agreement",
+    "curate_pipeline_decontam_sa_bpe",
     "dedup_cut_spans_sa_bpe",
     "dedup_incremental_ingest_sa_bpe",
 }

@@ -796,6 +796,9 @@ QUERIES["curate_pipeline_decontam_sa"] = curate_pipeline_decontam_sa
 ORACLES["curate_pipeline_decontam_sa"] = _curate_pipeline_decontam_sql()
 
 
+
+
+
 def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Padding-efficient batch layout: power-of-two length buckets,
     seeded-md5 in-bucket order, batches of 8 —
@@ -2722,3 +2725,218 @@ GROUP BY 1, 2
 
 QUERIES["documents_blocklist_hits"] = documents_blocklist_hits
 ORACLES["documents_blocklist_hits"] = BLOCKLIST_HITS_SQL
+
+
+def curate_pipeline_decontam_sa_bpe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPLETE Lee et al. 2022 pipeline AT THE GRAIN THEY RUN IT:
+    curate_pipeline_decontam_sa with the two suffix-array stages moved
+    from char grain to BPE-PIECE grain under the corpus's own 64
+    trained merges — normalize -> corpus-global line dedup -> BPE
+    training ON THE CURATED TRAINING TEXT (operators/tokenize.py::
+    bpe_train_rules — distributed word count, driver merge loop over
+    the capped vocabulary) -> both slices encoded under those rules
+    (bpe_encode_corpus_rules; the benchmark side encodes under the
+    TRAINING-side tokenizer, as a real eval pipeline would) ->
+    whole >= 9-piece repeat marks within training
+    (repeat_spans_sa_tokens_tiled) UNION >= 9-piece runs shared with
+    the benchmark piece streams (sa_contamination_scores_tokens,
+    full_doc) -> ONE island merge + ONE token splice -> per-source
+    quota.  Threshold/bucket derivations on dedup_cut_spans_sa_bpe /
+    dedup_incremental_ingest_sa_bpe (5 tokens ~ 9 pieces at 64
+    merges; 4-piece buckets avoid the fused-vocabulary hot-bucket
+    collapse).  Output is the cleaned PIECE STREAM (the token-grain
+    training artifact) with the merged span evidence per surviving
+    doc; docs with no non-empty tokens have no piece stream and leave
+    the pipeline at the encode join (both engines).
+
+    Oracle: the shared normalize+line-dedup CTEs, ONE 64-iteration
+    merge chain over the UNION vocabulary (training words at real
+    freq, benchmark-only words at freq 0 — merged by the parity rule
+    but invisible to the pair argmax, c{i} HAVING guard), independent
+    duplicated-9-gram repeat marks, the token scoring CTE family over
+    the unioned piece relation, and the shared island/coverage
+    literal — END-TO-END value-checked across all six stages."""
+    from chewdata_spark.operators import dedup as D
+    from chewdata_spark.operators.suffix import (
+        _cut_token_spans,
+        _merge_islands,
+        repeat_spans_sa_tokens_tiled,
+        sa_contamination_scores_tokens,
+    )
+    from chewdata_spark.operators.text import normalize_text
+    from chewdata_spark.operators.tokenize import (
+        bpe_encode_corpus_rules,
+        bpe_train_rules,
+    )
+    from chewdata_spark.queries.tokenize_queries import (
+        _BPE_SA_ITERS,
+        _BPE_SA_MIN_PIECES,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 1)
+    bench = docs.filter(F.col("doc_id") % 2 == 0)
+    norm = normalize_text(train, "doc_id", "text").select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    lined = D.dedup_lines_global(norm, "doc_id", "text", min_words=5).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    lined = lined.localCheckpoint(eager=False)
+    rules = bpe_train_rules(lined, "text", iters=_BPE_SA_ITERS)
+    evaln = normalize_text(bench, "doc_id", "text").select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    # stage boundaries: each piece relation feeds several scorer
+    # branches (caps, prefilter, salting) plus the repeat tiling and
+    # the final splice, and both upstreams are computed relations
+    ptrain = bpe_encode_corpus_rules(lined, "doc_id", "text", rules).select(
+        "doc_id", "pieces"
+    ).localCheckpoint(eager=False)
+    pbench = bpe_encode_corpus_rules(evaln, "doc_id", "text", rules).select(
+        "doc_id", "pieces"
+    ).localCheckpoint(eager=False)
+    rmarks = repeat_spans_sa_tokens_tiled(
+        ptrain, "doc_id", "pieces", tile=64, min_tokens=_BPE_SA_MIN_PIECES
+    ).select(
+        "doc_id",
+        F.col("span_start").alias("s"),
+        F.col("span_end").alias("e"),
+    )
+    scored = sa_contamination_scores_tokens(
+        ptrain, pbench, "doc_id", "pieces",
+        max_tokens=64, min_tokens=_BPE_SA_MIN_PIECES,
+        bucket_tokens=4, max_bucket=10_000, full_doc=True,
+    )
+    cmarks = scored.filter(F.col("m") >= _BPE_SA_MIN_PIECES).select(
+        "doc_id",
+        F.col("off").alias("s"),
+        (F.col("off") + F.col("m") - 1).alias("e"),
+    )
+    spans = _merge_islands(rmarks.unionByName(cmarks))
+    decon = _cut_token_spans(ptrain, "doc_id", "pieces", spans)
+    joined = decon.join(docs.select("doc_id", "lang", "source"), "doc_id")
+    out = curation.stratum_quota(joined, "source", "doc_id", max_per_stratum=15)
+    return out.select(
+        "doc_id", "lang", "source",
+        F.col("clean_text").alias("clean_pieces"),
+        "n_spans", "n_cut",
+    )
+
+
+def _curate_pipeline_decontam_bpe_sql() -> str:
+    from chewdata_spark.queries.dedup_queries import (
+        _ISLAND_COV_CTES,
+        _sa_scoring_ctes_tokens,
+    )
+    from chewdata_spark.queries.text_queries import _normalize_sql
+    from chewdata_spark.queries.tokenize_queries import (
+        _BPE_SA_ITERS,
+        _BPE_SA_MIN_PIECES,
+        _bpe_seg_ctes,
+    )
+
+    norm_select = _normalize_sql().strip().rstrip(";")
+    g = _BPE_SA_MIN_PIECES
+    # union vocabulary: training words at real frequency, benchmark-
+    # only words at freq 0 (parity-merged, argmax-invisible)
+    words_sql = """    SELECT word, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+              FROM lined)
+        WHERE word <> '' GROUP BY 1
+        UNION ALL
+        SELECT DISTINCT word, 0 AS freq
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+              FROM seenrel)
+        WHERE word <> ''
+    ) GROUP BY 1"""
+    scoring = _sa_scoring_ctes_tokens(
+        new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0",
+        with_off=True, full_doc=True, cmp_tokens=64,
+        bucket_tokens=4, max_bucket=10_000,
+        rel="pall", tk_expr="toks", lead=",",
+    )
+    return (
+        _norm_lined_ctes(where_sql="doc_id % 2 = 1")
+        + f""",
+seenrel AS (
+    SELECT doc_id, norm_text AS text
+    FROM ({norm_select}) WHERE doc_id % 2 = 0
+)"""
+        + _bpe_seg_ctes(_BPE_SA_ITERS, words_sql)
+        + """, bothrel AS (
+    SELECT doc_id, text FROM lined
+    UNION ALL
+    SELECT doc_id, text FROM seenrel
+), btoks AS (
+    SELECT doc_id, pos, word
+    FROM (SELECT doc_id, unnest(w) AS word,
+                 unnest(range(1, len(w) + 1)) AS pos
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM bothrel))
+    WHERE word <> ''
+), pall AS (
+    SELECT doc_id,
+           string_split(string_agg(s.seg, ' ' ORDER BY t.pos), ' ') AS toks
+    FROM btoks t JOIN seg s ON s.word = t.word
+    GROUP BY doc_id
+), ptr AS (
+    SELECT doc_id, toks FROM pall WHERE doc_id % 2 = 1
+), gg AS (
+    SELECT doc_id, off, list_slice(toks, off, off + {gm1}) AS gram
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - {gm1})) AS off
+          FROM ptr WHERE len(toks) >= {g})
+), dup AS (
+    SELECT gram FROM gg GROUP BY gram HAVING COUNT(*) >= 2
+)""".format(g=g, gm1=g - 1)
+        + scoring
+        + """, marked AS (
+    -- merged criteria at piece grain: whole >= {g}-piece repeats
+    -- within training UNION >= {g}-piece runs shared with the
+    -- benchmark piece streams
+    SELECT doc_id, off AS s, off + {gm1} AS e FROM gg JOIN dup USING (gram)
+    UNION ALL
+    SELECT doc_id, off AS s, off + m - 1 AS e FROM scored WHERE m >= {g}
+)""".format(g=g, gm1=g - 1) + _ISLAND_COV_CTES + """, tpos AS (
+    SELECT doc_id, toks[i] AS w, i
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks))) AS i FROM ptr)
+), keep AS (
+    SELECT t.doc_id,
+           COALESCE(string_agg(t.w, ' ' ORDER BY t.i)
+                    FILTER (WHERE c.i IS NULL), '') AS clean_pieces,
+           COUNT(*) FILTER (WHERE c.i IS NOT NULL) AS n_cut
+    FROM tpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i
+    GROUP BY t.doc_id
+), nsp AS (
+    SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+), dc AS (
+    SELECT a.doc_id,
+           COALESCE(k.clean_pieces, '') AS clean_pieces,
+           CAST(COALESCE(n.n_spans, 0) AS INT) AS n_spans,
+           CAST(COALESCE(k.n_cut, 0) AS INT) AS n_cut
+    FROM ptr a
+    LEFT JOIN keep k USING (doc_id)
+    LEFT JOIN nsp n USING (doc_id)
+),
+-- final stage: per-source quota (deterministic md5 order, cap 15)
+q AS (
+    SELECT c.doc_id, d.lang, d.source, c.clean_pieces, c.n_spans, c.n_cut,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('0:' || CAST(c.doc_id AS VARCHAR)), c.doc_id) AS rnk
+    FROM dc c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, source, clean_pieces, n_spans, n_cut
+FROM q WHERE rnk <= 15
+"""
+    )
+
+
+QUERIES["curate_pipeline_decontam_sa_bpe"] = curate_pipeline_decontam_sa_bpe
+ORACLES["curate_pipeline_decontam_sa_bpe"] = _curate_pipeline_decontam_bpe_sql()

@@ -205,8 +205,13 @@ def _bpe_iter_sql(i: int, *, materialized: bool = False) -> str:
            lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
     FROM syms{i}
 ), c{i} AS {m}(
+    -- HAVING > 0: zero-weight symbol rows (the union-vocab encode
+    -- device carries to-be-encoded-only words at freq 0) must never
+    -- win the argmax — mirrors the trainers, which see only counted
+    -- words
     SELECT sym, nxt, CAST(SUM(freq) AS BIGINT) AS pair_count
     FROM p{i} WHERE nxt IS NOT NULL GROUP BY 1, 2
+    HAVING CAST(SUM(freq) AS BIGINT) > 0
 ), t{i} AS {m}(
     SELECT {i} AS merge_rank, sym AS lhs, nxt AS rhs, pair_count
     FROM c{i} ORDER BY pair_count DESC, sym ASC, nxt ASC LIMIT 1
@@ -747,6 +752,39 @@ WITH words AS {m}(
 )""".format(
         m=m,
         top=n_iters + 1,
+        iters=", ".join(
+            _bpe_iter_sql(i, materialized=mat) for i in range(1, n_iters + 1)
+        ),
+    )
+
+
+def _bpe_seg_ctes(n_iters: int, words_sql: str) -> str:
+    """WITH-continuation fragment (leading ``,``) that trains
+    ``n_iters`` BPE merges over a CALLER-PROVIDED word-count relation
+    and ends at ``seg (word, seg)`` — the trained word -> piece-string
+    dictionary.  ``words_sql`` must select ``(word, freq)``; rows with
+    ``freq = 0`` participate in the parity MERGE application but never
+    in the pair argmax (the c{i} HAVING guard) — the union-vocab
+    device that lets one chain train on one slice and encode another
+    (words unique to the encode-side slice enter at freq 0, exactly
+    "apply the trained rules to any word", the Spark encoder's
+    contract).  MATERIALIZED above 2 iterations (inlining is
+    exponential in chain depth — see :func:`_bpe_iter_sql`)."""
+    mat = n_iters > 2
+    m = "MATERIALIZED " if mat else ""
+    return """, words AS {m}(
+{words_sql}
+), syms1 AS {m}(
+    SELECT word, freq, i AS pos, word[i] AS sym
+    FROM (SELECT word, freq, unnest(generate_series(1, len(word))) AS i
+          FROM words)
+), {iters}, seg AS (
+    SELECT word, string_agg(sym, ' ' ORDER BY pos) AS seg
+    FROM syms{top} GROUP BY word
+)""".format(
+        m=m,
+        top=n_iters + 1,
+        words_sql=words_sql,
         iters=", ".join(
             _bpe_iter_sql(i, materialized=mat) for i in range(1, n_iters + 1)
         ),
