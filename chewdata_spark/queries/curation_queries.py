@@ -2791,7 +2791,11 @@ def curate_pipeline_decontam_sa_bpe(
     )
     # stage boundaries: each piece relation feeds several scorer
     # branches (caps, prefilter, salting) plus the repeat tiling and
-    # the final splice, and both upstreams are computed relations
+    # the final splice, and both upstreams are computed relations.
+    # (Measured: one union encode split by parity is SLOWER than two
+    # independent checkpoints — the independent boundaries let the
+    # repeat tiling and the scorer materialize their inputs in
+    # parallel branches.)
     ptrain = bpe_encode_corpus_rules(lined, "doc_id", "text", rules).select(
         "doc_id", "pieces"
     ).localCheckpoint(eager=False)
