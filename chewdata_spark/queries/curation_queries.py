@@ -2770,7 +2770,7 @@ def curate_pipeline_decontam_sa_bpe(
         bpe_encode_corpus_rules,
         bpe_train_rules,
     )
-    from chewdata_spark.queries.tokenize_queries import (
+    from chewdata_spark.queries.bpe_sql import (
         _BPE_SA_ITERS,
         _BPE_SA_MIN_PIECES,
     )
@@ -2836,7 +2836,7 @@ def _curate_pipeline_decontam_bpe_sql() -> str:
         _sa_scoring_ctes_tokens,
     )
     from chewdata_spark.queries.text_queries import _normalize_sql
-    from chewdata_spark.queries.tokenize_queries import (
+    from chewdata_spark.queries.bpe_sql import (
         _BPE_SA_ITERS,
         _BPE_SA_MIN_PIECES,
         _bpe_seg_ctes,

@@ -1278,3 +1278,61 @@ def test_sa_contamination_scores_tokens_randomized_brute_force(spark):
     for did, t in new_rows:
         want = brute(t)
         assert got.get(did, 0) == want, (did, t, got.get(did, 0), want)
+
+
+def test_grain_agreement_consistent_with_gates(spark, sf_dir):
+    """contamination_grain_agreement must agree row-for-row with the
+    three standalone gates it composes: a doc appears iff some grain
+    flags it, flags match the thresholds, and the char flag equals the
+    char gate's kept=False set on the same slice convention."""
+    import pyspark.sql.functions as F
+
+    from chewdata_spark.operators.suffix import sa_incremental_contamination
+    from chewdata_spark.queries.tokenize_queries import (
+        _BPE_SA_MIN_PIECES,
+        contamination_grain_agreement,
+    )
+
+    rows = contamination_grain_agreement(spark, sf_dir).collect()
+    assert rows, "audit must be non-vacuous at the test SF"
+    for r in rows:
+        assert r.n_grains >= 1
+        assert r.hit_char == (r.m_char >= 30)
+        assert r.hit_token == (r.m_token >= 5)
+        assert r.hit_piece == (r.m_piece >= _BPE_SA_MIN_PIECES)
+        assert r.n_grains == int(r.hit_char) + int(r.hit_token) + int(r.hit_piece)
+        assert r.doc_id % 2 == 1
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gate = sa_incremental_contamination(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        "doc_id", "text",
+        max_chars=128, min_len=30, bucket_len=8, max_bucket=10_000,
+    )
+    char_flagged = {r.doc_id for r in gate.filter("NOT kept").collect()}
+    assert {r.doc_id for r in rows if r.hit_char} == char_flagged
+
+
+def test_bpe_flagship_invariants(spark, sf_dir):
+    """curate_pipeline_decontam_sa_bpe structural contract: only
+    odd-id (training-slice) docs survive, the per-source quota holds,
+    evidence counts are consistent with the cleaned piece stream, and
+    the pipeline is non-vacuous (something was cut at the test SF)."""
+    from collections import Counter
+
+    from chewdata_spark.queries.curation_queries import (
+        curate_pipeline_decontam_sa_bpe,
+    )
+
+    rows = curate_pipeline_decontam_sa_bpe(spark, sf_dir).collect()
+    assert rows
+    per_source = Counter(r.source for r in rows)
+    assert max(per_source.values()) <= 15
+    assert all(r.doc_id % 2 == 1 for r in rows)
+    for r in rows:
+        assert (r.n_spans == 0) == (r.n_cut == 0)
+        if r.n_cut == 0:
+            continue
+        kept = len(r.clean_pieces.split()) if r.clean_pieces else 0
+        assert r.n_cut > 0 and kept >= 0
+    assert any(r.n_cut > 0 for r in rows), "decontam stage vacuous"
