@@ -388,6 +388,45 @@ def bpe_encode_corpus_rules(
     )
 
 
+def bpe_pieces_of_tokens_udf(rules: list):
+    """Arrow UDF ``array<string> tokens -> array<string> pieces``:
+    applies an already-trained ordered merge list to each token and
+    flattens — the DOC-grain encoder for STREAMING sides, where the
+    map-only per-row shape matters more than vocab-grain dedup
+    (:func:`bpe_encode_corpus_rules` is the batch path; its vocab
+    aggregation would be a second stateful operator in a stream).
+    Tokenization stays ENGINE-SIDE (the caller splits with the shared
+    ``_tokens`` expression) so both paths tokenize identically; a
+    per-batch word cache amortizes repeated tokens.  Piece output is
+    byte-identical to the batch encoder's — rank-ordered rule
+    application per token (tested)."""
+    ordered = [(lhs, rhs) for _rank, lhs, rhs, *_ in rules]
+
+    @F.pandas_udf("array<string>")
+    def _enc(toks: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def enc_word(w: str) -> list:
+            got = cache.get(w)
+            if got is None:
+                s = list(w)
+                for lhs, rhs in ordered:
+                    s = _fuse_pass(s, lhs, rhs)
+                cache[w] = got = s
+            return got
+
+        def enc(words) -> list:
+            out: list = []
+            for w in words if words is not None else ():
+                if w:
+                    out.extend(enc_word(w))
+            return out
+
+        return toks.map(enc)
+
+    return _enc
+
+
 def _lp_micro(p: Column) -> Column:
     """ln(p) as BIGINT micro-units: 6-dp round, scale, integer round,
     THEN cast — after ROUND(x*1e6, 0) the double is integral, so the

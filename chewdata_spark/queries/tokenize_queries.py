@@ -911,3 +911,156 @@ WHERE m_char >= 30 OR m_token >= 5 OR m_piece >= {g}
 
 QUERIES["contamination_grain_agreement"] = contamination_grain_agreement
 ORACLES["contamination_grain_agreement"] = _grain_agreement_sql()
+
+
+_BPE_STREAM_RUN = {"n": 0}
+
+
+def stream_ingest_dedup_sa_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of dedup_incremental_ingest_sa_bpe — the
+    stream x BPE cell of the ingest matrix: odd-id docs arrive as a
+    file stream, re-segment under the corpus's 64 trained merges, and
+    gate on a whole >= 9-piece run shared with the STATIC even-id
+    corpus's piece streams (first-64-piece head windows, the family
+    convention).
+
+    Merge rules are trained AHEAD of the stream (batch word count +
+    driver loop, exactly the batch twin's trainer over the same full
+    corpus file — a tokenizer is fixed before serving); the stream
+    side tokenizes ENGINE-SIDE with the shared split expression and
+    applies the rules per doc via the map-only Arrow encoder
+    (operators/tokenize.py::bpe_pieces_of_tokens_udf — the batch
+    encoder's vocab aggregation would be a second stateful operator,
+    which structured streaming forbids; a per-batch word cache keeps
+    the per-occurrence cost near vocab-grain).  The static side
+    pre-aggregates (4-piece bucket -> SORTED seen-suffix array) with
+    the shared ``max_bucket`` hot-bucket cap + observe metric, each
+    arriving suffix BISECTS its bucket's array for pred/succ
+    (``_sa_bs_neighbours`` — token-array comparisons, Spark array
+    ordering), and the only stateful operator is the final per-doc
+    max (complete mode, availableNow).  Docs with no non-empty tokens
+    are not arrivals (the batch twin's encode-join contract), so the
+    SAME oracle replays both twins verbatim."""
+    import os
+
+    from chewdata_spark.operators.suffix import _lcp_sql
+    from chewdata_spark.operators.text import _tokens
+    from chewdata_spark.operators.tokenize import (
+        bpe_encode_corpus_rules,
+        bpe_pieces_of_tokens_udf,
+        bpe_train_rules,
+    )
+    from chewdata_spark.queries.dedup_queries import (
+        _OBS_SEQ,
+        _sa_bs_neighbours,
+    )
+    from chewdata_spark.streaming.ops import run_to_memory
+
+    max_pieces, bucket_pieces, max_bucket = 64, 4, 10_000
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    rules = bpe_train_rules(docs, "text", iters=_BPE_SA_ITERS)
+
+    # static side: even-id piece streams -> head-window token suffixes
+    # -> capped (bucket -> sorted array), the char stream twin's shape
+    # one grain up
+    seen_suf = (
+        bpe_encode_corpus_rules(
+            docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", rules
+        )
+        .select(F.slice(F.split("pieces", " "), 1, max_pieces).alias("t"))
+        .select(
+            "t", F.explode(F.expr("sequence(1, size(t))")).alias("off")
+        )
+        .select(F.expr(f"slice(t, off, {max_pieces})").alias("suf"))
+        .distinct()
+        .withColumn("_bk", F.expr(f"slice(suf, 1, {bucket_pieces})"))
+    )
+    sizes = seen_suf.groupBy("_bk").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).observe(
+        f"sa_stream_ingest_bpe_{next(_OBS_SEQ)}",
+        F.sum(
+            F.when(F.col("_n") > max_bucket, F.lit(1)).otherwise(F.lit(0))
+        ).alias("dropped_hot_buckets"),
+    )
+    seen_arr = (
+        seen_suf.join(
+            sizes.filter(F.col("_n") <= max_bucket).select("_bk"),
+            "_bk",
+            "left_semi",
+        )
+        .groupBy("_bk")
+        .agg(F.sort_array(F.collect_list("suf")).alias("arr"))
+    )
+
+    enc = bpe_pieces_of_tokens_udf(rules)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(path + "*")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id",
+            F.filter(_tokens(F.col("text")), lambda w: F.length(w) > 0).alias(
+                "_w"
+            ),
+        )
+        .filter(F.size("_w") >= 1)  # no tokens -> not an arrival (both twins)
+        # decouple scoring parallelism from the arrival file layout
+        # (one narrow doc-grain shuffle, same device as the char twin)
+        .repartition(F.col("doc_id"))
+        .select("doc_id", F.slice(enc("_w"), 1, max_pieces).alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.expr("sequence(1, size(t))")).alias("off"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"slice(t, off, {max_pieces})").alias("suf"),
+        )
+        .withColumn("_bk", F.expr(f"slice(suf, 1, {bucket_pieces})"))
+    )
+    joined = stream.join(seen_arr, "_bk", "left")
+    nb = _sa_bs_neighbours(joined, max_bucket=max_bucket)
+    scored = nb.select(
+        "doc_id",
+        F.greatest(
+            F.when(
+                F.col("_pred").isNotNull(), F.expr(_lcp_sql("token", b="_pred"))
+            ).otherwise(0),
+            F.when(
+                F.col("_succ").isNotNull(), F.expr(_lcp_sql("token", b="_succ"))
+            ).otherwise(0),
+        ).alias("_m"),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.max("_m").cast("int").alias("max_shared_pieces")
+    )
+    out = per_doc.select(
+        "doc_id",
+        "max_shared_pieces",
+        (F.col("max_shared_pieces") < _BPE_SA_MIN_PIECES).alias("kept"),
+    )
+    _BPE_STREAM_RUN["n"] += 1
+    # one batch-mode compute of the static side, cached across
+    # micro-batches (the stream-static join re-executes it otherwise)
+    from pyspark import StorageLevel
+
+    seen_arr.persist(StorageLevel.MEMORY_AND_DISK)
+    seen_arr.count()
+    try:
+        return run_to_memory(
+            out, f"_stream_ingest_dedup_sa_bpe_{_BPE_STREAM_RUN['n']}",
+            output_mode="complete",
+        )
+    finally:
+        seen_arr.unpersist()
+
+
+QUERIES["stream_ingest_dedup_sa_bpe"] = stream_ingest_dedup_sa_bpe
+# the bisected array neighbours equal the batch scorer's window
+# neighbours (greatest seen <= suf / least seen > suf), so the batch
+# twin's oracle replays the stream verbatim
+ORACLES["stream_ingest_dedup_sa_bpe"] = _ingest_sa_bpe_sql()

@@ -224,3 +224,35 @@ def test_wordpiece_greedy_maximal_munch(spark):
     out = {r.word: (r.wp_pieces, r.n_pieces)
            for r in wordpiece_segments(docs, "text").collect()}
     assert out["abcdz"] == ("abcd z", 2)
+
+
+def test_stream_piece_encoder_equals_batch_encoder(spark, sf_dir):
+    # the map-only Arrow encoder (streaming side) must produce the
+    # batch encoder's piece stream byte-for-byte: same tokenization
+    # (engine-side split), same rank-ordered rule application
+    import pyspark.sql.functions as F
+
+    from chewdata_spark.operators.text import _tokens
+    from chewdata_spark.operators.tokenize import (
+        bpe_encode_corpus_rules,
+        bpe_pieces_of_tokens_udf,
+        bpe_train_rules,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rules = bpe_train_rules(docs, "text", iters=16)
+    batch = {
+        r.doc_id: r.pieces
+        for r in bpe_encode_corpus_rules(docs, "doc_id", "text", rules).collect()
+    }
+    enc = bpe_pieces_of_tokens_udf(rules)
+    stream_shape = (
+        docs.select(
+            "doc_id",
+            F.filter(_tokens(F.col("text")), lambda w: F.length(w) > 0).alias("_w"),
+        )
+        .filter(F.size("_w") >= 1)
+        .select("doc_id", F.array_join(enc("_w"), " ").alias("pieces"))
+    )
+    got = {r.doc_id: r.pieces for r in stream_shape.collect()}
+    assert got == batch and len(got) > 0
