@@ -1031,3 +1031,23 @@ def test_stream_cut_spans_state_carries_no_text(spark, sf_dir):
         ]
         assert not leaked, f"text column(s) in stateful schema: {leaked}"
         assert [f.name for f in marks.schema.fields] == ["doc_id", "spans"]
+
+
+def test_curate_pipeline_decontam_sa_bpe_plan_shape(spark, sf_dir):
+    # the BPE-grain flagship keeps the flagship plan contract:
+    # checkpoint-backed boundaries mean zero parquet re-scans after
+    # execution, the island merge / span cut stay aggregate-shaped
+    # (no Deduplicate in the final splice path), and the ONLY Python
+    # is the documented vocab-grain Arrow encode — never a row-at-a-
+    # time BatchEvalPython anywhere.
+    import re
+
+    from chewdata_spark.queries.curation_queries import (
+        curate_pipeline_decontam_sa_bpe,
+    )
+
+    df = curate_pipeline_decontam_sa_bpe(spark, sf_dir)
+    df.collect()
+    plan = formatted_plan(df).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
+    assert "BatchEvalPython" not in plan, plan
