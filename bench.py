@@ -334,11 +334,18 @@ def main() -> None:
     # A flagged query gets ONE re-measure before it is reported: JIT
     # compile order and host noise produce 2-4x outliers on sub-second
     # queries, and a false regression flag is worse than 2 extra runs.
-    regressions = _regressions_vs_baseline(timings, sf_val)
+    # The gate compares against calib-adjusted floors, so probe the
+    # host once here (guarded — a dying probe must not sink the run).
+    try:
+        gate_calib: float | None = _calibration(spark)
+    except Exception as exc:
+        print(f"gate calibration probe failed: {exc}", file=sys.stderr)
+        gate_calib = None
+    regressions = _regressions_vs_baseline(timings, sf_val, gate_calib)
     for name in list(regressions):
         timings[name] = round(min(timings[name], measure_clean(name)), 3)
     if regressions:
-        regressions = _regressions_vs_baseline(timings, sf_val)
+        regressions = _regressions_vs_baseline(timings, sf_val, gate_calib)
 
     # Rotating second-string section: time a slice of the registry that
     # has no headline slot, so every query eventually has a number.
@@ -572,18 +579,53 @@ def _merged_floor_calib(
     return prior
 
 
-def _regressions_vs_baseline(timings: dict[str, float], sf: float | str) -> dict[str, str]:
+def _floor_calibs(sf: float | str) -> dict[str, float]:
+    """Per-name host-calib provenance of the current best-ever floors
+    (written by ``_merged_floor_calib``; names floored before the
+    provenance map existed are absent)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        return (
+            json.load(open(os.path.join(here, "BENCH_DETAIL.json")))
+            .get("best_ever_calib", {})
+            .get(str(sf))
+            or {}
+        )
+    except Exception:
+        return {}
+
+
+def _regressions_vs_baseline(
+    timings: dict[str, float], sf: float | str, calib: float | None = None
+) -> dict[str, str]:
     """Per-query regression gate vs best-ever (>1.5x slower AND >0.3s
     absolute = flagged), so slow creep can't hide behind a slow
     previous round.  Floors under 0.5s are exempt: sub-second queries
     are JVM-overhead-bound and their 2-4x wobble is noise, not plan
-    regression (both r12 >2x flags were such rows — judge r12 #5)."""
+    regression (both r12 >2x flags were such rows — judge r12 #5).
+    When both the floor's provenance calib and this run's calib are
+    known, the floor scales by ``max(1, calib_now / calib_floor)``
+    first — a clean-host floor replayed on a co-tenant-degraded host
+    is not a plan regression (all three r13 local flags were exactly
+    this)."""
     best = _best_ever(sf)
+    prov = _floor_calibs(sf)
     out = {}
     for name, t in timings.items():
         b = best.get(name)
-        if b and b >= 0.5 and t > 1.5 * b and t - b > 0.3:
-            out[name] = f"{t:.2f}s vs best-ever {b:.2f}s ({t / b:.1f}x)"
+        if not b or b < 0.5:
+            continue
+        fc = prov.get(name)
+        adj = (
+            max(1.0, calib / fc)
+            if calib and calib > 0 and fc and fc > 0
+            else 1.0
+        )
+        if t > 1.5 * b * adj and t - b * adj > 0.3:
+            note = f", floor host-adjusted x{adj:.2f}" if adj > 1.001 else ""
+            out[name] = (
+                f"{t:.2f}s vs best-ever {b:.2f}s ({t / b:.1f}x{note})"
+            )
     return out
 
 
