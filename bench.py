@@ -363,6 +363,10 @@ def main() -> None:
     # full timing pass) and every timing above was lost because the
     # detail write sat after it.  One GC nudge, one retry, then -1.0.
     try:
+        # deliberately a SECOND probe (the gate probed before the
+        # second-string pass): this value stamps floor provenance, and
+        # on an oscillating host the gate probe is ~30 min stale by
+        # now; the ~6 s cost is noise against the full run
         calib = _calibration(spark)
     except Exception as exc:
         # log the FIRST failure too: if the GC-nudge retry succeeds,
@@ -568,13 +572,18 @@ def _merged_floor_calib(
         prior = {}
     mine = dict(prior.get(str(sf)) or {})
     floors = merged.get(str(sf)) or {}
-    if calib > 0:
-        for name, t in current.items():
-            # this run set (or tied) the floor -> stamp its calib
-            if isinstance(t, (int, float)) and t >= 0 and t <= floors.get(
-                name, float("inf")
-            ):
+    for name, t in current.items():
+        # this run set (or tied) the floor -> stamp its calib; if the
+        # probe failed, DROP the stale entry rather than keep another
+        # run's host attached to this run's floor (a stale low calib
+        # would let the adjusted gate wave real regressions through)
+        if isinstance(t, (int, float)) and t >= 0 and t <= floors.get(
+            name, float("inf")
+        ):
+            if calib > 0:
                 mine[name] = calib
+            else:
+                mine.pop(name, None)
     prior[str(sf)] = mine
     return prior
 
@@ -613,7 +622,12 @@ def _regressions_vs_baseline(
     out = {}
     for name, t in timings.items():
         b = best.get(name)
-        if not b or b < 0.5:
+        if not b:
+            continue
+        if b < 0.5 and t <= 5 * b:
+            # sub-0.5s floors wobble 2-4x on JIT/host noise — but a
+            # >5x blowup is a plan change, not noise (keeps the r12
+            # false-flag fix without an unbounded blind spot)
             continue
         fc = prov.get(name)
         adj = (

@@ -72,6 +72,55 @@ _BPE_SA_ITERS = 64  # trained merges for the BPE-grain SA queries
 # grain and the threshold at the char family's 30.)
 _BPE_SA_MIN_PIECES = 9
 
+# mirror of bpe_train_rules' max_train_vocab default: only the top-cap
+# words by (freq DESC, word ASC) train the merges; every word is still
+# ENCODED under the trained rules (the freq-0 device below)
+_BPE_TRAIN_VOCAB_CAP = 1 << 20
+
+
+def _bpe_capped_words_sql(words0_sql: str, m: str) -> str:
+    """``words0`` (the raw ``(word, freq)`` relation) wrapped in the
+    trainer's vocabulary cap: words outside the top
+    ``_BPE_TRAIN_VOCAB_CAP`` by (freq DESC, word ASC) re-enter at
+    ``freq = 0`` — parity-MERGED by every iteration (that IS "apply
+    the rules to any word", the Spark encoder's contract) but
+    invisible to the pair argmax (the c{{i}} HAVING guard).  Exactly
+    bpe_train_rules' collect cap + encode-everything split; without
+    this mirror a >1M-word corpus would train different rules on the
+    two sides (review r13 finding)."""
+    return """words0 AS {m}(
+{words0_sql}
+), words AS {m}(
+    SELECT w.word,
+           CASE WHEN t.word IS NULL THEN 0 ELSE w.freq END AS freq
+    FROM words0 w
+    LEFT JOIN (SELECT word FROM words0
+               ORDER BY freq DESC, word ASC LIMIT {cap}) t USING (word)
+)""".format(m=m, words0_sql=words0_sql, cap=_BPE_TRAIN_VOCAB_CAP)
+
+
+def _bpe_piece_stream_sql(rel: str, toks_name: str, out_name: str) -> str:
+    """WITH-continuation fragment: the encode tail — ``rel (doc_id,
+    text)`` tokenized and reassembled through ``seg`` into
+    ``{out_name} (doc_id, toks)``, the per-doc piece-sequence
+    relation.  ONE builder for every BPE oracle's encode replay
+    (review r13: the flagship had hand-copied this pair)."""
+    return """, {tn} AS (
+    SELECT doc_id, pos, word
+    FROM (SELECT doc_id, unnest(w) AS word,
+                 unnest(range(1, len(w) + 1)) AS pos
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM {rel}))
+    WHERE word <> ''
+), {on} AS (
+    SELECT doc_id,
+           string_split(string_agg(s.seg, ' ' ORDER BY t.pos), ' ') AS toks
+    FROM {tn} t JOIN seg s ON s.word = t.word
+    GROUP BY doc_id
+)""".format(tn=toks_name, on=out_name, rel=rel)
+
+
 def _bpe_doc_pieces_ctes(n_iters: int = 2) -> str:
     """The corpus-trained-BPE encode chain as a WITH prefix ending at
     ``d (doc_id, toks)`` — the per-doc piece-sequence relation.  Shared
@@ -79,42 +128,30 @@ def _bpe_doc_pieces_ctes(n_iters: int = 2) -> str:
     gate oracle (one builder so the encode replay cannot drift).
     ``n_iters`` chains that many per-iteration CTE blocks; above 2 the
     blocks are emitted MATERIALIZED (see :func:`_bpe_iter_sql` — plain
-    inlining is exponential in chain depth)."""
+    inlining is exponential in chain depth).  Training sees only the
+    capped vocabulary (:func:`_bpe_capped_words_sql` — the Spark
+    trainer's max_train_vocab mirror)."""
     mat = n_iters > 2
     m = "MATERIALIZED " if mat else ""
-    return """
-WITH words AS {m}(
-    SELECT word, COUNT(*) AS freq
+    words0 = """    SELECT word, COUNT(*) AS freq
     FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
           FROM documents)
-    WHERE word <> '' GROUP BY 1
-), syms1 AS {m}(
+    WHERE word <> '' GROUP BY 1"""
+    return ("""
+WITH """ + _bpe_capped_words_sql(words0, m) + """, syms1 AS {m}(
     SELECT word, freq, i AS pos, word[i] AS sym
     FROM (SELECT word, freq, unnest(generate_series(1, len(word))) AS i
           FROM words)
 ), {iters}, seg AS (
     SELECT word, string_agg(sym, ' ' ORDER BY pos) AS seg
     FROM syms{top} GROUP BY word
-), toks AS (
-    SELECT doc_id, pos, word
-    FROM (SELECT doc_id, unnest(w) AS word,
-                 unnest(range(1, len(w) + 1)) AS pos
-          FROM (SELECT doc_id,
-                       string_split_regex(trim(lower(text)), '\\s+') AS w
-                FROM documents))
-    WHERE word <> ''
-), d AS (
-    SELECT doc_id,
-           string_split(string_agg(s.seg, ' ' ORDER BY t.pos), ' ') AS toks
-    FROM toks t JOIN seg s ON s.word = t.word
-    GROUP BY doc_id
 )""".format(
         m=m,
         top=n_iters + 1,
         iters=", ".join(
             _bpe_iter_sql(i, materialized=mat) for i in range(1, n_iters + 1)
         ),
-    )
+    ) + _bpe_piece_stream_sql("documents", "toks", "d"))
 
 def _bpe_seg_ctes(n_iters: int, words_sql: str) -> str:
     """WITH-continuation fragment (leading ``,``) that trains
@@ -127,12 +164,15 @@ def _bpe_seg_ctes(n_iters: int, words_sql: str) -> str:
     (words unique to the encode-side slice enter at freq 0, exactly
     "apply the trained rules to any word", the Spark encoder's
     contract).  MATERIALIZED above 2 iterations (inlining is
-    exponential in chain depth — see :func:`_bpe_iter_sql`)."""
+    exponential in chain depth — see :func:`_bpe_iter_sql`).  The
+    caller's relation is additionally wrapped in the trainer's
+    vocabulary cap (:func:`_bpe_capped_words_sql`)."""
     mat = n_iters > 2
     m = "MATERIALIZED " if mat else ""
-    return """, words AS {m}(
-{words_sql}
-), syms1 AS {m}(
+    # NOTE: .format binds to the LAST literal only — keep the caller's
+    # words_sql out of any format template (it may contain regex
+    # braces) by passing it as a VALUE into the capped builder
+    return (", " + _bpe_capped_words_sql(words_sql, m) + """, syms1 AS {m}(
     SELECT word, freq, i AS pos, word[i] AS sym
     FROM (SELECT word, freq, unnest(generate_series(1, len(word))) AS i
           FROM words)
@@ -142,8 +182,7 @@ def _bpe_seg_ctes(n_iters: int, words_sql: str) -> str:
 )""".format(
         m=m,
         top=n_iters + 1,
-        words_sql=words_sql,
         iters=", ".join(
             _bpe_iter_sql(i, materialized=mat) for i in range(1, n_iters + 1)
         ),
-    )
+    ))

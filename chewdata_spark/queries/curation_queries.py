@@ -2839,6 +2839,7 @@ def _curate_pipeline_decontam_bpe_sql() -> str:
     from chewdata_spark.queries.bpe_sql import (
         _BPE_SA_ITERS,
         _BPE_SA_MIN_PIECES,
+        _bpe_piece_stream_sql,
         _bpe_seg_ctes,
     )
 
@@ -2875,20 +2876,9 @@ seenrel AS (
     SELECT doc_id, text FROM lined
     UNION ALL
     SELECT doc_id, text FROM seenrel
-), btoks AS (
-    SELECT doc_id, pos, word
-    FROM (SELECT doc_id, unnest(w) AS word,
-                 unnest(range(1, len(w) + 1)) AS pos
-          FROM (SELECT doc_id,
-                       string_split_regex(trim(lower(text)), '\s+') AS w
-                FROM bothrel))
-    WHERE word <> ''
-), pall AS (
-    SELECT doc_id,
-           string_split(string_agg(s.seg, ' ' ORDER BY t.pos), ' ') AS toks
-    FROM btoks t JOIN seg s ON s.word = t.word
-    GROUP BY doc_id
-), ptr AS (
+)"""
+        + _bpe_piece_stream_sql("bothrel", "btoks", "pall")
+        + """, ptr AS (
     SELECT doc_id, toks FROM pall WHERE doc_id % 2 = 1
 ), gg AS (
     SELECT doc_id, off, list_slice(toks, off, off + {gm1}) AS gram

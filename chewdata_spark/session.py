@@ -43,13 +43,18 @@ def _host_memory_bytes() -> int:
 
 
 def _default_driver_memory() -> str:
-    """min(31g, ~45% of the detected host/cgroup memory), floored at
-    2g; '8g' when detection fails (the old safe default)."""
+    """min(31g, ~45% of the detected host/cgroup memory); '8g' when
+    detection fails (the old safe default).  Small hosts stay
+    PROPORTIONAL (megabyte granularity, floored at Spark's practical
+    512m minimum) — an absolute 2g floor on a 2 GiB cgroup would set
+    the heap to 100% of the container limit and re-create the exact
+    OOM-kill this function exists to prevent."""
     total = _host_memory_bytes()
     if total <= 0:
         return "8g"
-    gib = max(2, min(31, int(total * 0.45) >> 30))
-    return f"{gib}g"
+    mb = int(total * 0.45) >> 20
+    mb = max(512, min(31 * 1024, mb))
+    return f"{mb >> 10}g" if mb >= 2048 and mb % 1024 == 0 else f"{mb}m"
 
 
 def get_spark(

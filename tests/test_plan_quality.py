@@ -941,12 +941,17 @@ def test_matryoshka_two_level_coarse_topc(spark, sf_dir):
 
 
 def test_curate_pipeline_full_sa_plan_shape(spark, sf_dir):
-    # the SA flagship is checkpoint-backed at every stage boundary:
-    # after execution the final plan re-scans ZERO parquet (normalize +
-    # line dedup ran once behind the lazy checkpoint, the doubling loop
-    # is eager-checkpointed), no Deduplicate sneaks in (the island
-    # merge and span cut are aggregate-shaped), and nothing drops to
-    # Python.
+    # the SA flagship is checkpoint-backed at every stage boundary: in
+    # the executed final plan the ONLY parquet scans are the
+    # non-checkpointed docs lang/source join branch (2 — AQE plans the
+    # join's two sides from the same file) — normalize + line dedup ran
+    # once behind the lazy checkpoint and the doubling loop is
+    # checkpointed, so a broken boundary would re-scan per stage and
+    # push the count up.  No Deduplicate (the island merge and span
+    # cut are aggregate-shaped), and nothing drops to Python.
+    # (The previous assertion counted `^(N) Scan parquet` detail
+    # headers in the pre-Initial-Plan section, where they can never
+    # appear — it was vacuously 0 even on a plan full of scans.)
     import re
 
     from chewdata_spark.queries.curation_queries import curate_pipeline_full_sa
@@ -954,7 +959,7 @@ def test_curate_pipeline_full_sa_plan_shape(spark, sf_dir):
     df = curate_pipeline_full_sa(spark, sf_dir)
     df.collect()
     plan = formatted_plan(df).split("== Initial Plan ==")[0]
-    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
+    assert len(re.findall(r"Scan parquet", plan)) <= 2, plan
     assert "Deduplicate" not in df._jdf.queryExecution().optimizedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
@@ -974,7 +979,13 @@ def test_curate_pipeline_decontam_sa_plan_shape(spark, sf_dir):
     df = curate_pipeline_decontam_sa(spark, sf_dir)
     df.collect()
     plan = formatted_plan(df).split("== Initial Plan ==")[0]
-    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
+    # 5 scans = the docs lang/source join (2, as in the full_sa pin)
+    # plus the UNCHECKPOINTED benchmark normalize branch feeding the
+    # scorer (used by the cap count + the bucket relation) — the
+    # TRAINING side (normalize + line dedup + both mark families +
+    # splice) is all behind the single lined checkpoint and
+    # contributes ZERO; a broken boundary re-scans per mark family.
+    assert len(re.findall(r"Scan parquet", plan)) <= 5, plan
     assert "Deduplicate" not in df._jdf.queryExecution().optimizedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
@@ -1049,5 +1060,9 @@ def test_curate_pipeline_decontam_sa_bpe_plan_shape(spark, sf_dir):
     df = curate_pipeline_decontam_sa_bpe(spark, sf_dir)
     df.collect()
     plan = formatted_plan(df).split("== Initial Plan ==")[0]
-    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
+    # 2 scans = the docs lang/source join only; BOTH piece relations
+    # (train + bench encode) sit behind their checkpoints, so a broken
+    # encode boundary re-scans documents per scorer branch and pushes
+    # the count up
+    assert len(re.findall(r"Scan parquet", plan)) <= 2, plan
     assert "BatchEvalPython" not in plan, plan
