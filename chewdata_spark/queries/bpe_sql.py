@@ -78,7 +78,9 @@ _BPE_SA_MIN_PIECES = 9
 _BPE_TRAIN_VOCAB_CAP = 1 << 20
 
 
-def _bpe_capped_words_sql(words0_sql: str, m: str) -> str:
+def _bpe_capped_words_sql(
+    words0_sql: str, m: str, cap: int = _BPE_TRAIN_VOCAB_CAP
+) -> str:
     """``words0`` (the raw ``(word, freq)`` relation) wrapped in the
     trainer's vocabulary cap: words outside the top
     ``_BPE_TRAIN_VOCAB_CAP`` by (freq DESC, word ASC) re-enter at
@@ -96,7 +98,7 @@ def _bpe_capped_words_sql(words0_sql: str, m: str) -> str:
     FROM words0 w
     LEFT JOIN (SELECT word FROM words0
                ORDER BY freq DESC, word ASC LIMIT {cap}) t USING (word)
-)""".format(m=m, words0_sql=words0_sql, cap=_BPE_TRAIN_VOCAB_CAP)
+)""".format(m=m, words0_sql=words0_sql, cap=cap)
 
 
 def _bpe_piece_stream_sql(rel: str, toks_name: str, out_name: str) -> str:
@@ -153,7 +155,9 @@ WITH """ + _bpe_capped_words_sql(words0, m) + """, syms1 AS {m}(
         ),
     ) + _bpe_piece_stream_sql("documents", "toks", "d"))
 
-def _bpe_seg_ctes(n_iters: int, words_sql: str) -> str:
+def _bpe_seg_ctes(
+    n_iters: int, words_sql: str, *, cap: int = _BPE_TRAIN_VOCAB_CAP
+) -> str:
     """WITH-continuation fragment (leading ``,``) that trains
     ``n_iters`` BPE merges over a CALLER-PROVIDED word-count relation
     and ends at ``seg (word, seg)`` — the trained word -> piece-string
@@ -172,7 +176,7 @@ def _bpe_seg_ctes(n_iters: int, words_sql: str) -> str:
     # NOTE: .format binds to the LAST literal only — keep the caller's
     # words_sql out of any format template (it may contain regex
     # braces) by passing it as a VALUE into the capped builder
-    return (", " + _bpe_capped_words_sql(words_sql, m) + """, syms1 AS {m}(
+    return (", " + _bpe_capped_words_sql(words_sql, m, cap) + """, syms1 AS {m}(
     SELECT word, freq, i AS pos, word[i] AS sym
     FROM (SELECT word, freq, unnest(generate_series(1, len(word))) AS i
           FROM words)

@@ -256,3 +256,47 @@ def test_stream_piece_encoder_equals_batch_encoder(spark, sf_dir):
     )
     got = {r.doc_id: r.pieces for r in stream_shape.collect()}
     assert got == batch and len(got) > 0
+
+
+def test_bpe_vocab_cap_binds_identically_in_both_engines(spark):
+    # the max_train_vocab cap path never binds at test SFs (31-word
+    # vocab vs a 1M cap) — plant a corpus where it DOES: cap=3 of 6
+    # words.  The Spark trainer must train only on the top-3 words by
+    # (freq DESC, word ASC) yet still encode all 6; the oracle's
+    # capped-words device (top-cap trains, rest re-enter at freq 0)
+    # must reproduce the exact same piece streams.  Also pin that the
+    # cap CHANGES the rules vs uncapped (i.e. the planted cap binds).
+    import duckdb
+
+    from chewdata_spark.operators.tokenize import (
+        bpe_encode_corpus_rules,
+        bpe_train_rules,
+    )
+    from chewdata_spark.queries.bpe_sql import (
+        _bpe_piece_stream_sql,
+        _bpe_seg_ctes,
+    )
+
+    text = "zebra zebra zebra zebra yak yak yak xij xij wolf vole umbra"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    capped = bpe_train_rules(docs, "text", iters=4, max_train_vocab=3)
+    uncapped = bpe_train_rules(docs, "text", iters=4)
+    assert capped != uncapped, "planted cap did not bind"
+    got = {
+        r.doc_id: r.pieces
+        for r in bpe_encode_corpus_rules(docs, "doc_id", "text", capped).collect()
+    }
+
+    words_sql = """    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+          FROM documents)
+    WHERE word <> '' GROUP BY 1"""
+    sql = (
+        "WITH documents AS (SELECT 1 AS doc_id, '" + text + "' AS text)"
+        + _bpe_seg_ctes(4, words_sql, cap=3)
+        + _bpe_piece_stream_sql("documents", "toks", "d")
+        + " SELECT doc_id, array_to_string(toks, ' ') AS pieces FROM d"
+    )
+    con = duckdb.connect()
+    want = {r[0]: r[1] for r in con.sql(sql).fetchall()}
+    assert got == want, (got, want)
