@@ -63,12 +63,13 @@ _DRIVER_CHECKED = {
     "char_entropy_junk_filter", "chunk_documents", "chunk_documents_udtf",
     "churned_customers", "classifier_quality_filter",
     "contamination_by_source", "contamination_evidence_topk",
+    "contamination_grain_agreement",
     "contamination_ranked_pairs", "content_fingerprint",
     "copurchase_communities", "copurchase_kcore", "copurchase_triangles",
     "corpus_diff_manifest", "corpus_manifest", "corpus_summary_report",
     "corpus_top_terms", "corpus_vocab_ids", "corpus_zipf_fit", "cosine_topk",
     "countmin_sketch_terms", "cube_order_stats", "curate_corpus",
-    "curate_pipeline_decontam_sa",
+    "curate_pipeline_decontam_sa", "curate_pipeline_decontam_sa_bpe",
     "curate_pipeline_full", "curate_pipeline_full_sa",
     "curation_audit_report", "curriculum_phases",
     "customer_order_stats", "customer_rfm_segments",
@@ -149,7 +150,7 @@ _DRIVER_CHECKED = {
     "stream_curate_corpus", "stream_events_hourly", "stream_events_zscore",
     "stream_cut_spans_sa", "stream_cut_spans_sa_full",
     "stream_hll_distinct_users", "stream_ingest_dedup",
-    "stream_ingest_dedup_sa",
+    "stream_ingest_dedup_sa", "stream_ingest_dedup_sa_bpe",
     "stream_media_dhash_dedup", "stream_parts_entity_resolution",
     "stream_sessionize_events", "stream_view_to_purchase",
     "supplier_reliability", "table_stats_report", "temperature_mix_weights",

@@ -16,15 +16,53 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _cgroup_limit_paths(proc_cgroup: str | None = None) -> list[str]:
+    """Candidate limit files: the process's OWN cgroup and every
+    ancestor up to the root, for v2 and v1.  The tightest limit can
+    live at any level of the hierarchy (systemd slice, k8s pod without
+    a cgroup namespace) — reading only the root paths falls through to
+    physical RAM and re-creates the OOM-kill this module prevents."""
+    paths: list[str] = []
+    if proc_cgroup is None:
+        try:
+            with open("/proc/self/cgroup") as fh:
+                proc_cgroup = fh.read()
+        except OSError:
+            proc_cgroup = ""
+    lines = proc_cgroup.splitlines()
+    for line in lines:
+        parts = line.split(":", 2)
+        if len(parts) != 3:
+            continue
+        hid, ctrls, rel = parts
+        rel = rel.strip("/")
+        if hid == "0" and ctrls == "":  # cgroup v2 unified hierarchy
+            base, leaf = "/sys/fs/cgroup", "memory.max"
+        elif "memory" in ctrls.split(","):  # v1 memory controller
+            base, leaf = "/sys/fs/cgroup/memory", "memory.limit_in_bytes"
+        else:
+            continue
+        segs = rel.split("/") if rel else []
+        for depth in range(len(segs), -1, -1):
+            sub = "/".join(segs[:depth])
+            paths.append(f"{base}/{sub}/{leaf}" if sub else f"{base}/{leaf}")
+    # root fallbacks (also covers a cgroup-namespaced container where
+    # /proc/self/cgroup reports "/" — the loop above then emits these)
+    paths += [
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ]
+    seen: set[str] = set()
+    return [p for p in paths if not (p in seen or seen.add(p))]
+
+
 def _host_memory_bytes() -> int:
-    """Effective memory ceiling: the tighter of the cgroup limit (v2
-    then v1 — containers enforce these with the OOM killer, so they
-    dominate) and physical RAM.  0 if nothing is detectable."""
+    """Effective memory ceiling: the tightest cgroup limit along the
+    process's own cgroup ancestry (v2 then v1 — containers enforce
+    these with the OOM killer, so they dominate) and physical RAM.
+    0 if nothing is detectable."""
     limits = []
-    for path in (
-        "/sys/fs/cgroup/memory.max",  # cgroup v2
-        "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # cgroup v1
-    ):
+    for path in _cgroup_limit_paths():
         try:
             with open(path) as fh:
                 raw = fh.read().strip()
