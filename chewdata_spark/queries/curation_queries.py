@@ -2809,10 +2809,17 @@ def curate_pipeline_decontam_sa_bpe(
         F.col("span_start").alias("s"),
         F.col("span_end").alias("e"),
     )
+    # int_alphabet: BPE pieces are a BOUNDED vocabulary by construction
+    # (base symbols + 64 trained merges), so both piece relations
+    # rewrite to rank-ordered int arrays before the scorer — bit-
+    # identical m (LCP is equality-only; sorted adjacency holds under
+    # any alphabet order) at ~2.3x the string-array scorer's speed
+    # (24.5 -> 10.8 s at sf0.1; the stage was 66% of this flagship)
     scored = sa_contamination_scores_tokens(
         ptrain, pbench, "doc_id", "pieces",
         max_tokens=64, min_tokens=_BPE_SA_MIN_PIECES,
         bucket_tokens=4, max_bucket=10_000, full_doc=True,
+        int_alphabet=True,
     )
     cmarks = scored.filter(F.col("m") >= _BPE_SA_MIN_PIECES).select(
         "doc_id",

@@ -1280,6 +1280,69 @@ def test_sa_contamination_scores_tokens_randomized_brute_force(spark):
         assert got.get(did, 0) == want, (did, t, got.get(did, 0), want)
 
 
+def test_int_alphabet_scorer_bit_identical_to_string_path(spark):
+    """int_alphabet=True must return EXACTLY the string path's rows:
+    the rank-ordered int rewrite is injective, LCP reads equality
+    only, and sorted adjacency holds under any total alphabet order —
+    so (doc_id, off, m) match row-for-row, including full_doc mode
+    and a vocabulary whose string sort order differs from insertion
+    order (control chars, prefixes)."""
+    import random
+
+    from chewdata_spark.operators.suffix import sa_contamination_scores_tokens
+
+    rng = random.Random(21)
+    VOCAB = ["aa", "ab", "b", "a\x00c", "z", "a"]
+
+    def doc(n):
+        return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+    seen = spark.createDataFrame(
+        [(i * 2, doc(rng.randint(0, 20))) for i in range(15)],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(i * 2 + 1, doc(rng.randint(0, 20))) for i in range(15)],
+        "doc_id int, text string",
+    )
+    for full_doc in (False, True):
+        kw = dict(max_tokens=10, min_tokens=3, bucket_tokens=2,
+                  full_doc=full_doc)
+        ref = sorted(
+            tuple(r) for r in sa_contamination_scores_tokens(
+                new, seen, "doc_id", "text", **kw
+            ).collect()
+        )
+        got = sorted(
+            tuple(r) for r in sa_contamination_scores_tokens(
+                new, seen, "doc_id", "text", int_alphabet=True, **kw
+            ).collect()
+        )
+        assert got == ref, f"full_doc={full_doc}"
+
+
+def test_int_alphabet_guard_raises_on_unbounded_vocab(spark):
+    """max_alphabet is a hard contract guard: a vocabulary larger than
+    the cap must raise (never silently ship a giant literal map)."""
+    import pytest
+
+    from chewdata_spark.operators.suffix import sa_contamination_scores_tokens
+
+    new = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(40)))], "doc_id int, text string"
+    )
+    seen = spark.createDataFrame(
+        [(2, " ".join(f"w{i}" for i in range(20, 60)))],
+        "doc_id int, text string",
+    )
+    with pytest.raises(ValueError, match="max_alphabet"):
+        sa_contamination_scores_tokens(
+            new, seen, "doc_id", "text",
+            max_tokens=8, min_tokens=3, bucket_tokens=2,
+            int_alphabet=True, max_alphabet=10,
+        )
+
+
 def test_grain_agreement_consistent_with_gates(spark, sf_dir):
     """contamination_grain_agreement must agree row-for-row with the
     three standalone gates it composes: a doc appears iff some grain
