@@ -1117,3 +1117,173 @@ def canonicalize_url(url: Column) -> Column:
         path,
         F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
     )
+
+
+def sa_curate_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    benchmark: DataFrame | None = None,
+    grain: str = "char",
+    tile: int = 128,
+    min_len: int = 30,
+    compare_cap: int = 64,
+    bucket_len: int = 8,
+    max_bucket: int = 10_000,
+    bpe_iters: int = 64,
+    quota_col: str | None = None,
+    max_per_stratum: int = 15,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """The Lee et al. 2022 curation pipeline as ONE reusable lazy plan
+    — the shared core behind the ``curate_pipeline_full_sa`` /
+    ``curate_pipeline_decontam_sa`` / ``curate_pipeline_decontam_sa_bpe``
+    flagship queries AND the config compiler's ``curate`` step
+    (``method: sa_pipeline``), so the JSON-config surface and the
+    query registry run the SAME code:
+
+    normalize → corpus-global line dedup → checkpoint boundary →
+    full-document whole-repeat span marks (tiled suffix array,
+    >= ``min_len`` units repeated anywhere WITHIN the training text)
+    [∪ contamination marks: >= ``min_len``-unit runs shared with the
+    normalized ``benchmark`` slice, when one is given] → ONE island
+    merge + ONE splice → optional per-``quota_col`` anti-domination
+    quota.
+
+    ``grain``: ``"char"`` (units = characters, Lee et al.'s 30-char
+    criterion) or ``"bpe"`` (units = BPE pieces under ``bpe_iters``
+    merges trained on the CURATED training text; the benchmark slice
+    encodes under the training tokenizer, ``min_len`` counts pieces,
+    and the scorer runs int-alphabet — the trained-piece vocabulary
+    is bounded by construction).  ``carry`` columns re-join from
+    ``docs`` onto the output (doc-grain broadcast-sized join).
+
+    Returns ``(id_col, *carry, clean_text, [n_spans, n_cut])`` —
+    span evidence only when a ``benchmark`` decontamination stage ran
+    (the repeat-only char path matches ``curate_pipeline_full_sa``'s
+    contract and omits it).  At BPE grain ``clean_text`` is the
+    cleaned PIECE STREAM (the token-grain training artifact).
+    """
+    from chewdata_spark.operators import dedup as D
+    from chewdata_spark.operators.suffix import (
+        _cut_char_spans,
+        _cut_token_spans,
+        _merge_islands,
+        cut_repeat_spans_sa_tiled,
+        repeat_spans_sa_tiled,
+        repeat_spans_sa_tokens_tiled,
+        sa_contamination_scores,
+        sa_contamination_scores_tokens,
+    )
+    from chewdata_spark.operators.text import normalize_text
+
+    if grain not in ("char", "bpe"):
+        raise ValueError(f"sa_curate_corpus grain must be char|bpe, got {grain!r}")
+    carry = carry or []
+    norm = normalize_text(docs, id_col, text_col).select(
+        F.col(id_col).alias("doc_id"), F.col("norm_text").alias("text")
+    )
+    lined = D.dedup_lines_global(norm, "doc_id", "text", min_words=5).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    # ONE stage boundary: every downstream mark family and the splice
+    # consume this relation — truncate lineage so normalize+line-dedup
+    # run once (the flagships' device)
+    lined = lined.localCheckpoint(eager=False)
+    evaln = None
+    if benchmark is not None:
+        # benchmark normalizes under the SAME pass (one canonical
+        # form) but is never line-deduped or cut — eval text stays
+        # verbatim
+        evaln = normalize_text(benchmark, id_col, text_col).select(
+            F.col(id_col).alias("doc_id"), F.col("norm_text").alias("text")
+        )
+
+    if grain == "bpe":
+        from chewdata_spark.operators.tokenize import (
+            bpe_encode_corpus_rules,
+            bpe_train_rules,
+        )
+
+        rules = bpe_train_rules(lined, "text", iters=bpe_iters)
+        # independent lazy checkpoints per piece relation: each feeds
+        # several scorer branches; measured faster than a union encode
+        # (see curate_pipeline_decontam_sa_bpe's in-code note)
+        ptrain = bpe_encode_corpus_rules(
+            lined, "doc_id", "text", rules
+        ).select("doc_id", "pieces").localCheckpoint(eager=False)
+        rmarks = repeat_spans_sa_tokens_tiled(
+            ptrain, "doc_id", "pieces", tile=compare_cap, min_tokens=min_len
+        ).select(
+            "doc_id",
+            F.col("span_start").alias("s"),
+            F.col("span_end").alias("e"),
+        )
+        marks = rmarks
+        if evaln is not None:
+            pbench = bpe_encode_corpus_rules(
+                evaln, "doc_id", "text", rules
+            ).select("doc_id", "pieces").localCheckpoint(eager=False)
+            scored = sa_contamination_scores_tokens(
+                ptrain, pbench, "doc_id", "pieces",
+                max_tokens=compare_cap, min_tokens=min_len,
+                bucket_tokens=4, max_bucket=max_bucket, full_doc=True,
+                int_alphabet=True,
+            )
+            cmarks = scored.filter(F.col("m") >= min_len).select(
+                "doc_id",
+                F.col("off").alias("s"),
+                (F.col("off") + F.col("m") - 1).alias("e"),
+            )
+            marks = rmarks.unionByName(cmarks)
+        decon = _cut_token_spans(
+            ptrain, "doc_id", "pieces", _merge_islands(marks)
+        )
+        evidence = True
+    elif evaln is not None:
+        rmarks = repeat_spans_sa_tiled(
+            lined, "doc_id", "text", tile=tile, min_len=min_len
+        ).select(
+            "doc_id",
+            F.col("span_start").alias("s"),
+            F.col("span_end").alias("e"),
+        )
+        scored = sa_contamination_scores(
+            lined, evaln, "doc_id", "text",
+            max_chars=compare_cap, min_len=min_len,
+            bucket_len=bucket_len, max_bucket=max_bucket, full_doc=True,
+        )
+        cmarks = scored.filter(F.col("m") >= min_len).select(
+            "doc_id",
+            F.col("off").alias("s"),
+            (F.col("off") + F.col("m") - 1).alias("e"),
+        )
+        decon = _cut_char_spans(
+            lined, "doc_id", "text",
+            _merge_islands(rmarks.unionByName(cmarks)),
+        )
+        evidence = True
+    else:
+        decon = cut_repeat_spans_sa_tiled(
+            lined, "doc_id", "text", tile=tile, min_len=min_len
+        ).select("doc_id", "clean_text")
+        evidence = False
+
+    joined = decon
+    if carry:
+        joined = decon.join(
+            docs.select(F.col(id_col).alias("doc_id"), *carry), "doc_id"
+        )
+    out = joined
+    if quota_col:
+        out = stratum_quota(
+            joined, quota_col, "doc_id", max_per_stratum=max_per_stratum
+        )
+    cols = ["doc_id", *carry, "clean_text"]
+    if evidence:
+        cols += ["n_spans", "n_cut"]
+    out = out.select(*cols)
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out

@@ -572,10 +572,13 @@ class Pipeline:
              "key": "doc_id", "field": "text", "threshold": 0.5}
 
         methods: exact_dedup | minhash_dedup | quality_filter |
-        language_filter | gopher_filter | logprob_filter | sample |
-        split.  Every method is the same operator the query registry
-        exposes; determinism rules (md5 coins, min-key survivors)
-        carry over unchanged.
+        language_filter | gopher_filter | classifier_filter |
+        dsir_select | logprob_filter | sample | split | sa_pipeline
+        (the Lee et al. 2022 flagship — tiled-SA whole-repeat cut,
+        optional benchmark decontamination, per-stratum quota, char or
+        BPE grain).  Every method is the same operator the query
+        registry exposes; determinism rules (md5 coins, min-key
+        survivors) carry over unchanged.
         """
         from pyspark.sql.window import Window
 
@@ -706,6 +709,48 @@ class Pipeline:
                 df, key, field, drop_frac=float(step.get("drop_frac", 0.1))
             ).select(F.col("doc_id").alias(key))
             return df.join(kept, key, "left_semi")
+        if method == "sa_pipeline":
+            # the Lee et al. 2022 flagship as a CONFIG STEP: normalize
+            # -> corpus-global line dedup -> tiled-SA whole-repeat cut
+            # [-> benchmark decontamination when benchmark_filter is
+            # given] -> optional per-stratum quota.  Same core as the
+            # curate_pipeline_full_sa / _decontam_sa / _decontam_sa_bpe
+            # registry queries (operators/curation.py::sa_curate_corpus),
+            # so the flagship oracles value-check this config surface:
+            #
+            #   {"type": "curate", "method": "sa_pipeline",
+            #    "key": "doc_id", "field": "text",
+            #    "benchmark_filter": "doc_id % 2 = 0",
+            #    "grain": "char", "tile": 128, "min_len": 30,
+            #    "quota": {"strata": "source", "max_per_stratum": 15}}
+            from chewdata_spark.operators.curation import sa_curate_corpus
+
+            if not key:
+                raise ValueError("curate.sa_pipeline needs 'key'")
+            bf = step.get("benchmark_filter")
+            train = df.filter(f"NOT ({bf})") if bf else df
+            bench = df.filter(bf) if bf else None
+            carry = step.get("carry")
+            if carry is None:
+                carry = [
+                    c for c in df.columns
+                    if c not in (key, field, "_error", "_steps")
+                ]
+            quota = step.get("quota") or {}
+            return sa_curate_corpus(
+                train, key, field,
+                benchmark=bench,
+                grain=step.get("grain", "char"),
+                tile=int(step.get("tile", 128)),
+                min_len=int(step.get("min_len", 30)),
+                compare_cap=int(step.get("compare_cap", 64)),
+                bucket_len=int(step.get("bucket_len", 8)),
+                max_bucket=int(step.get("max_bucket", 10_000)),
+                bpe_iters=int(step.get("bpe_iters", 64)),
+                quota_col=quota.get("strata"),
+                max_per_stratum=int(quota.get("max_per_stratum", 15)),
+                carry=carry,
+            )
         if method == "sample":
             from chewdata_spark.operators.curation import stratified_sample
 

@@ -546,28 +546,19 @@ def curate_pipeline_full_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant cuts exactly the positions covered by a TRUE >= 30-char
     whole repeat, Lee et al. 2022's criterion, with no head-window cap.
     The composed oracle chains the shared normalize+line-dedup CTEs
-    with the independent duplicated-30-gram coverage cut."""
-    from chewdata_spark.operators import dedup as D
-    from chewdata_spark.operators.suffix import cut_repeat_spans_sa_tiled
-    from chewdata_spark.operators.text import normalize_text
+    with the independent duplicated-30-gram coverage cut.
 
+    Body = the shared pipeline core
+    (operators/curation.py::sa_curate_corpus) — the SAME code the
+    config compiler's ``curate`` step (``method: sa_pipeline``) runs,
+    so this oracle value-checks the config surface too."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = normalize_text(docs, "doc_id", "text").select(
-        "doc_id", F.col("norm_text").alias("text")
+    return curation.sa_curate_corpus(
+        docs, "doc_id", "text",
+        grain="char", tile=128, min_len=30,
+        quota_col="source", max_per_stratum=15,
+        carry=["lang", "source"],
     )
-    lined = D.dedup_lines_global(norm, "doc_id", "text", min_words=5).select(
-        "doc_id", F.col("clean_text").alias("text")
-    )
-    # same boundary as curate_pipeline_full: the SA stage consumes its
-    # input in several branches (window positions, suffix re-fetch, the
-    # final cut) — truncate lineage so normalize+line-dedup run ONCE
-    lined = lined.localCheckpoint(eager=False)
-    cut = cut_repeat_spans_sa_tiled(
-        lined, "doc_id", "text", tile=128, min_len=30
-    ).select("doc_id", "clean_text")
-    joined = cut.join(docs.select("doc_id", "lang", "source"), "doc_id")
-    out = curation.stratum_quota(joined, "source", "doc_id", max_per_stratum=15)
-    return out.select("doc_id", "lang", "source", "clean_text")
 
 
 def _sa_repeat_gram_ctes() -> str:
@@ -671,54 +662,20 @@ def curate_pipeline_decontam_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent per-bucket neighbour scoring (dedup_queries's
     ``_sa_scoring_ctes`` pointed at the SAME lined relation), unions
     the mark sets through the shared island/coverage literal —
-    END-TO-END value-checked across all five stages."""
-    from chewdata_spark.operators import dedup as D
-    from chewdata_spark.operators.suffix import (
-        _cut_char_spans,
-        _merge_islands,
-        repeat_spans_sa_tiled,
-        sa_contamination_scores,
-    )
-    from chewdata_spark.operators.text import normalize_text
+    END-TO-END value-checked across all five stages.
 
+    Body = the shared pipeline core
+    (operators/curation.py::sa_curate_corpus) — the SAME code the
+    config compiler's ``curate`` step (``method: sa_pipeline``) runs,
+    so this oracle value-checks the config surface too."""
     docs = load_table(spark, sf_dir, "documents")
-    train = docs.filter(F.col("doc_id") % 2 == 1)
-    bench = docs.filter(F.col("doc_id") % 2 == 0)
-    norm = normalize_text(train, "doc_id", "text").select(
-        "doc_id", F.col("norm_text").alias("text")
-    )
-    lined = D.dedup_lines_global(norm, "doc_id", "text", min_words=5).select(
-        "doc_id", F.col("clean_text").alias("text")
-    )
-    # ONE stage boundary: both mark families and the final splice all
-    # consume this relation — truncate lineage so normalize+line-dedup
-    # run once (same device as curate_pipeline_full_sa)
-    lined = lined.localCheckpoint(eager=False)
-    rmarks = repeat_spans_sa_tiled(
-        lined, "doc_id", "text", tile=128, min_len=30
-    ).select(
-        "doc_id",
-        F.col("span_start").alias("s"),
-        F.col("span_end").alias("e"),
-    )
-    evaln = normalize_text(bench, "doc_id", "text").select(
-        "doc_id", F.col("norm_text").alias("text")
-    )
-    scored = sa_contamination_scores(
-        lined, evaln, "doc_id", "text",
-        max_chars=64, min_len=30, bucket_len=8, full_doc=True,
-    )
-    cmarks = scored.filter(F.col("m") >= 30).select(
-        "doc_id",
-        F.col("off").alias("s"),
-        (F.col("off") + F.col("m") - 1).alias("e"),
-    )
-    spans = _merge_islands(rmarks.unionByName(cmarks))
-    decon = _cut_char_spans(lined, "doc_id", "text", spans)
-    joined = decon.join(docs.select("doc_id", "lang", "source"), "doc_id")
-    out = curation.stratum_quota(joined, "source", "doc_id", max_per_stratum=15)
-    return out.select(
-        "doc_id", "lang", "source", "clean_text", "n_spans", "n_cut"
+    return curation.sa_curate_corpus(
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
+        benchmark=docs.filter(F.col("doc_id") % 2 == 0),
+        grain="char", tile=128, min_len=30,
+        compare_cap=64, bucket_len=8,
+        quota_col="source", max_per_stratum=15,
+        carry=["lang", "source"],
     )
 
 
@@ -2757,79 +2714,30 @@ def curate_pipeline_decontam_sa_bpe(
     but invisible to the pair argmax, c{i} HAVING guard), independent
     duplicated-9-gram repeat marks, the token scoring CTE family over
     the unioned piece relation, and the shared island/coverage
-    literal — END-TO-END value-checked across all six stages."""
-    from chewdata_spark.operators import dedup as D
-    from chewdata_spark.operators.suffix import (
-        _cut_token_spans,
-        _merge_islands,
-        repeat_spans_sa_tokens_tiled,
-        sa_contamination_scores_tokens,
-    )
-    from chewdata_spark.operators.text import normalize_text
-    from chewdata_spark.operators.tokenize import (
-        bpe_encode_corpus_rules,
-        bpe_train_rules,
-    )
+    literal — END-TO-END value-checked across all six stages.
+
+    Body = the shared pipeline core
+    (operators/curation.py::sa_curate_corpus, grain="bpe") — the SAME
+    code the config compiler's ``curate`` step (``method:
+    sa_pipeline``) runs, so this oracle value-checks the config
+    surface too.  Stage-boundary and int-alphabet design notes live
+    in the core (independent lazy checkpoints per piece relation;
+    rank-ordered int arrays through the scorer, measured 24.5 ->
+    10.8 s on the scorer stage at sf0.1)."""
     from chewdata_spark.queries.bpe_sql import (
         _BPE_SA_ITERS,
         _BPE_SA_MIN_PIECES,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    train = docs.filter(F.col("doc_id") % 2 == 1)
-    bench = docs.filter(F.col("doc_id") % 2 == 0)
-    norm = normalize_text(train, "doc_id", "text").select(
-        "doc_id", F.col("norm_text").alias("text")
+    out = curation.sa_curate_corpus(
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
+        benchmark=docs.filter(F.col("doc_id") % 2 == 0),
+        grain="bpe", min_len=_BPE_SA_MIN_PIECES, compare_cap=64,
+        bpe_iters=_BPE_SA_ITERS,
+        quota_col="source", max_per_stratum=15,
+        carry=["lang", "source"],
     )
-    lined = D.dedup_lines_global(norm, "doc_id", "text", min_words=5).select(
-        "doc_id", F.col("clean_text").alias("text")
-    )
-    lined = lined.localCheckpoint(eager=False)
-    rules = bpe_train_rules(lined, "text", iters=_BPE_SA_ITERS)
-    evaln = normalize_text(bench, "doc_id", "text").select(
-        "doc_id", F.col("norm_text").alias("text")
-    )
-    # stage boundaries: each piece relation feeds several scorer
-    # branches (caps, prefilter, salting) plus the repeat tiling and
-    # the final splice, and both upstreams are computed relations.
-    # (Measured: one union encode split by parity is SLOWER than two
-    # independent checkpoints — the independent boundaries let the
-    # repeat tiling and the scorer materialize their inputs in
-    # parallel branches.)
-    ptrain = bpe_encode_corpus_rules(lined, "doc_id", "text", rules).select(
-        "doc_id", "pieces"
-    ).localCheckpoint(eager=False)
-    pbench = bpe_encode_corpus_rules(evaln, "doc_id", "text", rules).select(
-        "doc_id", "pieces"
-    ).localCheckpoint(eager=False)
-    rmarks = repeat_spans_sa_tokens_tiled(
-        ptrain, "doc_id", "pieces", tile=64, min_tokens=_BPE_SA_MIN_PIECES
-    ).select(
-        "doc_id",
-        F.col("span_start").alias("s"),
-        F.col("span_end").alias("e"),
-    )
-    # int_alphabet: BPE pieces are a BOUNDED vocabulary by construction
-    # (base symbols + 64 trained merges), so both piece relations
-    # rewrite to rank-ordered int arrays before the scorer — bit-
-    # identical m (LCP is equality-only; sorted adjacency holds under
-    # any alphabet order) at ~2.3x the string-array scorer's speed
-    # (24.5 -> 10.8 s at sf0.1; the stage was 66% of this flagship)
-    scored = sa_contamination_scores_tokens(
-        ptrain, pbench, "doc_id", "pieces",
-        max_tokens=64, min_tokens=_BPE_SA_MIN_PIECES,
-        bucket_tokens=4, max_bucket=10_000, full_doc=True,
-        int_alphabet=True,
-    )
-    cmarks = scored.filter(F.col("m") >= _BPE_SA_MIN_PIECES).select(
-        "doc_id",
-        F.col("off").alias("s"),
-        (F.col("off") + F.col("m") - 1).alias("e"),
-    )
-    spans = _merge_islands(rmarks.unionByName(cmarks))
-    decon = _cut_token_spans(ptrain, "doc_id", "pieces", spans)
-    joined = decon.join(docs.select("doc_id", "lang", "source"), "doc_id")
-    out = curation.stratum_quota(joined, "source", "doc_id", max_per_stratum=15)
     return out.select(
         "doc_id", "lang", "source",
         F.col("clean_text").alias("clean_pieces"),

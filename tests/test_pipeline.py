@@ -748,6 +748,76 @@ def test_curate_step_sample_deterministic(spark):
     assert 25 <= n_a <= 75  # ~50% of stratum a
 
 
+def test_curate_step_sa_pipeline_golden_decontam(spark, sf_dir, tmp_path):
+    """NORTH-STAR composition golden test: a JSON config reads the
+    documents parquet, runs the complete Lee et al. 2022 pipeline as a
+    ``curate`` step (normalize -> line dedup -> whole-repeat cut ->
+    benchmark decontamination -> source quota), writes parquet — and
+    the WRITTEN FILE value-matches ``curate_pipeline_decontam_sa``'s
+    independent composed DuckDB oracle.  Proves the §2 ETL surface
+    (reader/writer/config compiler) and the LLM curation surface run
+    the same core end-to-end."""
+    import json as _json
+    import os as _os
+
+    from chewdata_spark.pipeline import Pipeline
+    from chewdata_spark.queries import all_oracles
+    from tests.oracle import canonical_rows, duckdb_connection
+
+    out = str(tmp_path / "curated")
+    cfg = _json.dumps([
+        {"type": "reader",
+         "connector": {"type": "local",
+                       "path": _os.path.join(sf_dir, "documents.parquet")},
+         "document": {"type": "parquet"}},
+        {"type": "curate", "method": "sa_pipeline",
+         "key": "doc_id", "field": "text",
+         "benchmark_filter": "doc_id % 2 = 0",
+         "grain": "char", "tile": 128, "min_len": 30,
+         "compare_cap": 64, "bucket_len": 8,
+         "quota": {"strata": "source", "max_per_stratum": 15},
+         "carry": ["lang", "source"]},
+        {"type": "writer", "connector": {"type": "local", "path": out},
+         "document": {"type": "parquet"}},
+    ])
+    Pipeline.from_json(cfg, spark).run()
+    got = spark.read.parquet(out)
+    con = duckdb_connection(sf_dir)
+    rel = con.sql(all_oracles()["curate_pipeline_decontam_sa"])
+    assert canonical_rows(
+        got.columns, [tuple(r) for r in got.collect()]
+    ) == canonical_rows(list(rel.columns), rel.fetchall())
+
+
+def test_curate_step_sa_pipeline_repeat_only_matches_full_sa(spark, sf_dir):
+    """Without ``benchmark_filter`` the step is the repeat-cut-only
+    flagship: result set equals curate_pipeline_full_sa's oracle."""
+    import json as _json
+    import os as _os
+
+    from chewdata_spark.pipeline import Pipeline
+    from chewdata_spark.queries import all_oracles
+    from tests.oracle import canonical_rows, duckdb_connection
+
+    cfg = _json.dumps([
+        {"type": "reader",
+         "connector": {"type": "local",
+                       "path": _os.path.join(sf_dir, "documents.parquet")},
+         "document": {"type": "parquet"}},
+        {"type": "curate", "method": "sa_pipeline",
+         "key": "doc_id", "field": "text",
+         "grain": "char", "tile": 128, "min_len": 30,
+         "quota": {"strata": "source", "max_per_stratum": 15},
+         "carry": ["lang", "source"]},
+    ])
+    got = Pipeline.from_json(cfg, spark).dataframe()
+    con = duckdb_connection(sf_dir)
+    rel = con.sql(all_oracles()["curate_pipeline_full_sa"])
+    assert canonical_rows(
+        got.columns, [tuple(r) for r in got.collect()]
+    ) == canonical_rows(list(rel.columns), rel.fetchall())
+
+
 def test_curate_step_rejects_unknown_method(spark):
     import json
 
