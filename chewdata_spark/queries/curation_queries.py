@@ -753,6 +753,44 @@ QUERIES["curate_pipeline_decontam_sa"] = curate_pipeline_decontam_sa
 ORACLES["curate_pipeline_decontam_sa"] = _curate_pipeline_decontam_sql()
 
 
+def curate_config_decontam_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontaminating flagship run THROUGH THE CONFIG COMPILER —
+    the reference's whole UX is "JSON config in -> data out"
+    (src/main.rs:73-113), and this query proves the config surface and
+    the query registry produce identical results: a JSON step list
+    (reader: documents parquet -> curate: method sa_pipeline with the
+    flagship's exact parameters) compiles via pipeline.py::Pipeline to
+    the same shared core (operators/curation.py::sa_curate_corpus) and
+    is checked against the SAME composed five-stage DuckDB oracle as
+    ``curate_pipeline_decontam_sa``.  The driver hash-match on this
+    row IS the end-to-end certificate that the §2 ETL surface (config
+    parsing, reader step, curate step) composes with the LLM curation
+    surface."""
+    import json as _json
+    import os as _os
+
+    from chewdata_spark.pipeline import Pipeline
+
+    cfg = _json.dumps([
+        {"type": "reader",
+         "connector": {"type": "local",
+                       "path": _os.path.join(sf_dir, "documents.parquet")},
+         "document": {"type": "parquet"}},
+        {"type": "curate", "method": "sa_pipeline",
+         "key": "doc_id", "field": "text",
+         "benchmark_filter": "doc_id % 2 = 0",
+         "grain": "char", "tile": 128, "min_len": 30,
+         "compare_cap": 64, "bucket_len": 8,
+         "quota": {"strata": "source", "max_per_stratum": 15},
+         "carry": ["lang", "source"]},
+    ])
+    return Pipeline.from_json(cfg, spark).dataframe()
+
+
+QUERIES["curate_config_decontam_sa"] = curate_config_decontam_sa
+ORACLES["curate_config_decontam_sa"] = _curate_pipeline_decontam_sql()
+
+
 
 
 
