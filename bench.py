@@ -195,6 +195,12 @@ HEADLINE = [
     # round 11; headline keeps its O(marks) state shape honest per round
     "curate_pipeline_decontam_sa",
     "stream_cut_spans_sa_full",
+    # round-14: the registry's heaviest query (the complete BPE-grain
+    # Lee et al. pipeline) graduates to headline after its scorer-bound
+    # stage was int-alphabet-optimized 40.6 -> 23.1 s — per-round
+    # timing keeps the win honest (construct-each: the timer includes
+    # the 64-merge driver training)
+    "curate_pipeline_decontam_sa_bpe",
 ]
 
 # How many non-headline registry queries get timed per run (rotating
