@@ -1152,9 +1152,12 @@ def sa_curate_corpus(
     quota.
 
     ``grain``: ``"char"`` (units = characters, Lee et al.'s 30-char
-    criterion) or ``"bpe"`` (units = BPE pieces under ``bpe_iters``
-    merges trained on the CURATED training text; the benchmark slice
-    encodes under the training tokenizer, ``min_len`` counts pieces,
+    criterion), ``"token"`` (units = whitespace tokens — the grain
+    Lee et al. actually match on; ``min_len`` counts tokens and
+    ``bucket_len`` counts prefix TOKENS), or ``"bpe"`` (units = BPE
+    pieces under ``bpe_iters`` merges trained on the CURATED training
+    text; the benchmark slice encodes under the training tokenizer,
+    ``min_len`` counts pieces, ``bucket_len`` counts prefix pieces,
     and the scorer runs int-alphabet — the trained-piece vocabulary
     is bounded by construction).  ``carry`` columns re-join from
     ``docs`` onto the output (doc-grain broadcast-sized join).
@@ -1178,8 +1181,10 @@ def sa_curate_corpus(
     )
     from chewdata_spark.operators.text import normalize_text
 
-    if grain not in ("char", "bpe"):
-        raise ValueError(f"sa_curate_corpus grain must be char|bpe, got {grain!r}")
+    if grain not in ("char", "token", "bpe"):
+        raise ValueError(
+            f"sa_curate_corpus grain must be char|token|bpe, got {grain!r}"
+        )
     carry = carry or []
     norm = normalize_text(docs, id_col, text_col).select(
         F.col(id_col).alias("doc_id"), F.col("norm_text").alias("text")
@@ -1228,8 +1233,8 @@ def sa_curate_corpus(
             scored = sa_contamination_scores_tokens(
                 ptrain, pbench, "doc_id", "pieces",
                 max_tokens=compare_cap, min_tokens=min_len,
-                bucket_tokens=4, max_bucket=max_bucket, full_doc=True,
-                int_alphabet=True,
+                bucket_tokens=bucket_len, max_bucket=max_bucket,
+                full_doc=True, int_alphabet=True,
             )
             cmarks = scored.filter(F.col("m") >= min_len).select(
                 "doc_id",
@@ -1239,6 +1244,35 @@ def sa_curate_corpus(
             marks = rmarks.unionByName(cmarks)
         decon = _cut_token_spans(
             ptrain, "doc_id", "pieces", _merge_islands(marks)
+        )
+        evidence = True
+    elif grain == "token":
+        rmarks = repeat_spans_sa_tokens_tiled(
+            lined, "doc_id", "text", tile=tile, min_tokens=min_len
+        ).select(
+            "doc_id",
+            F.col("span_start").alias("s"),
+            F.col("span_end").alias("e"),
+        )
+        marks = rmarks
+        if evaln is not None:
+            # word-token vocabulary is UNBOUNDED by contract -> the
+            # scorer stays on the string-array path (int_alphabet is
+            # only for bounded alphabets like trained BPE pieces)
+            scored = sa_contamination_scores_tokens(
+                lined, evaln, "doc_id", "text",
+                max_tokens=compare_cap, min_tokens=min_len,
+                bucket_tokens=bucket_len, max_bucket=max_bucket,
+                full_doc=True,
+            )
+            cmarks = scored.filter(F.col("m") >= min_len).select(
+                "doc_id",
+                F.col("off").alias("s"),
+                (F.col("off") + F.col("m") - 1).alias("e"),
+            )
+            marks = rmarks.unionByName(cmarks)
+        decon = _cut_token_spans(
+            lined, "doc_id", "text", _merge_islands(marks)
         )
         evidence = True
     elif evaln is not None:

@@ -737,14 +737,24 @@ class Pipeline:
                     if c not in (key, field, "_error", "_steps")
                 ]
             quota = step.get("quota") or {}
+            grain = step.get("grain", "char")
+            # grain-aware defaults: the unit of min_len/tile/bucket
+            # changes with the grain, so so do the family conventions
+            # (char: Lee et al. 30-char / 128-tile / 8-char bucket;
+            # token: 5-token / 64 / 2; bpe: 9-piece / 64 / 4)
+            d_min, d_tile, d_bucket, d_cmp = {
+                "char": (30, 128, 8, 64),
+                "token": (5, 64, 2, 32),
+                "bpe": (9, 64, 4, 64),
+            }.get(grain, (30, 128, 8, 64))
             return sa_curate_corpus(
                 train, key, field,
                 benchmark=bench,
-                grain=step.get("grain", "char"),
-                tile=int(step.get("tile", 128)),
-                min_len=int(step.get("min_len", 30)),
-                compare_cap=int(step.get("compare_cap", 64)),
-                bucket_len=int(step.get("bucket_len", 8)),
+                grain=grain,
+                tile=int(step.get("tile", d_tile)),
+                min_len=int(step.get("min_len", d_min)),
+                compare_cap=int(step.get("compare_cap", d_cmp)),
+                bucket_len=int(step.get("bucket_len", d_bucket)),
                 max_bucket=int(step.get("max_bucket", 10_000)),
                 bpe_iters=int(step.get("bpe_iters", 64)),
                 quota_col=quota.get("strata"),

@@ -2772,7 +2772,7 @@ def curate_pipeline_decontam_sa_bpe(
         docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
         benchmark=docs.filter(F.col("doc_id") % 2 == 0),
         grain="bpe", min_len=_BPE_SA_MIN_PIECES, compare_cap=64,
-        bpe_iters=_BPE_SA_ITERS,
+        bucket_len=4, bpe_iters=_BPE_SA_ITERS,
         quota_col="source", max_per_stratum=15,
         carry=["lang", "source"],
     )
@@ -2887,3 +2887,129 @@ FROM q WHERE rnk <= 15
 
 QUERIES["curate_pipeline_decontam_sa_bpe"] = curate_pipeline_decontam_sa_bpe
 ORACLES["curate_pipeline_decontam_sa_bpe"] = _curate_pipeline_decontam_bpe_sql()
+
+
+def curate_pipeline_decontam_sa_tokens(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The decontaminating flagship at WHITESPACE-TOKEN grain —
+    completes the flagship grain matrix (char / token / BPE-piece):
+    normalize -> corpus-global line dedup -> whole >= 5-token repeat
+    marks within training (tiled token SA) UNION >= 5-token runs
+    shared with the normalized benchmark slice (token scorer,
+    full-doc, 32-token compare cap — the token family's conventions:
+    decontaminate_cut_spans_sa_tokens) -> ONE island merge + ONE
+    token splice (whitespace-normalized reassembly) -> per-source
+    quota.  Token grain is what Lee et al. 2022 match on for
+    formatting robustness; the word-token vocabulary is UNBOUNDED by
+    contract so the scorer stays on the string-array path (the
+    int-alphabet device is reserved for trained-piece alphabets).
+
+    Body = the shared pipeline core
+    (operators/curation.py::sa_curate_corpus, grain="token") — the
+    SAME code the config compiler's ``curate`` step runs with
+    ``"grain": "token"``.
+
+    Oracle: the shared normalize+line-dedup CTEs, independent
+    duplicated-5-gram repeat marks over the lined token streams, the
+    token scoring CTE family over the unioned text relation, and the
+    shared island/coverage splice + quota literals — END-TO-END
+    value-checked across all five stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.sa_curate_corpus(
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
+        benchmark=docs.filter(F.col("doc_id") % 2 == 0),
+        grain="token", tile=64, min_len=5,
+        compare_cap=32, bucket_len=2,
+        quota_col="source", max_per_stratum=15,
+        carry=["lang", "source"],
+    )
+
+
+def _curate_pipeline_decontam_tokens_sql() -> str:
+    from chewdata_spark.queries.dedup_queries import (
+        _ISLAND_COV_CTES,
+        _sa_scoring_ctes_tokens,
+    )
+    from chewdata_spark.queries.text_queries import _normalize_sql
+
+    norm_select = _normalize_sql().strip().rstrip(";")
+    g, gm1 = 5, 4
+    scoring = _sa_scoring_ctes_tokens(
+        new_where="doc_id % 2 = 1", seen_where="doc_id % 2 = 0",
+        with_off=True, full_doc=True, cmp_tokens=32,
+        bucket_tokens=2, max_bucket=10_000,
+        rel="tall", lead=",",
+    )
+    return (
+        _norm_lined_ctes(where_sql="doc_id % 2 = 1")
+        + f""",
+seenrel AS (
+    SELECT doc_id, norm_text AS text
+    FROM ({norm_select}) WHERE doc_id % 2 = 0
+), tall AS (
+    SELECT doc_id, text FROM lined
+    UNION ALL
+    SELECT doc_id, text FROM seenrel
+), ltk AS (
+    SELECT doc_id,
+           string_split_regex(trim(COALESCE(text, '')), '\\s+') AS toks
+    FROM lined
+), gg AS (
+    SELECT doc_id, off, list_slice(toks, off, off + {gm1}) AS gram
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - {gm1})) AS off
+          FROM ltk WHERE len(toks) >= {g})
+), dup AS (
+    SELECT gram FROM gg GROUP BY gram HAVING COUNT(*) >= 2
+)"""
+        + scoring
+        + f""", marked AS (
+    -- merged criteria at token grain: whole >= {g}-token repeats
+    -- within training UNION >= {g}-token runs shared with the
+    -- normalized benchmark slice
+    SELECT doc_id, off AS s, off + {gm1} AS e FROM gg JOIN dup USING (gram)
+    UNION ALL
+    SELECT doc_id, off AS s, off + m - 1 AS e FROM scored WHERE m >= {g}
+)"""
+        + _ISLAND_COV_CTES
+        + """, tpos AS (
+    SELECT doc_id, toks[i] AS w, i
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks))) AS i FROM ltk)
+), keep AS (
+    SELECT t.doc_id,
+           COALESCE(string_agg(t.w, ' ' ORDER BY t.i)
+                    FILTER (WHERE c.i IS NULL), '') AS clean_text,
+           COUNT(*) FILTER (WHERE c.i IS NOT NULL) AS n_cut
+    FROM tpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i
+    GROUP BY t.doc_id
+), nsp AS (
+    SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+), dc AS (
+    SELECT l.doc_id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           CAST(COALESCE(n.n_spans, 0) AS INT) AS n_spans,
+           CAST(COALESCE(k.n_cut, 0) AS INT) AS n_cut
+    FROM lined l
+    LEFT JOIN keep k USING (doc_id)
+    LEFT JOIN nsp n USING (doc_id)
+),
+-- final stage: per-source quota (deterministic md5 order, cap 15)
+q AS (
+    SELECT c.doc_id, d.lang, d.source, c.clean_text, c.n_spans, c.n_cut,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('0:' || CAST(c.doc_id AS VARCHAR)), c.doc_id) AS rnk
+    FROM dc c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, source, clean_text, n_spans, n_cut
+FROM q WHERE rnk <= 15
+"""
+    )
+
+
+QUERIES["curate_pipeline_decontam_sa_tokens"] = curate_pipeline_decontam_sa_tokens
+ORACLES["curate_pipeline_decontam_sa_tokens"] = (
+    _curate_pipeline_decontam_tokens_sql()
+)

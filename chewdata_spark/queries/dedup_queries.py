@@ -240,12 +240,25 @@ def _sa_scoring_ctes_tokens(
 # spans fuse via the +1 rule) cannot drift between an oracle and its
 # operator twin (_merge_islands).
 _ISLAND_COV_CTES = """, isl AS (
+    -- DISTINCT is load-bearing: `marked` can hold EXACT duplicate
+    -- (s, e) rows (the decontaminating flagships union repeat marks
+    -- with scorer marks, and a span can satisfy both criteria).  The
+    -- two windows below order by (s, e); with tied keys DuckDB's
+    -- parallel sorts can disagree BETWEEN window evaluations (and
+    -- `spans` is inlined into both cov and nsp), which made n_spans/
+    -- n_cut flap run-to-run (observed: the same doc reporting
+    -- (1,5)/(1,10)/(2,5) across three runs).  Unique keys per doc =
+    -- one total order = deterministic.  Merging duplicate marks is
+    -- semantically idempotent, so every consumer's values are
+    -- unchanged.  (The Spark twin `_merge_islands` is safe as-is:
+    -- both window functions share ONE WindowExec sort, and identical
+    -- rows produce the same island under either tie order.)
     SELECT doc_id, s, e,
            CASE WHEN s > COALESCE(MAX(e) OVER (
                     PARTITION BY doc_id ORDER BY s, e
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
                 THEN 1 ELSE 0 END AS ni
-    FROM marked
+    FROM (SELECT DISTINCT doc_id, s, e FROM marked)
 ), isl2 AS (
     SELECT doc_id, s, e,
            SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e

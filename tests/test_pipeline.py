@@ -818,6 +818,44 @@ def test_curate_step_sa_pipeline_repeat_only_matches_full_sa(spark, sf_dir):
     ) == canonical_rows(list(rel.columns), rel.fetchall())
 
 
+def test_curate_step_sa_pipeline_bpe_grain_matches_flagship(spark, sf_dir):
+    """grain="bpe" through the config step: 64 merges train on the
+    curated training text inside the shared core, and the result set
+    equals curate_pipeline_decontam_sa_bpe's six-stage oracle (the
+    step emits the generic ``clean_text`` name; the flagship publishes
+    it as ``clean_pieces`` — aliased here for the column-name-sorted
+    compare)."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    from chewdata_spark.pipeline import Pipeline
+    from chewdata_spark.queries import all_oracles
+    from tests.oracle import canonical_rows, duckdb_connection
+
+    cfg = _json.dumps([
+        {"type": "reader",
+         "connector": {"type": "local",
+                       "path": _os.path.join(sf_dir, "documents.parquet")},
+         "document": {"type": "parquet"}},
+        {"type": "curate", "method": "sa_pipeline",
+         "key": "doc_id", "field": "text",
+         "benchmark_filter": "doc_id % 2 = 0",
+         "grain": "bpe", "min_len": 9, "compare_cap": 64, "bpe_iters": 64,
+         "quota": {"strata": "source", "max_per_stratum": 15},
+         "carry": ["lang", "source"]},
+    ])
+    got = Pipeline.from_json(cfg, spark).dataframe().withColumnRenamed(
+        "clean_text", "clean_pieces"
+    )
+    con = duckdb_connection(sf_dir)
+    rel = con.sql(all_oracles()["curate_pipeline_decontam_sa_bpe"])
+    assert canonical_rows(
+        got.columns, [tuple(r) for r in got.collect()]
+    ) == canonical_rows(list(rel.columns), rel.fetchall())
+
+
 def test_curate_step_rejects_unknown_method(spark):
     import json
 
