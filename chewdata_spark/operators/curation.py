@@ -1256,14 +1256,15 @@ def sa_curate_corpus(
         )
         marks = rmarks
         if evaln is not None:
-            # word-token vocabulary is UNBOUNDED by contract -> the
-            # scorer stays on the string-array path (int_alphabet is
-            # only for bounded alphabets like trained BPE pieces)
+            # word-token vocabulary is UNBOUNDED by contract -> "auto"
+            # probes it and int-encodes only when bounded in practice,
+            # falling back to the string-array path otherwise
+            # (bit-identical either way)
             scored = sa_contamination_scores_tokens(
                 lined, evaln, "doc_id", "text",
                 max_tokens=compare_cap, min_tokens=min_len,
                 bucket_tokens=bucket_len, max_bucket=max_bucket,
-                full_doc=True,
+                full_doc=True, int_alphabet="auto",
             )
             cmarks = scored.filter(F.col("m") >= min_len).select(
                 "doc_id",

@@ -903,8 +903,8 @@ def _neighbour_scores(
 
 
 def _int_alphabet_encode(
-    sides: list[DataFrame], max_alphabet: int
-) -> list[DataFrame]:
+    sides: list[DataFrame], max_alphabet: int, *, soft: bool = False
+) -> list[DataFrame] | None:
     """Rewrite each ``(doc_id, toks: array<string>)`` relation to
     ``array<int>`` under ONE shared rank-ordered dictionary built from
     the union vocabulary of all sides.
@@ -931,6 +931,11 @@ def _int_alphabet_encode(
         vocab = v if vocab is None else vocab.unionByName(v)
     rows = vocab.distinct().limit(max_alphabet + 1).collect()
     if len(rows) > max_alphabet:
+        if soft:
+            # "auto" mode: the probe found an unbounded-looking
+            # vocabulary — decline, the caller keeps the string path
+            # (bit-identical results, just without the int speedup)
+            return None
         raise ValueError(
             f"int-alphabet dictionary exceeds max_alphabet="
             f"{max_alphabet}: the vocabulary is not bounded enough for "
@@ -961,7 +966,7 @@ def sa_contamination_scores_tokens(
     bucket_tokens: int = 2,
     max_bucket: int | None = 10_000,
     full_doc: bool = False,
-    int_alphabet: bool = False,
+    int_alphabet: bool | str = False,
     max_alphabet: int = 4096,
 ) -> DataFrame:
     """(doc_id, off, m): TOKEN-grain twin of
@@ -1016,10 +1021,19 @@ def sa_contamination_scores_tokens(
         # cheaper than array<string> (measured 24.5 -> 10.8 s on the
         # BPE flagship's scorer stage at sf0.1) with bit-identical
         # output — see _int_alphabet_encode for the soundness argument
-        # and the bounded-vocabulary contract
-        new_toks, seen_toks = _int_alphabet_encode(
-            [new_toks, seen_toks], max_alphabet
+        # and the bounded-vocabulary contract.  int_alphabet=True
+        # asserts boundedness (raises past max_alphabet);
+        # int_alphabet="auto" probes and falls back to the string
+        # path when the vocabulary exceeds the cap — for callers
+        # (word-token grain) whose alphabet is unbounded BY CONTRACT
+        # but often bounded in practice; both paths are bit-identical
+        # so the choice is invisible to every consumer and oracle
+        enc = _int_alphabet_encode(
+            [new_toks, seen_toks], max_alphabet,
+            soft=(int_alphabet == "auto"),
         )
+        if enc is not None:
+            new_toks, seen_toks = enc
 
     def _sufs(toks: DataFrame) -> DataFrame:
         return toks.select(
@@ -1057,7 +1071,7 @@ def sa_incremental_contamination_tokens(
     bucket_tokens: int = 2,
     max_bucket: int | None = 10_000,
     full_doc: bool = False,
-    int_alphabet: bool = False,
+    int_alphabet: bool | str = False,
     max_alphabet: int = 4096,
 ) -> DataFrame:
     """Doc-grain TOKEN contamination gate — the token twin of
@@ -1099,7 +1113,7 @@ def cut_contaminated_spans_sa_tokens(
     bucket_tokens: int = 2,
     max_bucket: int | None = 10_000,
     full_doc: bool = False,
-    int_alphabet: bool = False,
+    int_alphabet: bool | str = False,
     max_alphabet: int = 4096,
 ) -> DataFrame:
     """TOKEN-grain span decontamination: every run of >= ``min_tokens``

@@ -1155,6 +1155,9 @@ def dedup_incremental_ingest_sa_tokens(
     return sa_incremental_contamination_tokens(
         new, seen, "doc_id", "text",
         max_tokens=32, min_tokens=5, bucket_tokens=2, max_bucket=10_000,
+        # "auto": int-encode the token alphabet when bounded in
+        # practice, string path otherwise — bit-identical either way
+        int_alphabet="auto",
     )
 
 
@@ -1199,7 +1202,7 @@ def decontaminate_cut_spans_sa_tokens(
     return cut_contaminated_spans_sa_tokens(
         new, seen, "doc_id", "text",
         max_tokens=32, min_tokens=5, bucket_tokens=2, max_bucket=10_000,
-        full_doc=True,
+        full_doc=True, int_alphabet="auto",
     )
 
 

@@ -821,6 +821,7 @@ def contamination_grain_agreement(
     tg = sa_incremental_contamination_tokens(
         new, seen, "doc_id", "text",
         max_tokens=32, min_tokens=5, bucket_tokens=2, max_bucket=10_000,
+        int_alphabet="auto",
     ).select("doc_id", F.col("max_shared_tokens").alias("m_token"))
     rules = bpe_train_rules(docs, "text", iters=_BPE_SA_ITERS)
     pieces = bpe_encode_corpus_rules(docs, "doc_id", "text", rules).select(

@@ -1341,6 +1341,20 @@ def test_int_alphabet_guard_raises_on_unbounded_vocab(spark):
             max_tokens=8, min_tokens=3, bucket_tokens=2,
             int_alphabet=True, max_alphabet=10,
         )
+    # "auto" must DECLINE (silent string-path fallback) on the same
+    # over-cap vocabulary, with results identical to the string path
+    kw = dict(max_tokens=8, min_tokens=3, bucket_tokens=2)
+    ref = sorted(tuple(r) for r in sa_contamination_scores_tokens(
+        new, seen, "doc_id", "text", **kw).collect())
+    got = sorted(tuple(r) for r in sa_contamination_scores_tokens(
+        new, seen, "doc_id", "text",
+        int_alphabet="auto", max_alphabet=10, **kw).collect())
+    assert got == ref
+    # and ACCEPT (still identical) when the cap accommodates the vocab
+    got2 = sorted(tuple(r) for r in sa_contamination_scores_tokens(
+        new, seen, "doc_id", "text",
+        int_alphabet="auto", max_alphabet=4096, **kw).collect())
+    assert got2 == ref
 
 
 def test_grain_agreement_consistent_with_gates(spark, sf_dir):
