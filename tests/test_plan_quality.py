@@ -990,6 +990,31 @@ def test_curate_pipeline_decontam_sa_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_curate_pipeline_decontam_sa_tokens_plan_shape(spark, sf_dir):
+    # the token-grain flagship inherits the char flagship's plan
+    # contract through the SHARED core (sa_curate_corpus): training
+    # side (normalize + line dedup + both mark families + splice) all
+    # behind the single lined checkpoint -> zero scans; the only
+    # parquet scans are the docs lang/source join (2) plus the
+    # UNCHECKPOINTED benchmark normalize branch feeding the token
+    # scorer (cap count + bucket relation + salting reads), and the
+    # int-alphabet "auto" probe runs at CONSTRUCTION (its jobs are
+    # not part of this executed plan).  Island merge / token splice
+    # stay aggregate-shaped; nothing drops to Python.
+    import re
+
+    from chewdata_spark.queries.curation_queries import (
+        curate_pipeline_decontam_sa_tokens,
+    )
+
+    df = curate_pipeline_decontam_sa_tokens(spark, sf_dir)
+    df.collect()
+    plan = formatted_plan(df).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Scan parquet", plan)) <= 5, plan
+    assert "Deduplicate" not in df._jdf.queryExecution().optimizedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_matryoshka_ivf_plan_shape(spark, sf_dir):
     # the composed retrieval keeps both devices' plan contracts: the
     # probe list comes off a BROADCAST centroid join, the coarse stage
