@@ -727,6 +727,29 @@ class Pipeline:
 
             if not key:
                 raise ValueError("curate.sa_pipeline needs 'key'")
+            # strict key validation: a silently-ignored typo here is a
+            # CORRECTNESS hazard for the product surface — e.g. a
+            # misspelled "benchmark_filter" would run the whole
+            # pipeline WITHOUT decontamination and report success
+            known = {
+                "type", "method", "name", "key", "field",
+                "benchmark_filter", "grain", "tile", "min_len",
+                "compare_cap", "bucket_len", "max_bucket", "bpe_iters",
+                "quota", "carry", "data_type",
+            }
+            unknown = set(step) - known
+            if unknown:
+                raise ValueError(
+                    f"curate.sa_pipeline: unknown option(s) "
+                    f"{sorted(unknown)}; known: {sorted(known - {'type', 'method', 'name', 'data_type'})}"
+                )
+            q_known = {"strata", "max_per_stratum"}
+            q_unknown = set(step.get("quota") or {}) - q_known
+            if q_unknown:
+                raise ValueError(
+                    f"curate.sa_pipeline quota: unknown option(s) "
+                    f"{sorted(q_unknown)}; known: {sorted(q_known)}"
+                )
             bf = step.get("benchmark_filter")
             train = df.filter(f"NOT ({bf})") if bf else df
             bench = df.filter(bf) if bf else None

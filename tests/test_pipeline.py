@@ -856,6 +856,30 @@ def test_curate_step_sa_pipeline_bpe_grain_matches_flagship(spark, sf_dir):
     ) == canonical_rows(list(rel.columns), rel.fetchall())
 
 
+def test_curate_step_sa_pipeline_rejects_unknown_keys(spark):
+    """A misspelled sa_pipeline option must FAIL LOUDLY: a silently
+    ignored "benchmark_filte" would run the whole pipeline without
+    decontamination and report success."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from chewdata_spark.pipeline import Pipeline
+
+    cfg = [
+        {"type": "reader", "connector": {"type": "in_memory",
+         "data": _json.dumps([{"doc_id": 1, "text": "a b c d e f"}])}},
+        {"type": "curate", "method": "sa_pipeline", "key": "doc_id",
+         "benchmark_filte": "doc_id % 2 = 0"},
+    ]
+    with _pytest.raises(ValueError, match="benchmark_filte"):
+        Pipeline(cfg, spark).dataframe()
+    cfg[1] = {"type": "curate", "method": "sa_pipeline", "key": "doc_id",
+              "quota": {"strata": "src", "max_per_strtum": 3}}
+    with _pytest.raises(ValueError, match="max_per_strtum"):
+        Pipeline(cfg, spark).dataframe()
+
+
 def test_curate_step_rejects_unknown_method(spark):
     import json
 
