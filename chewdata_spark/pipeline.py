@@ -585,6 +585,43 @@ class Pipeline:
         method = step.get("method")
         key = step.get("key")
         field = step.get("field", "text")
+        # strict option validation for EVERY method: a silently-ignored
+        # typo is a correctness hazard on the config surface (e.g. a
+        # misspelled threshold runs with the default and reports
+        # success) — unknown keys fail loudly instead
+        _method_keys = {
+            "exact_dedup": {"fields"},
+            "minhash_dedup": {"threshold", "max_bucket"},
+            "quality_filter": {"min_quality"},
+            "language_filter": {"lang"},
+            "gopher_filter": set(),
+            "classifier_filter": {"dim", "weights", "salt", "min_score"},
+            "dsir_select": {"target_field", "target_value", "dim",
+                            "top_frac", "min_log_importance"},
+            "logprob_filter": {"drop_frac"},
+            "sa_pipeline": {"benchmark_filter", "grain", "tile", "min_len",
+                            "compare_cap", "bucket_len", "max_bucket",
+                            "bpe_iters", "quota", "carry"},
+            "sample": {"strata", "rates", "default_rate"},
+            "split": {"val", "test"},
+            "lines_dedup": {"min_words"},
+            "span_cut": {"k"},
+            "decontaminate": {"benchmark", "benchmark_field", "n",
+                              "min_hits"},
+        }
+        if method in _method_keys:
+            known = _method_keys[method] | {
+                "type", "method", "name", "key", "field", "data_type",
+            }
+            # underscore-prefixed keys pass (the "_comment" JSON idiom)
+            unknown = {
+                k for k in set(step) - known if not k.startswith("_")
+            }
+            if unknown:
+                raise ValueError(
+                    f"curate.{method}: unknown option(s) {sorted(unknown)}; "
+                    f"known: {sorted(_method_keys[method])}"
+                )
         if method == "exact_dedup":
             if not key:
                 raise ValueError("curate.exact_dedup needs 'key' (deterministic survivor)")
@@ -727,22 +764,6 @@ class Pipeline:
 
             if not key:
                 raise ValueError("curate.sa_pipeline needs 'key'")
-            # strict key validation: a silently-ignored typo here is a
-            # CORRECTNESS hazard for the product surface — e.g. a
-            # misspelled "benchmark_filter" would run the whole
-            # pipeline WITHOUT decontamination and report success
-            known = {
-                "type", "method", "name", "key", "field",
-                "benchmark_filter", "grain", "tile", "min_len",
-                "compare_cap", "bucket_len", "max_bucket", "bpe_iters",
-                "quota", "carry", "data_type",
-            }
-            unknown = set(step) - known
-            if unknown:
-                raise ValueError(
-                    f"curate.sa_pipeline: unknown option(s) "
-                    f"{sorted(unknown)}; known: {sorted(known - {'type', 'method', 'name', 'data_type'})}"
-                )
             q_known = {"strata", "max_per_stratum"}
             q_unknown = set(step.get("quota") or {}) - q_known
             if q_unknown:
