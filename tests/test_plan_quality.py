@@ -990,6 +990,27 @@ def test_curate_pipeline_decontam_sa_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_curate_config_decontam_sa_plan_matches_direct(spark, sf_dir):
+    # the config-compiled flagship must carry the DIRECT query's plan
+    # contract through Pipeline's reader + curate-step compilation:
+    # same <= 5 executed scans (verified equal shape: 5 scans / 0
+    # Python on both paths), no Deduplicate, nothing drops to Python
+    # — a compiler regression (lost pruning, an extra materialization,
+    # a stray UDF) shows up here before it shows up in bench numbers.
+    import re
+
+    from chewdata_spark.queries.curation_queries import (
+        curate_config_decontam_sa,
+    )
+
+    df = curate_config_decontam_sa(spark, sf_dir)
+    df.collect()
+    plan = formatted_plan(df).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Scan parquet", plan)) <= 5, plan
+    assert "Deduplicate" not in df._jdf.queryExecution().optimizedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_curate_pipeline_decontam_sa_tokens_plan_shape(spark, sf_dir):
     # the token-grain flagship inherits the char flagship's plan
     # contract through the SHARED core (sa_curate_corpus): training
