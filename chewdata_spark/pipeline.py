@@ -573,10 +573,11 @@ class Pipeline:
 
         methods: exact_dedup | minhash_dedup | quality_filter |
         language_filter | gopher_filter | classifier_filter |
-        dsir_select | logprob_filter | sample | split | sa_pipeline
-        (the Lee et al. 2022 flagship — tiled-SA whole-repeat cut,
-        optional benchmark decontamination, per-stratum quota, char or
-        BPE grain).  Every method is the same operator the query
+        dsir_select | logprob_filter | sample | split | lines_dedup |
+        span_cut | decontaminate | pack | shard_shuffle | quota |
+        sa_pipeline (the Lee et al. 2022 flagship — tiled-SA
+        whole-repeat cut, optional benchmark decontamination,
+        per-stratum quota, at char / token / BPE grain).  Every method is the same operator the query
         registry exposes; determinism rules (md5 coins, min-key
         survivors) carry over unchanged.
         """
@@ -604,6 +605,9 @@ class Pipeline:
                             "bpe_iters", "quota", "carry"},
             "sample": {"strata", "rates", "default_rate"},
             "split": {"val", "test"},
+            "pack": {"seq_len"},
+            "shard_shuffle": {"num_shards", "seed"},
+            "quota": {"strata", "max_per_stratum", "seed"},
             "lines_dedup": {"min_words"},
             "span_cut": {"k"},
             "decontaminate": {"benchmark", "benchmark_field", "n",
@@ -816,6 +820,50 @@ class Pipeline:
                 {k: float(v) for k, v in (step.get("rates") or {}).items()},
                 key,
                 default_rate=float(step.get("default_rate", 1.0)),
+            )
+        if method == "pack":
+            # GPT-style concat-and-chunk packing manifest: each record
+            # gains its global token offset + first/last sequence index
+            # under `seq_len`-token sequences (whitespace token counts
+            # over `field`) — the same distributed-prefix-sum operator
+            # as the pack_sequences registry query
+            from chewdata_spark.operators.curation import pack_sequences
+
+            if not key:
+                raise ValueError("curate.pack needs 'key'")
+            n_tokens = F.size(
+                F.split(F.trim(F.lower(F.col(field))), r"\s+")
+            )
+            manifest = pack_sequences(
+                df, key, n_tokens, seq_len=int(step.get("seq_len", 512))
+            ).withColumnRenamed("doc_id", key)
+            return df.join(manifest, key)
+        if method == "shard_shuffle":
+            # deterministic training-order shuffle: md5-placed shard +
+            # in-shard position, bit-reproducible, no global sort
+            from chewdata_spark.operators.curation import shard_shuffle
+
+            if not key:
+                raise ValueError("curate.shard_shuffle needs 'key'")
+            return shard_shuffle(
+                df, key,
+                num_shards=int(step.get("num_shards", 16)),
+                seed=str(step.get("seed", "0")),
+            )
+        if method == "quota":
+            # standalone anti-domination cap (the sa_pipeline's final
+            # stage as its own step): first N rows per stratum in
+            # deterministic md5 order
+            from chewdata_spark.operators.curation import stratum_quota
+
+            if not key:
+                raise ValueError("curate.quota needs 'key'")
+            return stratum_quota(
+                df,
+                step.get("strata", "source"),
+                key,
+                max_per_stratum=int(step.get("max_per_stratum", 1000)),
+                seed=str(step.get("seed", "0")),
             )
         if method == "split":
             from chewdata_spark.operators.curation import train_val_test_split

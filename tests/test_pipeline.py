@@ -856,6 +856,57 @@ def test_curate_step_sa_pipeline_bpe_grain_matches_flagship(spark, sf_dir):
     ) == canonical_rows(list(rel.columns), rel.fetchall())
 
 
+def test_curate_step_pack_shard_quota_match_operators(spark):
+    """The three training-assembly config methods are 1:1 with their
+    operators: pack emits the same manifest as pack_sequences, the
+    shuffle and quota survivor sets are deterministic md5 decisions
+    (identical across two compiles)."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from chewdata_spark.operators.curation import (
+        pack_sequences,
+        shard_shuffle,
+        stratum_quota,
+    )
+    from chewdata_spark.pipeline import Pipeline
+
+    rows = [{"id": i, "src": f"s{i % 3}",
+             "text": " ".join(f"w{j}" for j in range(5 + i % 7))}
+            for i in range(60)]
+    rd = {"type": "reader",
+          "connector": {"type": "in_memory", "data": _json.dumps(rows)}}
+    df = spark.createDataFrame(
+        [(r["id"], r["src"], r["text"]) for r in rows],
+        "id long, src string, text string",
+    )
+
+    got = Pipeline([rd, {"type": "curate", "method": "pack", "key": "id",
+                         "seq_len": 16}], spark).dataframe()
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    want = pack_sequences(df, "id", n_tokens, seq_len=16)
+    assert sorted((r.id, r.start_offset, r.first_seq, r.last_seq)
+                  for r in got.collect()) == sorted(
+        (r.doc_id, r.start_offset, r.first_seq, r.last_seq)
+        for r in want.collect())
+
+    got = Pipeline([rd, {"type": "curate", "method": "shard_shuffle",
+                         "key": "id", "num_shards": 4, "seed": "z"}],
+                   spark).dataframe()
+    want = shard_shuffle(df, "id", num_shards=4, seed="z")
+    assert sorted((r.id, r.shard, r.pos) for r in got.collect()) == sorted(
+        (r.id, r.shard, r.pos) for r in want.collect())
+
+    got = Pipeline([rd, {"type": "curate", "method": "quota", "key": "id",
+                         "strata": "src", "max_per_stratum": 5}],
+                   spark).dataframe()
+    want = stratum_quota(df, "src", "id", max_per_stratum=5)
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in want.collect())
+    assert got.count() == 15  # 3 strata x 5
+
+
 def test_curate_step_sa_pipeline_rejects_unknown_keys(spark):
     """A misspelled sa_pipeline option must FAIL LOUDLY: a silently
     ignored "benchmark_filte" would run the whole pipeline without
