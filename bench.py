@@ -235,6 +235,12 @@ CONSTRUCT_EACH_EXTRA: set[str] = {
     "curate_pipeline_decontam_sa_bpe",
     "dedup_cut_spans_sa_bpe",
     "dedup_incremental_ingest_sa_bpe",
+    # int_alphabet="auto" runs its vocabulary probe (explode +
+    # distinct + capped collect over both corpus sides) at query
+    # CONSTRUCTION; neither query carries a checkpoint, so without
+    # this the probe's scans would sit outside the timer
+    "dedup_incremental_ingest_sa_tokens",
+    "decontaminate_cut_spans_sa_tokens",
 }
 
 

@@ -1218,15 +1218,15 @@ def sa_curate_corpus(
         ptrain = bpe_encode_corpus_rules(
             lined, "doc_id", "text", rules
         ).select("doc_id", "pieces").localCheckpoint(eager=False)
-        rmarks = repeat_spans_sa_tokens_tiled(
-            ptrain, "doc_id", "pieces", tile=compare_cap, min_tokens=min_len
-        ).select(
-            "doc_id",
-            F.col("span_start").alias("s"),
-            F.col("span_end").alias("e"),
+        rtiled = repeat_spans_sa_tokens_tiled(
+            ptrain, "doc_id", "pieces", tile=tile, min_tokens=min_len
         )
-        marks = rmarks
         if evaln is not None:
+            rmarks = rtiled.select(
+                "doc_id",
+                F.col("span_start").alias("s"),
+                F.col("span_end").alias("e"),
+            )
             pbench = bpe_encode_corpus_rules(
                 evaln, "doc_id", "text", rules
             ).select("doc_id", "pieces").localCheckpoint(eager=False)
@@ -1241,20 +1241,22 @@ def sa_curate_corpus(
                 F.col("off").alias("s"),
                 (F.col("off") + F.col("m") - 1).alias("e"),
             )
-            marks = rmarks.unionByName(cmarks)
-        decon = _cut_token_spans(
-            ptrain, "doc_id", "pieces", _merge_islands(marks)
-        )
+            spans = _merge_islands(rmarks.unionByName(cmarks))
+        else:
+            # the tiled repeat operator already returns MERGED islands
+            # — re-merging would add a redundant window + groupBy
+            spans = rtiled
+        decon = _cut_token_spans(ptrain, "doc_id", "pieces", spans)
         evidence = True
     elif grain == "token":
-        rmarks = repeat_spans_sa_tokens_tiled(
+        rtiled = repeat_spans_sa_tokens_tiled(
             lined, "doc_id", "text", tile=tile, min_tokens=min_len
-        ).select(
+        )
+        rmarks = rtiled.select(
             "doc_id",
             F.col("span_start").alias("s"),
             F.col("span_end").alias("e"),
         )
-        marks = rmarks
         if evaln is not None:
             # word-token vocabulary is UNBOUNDED by contract -> "auto"
             # probes it and int-encodes only when bounded in practice,
@@ -1271,10 +1273,10 @@ def sa_curate_corpus(
                 F.col("off").alias("s"),
                 (F.col("off") + F.col("m") - 1).alias("e"),
             )
-            marks = rmarks.unionByName(cmarks)
-        decon = _cut_token_spans(
-            lined, "doc_id", "text", _merge_islands(marks)
-        )
+            spans = _merge_islands(rmarks.unionByName(cmarks))
+        else:
+            spans = rtiled  # already merged by the tiled operator
+        decon = _cut_token_spans(lined, "doc_id", "text", spans)
         evidence = True
     elif evaln is not None:
         rmarks = repeat_spans_sa_tiled(

@@ -929,6 +929,21 @@ def _int_alphabet_encode(
     for toks in sides:
         v = toks.select(F.explode("toks").alias("_tok"))
         vocab = v if vocab is None else vocab.unionByName(v)
+    if soft:
+        # cheap pre-screen for the decline path: if a 2% sample's
+        # vocabulary already exceeds the cap, the full vocabulary does
+        # too (monotone) — decline without shuffling the full distinct
+        # of an unbounded word vocabulary.  A small sample vocabulary
+        # proves nothing, so the accept path still runs (and guards)
+        # the full probe below.
+        sample = (
+            vocab.sample(0.02, seed=7)
+            .distinct()
+            .limit(max_alphabet + 1)
+            .collect()
+        )
+        if len(sample) > max_alphabet:
+            return None
     rows = vocab.distinct().limit(max_alphabet + 1).collect()
     if len(rows) > max_alphabet:
         if soft:

@@ -776,8 +776,17 @@ class Pipeline:
                     f"{sorted(q_unknown)}; known: {sorted(q_known)}"
                 )
             bf = step.get("benchmark_filter")
-            train = df.filter(f"NOT ({bf})") if bf else df
-            bench = df.filter(bf) if bf else None
+            if bf:
+                # NULL-safe slicing: a row where the predicate is NULL
+                # (e.g. "source = 'eval'" on a NULL source) must land
+                # in the TRAINING slice, not silently vanish from both
+                # (SQL tri-valued logic drops NULL from filter AND its
+                # negation)
+                is_bench = F.coalesce(F.expr(bf), F.lit(False))
+                train = df.filter(~is_bench)
+                bench = df.filter(is_bench)
+            else:
+                train, bench = df, None
             carry = step.get("carry")
             if carry is None:
                 carry = [
@@ -834,9 +843,12 @@ class Pipeline:
             n_tokens = F.size(
                 F.split(F.trim(F.lower(F.col(field))), r"\s+")
             )
+            # drop the manifest's derived n_tokens: a token-annotated
+            # input corpus may already carry that column, and the join
+            # would produce a duplicate/ambiguous name downstream
             manifest = pack_sequences(
                 df, key, n_tokens, seq_len=int(step.get("seq_len", 512))
-            ).withColumnRenamed("doc_id", key)
+            ).withColumnRenamed("doc_id", key).drop("n_tokens")
             return df.join(manifest, key)
         if method == "shard_shuffle":
             # deterministic training-order shuffle: md5-placed shard +

@@ -2772,7 +2772,7 @@ def curate_pipeline_decontam_sa_bpe(
         docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
         benchmark=docs.filter(F.col("doc_id") % 2 == 0),
         grain="bpe", min_len=_BPE_SA_MIN_PIECES, compare_cap=64,
-        bucket_len=4, bpe_iters=_BPE_SA_ITERS,
+        tile=64, bucket_len=4, bpe_iters=_BPE_SA_ITERS,
         quota_col="source", max_per_stratum=15,
         carry=["lang", "source"],
     )

@@ -457,10 +457,38 @@ def test_sa_curate_corpus_bpe_repeat_only_contract(spark, sf_dir):
     rows = out.collect()
     assert len(rows) > 0
     assert len({r.doc_id for r in rows}) == len(rows)
+    # REAL conservation check: rebuild the piece streams with the same
+    # public operators the core composes (normalize -> corpus-global
+    # line dedup -> 16-merge train -> encode) and require
+    # kept + n_cut == total pieces for EVERY doc — a double-counting
+    # or dropped-piece bug in the cut stage fails here
+    from chewdata_spark.operators import dedup as D
+    from chewdata_spark.operators.text import normalize_text
+    from chewdata_spark.operators.tokenize import (
+        bpe_encode_corpus_rules,
+        bpe_train_rules,
+    )
+
+    norm = normalize_text(docs, "doc_id", "text").select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    lined = D.dedup_lines_global(norm, "doc_id", "text", min_words=5).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    rules = bpe_train_rules(lined, "text", iters=16)
+    totals = {
+        r.doc_id: r.n for r in bpe_encode_corpus_rules(
+            lined, "doc_id", "text", rules
+        ).select(
+            "doc_id",
+            F.size(F.split(F.trim("pieces"), r"\s+")).alias("n"),
+        ).collect()
+    }
+    assert any(r.n_cut > 0 for r in rows), "corpus should contain repeats"
     for r in rows:
         assert r.n_spans >= 0 and r.n_cut >= 0
-        kept = len(r.clean_text.split()) if r.clean_text.strip() else 0
-        # cut + kept = total pieces of the doc's stream
-        assert r.n_cut >= 0 and kept >= 0
         if r.n_spans == 0:
             assert r.n_cut == 0
+        kept = len(r.clean_text.split()) if r.clean_text.strip() else 0
+        assert kept + r.n_cut == totals[r.doc_id], (
+            r.doc_id, kept, r.n_cut, totals[r.doc_id])

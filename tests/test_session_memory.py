@@ -59,6 +59,11 @@ def test_detection_on_this_host_is_sane():
     assert mem.endswith(("g", "m"))
     mb = int(mem[:-1]) * (1024 if mem.endswith("g") else 1)
     # never more than ~45% of the ceiling, never above the 31g
-    # compressed-oops cap, never below Spark's practical minimum
+    # compressed-oops cap, never below Spark's practical minimum.
+    # The 46% bound only applies when the 512m floor is not binding:
+    # on a sub-~1.1 GiB cgroup the code DELIBERATELY returns 512m
+    # (its docstring defends the floor) and the proportional bound
+    # would contradict that design
     assert 512 <= mb <= 31 * 1024
-    assert mb << 20 <= int(total * 0.46) + (1 << 20)
+    if mb > 512:
+        assert mb << 20 <= int(total * 0.46) + (1 << 20)
