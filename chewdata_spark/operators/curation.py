@@ -1234,7 +1234,7 @@ def sa_curate_corpus(
                 ptrain, pbench, "doc_id", "pieces",
                 max_tokens=compare_cap, min_tokens=min_len,
                 bucket_tokens=bucket_len, max_bucket=max_bucket,
-                full_doc=True, int_alphabet=True,
+                full_doc=True, int_alphabet="auto",
             )
             cmarks = scored.filter(F.col("m") >= min_len).select(
                 "doc_id",

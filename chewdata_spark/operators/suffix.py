@@ -959,15 +959,39 @@ def _int_alphabet_encode(
     mapping = {tok: i + 1 for i, tok in enumerate(sorted(
         r["_tok"] for r in rows
     ))}
+    return [_apply_int_dictionary(t, mapping) for t in sides]
+
+
+def _apply_int_dictionary(
+    toks: DataFrame, mapping: dict[str, int]
+) -> DataFrame:
+    """Rewrite ``toks`` (array<string>) to array<int> under
+    ``mapping``, with an execution-time guard: a token absent from
+    the construction-time dictionary would encode to NULL, and NULL
+    equality halts the LCP fold — silently under-reporting ``m``.
+    That can only happen if the input relation differs between the
+    probe collect and execution (non-deterministic or re-evaluated
+    upstream); fail loudly instead of corrupting scores."""
     pairs = [F.lit(x) for kv in mapping.items() for x in kv]
     mp = F.create_map(*pairs) if pairs else F.create_map()
-
-    def _enc(toks: DataFrame) -> DataFrame:
-        return toks.withColumn(
-            "toks", F.transform(F.col("toks"), lambda t: mp[t])
-        )
-
-    return [_enc(t) for t in sides]
+    return toks.withColumn(
+        "toks",
+        F.transform(
+            F.col("toks"),
+            lambda t: F.coalesce(
+                mp[t],
+                F.raise_error(F.concat(
+                    F.lit(
+                        "int-alphabet encode: token absent from "
+                        "construction-time dictionary (upstream "
+                        "relation changed between probe and "
+                        "execution): "
+                    ),
+                    t,
+                )).cast("int"),
+            ),
+        ),
+    )
 
 
 def sa_contamination_scores_tokens(

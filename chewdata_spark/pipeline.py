@@ -769,7 +769,17 @@ class Pipeline:
             if not key:
                 raise ValueError("curate.sa_pipeline needs 'key'")
             q_known = {"strata", "max_per_stratum"}
-            q_unknown = set(step.get("quota") or {}) - q_known
+            q_raw = step.get("quota")
+            if q_raw is not None and not isinstance(q_raw, dict):
+                # a string like "quota": "source" would otherwise
+                # set()-iterate into characters and produce a
+                # confusing unknown-option list of single letters
+                raise ValueError(
+                    "curate.sa_pipeline quota must be an object, e.g. "
+                    '{"strata": "source", "max_per_stratum": 15}; got '
+                    f"{type(q_raw).__name__}"
+                )
+            q_unknown = set(q_raw or {}) - q_known
             if q_unknown:
                 raise ValueError(
                     f"curate.sa_pipeline quota: unknown option(s) "

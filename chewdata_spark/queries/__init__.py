@@ -69,7 +69,9 @@ _DRIVER_CHECKED = {
     "corpus_diff_manifest", "corpus_manifest", "corpus_summary_report",
     "corpus_top_terms", "corpus_vocab_ids", "corpus_zipf_fit", "cosine_topk",
     "countmin_sketch_terms", "cube_order_stats", "curate_corpus",
+    "curate_config_decontam_sa",
     "curate_pipeline_decontam_sa", "curate_pipeline_decontam_sa_bpe",
+    "curate_pipeline_decontam_sa_tokens",
     "curate_pipeline_full", "curate_pipeline_full_sa",
     "curation_audit_report", "curriculum_phases",
     "customer_order_stats", "customer_rfm_segments",

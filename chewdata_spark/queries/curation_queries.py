@@ -2901,9 +2901,12 @@ def curate_pipeline_decontam_sa_tokens(
     decontaminate_cut_spans_sa_tokens) -> ONE island merge + ONE
     token splice (whitespace-normalized reassembly) -> per-source
     quota.  Token grain is what Lee et al. 2022 match on for
-    formatting robustness; the word-token vocabulary is UNBOUNDED by
-    contract so the scorer stays on the string-array path (the
-    int-alphabet device is reserved for trained-piece alphabets).
+    formatting robustness.  The scorer auto-probes the vocabulary
+    (int_alphabet="auto"): it int-encodes when the word vocabulary
+    happens to fit the bounded-dictionary cap (small corpora, e.g.
+    testdata's 31-word vocabulary) and falls back to the
+    bit-identical string-array path when it is unbounded — which a
+    real corpus-scale word vocabulary always is.
 
     Body = the shared pipeline core
     (operators/curation.py::sa_curate_corpus, grain="token") — the

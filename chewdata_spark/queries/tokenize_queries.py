@@ -740,14 +740,16 @@ def dedup_incremental_ingest_sa_bpe(
     # pieces give ~10^6 possible buckets (5.1 s).  Declared sub-bucket
     # grain: shares shorter than 4 pieces score 0 — irrelevant to the
     # >= 9 decision, mirrored exactly by the oracle.
-    # int_alphabet: trained-piece vocabulary is bounded by construction
-    # -> rank-ordered int arrays through the scorer, bit-identical m
-    # (see operators/suffix.py::_int_alphabet_encode)
+    # int_alphabet="auto": the trained-piece vocabulary is merges +
+    # distinct base characters, so a Unicode-heavy corpus can exceed
+    # max_alphabet; auto probes and falls back to the bit-identical
+    # string path instead of raising (operators/suffix.py::
+    # _int_alphabet_encode)
     gate = sa_incremental_contamination_tokens(
         new, seen, "doc_id", "pieces",
         max_tokens=64, min_tokens=_BPE_SA_MIN_PIECES,
         bucket_tokens=4, max_bucket=10_000,
-        int_alphabet=True,
+        int_alphabet="auto",
     )
     return gate.select(
         "doc_id",
@@ -836,8 +838,10 @@ def contamination_grain_agreement(
         "doc_id", "pieces",
         max_tokens=64, min_tokens=_BPE_SA_MIN_PIECES,
         bucket_tokens=4, max_bucket=10_000,
-        # bounded trained-piece vocabulary -> int-array scorer
-        int_alphabet=True,
+        # auto: int-array scorer when the piece vocabulary fits
+        # max_alphabet, bit-identical string fallback otherwise
+        # (Unicode-heavy corpora push base chars past the cap)
+        int_alphabet="auto",
     ).select("doc_id", F.col("max_shared_tokens").alias("m_piece"))
     spine = new.select("doc_id")
     out = (

@@ -929,6 +929,12 @@ def test_curate_step_sa_pipeline_rejects_unknown_keys(spark):
               "quota": {"strata": "src", "max_per_strtum": 3}}
     with _pytest.raises(ValueError, match="max_per_strtum"):
         Pipeline(cfg, spark).dataframe()
+    # non-dict quota must get a clear type error, not a per-character
+    # unknown-option list from set("source")
+    cfg[1] = {"type": "curate", "method": "sa_pipeline", "key": "doc_id",
+              "quota": "source"}
+    with _pytest.raises(ValueError, match="quota must be an object"):
+        Pipeline(cfg, spark).dataframe()
 
 
 def test_curate_step_rejects_unknown_method(spark):

@@ -1357,6 +1357,28 @@ def test_int_alphabet_guard_raises_on_unbounded_vocab(spark):
     assert got2 == ref
 
 
+def test_int_dictionary_unmapped_token_fails_loudly(spark):
+    """A token absent from the construction-time dictionary must
+    RAISE at execution, not encode to NULL: NULL equality halts the
+    LCP fold and silently under-reports m.  (Only reachable when the
+    upstream relation changes between the probe collect and
+    execution — e.g. non-deterministic input.)"""
+    import pytest
+
+    from chewdata_spark.operators.suffix import _apply_int_dictionary
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "zz_unmapped"])],
+        "doc_id int, toks array<string>",
+    )
+    ok = _apply_int_dictionary(
+        df.filter("doc_id = 1"), {"a": 1, "b": 2}
+    ).collect()
+    assert sorted(ok[0]["toks"]) == [1, 2]
+    with pytest.raises(Exception, match="construction-time dictionary"):
+        _apply_int_dictionary(df, {"a": 1, "b": 2}).collect()
+
+
 def test_grain_agreement_consistent_with_gates(spark, sf_dir):
     """contamination_grain_agreement must agree row-for-row with the
     three standalone gates it composes: a doc appears iff some grain
