@@ -761,6 +761,40 @@ def hashed_classifier_score(
     ).withColumn("keep", F.col("clf_score") >= 0.5)
 
 
+def classifier_score_expr(
+    text_col: str, weight_map: dict[int, float], dim: int
+) -> Column:
+    """``hashed_classifier_score``'s sigmoid score as ONE per-row
+    expression: ``sigmoid(Σ sign·w[feature] / n_tokens)`` folded over
+    the token array with the weight table inlined as a literal map —
+    the stream-capable form (no explode, no per-doc aggregation, no
+    join back; a streaming relation can filter on it directly).
+
+    Same hashing, sign rule, zero-default for pruned dims, and 6-dp
+    rounding as the relational path; the only difference is FP
+    summation order (per-token fold vs per-feature partial sums),
+    which the rounding absorbs.  ``weight_map`` is bounded by ``dim``
+    (the hashing-trick feature space, typically 256-4096) — a literal
+    map of that size is broadcast-scale by construction."""
+    pairs = [
+        F.lit(x) for d, w in sorted(weight_map.items()) for x in (d, float(w))
+    ]
+    mp = F.create_map(*pairs) if pairs else F.create_map()
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    def term(acc: Column, t: Column) -> Column:
+        sign_digit = (
+            F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(t), 5, 1))
+            - 1
+        )
+        sign = F.when(sign_digit % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        feat = md5_hex16(t) % dim
+        return acc + sign * F.coalesce(mp[feat], F.lit(0.0))
+
+    logit = F.aggregate(toks, F.lit(0.0), term) / F.size(toks)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+
+
 def _nb_doc_features(
     df: DataFrame, id_col: str, text_col: str, label: Column, *, dim: int
 ) -> DataFrame:

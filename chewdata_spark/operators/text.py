@@ -435,17 +435,12 @@ def segment_sentences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 _GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_quality_gate(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """The Gopher document-quality rules (Rae et al. 2021 §A1.1) as ONE
-    projection — word-count band, mean word length band, symbol-to-word
-    ratio, bullet/ellipsis line fractions, alphabetic-word fraction and
-    the required-stopword count, plus the conjunctive ``passed`` gate.
-
-    Zero shuffle: every rule is a per-row expression over the token and
-    line arrays (higher-order filters run on short arrays, outside any
-    hot join path).  The gate booleans derive from the ROUNDED metrics
-    so an oracle reproduces the decision bit-for-bit.
-    """
+def _gopher_metric_exprs(text_col: str) -> dict:
+    """The seven Gopher document-quality metrics (Rae et al. 2021
+    §A1.1) as per-row expressions, each rounded so an oracle replays
+    the downstream gate decisions bit-for-bit.  Shared by the batch
+    gate relation and the streaming per-row predicate — ONE definition
+    so the two surfaces can never drift."""
     t = F.trim(F.col(text_col))
     toks = F.split(F.lower(t), r"\s+")
     n_words = F.size(toks)
@@ -474,15 +469,32 @@ def gopher_quality_gate(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
         )
     )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "n_stopwords": n_stop,
+    }
+
+
+def gopher_quality_gate(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021 §A1.1) as ONE
+    projection — word-count band, mean word length band, symbol-to-word
+    ratio, bullet/ellipsis line fractions, alphabetic-word fraction and
+    the required-stopword count, plus the conjunctive ``passed`` gate.
+
+    Zero shuffle: every rule is a per-row expression over the token and
+    line arrays (higher-order filters run on short arrays, outside any
+    hot join path).  The gate booleans derive from the ROUNDED metrics
+    so an oracle reproduces the decision bit-for-bit.
+    """
+    m = _gopher_metric_exprs(text_col)
     out = df.select(
         F.col(id_col).alias("doc_id"),
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        n_stop.alias("n_stopwords"),
+        *[expr.alias(name) for name, expr in m.items()],
     )
     passed = (
         F.col("n_words").between(50, 100000)
@@ -494,6 +506,24 @@ def gopher_quality_gate(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         & (F.col("n_stopwords") >= 2)
     )
     return out.withColumn("passed", passed)
+
+
+def gopher_passed_expr(text_col: str) -> Column:
+    """The conjunctive Gopher gate as a single per-row boolean over the
+    SAME rounded metric expressions as ``gopher_quality_gate`` — the
+    stream-capable form (a streaming relation cannot semi-join against
+    a gate relation derived from itself without watermark state; a
+    per-row predicate needs none)."""
+    m = _gopher_metric_exprs(text_col)
+    return (
+        m["n_words"].between(50, 100000)
+        & m["mean_word_len"].between(3, 10)
+        & (m["symbol_ratio"] <= 0.1)
+        & (m["bullet_line_frac"] <= 0.9)
+        & (m["ellipsis_line_frac"] <= 0.3)
+        & (m["alpha_word_frac"] >= 0.8)
+        & (m["n_stopwords"] >= 2)
+    )
 
 
 def blocklist_hits(

@@ -167,6 +167,15 @@ class Pipeline:
         """Compile and execute: every writer saves; returns (final df, writes)."""
         return self._compile(execute_writes=True)
 
+    @property
+    def stream_output_mode(self) -> str:
+        """Output mode a streaming sink must use for the last compiled
+        relation: ``complete`` once a stateful aggregation (streaming
+        ``exact_dedup``) is in the plan, else ``append``.  Meaningful
+        only after ``dataframe()``/``run()`` on a ``stream: true``
+        pipeline."""
+        return getattr(self, "_stream_output_mode", "append")
+
     def _compile(self, *, execute_writes: bool) -> tuple[DataFrame, list[WriteResult]]:
         spark = self.spark or SparkSession.active()
         self.steps = [_normalize_step(s) for s in self.steps]
@@ -188,6 +197,7 @@ class Pipeline:
         )
         self._erased_paths = set()
         self._erase_excluded = set()
+        self._stream_output_mode = "append"
         for s in self.steps:
             if s.get("type") != "eraser":
                 continue
@@ -452,6 +462,22 @@ class Pipeline:
         conn = step.get("connector", {})
         doc = step.get("document", {})
         ctype = conn.get("type", "local")
+        if step.get("stream") or conn.get("stream"):
+            # "stream": true on the reader step turns the WHOLE
+            # pipeline into a Structured Streaming job: the same path
+            # is consumed as a file-source stream (new files become
+            # micro-batches), downstream steps compile onto the
+            # unbounded relation, and writers run through foreachBatch
+            # (availableNow).  The reference's execution model is
+            # itself stream-shaped — async record channels between
+            # steps (src/lib.rs:85-89) — so this is its semantics
+            # expressed with real unbounded processing.
+            if ctype != "local":
+                raise ValueError(
+                    "stream: true is supported on local file readers "
+                    f"(parquet/json/csv/text); got connector {ctype!r}"
+                )
+            return self._read_stream(spark, step)
         if ctype == "in_memory":
             data = conn.get("data", conn.get("memory", "[]"))
             records = json.loads(data) if isinstance(data, str) else data
@@ -520,6 +546,44 @@ class Pipeline:
 
             return read_stdin(spark)
         raise ValueError(f"unsupported connector type {ctype!r}")
+
+    def _read_stream(self, spark: SparkSession, step: dict) -> DataFrame:
+        """File-source streaming reader for ``"stream": true`` steps.
+
+        The schema comes from an explicit ``document.schema`` when
+        given, else a one-time batch probe of the files already at the
+        path (file streams require a declared schema — inference would
+        race arriving files).  A bare file path gets a trailing glob so
+        the source watches the directory pattern, matching the
+        convention of the registry's streaming queries."""
+        from chewdata_spark.streaming.ops import read_stream_directory
+
+        conn = step.get("connector", {})
+        doc = step.get("document", {})
+        path = conn["path"]
+        if _METADATA_HOLE.search(path):
+            path = _resolve_metadata_holes(path, doc.get("type", "json"))
+        fmt = doc.get("type", _guess_format(path))
+        if fmt == "jsonl":
+            fmt = "json"
+        if fmt not in ("parquet", "json", "csv", "text"):
+            raise ValueError(
+                f"stream: true supports parquet/json/jsonl/csv/text; "
+                f"got document type {fmt!r}"
+            )
+        schema = doc.get("schema")
+        if not schema:
+            probe = read_document(
+                spark, path, doc.get("type", fmt),
+                entry_path=doc.get("entry_path"),
+                options=doc.get("options") or {},
+            )
+            schema = probe.schema
+        glob_path = path if any(c in path for c in "*?[") else path + "*"
+        return read_stream_directory(
+            spark, glob_path, fmt, schema,
+            options=doc.get("options") or {},
+        )
 
     def _transform(self, spark: SparkSession, step: dict, df: DataFrame) -> DataFrame:
         ref_cfgs = step.get("referentials") or step.get("refs") or {}
@@ -626,6 +690,15 @@ class Pipeline:
                     f"curate.{method}: unknown option(s) {sorted(unknown)}; "
                     f"known: {sorted(_method_keys[method])}"
                 )
+        _stream_capable = {
+            "exact_dedup", "quality_filter", "language_filter",
+            "gopher_filter", "classifier_filter",
+        }
+        if df.isStreaming and method not in _stream_capable:
+            raise ValueError(
+                f"curate.{method} is not stream-capable; methods usable "
+                f"under a 'stream: true' reader: {sorted(_stream_capable)}"
+            )
         if method == "exact_dedup":
             if not key:
                 raise ValueError("curate.exact_dedup needs 'key' (deterministic survivor)")
@@ -633,6 +706,24 @@ class Pipeline:
             content = F.concat_ws(
                 "\x1f", *[F.col(c).cast("string") for c in fields]
             )
+            if df.isStreaming:
+                # Streaming form with the SAME survivor rule as batch
+                # (min key per content signature): a stateful
+                # aggregation keeping min_by(full row, key) per sig.
+                # dropDuplicates would be arrival-order-dependent;
+                # min_by is deterministic under ANY micro-batch order,
+                # so an availableNow run hash-matches the batch
+                # pipeline.  Requires complete output mode (recorded
+                # for the sink); state is one row per distinct
+                # signature — the same cardinality the batch shuffle
+                # carries.
+                self._stream_output_mode = "complete"
+                cols = df.columns
+                return (
+                    df.groupBy(F.md5(content).alias("_cur_sig"))
+                    .agg(F.min_by(F.struct(*cols), F.col(key)).alias("_row"))
+                    .select("_row.*")
+                )
             w = Window.partitionBy(F.md5(content)).orderBy(F.col(key).asc())
             return (
                 df.withColumn("_cur_rn", F.row_number().over(w))
@@ -675,10 +766,19 @@ class Pipeline:
 
             return df.filter(_lang_pred_expr(field) == step.get("lang", "en"))
         if method == "gopher_filter":
-            from chewdata_spark.operators.text import gopher_quality_gate
+            from chewdata_spark.operators.text import (
+                gopher_passed_expr,
+                gopher_quality_gate,
+            )
 
             if not key:
                 raise ValueError("curate.gopher_filter needs 'key'")
+            if df.isStreaming:
+                # the gate relation derives from df itself, so the
+                # batch semi-join would be a stream-stream self-join;
+                # the per-row predicate (same rounded metric exprs)
+                # needs no state at all
+                return df.filter(gopher_passed_expr(field))
             gate = gopher_quality_gate(df, key, field)
             passing = gate.filter(F.col("passed")).select(
                 F.col("doc_id").alias(key)
@@ -702,6 +802,22 @@ class Pipeline:
             else:
                 weights = synthetic_classifier_weights(
                     df.sparkSession, dim=dim, salt=str(step.get("salt", "qw"))
+                )
+            if df.isStreaming:
+                # per-row fold with the weight table inlined as a
+                # literal map (bounded by dim, broadcast-scale): the
+                # relational path's explode + per-doc aggregation +
+                # join-back is a stream-stream self-join
+                from chewdata_spark.operators.curation import (
+                    classifier_score_expr,
+                )
+
+                wmap = {
+                    int(r["dim"]): float(r["w"]) for r in weights.collect()
+                }
+                return df.filter(
+                    classifier_score_expr(field, wmap, dim)
+                    >= float(step.get("min_score", 0.5))
                 )
             scores = hashed_classifier_score(df, key, field, weights, dim=dim)
             kept = scores.filter(
@@ -1053,6 +1169,18 @@ class Pipeline:
         out = df.drop("_error") if "_error" in df.columns and _all_null_errors_ok(step) else df
         out = out.drop("_steps")  # context history is pipeline-internal
         single = bool(conn.get("single_file") or doc.get("single_file"))
+        if df.isStreaming:
+            if single or step.get("zorder_by"):
+                raise ValueError(
+                    "single_file / zorder_by writers are batch-only; "
+                    "remove them or drop 'stream: true' from the reader"
+                )
+            if execute:
+                self._write_stream_local(
+                    out, path, fmt, doc, mode, partition_cols,
+                    checkpoint=step.get("checkpoint"),
+                )
+            return WriteResult(path, fmt, out)
         if execute:
             if single and not partition_cols:
                 # reference single-file semantics (can_append splice,
@@ -1098,6 +1226,59 @@ class Pipeline:
                     options={**metadata_options(doc), **(doc.get("options") or {})},
                 )
         return WriteResult(path, fmt, out)
+
+    def _write_stream_local(
+        self,
+        out: DataFrame,
+        path: str,
+        fmt: str,
+        doc: dict,
+        mode: str,
+        partition_cols: list[str],
+        *,
+        checkpoint: str | None = None,
+    ) -> None:
+        """Streaming writer: every micro-batch goes through the SAME
+        batch ``write_document`` via foreachBatch, so all 11 document
+        formats work unchanged on a stream.  availableNow trigger —
+        the run drains the currently-available files and stops, which
+        is what a config-driven pipeline invocation means (a resident
+        service would pass a durable ``checkpoint`` and re-invoke; the
+        checkpoint makes re-runs pick up only NEW files).
+
+        Complete output mode (streaming exact_dedup upstream) re-emits
+        the full result each trigger, so each batch overwrites;
+        append mode writes batch 0 with the configured mode (overwrite
+        when an eraser folded in) and appends after."""
+        import tempfile
+
+        from chewdata_spark.sources.documents import (
+            metadata_options,
+            write_document,
+        )
+        from chewdata_spark.streaming.ops import run_foreach_batch
+
+        opts = {**metadata_options(doc), **(doc.get("options") or {})}
+        complete = self.stream_output_mode == "complete"
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            m = (
+                "overwrite"
+                if complete or (batch_id == 0 and mode == "overwrite")
+                else "append"
+            )
+            write_document(
+                batch_df, path, fmt, mode=m,
+                partition_by=partition_cols or None, options=opts,
+            )
+
+        run_foreach_batch(
+            out,
+            fn,
+            checkpoint=checkpoint
+            or tempfile.mkdtemp(prefix="cdsp_stream_ckpt_"),
+            output_mode=self.stream_output_mode,
+        )
 
 
 # reference step-type aliases (src/step/mod.rs:27-54)

@@ -791,6 +791,71 @@ QUERIES["curate_config_decontam_sa"] = curate_config_decontam_sa
 ORACLES["curate_config_decontam_sa"] = _curate_pipeline_decontam_sql()
 
 
+def stream_curate_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The config surface gone STREAMING: the same JSON step language
+    that drives the batch compiler, with ``"stream": true`` on the
+    reader — the file becomes a Structured Streaming source, the
+    curate filter steps compile onto the unbounded relation as per-row
+    predicates, and exact_dedup becomes the deterministic stateful
+    aggregation (min_by per content signature, complete mode), so an
+    availableNow run returns EXACTLY what the batch pipeline returns
+    on the same input regardless of micro-batch arrival order.  The
+    reference's execution model is itself stream-shaped (async record
+    channels, src/lib.rs:85-89); this is "config in -> streaming
+    curation out", certified by the same driver hash gate that
+    ``curate_config_decontam_sa`` passed for the batch twin."""
+    import json as _json
+    import os as _os
+
+    from chewdata_spark.pipeline import Pipeline
+    from chewdata_spark.streaming.ops import run_to_memory
+
+    cfg = _json.dumps([
+        {"type": "reader", "stream": True,
+         "connector": {"type": "local",
+                       "path": _os.path.join(sf_dir, "documents.parquet")},
+         "document": {"type": "parquet"}},
+        {"type": "curate", "method": "language_filter", "lang": "en"},
+        {"type": "curate", "method": "quality_filter", "min_quality": 0.6},
+        {"type": "curate", "method": "classifier_filter",
+         "key": "doc_id", "min_score": 0.46},
+        {"type": "curate", "method": "exact_dedup", "key": "doc_id"},
+    ])
+    p = Pipeline.from_json(cfg, spark)
+    stream = p.dataframe().select("doc_id", "lang", "source")
+    _STREAM_RUN["n"] += 1
+    return run_to_memory(
+        stream,
+        f"_stream_curate_config_{_STREAM_RUN['n']}",
+        output_mode=p.stream_output_mode,
+    )
+
+
+def _stream_curate_config_sql() -> str:
+    from chewdata_spark.queries.text_queries import (
+        QUALITY_SQL,
+        _language_id_sql,
+    )
+
+    return f"""
+WITH l AS (SELECT * FROM ({_language_id_sql()})),
+     q AS (SELECT * FROM ({QUALITY_SQL})),
+     c AS (SELECT * FROM ({CLASSIFIER_SQL})),
+     kept AS (
+       SELECT d.doc_id, d.lang, d.source, d.text
+       FROM documents d
+       JOIN l USING (doc_id) JOIN q USING (doc_id) JOIN c USING (doc_id)
+       WHERE l.lang_pred = 'en' AND q.quality >= 0.6 AND c.clf_score >= 0.46
+     )
+SELECT doc_id, lang, source FROM (
+    SELECT doc_id, lang, source,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+) WHERE rn = 1
+"""
+# (registration happens after CLASSIFIER_SQL is defined, below)
+
+
 
 
 
@@ -1255,6 +1320,8 @@ FROM scored
 
 QUERIES["classifier_quality_filter"] = classifier_quality_filter
 ORACLES["classifier_quality_filter"] = CLASSIFIER_SQL
+QUERIES["stream_curate_config"] = stream_curate_config
+ORACLES["stream_curate_config"] = _stream_curate_config_sql()
 
 
 # Shared SQL: heuristic-quality training label (the _quality_expr
@@ -3014,5 +3081,45 @@ FROM q WHERE rnk <= 15
 
 QUERIES["curate_pipeline_decontam_sa_tokens"] = curate_pipeline_decontam_sa_tokens
 ORACLES["curate_pipeline_decontam_sa_tokens"] = (
+    _curate_pipeline_decontam_tokens_sql()
+)
+
+
+def curate_config_decontam_sa_tokens(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TOKEN-grain decontaminating flagship run THROUGH THE CONFIG
+    COMPILER — extends the certificate ``curate_config_decontam_sa``
+    gave the char grain to a second grain of the ``sa_pipeline`` step
+    (pipeline.py grain-aware defaults: token = 5-token min_len /
+    64-tile / 2-token bucket / 32-token compare cap — exactly the
+    token flagship's conventions, so the config body below only names
+    the grain, the slice, the quota and the carry columns).  Checked
+    against the SAME composed five-stage token oracle as
+    ``curate_pipeline_decontam_sa_tokens``: a driver hash-match here
+    proves the JSON surface reaches ``sa_curate_corpus`` with the
+    documented defaults intact at a non-char grain."""
+    import json as _json
+    import os as _os
+
+    from chewdata_spark.pipeline import Pipeline
+
+    cfg = _json.dumps([
+        {"type": "reader",
+         "connector": {"type": "local",
+                       "path": _os.path.join(sf_dir, "documents.parquet")},
+         "document": {"type": "parquet"}},
+        {"type": "curate", "method": "sa_pipeline",
+         "key": "doc_id", "field": "text",
+         "benchmark_filter": "doc_id % 2 = 0",
+         "grain": "token",
+         "quota": {"strata": "source", "max_per_stratum": 15},
+         "carry": ["lang", "source"]},
+    ])
+    return Pipeline.from_json(cfg, spark).dataframe()
+
+
+QUERIES["curate_config_decontam_sa_tokens"] = curate_config_decontam_sa_tokens
+ORACLES["curate_config_decontam_sa_tokens"] = (
     _curate_pipeline_decontam_tokens_sql()
 )
