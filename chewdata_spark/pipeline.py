@@ -459,6 +459,20 @@ class Pipeline:
         return joined.withColumn(out_field, F.col("__v")).drop("__k", "__v", *params)
 
     def _read(self, spark: SparkSession, step: dict) -> DataFrame:
+        """Connector dispatch + the optional reader-level ``where``
+        clause — a SQL predicate applied at read time (any connector,
+        incl. sub-configs: referentials, decontaminate benchmarks,
+        streaming readers).  Declarative on purpose: Catalyst pushes
+        the predicate into the parquet/JDBC scan, so a config that
+        reads a slice never pays for the whole table — the config-
+        surface form of predicate pushdown."""
+        df = self._read_conn(spark, step)
+        where = step.get("where")
+        if where:
+            df = df.filter(F.expr(where))
+        return df
+
+    def _read_conn(self, spark: SparkSession, step: dict) -> DataFrame:
         conn = step.get("connector", {})
         doc = step.get("document", {})
         ctype = conn.get("type", "local")
@@ -693,6 +707,9 @@ class Pipeline:
         _stream_capable = {
             "exact_dedup", "quality_filter", "language_filter",
             "gopher_filter", "classifier_filter",
+            # hash-coin projections (zero state) and the stream-static
+            # benchmark overlap test (one complete-mode aggregation)
+            "sample", "split", "decontaminate",
         }
         if df.isStreaming and method not in _stream_capable:
             raise ValueError(
@@ -1058,6 +1075,10 @@ class Pipeline:
                 {**bench_cfg, "type": "reader"}
             ))
             bench_field = step.get("benchmark_field", field)
+            if df.isStreaming:
+                return self._decontaminate_stream(
+                    df, step, key, field, bench, bench_field
+                )
             hits = decontaminate(
                 df.select(F.col(key), F.col(field)),
                 bench.select(F.col(key).alias(key) if key in bench.columns
@@ -1072,6 +1093,74 @@ class Pipeline:
             ).select(F.col("doc_id").alias(key))
             return df.join(flagged, key, "left_anti")
         raise ValueError(f"unsupported curate method {method!r}")
+
+    def _decontaminate_stream(
+        self,
+        df: DataFrame,
+        step: dict,
+        key: str,
+        field: str,
+        bench: DataFrame,
+        bench_field: str,
+    ) -> DataFrame:
+        """Streaming form of ``curate.decontaminate`` with the SAME
+        keep/drop decision as the batch path, independent of
+        micro-batch arrival order.
+
+        The batch shape (gram explode -> broadcast benchmark semi-join
+        -> per-doc hit count -> LEFT ANTI join back) cannot stream: the
+        anti-join's flagged side derives from the stream itself — a
+        stream-stream self-join.  Instead everything folds into ONE
+        complete-mode streaming aggregation (the same device the
+        streaming ``exact_dedup`` uses): each row carries its full
+        struct through a gram explode (:func:`_word_ngrams` — the
+        documented per-row twin of the batch path's ``gram_rows``, same
+        trim+lower tokens / short-doc whole-text gram), stream-static
+        LEFT-joins the broadcast benchmark gram keys (eval data — MBs,
+        not TBs, exactly the batch operator's broadcast contract), and
+        a ``groupBy(key)`` counts hits while ``min(struct)`` carries
+        the row — rows below ``min_hits`` re-emit.  State is one row
+        per document, arrival-order-free by commutativity of min/sum.
+
+        Contract: ``key`` must uniquely identify rows (it is the doc
+        id everywhere in this surface); duplicate keys collapse to the
+        lexicographically-least row, where batch would keep every copy.
+        """
+        from chewdata_spark.operators.curation import _word_ngrams
+
+        self._stream_output_mode = "complete"
+        bench_grams = (
+            bench.select(
+                F.explode(_word_ngrams(bench_field, int(step.get("n", 4))))
+                .alias("g")
+            )
+            .select(F.md5("g").alias("_ctm_gram"))
+            .distinct()
+            .withColumn("_ctm_hit", F.lit(1))
+        )
+        grams = F.array_distinct(
+            F.transform(
+                _word_ngrams(field, int(step.get("n", 4))),
+                lambda g: F.md5(g),
+            )
+        )
+        cols = df.columns
+        exploded = df.select(
+            F.struct(*cols).alias("_ctm_row"),
+            F.explode_outer(grams).alias("_ctm_gram"),
+        )
+        return (
+            exploded.join(F.broadcast(bench_grams), "_ctm_gram", "left")
+            .groupBy(F.col(f"_ctm_row.{key}").alias("_ctm_key"))
+            .agg(
+                F.min("_ctm_row").alias("_ctm_row"),
+                F.sum(F.coalesce(F.col("_ctm_hit"), F.lit(0))).alias(
+                    "_ctm_hits"
+                ),
+            )
+            .filter(F.col("_ctm_hits") < int(step.get("min_hits", 1)))
+            .select("_ctm_row.*")
+        )
 
     def _validate(self, spark: SparkSession, step: dict, df: DataFrame) -> DataFrame:
         refs_cfg = step.get("referentials") or step.get("refs") or {}

@@ -856,6 +856,69 @@ SELECT doc_id, lang, source FROM (
 # (registration happens after CLASSIFIER_SQL is defined, below)
 
 
+def stream_decontam_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven STREAMING benchmark decontamination: the reader
+    step streams the training slice (the new reader-level ``where``
+    pushes the slice predicate into the scan), the ``decontaminate``
+    curate step's benchmark sub-reader reads the eval slice as a
+    static batch relation, and the keep/drop decision runs as ONE
+    complete-mode streaming aggregation over a stream-static broadcast
+    gram join (pipeline.py::_decontaminate_stream) — arrival-order-
+    independent, so an availableNow run hash-matches the batch
+    anti-join path.  This is the contamination gate a resident
+    ingest service needs: documents arrive as files, anything sharing
+    a word 4-gram with the benchmark never reaches the corpus.
+    Same slice convention as ``decontaminate_docs`` (doc_id % 97)."""
+    import json as _json
+    import os as _os
+
+    from chewdata_spark.pipeline import Pipeline
+    from chewdata_spark.streaming.ops import run_to_memory
+
+    path = _os.path.join(sf_dir, "documents.parquet")
+    cfg = _json.dumps([
+        {"type": "reader", "stream": True,
+         "where": "doc_id % 97 <> 0",
+         "connector": {"type": "local", "path": path},
+         "document": {"type": "parquet"}},
+        {"type": "curate", "method": "decontaminate",
+         "key": "doc_id", "field": "text", "n": 4,
+         "benchmark": {
+             "where": "doc_id % 97 = 0",
+             "connector": {"type": "local", "path": path},
+             "document": {"type": "parquet"}}},
+    ])
+    p = Pipeline.from_json(cfg, spark)
+    stream = p.dataframe().select("doc_id", "lang", "source")
+    _STREAM_RUN["n"] += 1
+    return run_to_memory(
+        stream,
+        f"_stream_decontam_config_{_STREAM_RUN['n']}",
+        output_mode=p.stream_output_mode,
+    )
+
+
+def _stream_decontam_config_sql() -> str:
+    return f"""
+WITH grams AS ({_ngrams_cte(4)}),
+bench AS (
+    SELECT DISTINCT md5(unnest(g)) AS gram_key FROM grams WHERE doc_id % 97 = 0
+),
+train AS (
+    SELECT doc_id, md5(unnest(list_distinct(g))) AS gram_key
+    FROM grams WHERE doc_id % 97 <> 0
+),
+hit AS (SELECT DISTINCT t.doc_id FROM train t JOIN bench b USING (gram_key))
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+"""
+
+
+QUERIES["stream_decontam_config"] = stream_decontam_config
+ORACLES["stream_decontam_config"] = _stream_decontam_config_sql()
+
+
 
 
 

@@ -219,3 +219,191 @@ def test_stream_classifier_scores_bit_match_batch(spark, sf_dir):
         ).collect()
     }
     assert fold == rel
+
+
+def test_stream_decontaminate_matches_batch_any_arrival_order(
+    spark, tmp_path
+):
+    """Streaming decontaminate (one complete-mode aggregation over a
+    stream-static broadcast gram join) keeps/drops the same docs as the
+    batch anti-join path, even with every file its own micro-batch —
+    including the zero-gram edge (NULL text survives both paths)."""
+    bench_path = os.path.join(str(tmp_path), "bench")
+    spark.createDataFrame(
+        [(100, "the secret eval answer is forty two")],
+        "doc_id int, text string",
+    ).write.parquet(bench_path)
+    rows = [
+        (1, "clean document with plain words only here"),
+        (2, "we think the secret eval answer is forty two exactly"),
+        (3, "another clean one nothing shared at all"),
+        (4, None),
+        (5, "forty two said the answer but grams differ here"),
+    ]
+    path = _write_docs_nullable(spark, str(tmp_path), rows, n_files=3)
+
+    def cfg(stream):
+        rd = {"type": "reader",
+              "connector": {"type": "local", "path": path},
+              "document": {"type": "parquet"}}
+        if stream:
+            rd["stream"] = True
+            rd["document"] = {"type": "parquet",
+                              "options": {"maxFilesPerTrigger": "1"}}
+        return [rd, {"type": "curate", "method": "decontaminate",
+                     "key": "doc_id", "n": 4,
+                     "benchmark": {
+                         "connector": {"type": "local",
+                                       "path": bench_path},
+                         "document": {"type": "parquet"}}}]
+
+    batch = sorted(
+        tuple(r)
+        for r in Pipeline(cfg(False), spark).dataframe().collect()
+    )
+    p = Pipeline(cfg(True), spark)
+    got = _collect_stream(p)
+    assert p.stream_output_mode == "complete"
+    # doc 2 shares the 4-grams "the secret eval answer" etc.; the rest
+    # (incl. the NULL-text doc) survive
+    assert sorted(r[0] for r in batch) == [1, 3, 4, 5]
+    assert got == batch
+
+
+def _write_docs_nullable(spark, tmpdir: str, rows, n_files: int = 1) -> str:
+    path = os.path.join(tmpdir, "docs_n")
+    per = max(1, (len(rows) + n_files - 1) // n_files)
+    for i in range(0, len(rows), per):
+        spark.createDataFrame(
+            rows[i:i + per], "doc_id int, text string"
+        ).coalesce(1).write.mode("append").parquet(path)
+    return path
+
+
+def test_stream_sample_and_split_match_batch(spark):
+    """The hash-coin projections (stratified sample, train/val/test
+    split) are stateless per-row decisions — identical rows out of the
+    streaming and batch compilers."""
+    def cfg(stream):
+        rd = {"type": "reader",
+              "connector": {"type": "local",
+                            "path": f"{SF}/documents.parquet"},
+              "document": {"type": "parquet"}}
+        if stream:
+            rd["stream"] = True
+        return [
+            rd,
+            {"type": "curate", "method": "sample", "key": "doc_id",
+             "strata": "source", "rates": {"web": 0.5},
+             "default_rate": 1.0},
+            {"type": "curate", "method": "split", "key": "doc_id"},
+        ]
+
+    cols = ["doc_id", "source", "split"]
+    batch = sorted(
+        tuple(r)
+        for r in Pipeline(cfg(False), spark)
+        .dataframe().select(*cols).collect()
+    )
+    got = _collect_stream(Pipeline(cfg(True), spark), cols)
+    assert len(batch) > 0
+    assert {r[2] for r in batch} >= {"train"}
+    assert got == batch
+
+
+def test_stream_transformer_validator_match_batch(spark, tmp_path):
+    """The §2.1 core steps compile onto a streaming relation untouched:
+    transformer actions are per-row Column pipelines and validator
+    rules a projection, so 'stream': true composes with the reference's
+    own step language, not just the curate extension."""
+    path = os.path.join(str(tmp_path), "recs")
+    spark.createDataFrame(
+        [(1, 5, "a"), (2, 25, "b"), (3, 15, "c")],
+        "id int, number int, s string",
+    ).coalesce(1).write.parquet(path)
+
+    def cfg(stream):
+        rd = {"type": "reader",
+              "connector": {"type": "local", "path": path},
+              "document": {"type": "parquet"}}
+        if stream:
+            rd["stream"] = True
+        return [
+            rd,
+            {"type": "transformer", "actions": [
+                {"field": "number_x10",
+                 "pattern": "{{ input.number * 10 }}"},
+                {"field": "greeting",
+                 "pattern": "hello {{ input.s | upper }}"},
+            ]},
+            {"type": "validator", "rules": {
+                "small": {"pattern": "{{ input.number <= 20 }}",
+                          "message": "too big"}}},
+        ]
+
+    cols = ["id", "number_x10", "greeting", "_error"]
+    batch = sorted(
+        tuple(r)
+        for r in Pipeline(cfg(False), spark)
+        .dataframe().select(*cols).collect()
+    )
+    got = _collect_stream(Pipeline(cfg(True), spark), cols)
+    assert len(batch) == 3
+    assert got == batch
+
+
+def test_stream_checkpoint_incremental_rerun(spark, tmp_path):
+    """The durable-checkpoint contract: a second availableNow run of
+    the same config only processes files that arrived AFTER the first
+    run — the incremental-ingest semantics a resident config-driven
+    service relies on."""
+    src = os.path.join(str(tmp_path), "incoming")
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    spark.createDataFrame(
+        [(1, "first wave")], "doc_id int, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def cfg():
+        return [
+            {"type": "reader", "stream": True,
+             "connector": {"type": "local", "path": src},
+             "document": {"type": "parquet"}},
+            {"type": "writer", "checkpoint": ckpt,
+             "connector": {"type": "local", "path": out},
+             "document": {"type": "parquet"}},
+        ]
+
+    Pipeline(cfg(), spark).run()
+    first = spark.read.parquet(out).count()
+    assert first == 1
+    spark.createDataFrame(
+        [(2, "second wave"), (3, "third row")],
+        "doc_id int, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    Pipeline(cfg(), spark).run()
+    back = sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    )
+    assert back == [1, 2, 3]
+
+
+def test_reader_where_pushes_to_scan(spark):
+    """The reader-level ``where`` clause is declarative: Catalyst must
+    push it into the parquet scan (a config that reads a slice never
+    pays for the whole table), and the same key works on sub-configs
+    (the decontaminate benchmark reader) and streaming readers."""
+    from chewdata_spark.plans.inspection import pushed_filters
+
+    cfg = [{
+        "type": "reader",
+        "where": "doc_id % 2 = 1 AND doc_id > 100",
+        "connector": {"type": "local",
+                      "path": f"{SF}/documents.parquet"},
+        "document": {"type": "parquet"},
+    }]
+    df = Pipeline(cfg, spark).dataframe()
+    pushed = " ".join(pushed_filters(df))
+    assert "doc_id" in pushed  # at least GreaterThan(doc_id,100) pushed
+    assert df.count() > 0
+    assert df.filter("doc_id % 2 = 0 OR doc_id <= 100").count() == 0
