@@ -198,6 +198,7 @@ class Pipeline:
         self._erased_paths = set()
         self._erase_excluded = set()
         self._stream_output_mode = "append"
+        self._stream_stateful_step = None
         for s in self.steps:
             if s.get("type") != "eraser":
                 continue
@@ -734,7 +735,7 @@ class Pipeline:
                 # for the sink); state is one row per distinct
                 # signature — the same cardinality the batch shuffle
                 # carries.
-                self._stream_output_mode = "complete"
+                self._claim_stream_stateful("exact_dedup")
                 cols = df.columns
                 return (
                     df.groupBy(F.md5(content).alias("_cur_sig"))
@@ -1094,6 +1095,26 @@ class Pipeline:
             return df.join(flagged, key, "left_anti")
         raise ValueError(f"unsupported curate method {method!r}")
 
+    def _claim_stream_stateful(self, method: str) -> None:
+        """Spark supports ONE streaming aggregation per query: a second
+        stateful curate step would die at stream start with an opaque
+        'Multiple streaming aggregations are not supported' analysis
+        error, so the config surface rejects the combination at compile
+        time with the two step names.  Stateless filter steps compose
+        freely before or after the single stateful one."""
+        prior = self._stream_stateful_step
+        if prior is not None:
+            raise ValueError(
+                f"curate.{method}: a streaming pipeline supports only "
+                f"ONE stateful curate step and curate.{prior} already "
+                "holds it (Spark allows a single streaming "
+                "aggregation); split into two pipelines — write the "
+                "first result with a streaming writer and stream the "
+                "second pipeline from its output"
+            )
+        self._stream_stateful_step = method
+        self._stream_output_mode = "complete"
+
     def _decontaminate_stream(
         self,
         df: DataFrame,
@@ -1128,7 +1149,7 @@ class Pipeline:
         """
         from chewdata_spark.operators.curation import _word_ngrams
 
-        self._stream_output_mode = "complete"
+        self._claim_stream_stateful("decontaminate")
         bench_grams = (
             bench.select(
                 F.explode(_word_ngrams(bench_field, int(step.get("n", 4))))

@@ -407,3 +407,72 @@ def test_reader_where_pushes_to_scan(spark):
     assert "doc_id" in pushed  # at least GreaterThan(doc_id,100) pushed
     assert df.count() > 0
     assert df.filter("doc_id % 2 = 0 OR doc_id <= 100").count() == 0
+
+
+def test_stream_referential_lookup_matches_batch(spark, tmp_path):
+    """A transformer referential under a streaming reader is a
+    stream-static broadcast join (the referential reads once, batch);
+    the mapped value matches the batch pipeline row-for-row."""
+    path = os.path.join(str(tmp_path), "coded")
+    spark.createDataFrame(
+        [(1, "value_to_map"), (2, "value_to_map_2"), (3, "no_match")],
+        "id int, code string",
+    ).coalesce(1).write.parquet(path)
+
+    def cfg(stream):
+        rd = {"type": "reader",
+              "connector": {"type": "local", "path": path},
+              "document": {"type": "parquet"}}
+        if stream:
+            rd["stream"] = True
+        return [rd, {
+            "type": "transformer",
+            "referentials": {"mapping_ref": {
+                "connector": {
+                    "type": "local",
+                    "path": "/root/reference/data/mapping.json"},
+                "document": {"type": "json"}}},
+            "actions": [{
+                "field": "mapped",
+                "pattern": ("{{ mapping_ref | filter(attribute="
+                            "'mapping_code', value=input.code) | first "
+                            "| map(attribute='mapping_value') }}"),
+            }],
+        }]
+
+    cols = ["id", "code", "mapped"]
+    batch = sorted(
+        tuple(r)
+        for r in Pipeline(cfg(False), spark)
+        .dataframe().select(*cols).collect()
+    )
+    got = _collect_stream(Pipeline(cfg(True), spark), cols)
+    assert ("1", "value_to_map", "value mapped") in {
+        tuple(map(str, r)) for r in batch
+    }
+    assert got == batch
+
+
+def test_stream_rejects_second_stateful_step(spark, tmp_path):
+    """Spark allows ONE streaming aggregation per query; chaining two
+    stateful curate steps must fail at config compile time with both
+    step names, not at stream start with an opaque analysis error."""
+    path = os.path.join(str(tmp_path), "d2")
+    spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id int, text string"
+    ).write.parquet(path)
+    bench = os.path.join(str(tmp_path), "b2")
+    spark.createDataFrame(
+        [(9, "x y z w v")], "doc_id int, text string"
+    ).write.parquet(bench)
+    cfg = [
+        {"type": "reader", "stream": True,
+         "connector": {"type": "local", "path": path},
+         "document": {"type": "parquet"}},
+        {"type": "curate", "method": "exact_dedup", "key": "doc_id"},
+        {"type": "curate", "method": "decontaminate", "key": "doc_id",
+         "benchmark": {"connector": {"type": "local", "path": bench},
+                       "document": {"type": "parquet"}}},
+    ]
+    with pytest.raises(ValueError, match="exact_dedup already holds"):
+        Pipeline(cfg, spark).dataframe()
