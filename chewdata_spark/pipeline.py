@@ -653,7 +653,8 @@ class Pipeline:
         methods: exact_dedup | minhash_dedup | quality_filter |
         language_filter | gopher_filter | classifier_filter |
         dsir_select | logprob_filter | sample | split | lines_dedup |
-        span_cut | decontaminate | pack | shard_shuffle | quota |
+        span_cut | decontaminate | ingest_dedup | pack | shard_shuffle |
+        quota |
         sa_pipeline (the Lee et al. 2022 flagship — tiled-SA
         whole-repeat cut, optional benchmark decontamination,
         per-stratum quota, at char / token / BPE grain).  Every method is the same operator the query
@@ -691,6 +692,7 @@ class Pipeline:
             "span_cut": {"k"},
             "decontaminate": {"benchmark", "benchmark_field", "n",
                               "min_hits"},
+            "ingest_dedup": {"seen", "fields", "seen_fields"},
         }
         if method in _method_keys:
             known = _method_keys[method] | {
@@ -711,6 +713,10 @@ class Pipeline:
             # hash-coin projections (zero state) and the stream-static
             # benchmark overlap test (one complete-mode aggregation)
             "sample", "split", "decontaminate",
+            # stream-static anti-join: stateless, append-mode — the
+            # resident-ingest shape (state lives in the SEEN corpus
+            # on disk, not the stream)
+            "ingest_dedup",
         }
         if df.isStreaming and method not in _stream_capable:
             raise ValueError(
@@ -747,6 +753,43 @@ class Pipeline:
                 df.withColumn("_cur_rn", F.row_number().over(w))
                 .filter(F.col("_cur_rn") == 1)
                 .drop("_cur_rn")
+            )
+        if method == "ingest_dedup":
+            # Incremental-ingest dedup: drop arriving records whose
+            # content signature already exists in a SEEN corpus read
+            # by its own reader sub-config — ONE code path for batch
+            # and streaming, because an anti-join against a static
+            # side is stateless in Structured Streaming (the
+            # registry's `stream_ingest_dedup` shape).  Unlike the
+            # complete-mode exact_dedup, this keeps append output
+            # mode: the dedup state lives in the seen corpus ON DISK,
+            # not in the stream — the resident-service form (write
+            # survivors back to the corpus; the next invocation's
+            # seen side includes them).
+            seen_cfg = step.get("seen")
+            if not seen_cfg:
+                raise ValueError(
+                    "curate.ingest_dedup needs a 'seen' reader config "
+                    "(the corpus whose content must not repeat)"
+                )
+            fields = step.get("fields") or [field]
+            seen_fields = step.get("seen_fields") or fields
+            seen = self._read(df.sparkSession, _normalize_step(
+                {**seen_cfg, "type": "reader"}
+            ))
+
+            def _sig(cols_: list):
+                return F.md5(F.concat_ws(
+                    "\x1f", *[F.col(c).cast("string") for c in cols_]
+                ))
+
+            seen_sigs = seen.select(
+                _sig(seen_fields).alias("_ing_sig")
+            ).distinct()
+            return (
+                df.withColumn("_ing_sig", _sig(fields))
+                .join(seen_sigs, "_ing_sig", "left_anti")
+                .drop("_ing_sig")
             )
         if method == "minhash_dedup":
             from chewdata_spark.operators.dedup import (

@@ -1053,6 +1053,49 @@ WHERE n.doc_id % 2 = 1
 QUERIES["stream_ingest_dedup"] = stream_ingest_dedup
 ORACLES["stream_ingest_dedup"] = STREAM_INGEST_DEDUP_SQL
 
+
+def stream_ingest_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_ingest_dedup``'s resident-ingest shape reached FROM A
+    JSON CONFIG: the reader step streams the arriving slice (odd
+    doc_ids via the reader-level ``where``), and the ``ingest_dedup``
+    curate step anti-joins each micro-batch against the STATIC seen
+    corpus its ``seen`` sub-reader loads (even doc_ids) — stateless,
+    append-mode, so unlike the complete-mode streaming exact_dedup
+    this is the form a continuously-running service uses (the dedup
+    state lives in the seen corpus on disk; survivors written back
+    extend it for the next invocation).  Hash-checked against the
+    same batch anti-join oracle as the hand-built stream query."""
+    import json as _json
+    import os as _os
+
+    from chewdata_spark.pipeline import Pipeline
+    from chewdata_spark.streaming.ops import run_to_memory
+
+    path = _os.path.join(sf_dir, "documents.parquet")
+    cfg = _json.dumps([
+        {"type": "reader", "stream": True,
+         "where": "doc_id % 2 = 1",
+         "connector": {"type": "local", "path": path},
+         "document": {"type": "parquet"}},
+        {"type": "curate", "method": "ingest_dedup",
+         "field": "text",
+         "seen": {"where": "doc_id % 2 = 0",
+                  "connector": {"type": "local", "path": path},
+                  "document": {"type": "parquet"}}},
+    ])
+    p = Pipeline.from_json(cfg, spark)
+    stream = p.dataframe().select("doc_id", "lang", "source")
+    _STREAM_RUN["n"] += 1
+    return run_to_memory(
+        stream,
+        f"_stream_ingest_config_{_STREAM_RUN['n']}",
+        output_mode=p.stream_output_mode,
+    )
+
+
+QUERIES["stream_ingest_config"] = stream_ingest_config
+ORACLES["stream_ingest_config"] = STREAM_INGEST_DEDUP_SQL
+
 def curation_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stage observability for the flagship pipeline: documents in,
     lines dropped by global line dedup, tokens cut by span dedup, docs

@@ -476,3 +476,85 @@ def test_stream_rejects_second_stateful_step(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="exact_dedup already holds"):
         Pipeline(cfg, spark).dataframe()
+
+
+def test_stream_ingest_dedup_append_mode_matches_batch(spark, tmp_path):
+    """curate.ingest_dedup is ONE code path for batch and stream (a
+    stream-static anti-join is stateless), keeps APPEND output mode
+    (no complete-mode re-emit — the resident-ingest shape), and drops
+    exactly the arrivals whose content signature exists in the seen
+    corpus."""
+    seen_path = os.path.join(str(tmp_path), "seen")
+    spark.createDataFrame(
+        [(90, "already ingested doc"), (91, "another known doc")],
+        "doc_id int, text string",
+    ).write.parquet(seen_path)
+    rows = [
+        (1, "fresh content one"),
+        (2, "already ingested doc"),   # dup of seen 90 → dropped
+        (3, "fresh content two"),
+        (4, "another known doc"),      # dup of seen 91 → dropped
+    ]
+    path = _write_docs(spark, str(tmp_path), rows, n_files=2)
+
+    def cfg(stream):
+        rd = {"type": "reader",
+              "connector": {"type": "local", "path": path},
+              "document": {"type": "parquet"}}
+        if stream:
+            rd["stream"] = True
+            rd["document"] = {"type": "parquet",
+                              "options": {"maxFilesPerTrigger": "1"}}
+        return [rd, {"type": "curate", "method": "ingest_dedup",
+                     "field": "text",
+                     "seen": {"connector": {"type": "local",
+                                            "path": seen_path},
+                              "document": {"type": "parquet"}}}]
+
+    batch = sorted(
+        tuple(r)
+        for r in Pipeline(cfg(False), spark).dataframe().collect()
+    )
+    p = Pipeline(cfg(True), spark)
+    got = _collect_stream(p)
+    assert p.stream_output_mode == "append"
+    assert sorted(r[0] for r in batch) == [1, 3]
+    assert got == batch
+
+
+def test_stream_ingest_then_stateful_still_allowed(spark, tmp_path):
+    """ingest_dedup is stateless, so it composes with the ONE allowed
+    stateful step: ingest anti-join then exact_dedup within the batch
+    still compiles and matches the batch pipeline."""
+    seen_path = os.path.join(str(tmp_path), "seen2")
+    spark.createDataFrame(
+        [(90, "known doc")], "doc_id int, text string"
+    ).write.parquet(seen_path)
+    rows = [
+        (5, "new dup"), (2, "new dup"), (7, "known doc"), (9, "solo"),
+    ]
+    path = _write_docs(spark, str(tmp_path), rows, n_files=2)
+
+    def cfg(stream):
+        rd = {"type": "reader",
+              "connector": {"type": "local", "path": path},
+              "document": {"type": "parquet"}}
+        if stream:
+            rd["stream"] = True
+        return [
+            rd,
+            {"type": "curate", "method": "ingest_dedup", "field": "text",
+             "seen": {"connector": {"type": "local", "path": seen_path},
+                      "document": {"type": "parquet"}}},
+            {"type": "curate", "method": "exact_dedup", "key": "doc_id"},
+        ]
+
+    batch = sorted(
+        tuple(r)
+        for r in Pipeline(cfg(False), spark).dataframe().collect()
+    )
+    p = Pipeline(cfg(True), spark)
+    got = _collect_stream(p)
+    assert p.stream_output_mode == "complete"
+    assert sorted(r[0] for r in batch) == [2, 9]
+    assert got == batch
