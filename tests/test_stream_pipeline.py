@@ -558,3 +558,75 @@ def test_stream_ingest_then_stateful_still_allowed(spark, tmp_path):
     assert p.stream_output_mode == "complete"
     assert sorted(r[0] for r in batch) == [2, 9]
     assert got == batch
+
+
+def test_stream_plan_shapes_state_contract(spark, tmp_path):
+    """Pins the state claims in SCALING.md: ingest_dedup compiles to a
+    stateless streaming plan (no aggregation anywhere — the anti-join's
+    static side holds the state on disk), while decontaminate compiles
+    to exactly ONE aggregation (the single complete-mode state store)
+    with the benchmark side broadcast."""
+    seen_path = os.path.join(str(tmp_path), "sp_seen")
+    spark.createDataFrame(
+        [(90, "known doc")], "doc_id int, text string"
+    ).write.parquet(seen_path)
+    src = os.path.join(str(tmp_path), "sp_src")
+    spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id int, text string"
+    ).write.parquet(src)
+    rd = {"type": "reader", "stream": True,
+          "connector": {"type": "local", "path": src},
+          "document": {"type": "parquet"}}
+
+    ingest = Pipeline([
+        rd,
+        {"type": "curate", "method": "ingest_dedup", "field": "text",
+         "seen": {"connector": {"type": "local", "path": seen_path},
+                  "document": {"type": "parquet"}}},
+    ], spark)
+    plan = ingest.dataframe()._jdf.queryExecution().analyzed().toString()
+    assert "Aggregate" not in plan
+    assert "Join LeftAnti" in plan
+
+    decon = Pipeline([
+        rd,
+        {"type": "curate", "method": "decontaminate", "key": "doc_id",
+         "benchmark": {"connector": {"type": "local", "path": seen_path},
+                       "document": {"type": "parquet"}}},
+    ], spark)
+    ddf = decon.dataframe()
+    dplan = ddf._jdf.queryExecution().analyzed().toString()
+    assert dplan.count("Aggregate") == 1  # the one allowed state store
+    assert "broadcast" in dplan.lower()  # benchmark side hinted
+
+
+def test_stream_ok_err_writer_routing(spark, tmp_path):
+    """The reference's per-record error channel routes on streams: a
+    validator marks failing rows in `_error`, and two streaming writers
+    with data_type ok/err land disjoint row sets that together equal
+    the batch pipeline's routing (reference DataResult::Ok|Err)."""
+    src = os.path.join(str(tmp_path), "oe_src")
+    spark.createDataFrame(
+        [(1, 10), (2, 25), (3, 15), (4, 40)], "id int, number int"
+    ).coalesce(1).write.parquet(src)
+    ok_out = os.path.join(str(tmp_path), "ok")
+    err_out = os.path.join(str(tmp_path), "err")
+    cfg = [
+        {"type": "reader", "stream": True,
+         "connector": {"type": "local", "path": src},
+         "document": {"type": "parquet"}},
+        {"type": "validator", "rules": {
+            "small": {"pattern": "{{ input.number <= 20 }}",
+                      "message": "too big"}}},
+        {"type": "writer", "data_type": "ok",
+         "connector": {"type": "local", "path": ok_out},
+         "document": {"type": "parquet"}},
+        {"type": "writer", "data_type": "err",
+         "connector": {"type": "local", "path": err_out},
+         "document": {"type": "parquet"}},
+    ]
+    Pipeline(cfg, spark).run()
+    ok_ids = sorted(r.id for r in spark.read.parquet(ok_out).collect())
+    err_ids = sorted(r.id for r in spark.read.parquet(err_out).collect())
+    assert ok_ids == [1, 3]
+    assert err_ids == [2, 4]
