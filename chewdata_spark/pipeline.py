@@ -31,6 +31,7 @@ Semantics preserved from the reference:
 from __future__ import annotations
 
 import json
+import os
 import re
 from dataclasses import dataclass, field
 from typing import Any
@@ -568,9 +569,11 @@ class Pipeline:
         The schema comes from an explicit ``document.schema`` when
         given, else a one-time batch probe of the files already at the
         path (file streams require a declared schema — inference would
-        race arriving files).  A bare file path gets a trailing glob so
-        the source watches the directory pattern, matching the
-        convention of the registry's streaming queries."""
+        race arriving files).  A directory path is watched as-is; a
+        non-directory path gets a trailing glob (a single file needs a
+        pattern) — but NOT a directory, because ``path*`` would also
+        match sibling directories sharing the prefix (``/x/docs``
+        silently ingesting ``/x/docs_old``)."""
         from chewdata_spark.streaming.ops import read_stream_directory
 
         conn = step.get("connector", {})
@@ -594,7 +597,10 @@ class Pipeline:
                 options=doc.get("options") or {},
             )
             schema = probe.schema
-        glob_path = path if any(c in path for c in "*?[") else path + "*"
+        if any(c in path for c in "*?[") or os.path.isdir(path):
+            glob_path = path
+        else:
+            glob_path = path + "*"
         return read_stream_directory(
             spark, glob_path, fmt, schema,
             options=doc.get("options") or {},

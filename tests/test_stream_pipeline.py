@@ -630,3 +630,21 @@ def test_stream_ok_err_writer_routing(spark, tmp_path):
     err_ids = sorted(r.id for r in spark.read.parquet(err_out).collect())
     assert ok_ids == [1, 3]
     assert err_ids == [2, 4]
+
+
+def test_stream_reader_ignores_sibling_prefix_dirs(spark, tmp_path):
+    """A directory path is watched as-is: /x/docs must NOT silently
+    ingest /x/docs_old (the path+'*' glob would)."""
+    path = os.path.join(str(tmp_path), "docs")
+    sibling = os.path.join(str(tmp_path), "docs_old")
+    spark.createDataFrame(
+        [(1, "current")], "doc_id int, text string"
+    ).write.parquet(path)
+    spark.createDataFrame(
+        [(99, "stale")], "doc_id int, text string"
+    ).write.parquet(sibling)
+    cfg = [{"type": "reader", "stream": True,
+            "connector": {"type": "local", "path": path},
+            "document": {"type": "parquet"}}]
+    got = _collect_stream(Pipeline(cfg, spark))
+    assert [r[0] for r in got] == [1]
