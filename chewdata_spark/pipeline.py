@@ -690,6 +690,7 @@ class Pipeline:
                             "compare_cap", "bucket_len", "max_bucket",
                             "bpe_iters", "quota", "carry"},
             "sample": {"strata", "rates", "default_rate"},
+            "mix": {"strata", "weights", "default_weight"},
             "split": {"val", "test"},
             "pack": {"seq_len"},
             "shard_shuffle": {"num_shards", "seed"},
@@ -718,7 +719,7 @@ class Pipeline:
             "gopher_filter", "classifier_filter",
             # hash-coin projections (zero state) and the stream-static
             # benchmark overlap test (one complete-mode aggregation)
-            "sample", "split", "decontaminate",
+            "sample", "split", "mix", "decontaminate",
             # stream-static anti-join: stateless, append-mode — the
             # resident-ingest shape (state lives in the SEEN corpus
             # on disk, not the stream)
@@ -1022,6 +1023,30 @@ class Pipeline:
                 {k: float(v) for k, v in (step.get("rates") or {}).items()},
                 key,
                 default_rate=float(step.get("default_rate", 1.0)),
+            )
+        if method == "mix":
+            # epoch-weighted upsampling (the half of a pretraining data
+            # mix `sample` can't express — weights > 1 emit extra
+            # copies with an `epoch` column).  A generate+filter
+            # projection with md5 coins: zero shuffle, zero state, so
+            # it is stream-capable like the other hash-coin methods.
+            from chewdata_spark.operators.curation import weighted_mix
+
+            if not key:
+                raise ValueError("curate.mix needs 'key' (the md5 coin)")
+            weights = step.get("weights") or {}
+            if not isinstance(weights, dict):
+                raise ValueError(
+                    "curate.mix weights must be an object of "
+                    '{stratum: weight}, e.g. {"en": 2.5, "zh": 0.5}; '
+                    f"got {type(weights).__name__}"
+                )
+            return weighted_mix(
+                df,
+                step.get("strata", "source"),
+                {k: float(v) for k, v in weights.items()},
+                key,
+                default_weight=float(step.get("default_weight", 1.0)),
             )
         if method == "pack":
             # GPT-style concat-and-chunk packing manifest: each record

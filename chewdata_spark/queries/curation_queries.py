@@ -180,6 +180,38 @@ WHERE epoch <= CAST(floor(wt) AS INT)
 """
 
 
+def stream_mix_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mix_corpus_weighted`` reached from a STREAMING JSON config:
+    the ``mix`` curate method (epoch-weighted upsampling — the half of
+    a pretraining data mix ``sample`` can't express) is a
+    generate+filter projection with md5 coins, so it streams with ZERO
+    state in append mode and an availableNow run hash-matches the same
+    DuckDB mix oracle as the batch operator.  Certifies the config
+    method AND its stream-capability in one driver row."""
+    import json as _json
+    import os as _os
+
+    from chewdata_spark.pipeline import Pipeline
+    from chewdata_spark.streaming.ops import run_to_memory
+
+    cfg = _json.dumps([
+        {"type": "reader", "stream": True,
+         "connector": {"type": "local",
+                       "path": _os.path.join(sf_dir, "documents.parquet")},
+         "document": {"type": "parquet"}},
+        {"type": "curate", "method": "mix", "key": "doc_id",
+         "strata": "lang", "weights": MIX_WEIGHTS},
+    ])
+    p = Pipeline.from_json(cfg, spark)
+    stream = p.dataframe().select("doc_id", "lang", "source", "epoch")
+    _STREAM_RUN["n"] += 1
+    return run_to_memory(
+        stream,
+        f"_stream_mix_config_{_STREAM_RUN['n']}",
+        output_mode=p.stream_output_mode,
+    )
+
+
 def shard_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 16-shard training shuffle of the corpus — shard +
     in-shard position from md5, no global sort (see
@@ -376,6 +408,7 @@ QUERIES = {
     "decontaminate_docs": decontaminate_docs,
     "source_quota_sample": source_quota_sample,
     "mix_corpus_weighted": mix_corpus_weighted,
+    "stream_mix_config": stream_mix_config,
     "shard_shuffle_corpus": shard_shuffle_corpus,
     "stream_curate_corpus": stream_curate_corpus,
     "repetition_stats": repetition_docs,
@@ -390,6 +423,7 @@ ORACLES = {
     "decontaminate_docs": DECONTAMINATE_SQL,
     "source_quota_sample": SOURCE_QUOTA_SQL,
     "mix_corpus_weighted": _mix_sql(),
+    "stream_mix_config": _mix_sql(),
     "shard_shuffle_corpus": SHARD_SHUFFLE_SQL,
     "stream_curate_corpus": _stream_curate_sql(),
     "repetition_stats": REPETITION_SQL,

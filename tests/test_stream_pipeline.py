@@ -648,3 +648,40 @@ def test_stream_reader_ignores_sibling_prefix_dirs(spark, tmp_path):
             "document": {"type": "parquet"}}]
     got = _collect_stream(Pipeline(cfg, spark))
     assert [r[0] for r in got] == [1]
+
+
+def test_stream_mix_matches_batch_and_direct_operator(spark):
+    """curate.mix (epoch-weighted upsampling) is a generate+filter
+    projection: identical rows from the config path, the streaming
+    config path, and the direct operator."""
+    from chewdata_spark.operators.curation import weighted_mix
+
+    def cfg(stream):
+        rd = {"type": "reader",
+              "connector": {"type": "local",
+                            "path": f"{SF}/documents.parquet"},
+              "document": {"type": "parquet"}}
+        if stream:
+            rd["stream"] = True
+        return [rd, {"type": "curate", "method": "mix", "key": "doc_id",
+                     "strata": "lang",
+                     "weights": {"en": 2.5, "zh": 0.5}}]
+
+    cols = ["doc_id", "lang", "epoch"]
+    batch = sorted(
+        tuple(r)
+        for r in Pipeline(cfg(False), spark)
+        .dataframe().select(*cols).collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in weighted_mix(
+            spark.read.parquet(f"{SF}/documents.parquet"),
+            "lang", {"en": 2.5, "zh": 0.5}, "doc_id",
+        ).select(*cols).collect()
+    )
+    got = _collect_stream(Pipeline(cfg(True), spark), cols)
+    assert len(batch) > 0
+    assert {r[2] for r in batch} >= {1, 2}  # epochs actually emitted
+    assert batch == direct
+    assert got == batch
