@@ -685,3 +685,75 @@ def test_stream_mix_matches_batch_and_direct_operator(spark):
     assert {r[2] for r in batch} >= {1, 2}  # epochs actually emitted
     assert batch == direct
     assert got == batch
+
+
+def test_stream_writer_mustache_partitioning(spark, tmp_path):
+    """A mustache output path ({{ field }}) under a streaming writer
+    becomes partitionBy exactly as in batch: files land under
+    field=value directories and read back complete."""
+    src = os.path.join(str(tmp_path), "mp_src")
+    spark.createDataFrame(
+        [(1, "en", "a"), (2, "fr", "b"), (3, "en", "c")],
+        "doc_id int, lang string, text string",
+    ).coalesce(1).write.parquet(src)
+    out = os.path.join(str(tmp_path), "by_lang", "{{ lang }}")
+    cfg = [
+        {"type": "reader", "stream": True,
+         "connector": {"type": "local", "path": src},
+         "document": {"type": "parquet"}},
+        {"type": "writer",
+         "connector": {"type": "local", "path": out},
+         "document": {"type": "parquet"}},
+    ]
+    Pipeline(cfg, spark).run()
+    root = os.path.join(str(tmp_path), "by_lang")
+    back = spark.read.parquet(root)
+    assert sorted(
+        (r.doc_id, r.lang) for r in back.select("doc_id", "lang").collect()
+    ) == [(1, "en"), (2, "fr"), (3, "en")]
+    subdirs = {d for d in os.listdir(root) if d.startswith("lang=")}
+    assert subdirs == {"lang=en", "lang=fr"}
+
+
+def test_stream_exact_dedup_arrival_order_property(spark, tmp_path):
+    """Property-style sweep: for several corpora with duplicate
+    signatures scattered across MANY single-file micro-batches in
+    different orders, the streaming survivor set always equals the
+    batch survivor set (min key per content signature)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        keys = list(range(1, 13))
+        rng.shuffle(keys)
+        texts = [f"t{rng.randint(0, 4)}" for _ in keys]  # heavy dups
+        rows = list(zip(keys, texts))
+        path = os.path.join(str(tmp_path), f"prop{trial}")
+        per = rng.choice([1, 2, 3])
+        for i in range(0, len(rows), per):
+            spark.createDataFrame(
+                rows[i:i + per], "doc_id int, text string"
+            ).coalesce(1).write.mode("append").parquet(path)
+
+        def cfg(stream):
+            rd = {"type": "reader",
+                  "connector": {"type": "local", "path": path},
+                  "document": {"type": "parquet"}}
+            if stream:
+                rd["stream"] = True
+                rd["document"] = {"type": "parquet",
+                                  "options": {"maxFilesPerTrigger": "1"}}
+            return [rd, {"type": "curate", "method": "exact_dedup",
+                         "key": "doc_id"}]
+
+        batch = sorted(
+            tuple(r)
+            for r in Pipeline(cfg(False), spark).dataframe().collect()
+        )
+        got = _collect_stream(Pipeline(cfg(True), spark))
+        expected = sorted(
+            (min(k for k, t in rows if t == txt), txt)
+            for txt in {t for _, t in rows}
+        )
+        assert batch == expected
+        assert got == batch, f"trial {trial} diverged"
