@@ -757,3 +757,31 @@ def test_stream_exact_dedup_arrival_order_property(spark, tmp_path):
         )
         assert batch == expected
         assert got == batch, f"trial {trial} diverged"
+
+
+def test_stream_generator_duplication_matches_batch(spark, tmp_path):
+    """A generator step after a streaming reader runs in duplication
+    mode (posexplode — map-side, stateless) and matches the batch
+    pipeline copy-for-copy."""
+    src = os.path.join(str(tmp_path), "gd_src")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, s string"
+    ).coalesce(1).write.parquet(src)
+
+    def cfg(stream):
+        rd = {"type": "reader",
+              "connector": {"type": "local", "path": src},
+              "document": {"type": "parquet"}}
+        if stream:
+            rd["stream"] = True
+        return [rd, {"type": "generator", "size": 3}]
+
+    cols = ["id", "s", "copy_id"]
+    batch = sorted(
+        tuple(r)
+        for r in Pipeline(cfg(False), spark)
+        .dataframe().select(*cols).collect()
+    )
+    got = _collect_stream(Pipeline(cfg(True), spark), cols)
+    assert len(batch) == 6
+    assert got == batch
