@@ -1232,6 +1232,15 @@ class Pipeline:
             .select(F.md5("g").alias("_ctm_gram"))
             .distinct()
             .withColumn("_ctm_hit", F.lit(1))
+            # one eager materialization at compile: the static side of
+            # a stream-static join is re-planned EVERY micro-batch, so
+            # without this the benchmark re-reads + re-distincts per
+            # trigger.  Safe to copy wholesale because the benchmark is
+            # eval-sized by the operator's contract (MBs, not TBs) —
+            # the corpus-scale static side of ingest_dedup deliberately
+            # does NOT do this (re-scanning pruned parquet per batch is
+            # the scalable choice there).
+            .localCheckpoint(eager=True)
         )
         grams = F.array_distinct(
             F.transform(

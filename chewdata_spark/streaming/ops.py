@@ -136,7 +136,16 @@ def stream_stream_join(
 def run_to_memory(stream: DataFrame, name: str, *, output_mode: str = "append") -> DataFrame:
     """Run the stream to completion over currently-available data
     (Trigger.AvailableNow) into an in-memory table; returns the result
-    as a batch DataFrame.  Used by tests and interactive inspection."""
+    as a batch DataFrame.  Used by tests and interactive inspection.
+
+    The memory sink's table is COPIED to checkpointed blocks and the
+    temp view dropped before returning: every call uses a fresh name,
+    so leaving the views registered pinned each run's rows in driver
+    memory for the session's lifetime — in a long bench session (3
+    measures x ~20 streaming queries) that unbounded growth is exactly
+    the 'late-session aging' class the r13/r14 timing forensics kept
+    hitting.  The checkpointed copy is value-identical and freed by
+    the ContextCleaner once the returned DataFrame is unreachable."""
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
@@ -145,7 +154,10 @@ def run_to_memory(stream: DataFrame, name: str, *, output_mode: str = "append") 
         .start()
     )
     q.awaitTermination()
-    return stream.sparkSession.table(name)
+    spark = stream.sparkSession
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def idempotent_batch_fn(
