@@ -785,3 +785,34 @@ def test_stream_generator_duplication_matches_batch(spark, tmp_path):
     got = _collect_stream(Pipeline(cfg(True), spark), cols)
     assert len(batch) == 6
     assert got == batch
+
+
+def test_stream_exact_dedup_custom_fields_signature(spark, tmp_path):
+    """The `fields` option (content signature over chosen columns, not
+    just the default text field) drives the streaming min_by state key
+    exactly as in batch."""
+    src = os.path.join(str(tmp_path), "cf_src")
+    rows = [
+        (5, "en", "x"), (2, "en", "y"),   # same lang -> dup by fields
+        (7, "fr", "z"), (1, "fr", "w"),   # same lang -> dup by fields
+    ]
+    spark.createDataFrame(
+        rows, "doc_id int, lang string, text string"
+    ).coalesce(1).write.parquet(src)
+
+    def cfg(stream):
+        rd = {"type": "reader",
+              "connector": {"type": "local", "path": src},
+              "document": {"type": "parquet"}}
+        if stream:
+            rd["stream"] = True
+        return [rd, {"type": "curate", "method": "exact_dedup",
+                     "key": "doc_id", "fields": ["lang"]}]
+
+    batch = sorted(
+        tuple(r)
+        for r in Pipeline(cfg(False), spark).dataframe().collect()
+    )
+    got = _collect_stream(Pipeline(cfg(True), spark))
+    assert sorted(r[0] for r in batch) == [1, 2]  # min key per lang
+    assert got == batch
