@@ -288,20 +288,57 @@ def _char_docs(
     )
 
 
-def _lcp_sql(unit: str, a: str = "suf", b: str = "suf2") -> str:
-    """SQL for the bounded LCP cursor between two suffix columns — ONE
-    ``aggregate()`` fold that stops counting at the first mismatch;
-    units are chars (string suffixes) or tokens (array suffixes)."""
+def _lcp_sql(unit: str, a: str = "suf", b: str = "suf2", cap: int = 256) -> str:
+    """SQL for the bounded LCP cursor between two suffix columns; units
+    are chars (string suffixes) or tokens (array suffixes).
+
+    CHAR grain: greedy binary refinement over descending power-of-two
+    window widths — ``n`` advances past each window whose chars match
+    both sides.  Exact for any LCP <= ``cap``: ``n`` can never advance
+    past a true mismatch (every window containing the mismatch char
+    compares unequal on both sides, truncated or not), and when the
+    shared prefix exhausts one side the final ``least(length, length)``
+    cap lands exactly on the min length (r15 microbench + planted
+    mismatch sweep: scripts/bench_lcp.py, 0 mismatches over 1M
+    adversarial pairs).  Why: Catalyst higher-order functions are
+    CodegenFallback — interpreted, one closure call per element — so
+    the old per-char fold paid up to ``cap`` interpreted steps (and an
+    O(i) UTF8 offset scan per ``substring(col, i, 1)``, quadratic in
+    the match length); this pays ``log2(cap)+1`` steps of one memcmp
+    each.  Measured 3.6x faster on the flagship pair shape (guide §1/
+    §4: per-task work, replace interpreted row loops).
+
+    TOKEN grain keeps the per-element fold: ``element_at`` is O(1) on
+    arrays and the binary variant's ``slice()`` allocates a copy per
+    step — measured SLOWER (0.27 s fold vs 1.75 s binary on 300k
+    array pairs), so the fold stays."""
     if unit == "char":
-        size, at = "length", "substring({col}, i, 1)"
-    else:
-        size, at = "size", "element_at({col}, i)"
-    ea, eb = at.format(col=a), at.format(col=b)
+        p = 1
+        while p < cap:
+            p *= 2
+        powers = []
+        while p >= 1:
+            powers.append(p)
+            p //= 2
+        arr = ",".join(str(w) for w in powers)
+        return f"""
+        CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL ELSE
+          least(
+            least(length({a}), length({b})),
+            aggregate(
+              array({arr}),
+              0,
+              (n, w) -> if(substring({a}, n + 1, w) = substring({b}, n + 1, w),
+                           n + w, n)
+            )
+          )
+        END
+    """
     return f"""
         aggregate(
-          sequence(1, least({size}({a}), {size}({b}))),
+          sequence(1, least(size({a}), size({b}))),
           named_struct('n', 0, 'go', true),
-          (acc, i) -> if(acc.go and {ea} = {eb},
+          (acc, i) -> if(acc.go and element_at({a}, i) = element_at({b}, i),
                          named_struct('n', acc.n + 1, 'go', true),
                          named_struct('n', acc.n, 'go', false))
         ).n
@@ -334,7 +371,7 @@ def _rep_suffixes(
     )
 
 
-def _group_dup_lengths(suf: DataFrame, unit: str) -> DataFrame:
+def _group_dup_lengths(suf: DataFrame, unit: str, cap: int = 256) -> DataFrame:
     """(rank, dup_len): per rank group, the length of the longest WHOLE
     repeated prefix of the group's suffix — the max of the LCPs with
     its two NEIGHBOUR groups in suffix order (non-dense ranks: the
@@ -344,7 +381,7 @@ def _group_dup_lengths(suf: DataFrame, unit: str) -> DataFrame:
     itself is duplicated (``m >= 2``).  Unfiltered — callers threshold."""
     size = F.length if unit == "char" else F.size
     nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
-    lcp = F.expr(_lcp_sql(unit))
+    lcp = F.expr(_lcp_sql(unit, cap=cap))
     l_next = (
         suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"), "left")
         .select(
@@ -374,9 +411,9 @@ def _position_dup_lengths(
     length (:func:`_group_dup_lengths`) joined back to every member
     position of the group."""
     suf = _rep_suffixes(ranks, corpus, unit, max_units)
-    return ranks.join(_group_dup_lengths(suf, unit), "rank").select(
-        "doc_id", "off", "dup_len"
-    )
+    return ranks.join(
+        _group_dup_lengths(suf, unit, cap=max_units), "rank"
+    ).select("doc_id", "off", "dup_len")
 
 
 def _merge_islands(marked: DataFrame) -> DataFrame:
@@ -505,7 +542,7 @@ def longest_repeated_substrings(
     nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
     adjacent = (
         suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"))
-        .select(F.expr(_lcp_sql("char")).alias("lcp"), "suf")
+        .select(F.expr(_lcp_sql("char", cap=max_chars)).alias("lcp"), "suf")
         .select(F.expr("substring(suf, 1, lcp)").alias("substring"),
                 F.col("lcp").alias("length"))
     )
@@ -775,7 +812,8 @@ def sa_contamination_scores(
         .withColumn("_bk", F.substring("suf", 1, bucket_len))
     )
     return _neighbour_scores(
-        new_suf, seen_suf, max_bucket=max_bucket, unit="char"
+        new_suf, seen_suf, max_bucket=max_bucket, unit="char",
+        cap=max_chars,
     )
 
 
@@ -785,6 +823,7 @@ def _neighbour_scores(
     *,
     max_bucket: int | None,
     unit: str,
+    cap: int = 256,
 ) -> DataFrame:
     """The unit-agnostic scoring core shared by the char and token
     contamination scorers: seen-side hot-bucket cap (+ observe),
@@ -891,11 +930,11 @@ def _neighbour_scores(
             F.greatest(
                 F.when(
                     F.col("_pred").isNotNull(),
-                    F.expr(_lcp_sql(unit, b="_pred")),
+                    F.expr(_lcp_sql(unit, b="_pred", cap=cap)),
                 ).otherwise(0),
                 F.when(
                     F.col("_succ").isNotNull(),
-                    F.expr(_lcp_sql(unit, b="_succ")),
+                    F.expr(_lcp_sql(unit, b="_succ", cap=cap)),
                 ).otherwise(0),
             ).cast("int").alias("m"),
         )
