@@ -87,20 +87,34 @@ def _char_ranks(docs: DataFrame, max_chars: int) -> DataFrame:
     ``(doc_id, t)`` relation — ``doc_id`` may be any joinable type
     (:func:`repeat_spans_sa_tiled` passes a (doc, window) struct).
 
-    Round 0 ranks by the first EIGHT chars, not one: the doubling loop
-    then starts at ``h = 8``, skipping its three most expensive rounds
+    Round 0 ranks by the first THIRTY-TWO chars, not one: the doubling
+    loop then starts at ``h = 32``, skipping its most expensive rounds
     (the early rounds touch every position — nothing has frozen yet),
-    and positions whose 8-char context is corpus-unique freeze at
-    round 0 without entering the loop at all.  8-gram ranks keep the
-    suffix-order convention for free, because a shorter suffix that is
-    a prefix of a longer one compares smaller as a plain string
-    (``"ab" < "abX"``).  The 8-gram alphabet is too wide for a single
-    2-char-bucketed pass, so the base prefix sum runs the THREE-level
-    ORDER-PRESERVING device: the distinct-gram window partitions by
-    the gram's 4-char prefix (prefix order agrees with gram order),
-    the 4-char bucket offsets partition by THEIR 2-char prefix, and
-    only the 2-char bucket-of-bucket offsets (<= charset² rows) see an
-    unpartitioned window — bounded width at every level."""
+    and positions whose 32-char context is corpus-unique freeze at
+    round 0 without entering the loop at all.  Long-gram ranks keep
+    the suffix-order convention for free, because a shorter suffix
+    that is a prefix of a longer one compares smaller as a plain
+    string (``"ab" < "abX"``).  The gram alphabet is too wide for a
+    single 2-char-bucketed pass, so the base prefix sum runs the
+    THREE-level ORDER-PRESERVING device: the distinct-gram window
+    partitions by the gram's 4-char prefix (prefix order agrees with
+    gram order), the 4-char bucket offsets partition by THEIR 2-char
+    prefix, and only the 2-char bucket-of-bucket offsets (<= charset²
+    rows) see an unpartitioned window — bounded width at every
+    level."""
+    # r15: the base gram is 32 chars (was 8).  Measured at sf0.1, the
+    # 8-char base froze almost nothing (1.80M of 1.80M positions still
+    # active after round 0 — natural text repeats its 8-grams heavily)
+    # so the loop ran its two widest rounds (h=8: 1.80M active, h=16:
+    # 1.39M active) over nearly the whole corpus.  Ranking the base by
+    # the first 32 chars freezes every position whose 32-char context
+    # is corpus-unique (~83% at sf0.1) before the loop, which then
+    # starts at h=32 with only the true near-duplicate tail (~317k).
+    # Exact for any h0: the non-dense rank by the first h0 units is
+    # the same fixpoint the doubling reaches at h0, so the final ranks
+    # are bit-identical.  Shorter windows (max_chars < 32) just rank
+    # whole suffixes at round 0 and skip the loop.
+    h0 = 32
     pos = (
         docs.select(
             "doc_id",
@@ -110,18 +124,18 @@ def _char_ranks(docs: DataFrame, max_chars: int) -> DataFrame:
         .select(
             "doc_id",
             "off",
-            F.expr("substring(t, off, 8)").alias("g8"),
+            F.expr(f"substring(t, off, {h0})").alias("g"),
         )
     )
     return _prefix_double(
         _two_level_base_ranks(
             pos,
-            "g8",
-            bucket=F.substring("g8", 1, 4),
+            "g",
+            bucket=F.substring("g", 1, 4),
             bucket2=F.substring(F.col("_bk"), 1, 2),
         ),
         max_chars,
-        h0=8,
+        h0=h0,
     )
 
 
@@ -201,9 +215,8 @@ def _prefix_double(
     first ``h0`` units; ``off`` counts UNITS (chars or tokens — the
     loop only ever shifts it), and the refinement runs
     ``log2(max_units / h0)`` rounds."""
-    work = work.localCheckpoint()
     if h0 >= max_units:  # base ranks already cover the whole window
-        return work
+        return work.localCheckpoint()
 
     # a frozen (singleton-group) position never re-activates, so only
     # the last round's refined rows can still split: per-round work is
@@ -213,16 +226,22 @@ def _prefix_double(
     frozen: list[DataFrame] = []
     h = h0
     grp_w = Window.partitionBy("rank").orderBy("nxt")
+    # r15: each refined row carries its NEW group's size out of the
+    # same window stage that computes the new rank — the peer count
+    # over a range frame on ``nxt`` shares grp_w's exchange AND sort
+    # (same partition + order spec, different frame), so the former
+    # per-round ``sized`` window + second localCheckpoint disappear
+    # outright (one window pass and one materialization per round
+    # instead of two; measured ~1.5-2.5 s/round at sf0.1)
+    peer_w = grp_w.rangeBetween(0, 0)
+    # round-0 group sizes: one window over the base ranks (the loop
+    # folds this into the refinement window for every later round)
+    work = work.withColumn(
+        "_m", F.count(F.lit(1)).over(Window.partitionBy("rank"))
+    ).localCheckpoint()
     while h < max_units:
-        # one window marks group sizes in place (the former
-        # groupBy-count + join + anti-join triple — two extra shuffles
-        # and a third job per round — collapses into this single
-        # checkpointed pass; filters over the materialized RDD are free)
-        sized = work.withColumn(
-            "_m", F.count(F.lit(1)).over(Window.partitionBy("rank"))
-        ).localCheckpoint()
-        still = sized.filter(F.col("_m") >= 2).drop("_m")
-        done = sized.filter(F.col("_m") == 1).drop("_m")
+        still = work.filter(F.col("_m") >= 2).drop("_m")
+        done = work.filter(F.col("_m") == 1).drop("_m")
         frozen.append(done)
         if still.isEmpty():
             work = None
@@ -233,8 +252,8 @@ def _prefix_double(
         lookup = full.select(
             "doc_id", (F.col("off") - h).alias("off"), F.col("rank").alias("nxt")
         ).filter(F.col("off") >= 1)
-        # active side shrinks fast -> AQE broadcasts it; the full-size
-        # lookup streams map-side from the checkpointed blocks
+        # active side shrinks fast; the full-size lookup streams from
+        # the checkpointed blocks
         work = (
             still.join(lookup, ["doc_id", "off"], "left")
             .withColumn("nxt", F.coalesce("nxt", F.lit(0)))
@@ -242,6 +261,7 @@ def _prefix_double(
                 "doc_id",
                 "off",
                 (F.col("rank") + F.rank().over(grp_w) - 1).alias("rank"),
+                F.count(F.lit(1)).over(peer_w).alias("_m"),
             )
             .localCheckpoint()
         )
@@ -250,7 +270,7 @@ def _prefix_double(
     for piece in frozen[1:]:
         out = out.unionByName(piece)
     if work is not None:  # max_units reached with ties left (true dups)
-        out = out.unionByName(work)
+        out = out.unionByName(work.drop("_m"))
     return out
 
 
