@@ -73,19 +73,25 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r15 (guide §1.2/§2.4): the stability check used to run TWO
+    # exceptAll probes per round — each a full shuffle of both edge
+    # sets, paid even in the (majority) rounds that are provably not
+    # converged.  Edge sets are distinct-deduped, so set equality is
+    # |new| == |old| AND new \ old = 0: the count (a cheap scan of the
+    # just-checkpointed blocks, no shuffle) short-circuits every
+    # non-converged round, and the single one-directional exceptAll
+    # runs only when the counts already match.
+    n_edges = edges.count()
     converged = False
     for _ in range(max_iter):
         new_edges = _star_round(_star_round(edges, large=True), large=False)
         new_edges = new_edges.localCheckpoint(eager=True)
-        # stable when neither direction gained an edge
-        if (
-            new_edges.exceptAll(edges).isEmpty()
-            and edges.exceptAll(new_edges).isEmpty()
-        ):
+        n_new = new_edges.count()
+        if n_new == n_edges and new_edges.exceptAll(edges).isEmpty():
             edges = new_edges
             converged = True
             break
-        edges = new_edges
+        edges, n_edges = new_edges, n_new
     if not converged:
         # returning labels from an unstable edge set would silently
         # under-merge clusters — fail loudly instead

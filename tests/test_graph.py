@@ -111,3 +111,13 @@ def test_large_random_graph_many_components(spark):
     edges += [(1000 + i, 1001 + i) for i in range(60)]
     edges = [(u, v) for u, v in edges if u != v]
     _check(spark, edges)
+
+
+def test_already_star_converges_first_round(spark):
+    """The r15 count-short-circuit convergence check: an input that is
+    already a star (every edge node -> component min) must converge on
+    the very first stability probe — the round where the new edge set
+    equals the old one, i.e. the one path that actually runs the
+    one-directional exceptAll behind the count gate."""
+    edges = [(2, 1), (3, 1), (4, 1), (6, 5)]
+    _check(spark, edges)
