@@ -79,7 +79,9 @@ def suffix_ranks(
     are final and leave the working set; every window partitions by
     the previous rank; an eager localCheckpoint per round truncates the
     iterative lineage (and flags the query construct-each for bench)."""
-    return _char_ranks(_char_docs(df, id_col, text_col, max_chars), max_chars)
+    return _char_ranks(_char_docs(df, id_col, text_col, max_chars), max_chars).select(
+        "doc_id", "off", "rank"
+    )
 
 
 def _char_ranks(docs: DataFrame, max_chars: int) -> DataFrame:
@@ -214,9 +216,19 @@ def _prefix_double(
     ``(doc_id, off, rank)`` with round-0 non-dense ranks covering the
     first ``h0`` units; ``off`` counts UNITS (chars or tokens — the
     loop only ever shifts it), and the refinement runs
-    ``log2(max_units / h0)`` rounds."""
+    ``log2(max_units / h0)`` rounds.
+
+    Output is ``(doc_id, off, rank, m)`` — ``m`` is the FINAL
+    multiplicity of the position's rank group.  The loop already
+    computes it every round to find singletons (the ``_m`` peer
+    count), so emitting it is free here and saves the downstream
+    representative-suffix step a corpus-sized groupBy: a singleton
+    group's only member IS its representative (see
+    :func:`_rep_suffixes`)."""
     if h0 >= max_units:  # base ranks already cover the whole window
-        return work.localCheckpoint()
+        return work.withColumn(
+            "m", F.count(F.lit(1)).over(Window.partitionBy("rank"))
+        ).localCheckpoint()
 
     # a frozen (singleton-group) position never re-activates, so only
     # the last round's refined rows can still split: per-round work is
@@ -239,19 +251,22 @@ def _prefix_double(
     work = work.withColumn(
         "_m", F.count(F.lit(1)).over(Window.partitionBy("rank"))
     ).localCheckpoint()
+    def _lk(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", (F.col("off") - h).alias("off"), F.col("rank").alias("nxt")
+        )
+
     while h < max_units:
         still = work.filter(F.col("_m") >= 2).drop("_m")
-        done = work.filter(F.col("_m") == 1).drop("_m")
+        done = work.filter(F.col("_m") == 1)  # _m rides along (all 1)
         frozen.append(done)
         if still.isEmpty():
             work = None
             break  # every group a singleton: ranks are final
-        full = still
+        lookup = _lk(still)
         for piece in frozen:
-            full = full.unionByName(piece)
-        lookup = full.select(
-            "doc_id", (F.col("off") - h).alias("off"), F.col("rank").alias("nxt")
-        ).filter(F.col("off") >= 1)
+            lookup = lookup.unionByName(_lk(piece))
+        lookup = lookup.filter(F.col("off") >= 1)
         # active side shrinks fast; the full-size lookup streams from
         # the checkpointed blocks
         work = (
@@ -270,8 +285,8 @@ def _prefix_double(
     for piece in frozen[1:]:
         out = out.unionByName(piece)
     if work is not None:  # max_units reached with ties left (true dups)
-        out = out.unionByName(work.drop("_m"))
-    return out
+        out = out.unionByName(work)
+    return out.withColumnRenamed("_m", "m")
 
 
 def _token_docs(
@@ -373,10 +388,26 @@ def _rep_suffixes(
     so any member represents.  The suffix re-fetches from the corpus
     relation (``(doc_id, t)`` char grain / ``(doc_id, toks)`` token
     grain) as a bounded slice; it is never carried through the
-    doubling loop."""
-    rep = ranks.groupBy("rank").agg(
-        F.min(F.struct("doc_id", "off")).alias("p"),
-        F.count(F.lit(1)).alias("m"),
+    doubling loop.
+
+    ``ranks`` must carry the loop's ``m`` column (guide §2.4, r15):
+    the overwhelming majority of rank groups are singletons whose only
+    member IS the representative, so they bypass the representative
+    pick entirely — the groupBy (formerly a corpus-sized exchange +
+    aggregate over every position) now runs only over the
+    near-duplicate tail (``m >= 2``)."""
+    singles = ranks.filter(F.col("m") == 1).select(
+        "rank", "m", "doc_id", "off"
+    )
+    ties = (
+        ranks.filter(F.col("m") >= 2)
+        .groupBy("rank")
+        .agg(
+            F.min(F.struct("doc_id", "off")).alias("p"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .select("rank", "m", F.col("p.doc_id").alias("doc_id"),
+                F.col("p.off").alias("off"))
     )
     sliced = (
         F.expr(f"substring(t, off, {max_units})")
@@ -384,8 +415,7 @@ def _rep_suffixes(
         else F.expr(f"slice(toks, off, {max_units})")
     )
     return (
-        rep.select("rank", "m", F.col("p.doc_id").alias("doc_id"),
-                   F.col("p.off").alias("off"))
+        singles.unionByName(ties)
         .join(corpus, "doc_id")
         .select("rank", "m", sliced.alias("suf"))
     )
@@ -395,31 +425,42 @@ def _group_dup_lengths(suf: DataFrame, unit: str, cap: int = 256) -> DataFrame:
     """(rank, dup_len): per rank group, the length of the longest WHOLE
     repeated prefix of the group's suffix — the max of the LCPs with
     its two NEIGHBOUR groups in suffix order (non-dense ranks: the
-    successor of ``(rank, m)`` sits at exactly ``rank + m``; a group's
-    LCP with its PREDECESSOR is the predecessor's own successor-LCP,
-    one more shifted self-join) and the whole suffix when the group
-    itself is duplicated (``m >= 2``).  Unfiltered — callers threshold."""
+    successor of ``(rank, m)`` sits at exactly ``rank + m``) and the
+    whole suffix when the group itself is duplicated (``m >= 2``).
+    Unfiltered — callers threshold.
+
+    r15 shape (guide §1.2/§2.4): each adjacent pair's LCP is computed
+    ONCE and exploded to BOTH endpoint groups, folded with a
+    groupBy-max.  The previous shape re-attached predecessor LCPs via
+    a second join keyed on ``rank + m`` — a shifted SELF-join of the
+    lazy ``l_next`` relation, so Catalyst re-evaluated the whole
+    adjacency join (including every LCP cursor) a second time under a
+    different exchange key.  One LCP pass, one join, one aggregate;
+    ``suf`` evaluates 3x instead of 4x."""
     size = F.length if unit == "char" else F.size
     nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
     lcp = F.expr(_lcp_sql(unit, cap=cap))
-    l_next = (
-        suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"), "left")
+    adj = (
+        suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"))
+        .select("rank", "_rk2", F.coalesce(lcp, F.lit(0)).alias("l"))
         .select(
-            "rank", "m", size("suf").alias("slen"),
-            F.coalesce(lcp, F.lit(0)).alias("l_next"),
+            F.explode(
+                F.array(
+                    F.struct(F.col("rank").alias("rank"), F.col("l").alias("l")),
+                    F.struct(F.col("_rk2").alias("rank"), F.col("l").alias("l")),
+                )
+            ).alias("x")
         )
+        .select(F.col("x.rank").alias("rank"), F.col("x.l").alias("l"))
     )
-    l_prev = l_next.select(
-        (F.col("rank") + F.col("m")).alias("rank"),
-        F.col("l_next").alias("l_prev"),
-    )
-    return l_next.join(l_prev, "rank", "left").select(
+    own = suf.select(
         "rank",
-        F.greatest(
-            F.when(F.col("m") >= 2, F.col("slen")).otherwise(0),
-            F.col("l_next"),
-            F.coalesce("l_prev", F.lit(0)),
-        ).alias("dup_len"),
+        F.when(F.col("m") >= 2, size("suf")).otherwise(F.lit(0)).alias("l"),
+    )
+    return (
+        own.unionByName(adj)
+        .groupBy("rank")
+        .agg(F.max("l").alias("dup_len"))
     )
 
 
@@ -491,7 +532,7 @@ def suffix_ranks_tokens(
     unpartitioned window."""
     return _token_ranks(
         _token_docs(df, id_col, text_col, max_tokens), max_tokens
-    )
+    ).select("doc_id", "off", "rank")
 
 
 def _token_ranks(toks: DataFrame, max_tokens: int) -> DataFrame:
@@ -556,8 +597,8 @@ def longest_repeated_substrings(
     ``(rank, m)`` sits at exactly ``rank + m`` — adjacency is that
     equi-join; the LCP is one bounded ``aggregate()`` cursor per
     adjacent pair."""
-    ranks = suffix_ranks(df, id_col, text_col, max_chars=max_chars)
     docs = _char_docs(df, id_col, text_col, max_chars)
+    ranks = _char_ranks(docs, max_chars)
     suf = _rep_suffixes(ranks, docs, "char", max_chars)
     nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
     adjacent = (
@@ -714,10 +755,8 @@ def repeat_spans_sa_tokens(
     cursor compares tokens via ``element_at`` instead of chars, and
     spans are 1-based token indices (inclusive) within the first
     ``max_tokens`` tokens of each doc."""
-    ranks = suffix_ranks_tokens(
-        df, id_col, text_col, max_tokens=max_tokens
-    )
     toks = _token_docs(df, id_col, text_col, max_tokens)
+    ranks = _token_ranks(toks, max_tokens)
     pos = _position_dup_lengths(ranks, toks, "token", max_tokens)
     marked = pos.filter(F.col("dup_len") >= min_tokens).select(
         "doc_id",
@@ -1397,8 +1436,8 @@ def position_repeat_lengths(
     exposed unfiltered so threshold-tuning queries can histogram it:
     picking Lee et al.'s ``min_len`` IS a corpus measurement, not a
     constant.  Same neighbour-LCP identity, one rank-group join."""
-    ranks = suffix_ranks(df, id_col, text_col, max_chars=max_chars)
     docs = _char_docs(df, id_col, text_col, max_chars)
+    ranks = _char_ranks(docs, max_chars)
     return _position_dup_lengths(ranks, docs, "char", max_chars).select(
         "doc_id", "off", F.col("dup_len").cast("int").alias("dup_len")
     )
@@ -1420,8 +1459,8 @@ def longest_repeated_sequences_tokens(
     candidates as the char version — adjacent-group LCP prefixes plus
     whole duplicated suffixes (rank multiplicity >= 2) — ordered by
     (length desc, sequence asc)."""
-    ranks = suffix_ranks_tokens(df, id_col, text_col, max_tokens=max_tokens)
     toks = _token_docs(df, id_col, text_col, max_tokens)
+    ranks = _token_ranks(toks, max_tokens)
     suf = _rep_suffixes(ranks, toks, "token", max_tokens)
     nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
     adjacent = (
