@@ -907,8 +907,12 @@ def test_part_transit_conflicts_emit_once_plan(spark, sf_dir):
 
 def test_sa_incremental_plan_no_global_window(spark, sf_dir):
     # incremental SA ranking: every Window partitions by the prefix
-    # bucket (no unpartitioned window over the suffix space), the seen
-    # side is bucket-semi-joined before the union, and no Python.
+    # bucket (no unpartitioned window over the suffix space), the
+    # arrival prefilter is the salting join itself (r15: an INNER join
+    # on _bk with the checkpointed bucket-grain salt table — restricted
+    # to seen-occupied buckets at build time — replaced the former
+    # per-position LeftSemi pass over every arriving suffix), and no
+    # Python.
     import re
 
     from chewdata_spark.queries.dedup_queries import dedup_incremental_ingest_sa
@@ -921,7 +925,17 @@ def test_sa_incremental_plan_no_global_window(spark, sf_dir):
     assert specs, plan
     for spec in specs:
         assert spec.startswith("_bk"), spec
-    assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # the per-position semi-join is GONE (that is the optimization)...
+    assert "LeftSemi" not in optimized, optimized
+    # ...because the bounded salt table (a checkpointed LogicalRDD,
+    # built with the occupied-bucket restriction folded in) inner-joins
+    # the arrivals on _bk and drops non-occupied positions as a side
+    # effect
+    assert "LogicalRDD" in optimized, optimized
+    assert re.search(r"Join Inner, \(_bk", optimized) or re.search(
+        r"Join Inner, .*_bk", optimized
+    ), optimized
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
