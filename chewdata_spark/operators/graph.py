@@ -155,6 +155,12 @@ def pagerank(
     # derivation (join + distinct upstream) runs ONCE, exactly like the
     # per-round checkpoints in connected_components
     edges = edges.localCheckpoint(eager=False)
+    # r15 examined + DECLINED: lazily checkpointing `nodes`/`out_deg`
+    # (node-grain, re-appearing in every round's plan) measured 0.87x —
+    # SLOWER — in an interleaved A/B (scripts/ab_misc.py): ReuseExchange
+    # already deduplicates the repeated distinct/aggregate subtrees
+    # within the one final plan, so the checkpoints only added
+    # materialization cost.  Left as the single edge checkpoint.
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))

@@ -2273,16 +2273,20 @@ def stream_ingest_dedup_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = stream.join(seen_arr, "_bk", "left")
     nb = _sa_bs_neighbours(joined, max_bucket=max_bucket)
+    # r15: cap the LCP cursor at the true suffix length (suffixes are
+    # max_chars-windowed, so LCP <= max_chars by construction) — the
+    # default 256 cap paid two extra refinement steps whose first
+    # memcmp windows span the whole string (guide §1.2 step 2)
     scored = nb.select(
         "doc_id",
         F.greatest(
             F.when(
                 F.col("_pred").isNotNull(),
-                F.expr(_lcp_sql("char", b="_pred")),
+                F.expr(_lcp_sql("char", b="_pred", cap=max_chars)),
             ).otherwise(0),
             F.when(
                 F.col("_succ").isNotNull(),
-                F.expr(_lcp_sql("char", b="_succ")),
+                F.expr(_lcp_sql("char", b="_succ", cap=max_chars)),
             ).otherwise(0),
         ).alias("_m"),
     )
@@ -2905,17 +2909,20 @@ def _stream_cut_spans_sa_marks(
     )
     joined = stream.join(seen_arr, "_bk", "left")
     nb = _sa_bs_neighbours(joined, max_bucket=max_bucket)
+    # r15: LCP capped at max_chars (the suffix window length — the
+    # exact upper bound on any LCP here); the default 256 cap paid two
+    # extra refinement steps with whole-string memcmp windows
     scored = nb.select(
         "doc_id",
         "off",
         F.greatest(
             F.when(
                 F.col("_pred").isNotNull(),
-                F.expr(_lcp_sql("char", b="_pred")),
+                F.expr(_lcp_sql("char", b="_pred", cap=max_chars)),
             ).otherwise(0),
             F.when(
                 F.col("_succ").isNotNull(),
-                F.expr(_lcp_sql("char", b="_succ")),
+                F.expr(_lcp_sql("char", b="_succ", cap=max_chars)),
             ).otherwise(0),
         ).alias("_m"),
     )
