@@ -482,24 +482,43 @@ def _merge_islands(marked: DataFrame) -> DataFrame:
     ``(doc_id, s, e)`` intervals — standard gaps-and-islands (a new
     island starts where ``s`` exceeds the running max end + 1, so
     touching spans merge), every window bounded by the doc's own
-    positions."""
+    positions.
+
+    r15 shape (guide §2.4): ONE window pass — the former
+    ``groupBy(doc_id, island)`` re-exchanged every mark by a DIFFERENT
+    key right after the window's own (doc_id) exchange.  All four
+    window expressions share one partition + order spec (one exchange,
+    one sort); the island-END row then carries the whole merged span:
+
+    * ``span_start`` = running max of island-START ``s`` values — marks
+      sort by ``s``, so the most recent island-start ``s`` IS the
+      current island's minimum;
+    * ``span_end`` = running max ``e`` — a new island's first row has
+      ``s > prev_max_e + 1``, and its own ``e >= s > prev_max_e``, so
+      the running max at an island's last row never leaks from an
+      earlier island;
+    * a row is its island's LAST when the next row starts a new island
+      (``lead(new_island) = 1``) or it is the partition's last row
+      (lead NULL)."""
     w = Window.partitionBy("doc_id").orderBy("s", "e")
+    upto = w.rowsBetween(Window.unboundedPreceding, 0)
     prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    islands = marked.withColumn(
+    flagged = marked.withColumn(
         "new_island",
         F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0),
-    ).withColumn(
-        "island",
-        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    return (
-        islands.groupBy("doc_id", "island")
-        .agg(
-            F.min("s").cast("int").alias("span_start"),
-            F.max("e").cast("int").alias("span_end"),
-        )
-        .drop("island")
+    spans = flagged.select(
+        "doc_id",
+        F.max(F.when(F.col("new_island") == 1, F.col("s")))
+        .over(upto)
+        .cast("int")
+        .alias("span_start"),
+        F.max("e").over(upto).cast("int").alias("span_end"),
+        F.lead("new_island").over(w).alias("_nxt_ni"),
     )
+    return spans.filter(
+        F.col("_nxt_ni").isNull() | (F.col("_nxt_ni") == 1)
+    ).drop("_nxt_ni")
 
 
 def suffix_ranks_tokens(
