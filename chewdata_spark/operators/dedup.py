@@ -674,25 +674,41 @@ def duplicate_spans(
         .select("gh")
     )
     hits = grams.join(dup, "gh").select("doc_id", "pos")
+    # r15 (guide §2.4, same device as suffix.py::_merge_islands): the
+    # island facts all come out of the ONE (doc_id, pos) window sort —
+    # span_start is the running max of island-START positions (ordered
+    # by pos, the latest start IS the current island's min), the
+    # island's max pos is simply the pos of its LAST row, and a row is
+    # last when lead(_new) is 1 or NULL.  The former
+    # groupBy(doc_id, _island) re-exchanged every hit by a different
+    # key right after the window's own exchange.
     w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = (
-        hits.withColumn("_prev", F.lag("pos").over(w))
-        .withColumn(
-            "_new",
-            F.when(
-                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k), 1
-            ).otherwise(0),
-        )
-        .withColumn("_island", F.sum("_new").over(w))
+    upto = w.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = hits.withColumn("_prev", F.lag("pos").over(w)).withColumn(
+        "_new",
+        F.when(
+            F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k), 1
+        ).otherwise(0),
     )
-    return (
-        islands.groupBy("doc_id", "_island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + (k - 1)).alias("span_end"),
-            (F.max("pos") + k - F.min("pos")).alias("span_tokens"),
-        )
-        .select("doc_id", "span_start", "span_end", "span_tokens")
+    spans = flagged.select(
+        "doc_id",
+        F.max(F.when(F.col("_new") == 1, F.col("pos")))
+        .over(upto)
+        .alias("span_start"),
+        # the when() keeps span_end NULLABLE like the old aggregate
+        # output — the declared schema is part of the query contract
+        F.when(F.col("pos").isNotNull(), F.col("pos") + (k - 1)).alias(
+            "span_end"
+        ),
+        F.lead("_new").over(w).alias("_nxt"),
+    )
+    return spans.filter(
+        F.col("_nxt").isNull() | (F.col("_nxt") == 1)
+    ).select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
     )
 
 
