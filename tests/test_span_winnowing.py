@@ -1435,3 +1435,71 @@ def test_bpe_flagship_invariants(spark, sf_dir):
         kept = len(r.clean_pieces.split()) if r.clean_pieces else 0
         assert r.n_cut > 0 and kept >= 0
     assert any(r.n_cut > 0 for r in rows), "decontam stage vacuous"
+
+
+def test_merge_islands_single_pass_edge_cases(spark):
+    """Focused pin for the r15 single-window island merge
+    (operators/suffix.py::_merge_islands): touching spans merge,
+    gap-separated spans stay apart, duplicate and nested marks fold
+    into one island, single-mark docs pass through — and the island
+    facts must be exact with NO aggregate after the window (the
+    groupBy(doc_id, island) exchange was removed; a regression back to
+    per-row output or off-by-one start/end breaks every span cutter)."""
+    from chewdata_spark.operators.suffix import _merge_islands
+
+    marked = spark.createDataFrame(
+        [
+            # doc 1: [1,5] + touching [6,9] merge; [20,25] stays apart
+            (1, 1, 5), (1, 6, 9), (1, 20, 25),
+            # doc 2: duplicate mark + nested mark -> ONE island [3,10]
+            (2, 3, 10), (2, 3, 10), (2, 4, 6),
+            # doc 3: single mark
+            (3, 7, 7),
+            # doc 4: overlapping chain walks forward
+            (4, 1, 4), (4, 3, 8), (4, 8, 12),
+        ],
+        "doc_id int, s int, e int",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in _merge_islands(marked).collect()
+    )
+    assert got == [
+        (1, 1, 9), (1, 20, 25),
+        (2, 3, 10),
+        (3, 7, 7),
+        (4, 1, 12),
+    ]
+    # schema contract: int spans, nullable like the old aggregate output
+    sch = {f.name: (f.dataType.simpleString(), f.nullable)
+           for f in _merge_islands(marked).schema.fields}
+    assert sch["span_start"] == ("int", True)
+    assert sch["span_end"] == ("int", True)
+
+
+def test_duplicate_spans_single_pass_schema_and_values(spark):
+    """Focused pin for the r15 single-window k-gram island merge
+    (operators/dedup.py::duplicate_spans): two docs sharing an 8-gram
+    produce one maximal span each with exact start/end/token counts,
+    and the output schema keeps every column bigint AND nullable —
+    the driver compares schemas, so the when()-guarded span_end must
+    not become non-nullable."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, f"{shared} one two three"),
+        (2, f"zero {shared} nine"),
+        (3, "completely different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    spans = duplicate_spans(df, "doc_id", "text", k=8)
+    got = {r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+           for r in spans.collect()}
+    # doc 1: the shared 8-gram starts at token 0; doc 2: at token 1
+    assert got[1] == (0, 7, 8)
+    assert got[2] == (1, 8, 8)
+    assert 3 not in got
+    sch = {f.name: (f.dataType.simpleString(), f.nullable)
+           for f in spans.schema.fields}
+    assert sch["span_start"] == ("bigint", True)
+    assert sch["span_end"] == ("bigint", True)
+    assert sch["span_tokens"] == ("bigint", True)
