@@ -209,14 +209,39 @@ def _two_level_base_ranks(
     )
 
 
+#: Max rank lookups per refinement round (coverage multiplies by
+#: ``_KARY_MAX + 1`` per round).  Each extra lookup adds one seeker
+#: copy of the ACTIVE tail (small after the wide base) to the one
+#: corpus-sized lookup join; 7 collapses every declared window
+#: (char 64/128/256 from h0=32, tokens 64 from h0=4) to 1-2 rounds.
+_KARY_MAX = 7
+
+
 def _prefix_double(
     work: DataFrame, max_units: int, *, h0: int = 1
 ) -> DataFrame:
-    """The grain-agnostic prefix-doubling loop: ``work`` is
+    """The grain-agnostic prefix-refinement loop: ``work`` is
     ``(doc_id, off, rank)`` with round-0 non-dense ranks covering the
     first ``h0`` units; ``off`` counts UNITS (chars or tokens — the
-    loop only ever shifts it), and the refinement runs
-    ``log2(max_units / h0)`` rounds.
+    loop only ever shifts it).
+
+    r15: each round is K-ARY (Karp-Miller-Rosenberg generalized): a
+    round at coverage ``h`` fetches the ranks at ``off + h, off + 2h,
+    ..., off + K*h`` and refines each tie group by the K-tuple, so one
+    round multiplies coverage by ``K + 1`` instead of 2 — the loop
+    runs ``ceil(log_{K+1}(max_units / h0))`` rounds instead of
+    ``log2``.  Exactness is the same block-composition argument as
+    binary doubling, applied K times: within a tie group (first ``h``
+    units equal — and any member shorter than ``h`` units only ties
+    with identical whole suffixes), ranks at coverage ``h`` order the
+    unit blocks ``[off+kh, off+(k+1)h)`` exactly, fixed-width blocks
+    compose lexicographically, and a past-end lookup maps to rank 0 <
+    every real rank = shorter-suffix-sorts-first.  Each round pays ONE
+    corpus-sized lookup pass (the K probe offsets ride an exploded
+    seeker copy of the ACTIVE tail, which is small after the 32-unit
+    base), one window pass and one localCheckpoint — so collapsing
+    rounds removes whole corpus-sized passes, not just constants
+    (guide §1.2 step 1 / §2.4).
 
     Output is ``(doc_id, off, rank, m)`` — ``m`` is the FINAL
     multiplicity of the position's rank group.  The loop already
@@ -237,24 +262,11 @@ def _prefix_double(
     # as checkpointed RDDs and serve rank lookups without recompute.
     frozen: list[DataFrame] = []
     h = h0
-    grp_w = Window.partitionBy("rank").orderBy("nxt")
-    # r15: each refined row carries its NEW group's size out of the
-    # same window stage that computes the new rank — the peer count
-    # over a range frame on ``nxt`` shares grp_w's exchange AND sort
-    # (same partition + order spec, different frame), so the former
-    # per-round ``sized`` window + second localCheckpoint disappear
-    # outright (one window pass and one materialization per round
-    # instead of two; measured ~1.5-2.5 s/round at sf0.1)
-    peer_w = grp_w.rangeBetween(0, 0)
     # round-0 group sizes: one window over the base ranks (the loop
     # folds this into the refinement window for every later round)
     work = work.withColumn(
         "_m", F.count(F.lit(1)).over(Window.partitionBy("rank"))
     ).localCheckpoint()
-    def _lk(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id", (F.col("off") - h).alias("off"), F.col("rank").alias("nxt")
-        )
 
     while h < max_units:
         still = work.filter(F.col("_m") >= 2).drop("_m")
@@ -263,16 +275,73 @@ def _prefix_double(
         if still.isEmpty():
             work = None
             break  # every group a singleton: ranks are final
+        # K probes this round: enough to finish in one round when the
+        # remaining factor fits, else the cap
+        k = min(_KARY_MAX, -(-max_units // h) - 1)
+        def _lk(df: DataFrame) -> DataFrame:
+            return df.select(
+                "doc_id",
+                F.col("off").alias("_loff"),
+                F.col("rank").alias("nxt"),
+            )
+
         lookup = _lk(still)
         for piece in frozen:
             lookup = lookup.unionByName(_lk(piece))
-        lookup = lookup.filter(F.col("off") >= 1)
-        # active side shrinks fast; the full-size lookup streams from
-        # the checkpointed blocks
+        nxt_cols = [f"_n{i}" for i in range(1, k + 1)]
+        # the new rank is the old rank plus the number of strictly
+        # smaller in-group tuples (rank() - 1): 1 + #smaller is
+        # invariant under refinement because a member with j smaller
+        # in-group peers gains exactly j newly-smaller positions
+        grp_w = Window.partitionBy("rank").orderBy(*nxt_cols)
+        # the peer count partitions by (rank, tuple): hash(rank) alone
+        # already clusters it and grp_w's sort already orders it, so
+        # both windows share ONE exchange and ONE sort (asserted by
+        # the plan-quality suite)
+        peer_w = Window.partitionBy("rank", *nxt_cols)
+        if k == 1:
+            # single probe: plain equi-join, no seeker explode needed
+            refined = (
+                still.withColumn("_loff", F.col("off") + h)
+                .join(lookup, ["doc_id", "_loff"], "left")
+                .select(
+                    "doc_id",
+                    "off",
+                    "rank",
+                    F.coalesce("nxt", F.lit(0)).alias("_n1"),
+                )
+            )
+        else:
+            # exploded seekers: K probe rows per active position, ONE
+            # join against the corpus-sized lookup, then fold the K
+            # probe results back to a tuple per position.  The fold's
+            # groupBy re-exchanges only K x |active tail| rows — the
+            # corpus-sized side ships once per ROUND, not per probe.
+            seekers = still.select(
+                "doc_id",
+                "off",
+                "rank",
+                F.explode(
+                    F.expr(f"sequence(1, {k})")
+                ).alias("_k"),
+            ).withColumn("_loff", F.col("off") + F.col("_k") * F.lit(h))
+            refined = (
+                seekers.join(lookup, ["doc_id", "_loff"], "left")
+                .groupBy("doc_id", "off", "rank")
+                .agg(
+                    *[
+                        F.max(
+                            F.when(
+                                F.col("_k") == i,
+                                F.coalesce("nxt", F.lit(0)),
+                            )
+                        ).alias(f"_n{i}")
+                        for i in range(1, k + 1)
+                    ]
+                )
+            )
         work = (
-            still.join(lookup, ["doc_id", "off"], "left")
-            .withColumn("nxt", F.coalesce("nxt", F.lit(0)))
-            .select(
+            refined.select(
                 "doc_id",
                 "off",
                 (F.col("rank") + F.rank().over(grp_w) - 1).alias("rank"),
@@ -280,7 +349,7 @@ def _prefix_double(
             )
             .localCheckpoint()
         )
-        h *= 2
+        h *= k + 1
     out = frozen[0]
     for piece in frozen[1:]:
         out = out.unionByName(piece)
