@@ -490,6 +490,67 @@ def _rep_suffixes(
     )
 
 
+def _adjacent_pairs(suf: DataFrame, unit: str, cap: int = 256) -> DataFrame:
+    """One row per rank group, paired with its suffix-order SUCCESSOR
+    group and their LCP, built WITHOUT a self-join: with non-dense
+    ranks the successor of ``(rank, m)`` sits at exactly ``rank + m``,
+    so each group emits a PROVIDER row keyed by its own rank and a
+    SEEKER row keyed by its successor's rank, and ONE groupBy(key)
+    reunites each pair (<= 2 rows per key by construction — the
+    aggregation is skew-proof and map-side combinable).
+
+    Output columns: ``rank`` (the provider group; NULL only for the
+    corpus's last group's seeker key, which has no provider), ``m``
+    and ``suf`` (the provider's multiplicity and representative
+    suffix), ``pred_rank`` / ``suf2`` (the predecessor group whose
+    successor this key names and ITS representative suffix; NULL for
+    the first group), and ``l`` — the predecessor/provider LCP, 0 when
+    either side is missing.
+
+    r15 shape (guide §1.2 step 1 / §2.4): the former equi-join
+    ``suf × suf`` on ``rank + m = _rk2`` evaluated the rep-suffix
+    relation — a union + corpus join + slice — once per join side
+    (deduplicated only when ReuseExchange happens to fire).  The
+    explode ships the same total bytes through ONE exchange that the
+    join shipped through two, ``suf`` is structurally evaluated ONCE,
+    and both LCP inputs land in the same aggregate row."""
+    emit = suf.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("rank").alias("key"),
+                    F.lit(1).alias("side"),
+                    F.col("rank").alias("rank"),
+                    F.col("m").alias("m"),
+                    F.col("suf").alias("suf"),
+                ),
+                F.struct(
+                    (F.col("rank") + F.col("m")).alias("key"),
+                    F.lit(0).alias("side"),
+                    F.col("rank").alias("rank"),
+                    F.col("m").alias("m"),
+                    F.col("suf").alias("suf"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    lcp = F.expr(_lcp_sql(unit, a="suf2", b="suf", cap=cap))
+    return (
+        emit.groupBy("key")
+        .agg(
+            F.max(F.when(F.col("side") == 1, F.col("rank"))).alias("rank"),
+            F.max(F.when(F.col("side") == 1, F.col("m"))).alias("m"),
+            F.max(F.when(F.col("side") == 1, F.col("suf"))).alias("suf"),
+            F.max(F.when(F.col("side") == 0, F.col("rank"))).alias("pred_rank"),
+            F.max(F.when(F.col("side") == 0, F.col("suf"))).alias("suf2"),
+        )
+        .select(
+            "rank", "m", "suf", "pred_rank", "suf2",
+            F.coalesce(lcp, F.lit(0)).alias("l"),
+        )
+    )
+
+
 def _group_dup_lengths(suf: DataFrame, unit: str, cap: int = 256) -> DataFrame:
     """(rank, dup_len): per rank group, the length of the longest WHOLE
     repeated prefix of the group's suffix — the max of the LCPs with
@@ -498,39 +559,30 @@ def _group_dup_lengths(suf: DataFrame, unit: str, cap: int = 256) -> DataFrame:
     whole suffix when the group itself is duplicated (``m >= 2``).
     Unfiltered — callers threshold.
 
-    r15 shape (guide §1.2/§2.4): each adjacent pair's LCP is computed
-    ONCE and exploded to BOTH endpoint groups, folded with a
-    groupBy-max.  The previous shape re-attached predecessor LCPs via
-    a second join keyed on ``rank + m`` — a shifted SELF-join of the
-    lazy ``l_next`` relation, so Catalyst re-evaluated the whole
-    adjacency join (including every LCP cursor) a second time under a
-    different exchange key.  One LCP pass, one join, one aggregate;
-    ``suf`` evaluates 3x instead of 4x."""
+    r15 shape: pairing via :func:`_adjacent_pairs` (one evaluation of
+    the rep-suffix relation, one exchange); each pair's LCP is computed
+    ONCE and credited to BOTH endpoint groups, the group's own whole-
+    suffix length (``m >= 2``) rides the provider row, and a
+    groupBy-max folds the two emissions per group."""
     size = F.length if unit == "char" else F.size
-    nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
-    lcp = F.expr(_lcp_sql(unit, cap=cap))
-    adj = (
-        suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"))
-        .select("rank", "_rk2", F.coalesce(lcp, F.lit(0)).alias("l"))
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("rank").alias("rank"), F.col("l").alias("l")),
-                    F.struct(F.col("_rk2").alias("rank"), F.col("l").alias("l")),
-                )
-            ).alias("x")
-        )
-        .select(F.col("x.rank").alias("rank"), F.col("x.l").alias("l"))
-    )
-    own = suf.select(
-        "rank",
-        F.when(F.col("m") >= 2, size("suf")).otherwise(F.lit(0)).alias("l"),
-    )
-    return (
-        own.unionByName(adj)
-        .groupBy("rank")
-        .agg(F.max("l").alias("dup_len"))
-    )
+    pairs = _adjacent_pairs(suf, unit, cap=cap)
+    per_rank = pairs.select(
+        F.explode(
+            F.array(
+                # the predecessor group is credited the pair LCP
+                F.struct(F.col("pred_rank").alias("rank"), F.col("l").alias("l")),
+                # the provider group: pair LCP vs its own duplicated length
+                F.struct(
+                    F.col("rank").alias("rank"),
+                    F.greatest(
+                        F.col("l"),
+                        F.when(F.col("m") >= 2, size("suf")).otherwise(F.lit(0)),
+                    ).alias("l"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.rank", "x.l").filter(F.col("rank").isNotNull())
+    return per_rank.groupBy("rank").agg(F.max("l").alias("dup_len"))
 
 
 def _position_dup_lengths(
@@ -688,14 +740,17 @@ def longest_repeated_substrings(
     docs = _char_docs(df, id_col, text_col, max_chars)
     ranks = _char_ranks(docs, max_chars)
     suf = _rep_suffixes(ranks, docs, "char", max_chars)
-    nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
-    adjacent = (
-        suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"))
-        .select(F.expr(_lcp_sql("char", cap=max_chars)).alias("lcp"), "suf")
-        .select(F.expr("substring(suf, 1, lcp)").alias("substring"),
-                F.col("lcp").alias("length"))
+    # r15: both candidate families read off ONE _adjacent_pairs relation
+    # (one rep-suffix evaluation instead of three; see _adjacent_pairs).
+    # The pair's LCP prefix is read from the PREDECESSOR side (suf2).
+    pairs = _adjacent_pairs(suf, "char", cap=max_chars)
+    adjacent = pairs.filter(
+        F.col("pred_rank").isNotNull() & F.col("rank").isNotNull()
+    ).select(
+        F.expr("substring(suf2, 1, l)").alias("substring"),
+        F.col("l").alias("length"),
     )
-    dup_groups = suf.filter(F.col("m") >= 2).select(
+    dup_groups = pairs.filter(F.col("m") >= 2).select(
         F.col("suf").alias("substring"), F.length("suf").alias("length")
     )
     return (
@@ -1570,16 +1625,16 @@ def longest_repeated_sequences_tokens(
     toks = _token_docs(df, id_col, text_col, max_tokens)
     ranks = _token_ranks(toks, max_tokens)
     suf = _rep_suffixes(ranks, toks, "token", max_tokens)
-    nxt = suf.select(F.col("rank").alias("_rk2"), F.col("suf").alias("suf2"))
-    adjacent = (
-        suf.join(nxt, (F.col("rank") + F.col("m")) == F.col("_rk2"))
-        .select(F.expr(_lcp_sql("token")).alias("lcp"), "suf")
-        .select(
-            F.array_join(F.expr("slice(suf, 1, lcp)"), " ").alias("seq"),
-            F.col("lcp").alias("length"),
-        )
+    # r15: both candidate families read off ONE _adjacent_pairs relation
+    # (one rep-suffix evaluation instead of three; see _adjacent_pairs).
+    pairs = _adjacent_pairs(suf, "token", cap=max_tokens)
+    adjacent = pairs.filter(
+        F.col("pred_rank").isNotNull() & F.col("rank").isNotNull()
+    ).select(
+        F.array_join(F.expr("slice(suf2, 1, l)"), " ").alias("seq"),
+        F.col("l").alias("length"),
     )
-    dup_groups = suf.filter(F.col("m") >= 2).select(
+    dup_groups = pairs.filter(F.col("m") >= 2).select(
         F.array_join("suf", " ").alias("seq"), F.size("suf").alias("length")
     )
     return (
