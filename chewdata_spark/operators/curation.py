@@ -1264,11 +1264,17 @@ def sa_curate_corpus(
             pbench = bpe_encode_corpus_rules(
                 evaln, "doc_id", "text", rules
             ).select("doc_id", "pieces").localCheckpoint(eager=False)
+            # "bounded": the piece vocabulary is base chars + trained
+            # merges by construction, so the "auto" sample pre-screen
+            # (an extra corpus-scale probe job at construction) is
+            # skipped; the full probe keeps the bit-identical string
+            # fallback (r16 interleaved A/B on the BPE flagship:
+            # 29.09 -> 27.54 s)
             scored = sa_contamination_scores_tokens(
                 ptrain, pbench, "doc_id", "pieces",
                 max_tokens=compare_cap, min_tokens=min_len,
                 bucket_tokens=bucket_len, max_bucket=max_bucket,
-                full_doc=True, int_alphabet="auto",
+                full_doc=True, int_alphabet="bounded",
             )
             cmarks = scored.filter(F.col("m") >= min_len).select(
                 "doc_id",

@@ -1164,7 +1164,11 @@ def _neighbour_scores(
 
 
 def _int_alphabet_encode(
-    sides: list[DataFrame], max_alphabet: int, *, soft: bool = False
+    sides: list[DataFrame],
+    max_alphabet: int,
+    *,
+    soft: bool = False,
+    sample_screen: bool = True,
 ) -> list[DataFrame] | None:
     """Rewrite each ``(doc_id, toks: array<string>)`` relation to
     ``array<int>`` under ONE shared rank-ordered dictionary built from
@@ -1190,13 +1194,18 @@ def _int_alphabet_encode(
     for toks in sides:
         v = toks.select(F.explode("toks").alias("_tok"))
         vocab = v if vocab is None else vocab.unionByName(v)
-    if soft:
+    if soft and sample_screen:
         # cheap pre-screen for the decline path: if a 2% sample's
         # vocabulary already exceeds the cap, the full vocabulary does
         # too (monotone) — decline without shuffling the full distinct
         # of an unbounded word vocabulary.  A small sample vocabulary
         # proves nothing, so the accept path still runs (and guards)
-        # the full probe below.
+        # the full probe below.  Callers whose vocabulary is bounded
+        # BY CONSTRUCTION (BPE pieces: base chars + trained merges)
+        # pass sample_screen=False — the pre-screen is an extra
+        # corpus-scale explode+distinct+collect job inside the timed
+        # construct window that can never fire for them (r16 A/B:
+        # 29.09 -> 27.54 s on the BPE flagship, interleaved).
         sample = (
             vocab.sample(0.02, seed=7)
             .distinct()
@@ -1327,10 +1336,16 @@ def sa_contamination_scores_tokens(
         # path when the vocabulary exceeds the cap — for callers
         # (word-token grain) whose alphabet is unbounded BY CONTRACT
         # but often bounded in practice; both paths are bit-identical
-        # so the choice is invisible to every consumer and oracle
+        # so the choice is invisible to every consumer and oracle.
+        # int_alphabet="bounded" is "auto" minus the sample
+        # pre-screen: for callers whose vocabulary is bounded by
+        # construction (BPE pieces <= base chars + trained merges) the
+        # pre-screen can never fire, so it is skipped — same soft
+        # fallback, same execution-time unmapped-token guard (r16).
         enc = _int_alphabet_encode(
             [new_toks, seen_toks], max_alphabet,
-            soft=(int_alphabet == "auto"),
+            soft=(int_alphabet in ("auto", "bounded")),
+            sample_screen=(int_alphabet != "bounded"),
         )
         if enc is not None:
             new_toks, seen_toks = enc

@@ -69,7 +69,7 @@ _DRIVER_CHECKED = {
     "corpus_diff_manifest", "corpus_manifest", "corpus_summary_report",
     "corpus_top_terms", "corpus_vocab_ids", "corpus_zipf_fit", "cosine_topk",
     "countmin_sketch_terms", "cube_order_stats", "curate_corpus",
-    "curate_config_decontam_sa",
+    "curate_config_decontam_sa", "curate_config_decontam_sa_tokens",
     "curate_pipeline_decontam_sa", "curate_pipeline_decontam_sa_bpe",
     "curate_pipeline_decontam_sa_tokens",
     "curate_pipeline_full", "curate_pipeline_full_sa",
@@ -149,11 +149,14 @@ _DRIVER_CHECKED = {
     "source_overlap_matrix", "source_quota_sample", "source_vocab_health",
     "split_embedding_leakage", "split_leakage_audit", "split_train_val_test",
     "stratified_sample", "stream_classifier_scores", "stream_corpus_manifest",
-    "stream_curate_corpus", "stream_events_hourly", "stream_events_zscore",
+    "stream_curate_config", "stream_curate_corpus",
+    "stream_decontam_config", "stream_events_hourly", "stream_events_zscore",
     "stream_cut_spans_sa", "stream_cut_spans_sa_full",
-    "stream_hll_distinct_users", "stream_ingest_dedup",
+    "stream_hll_distinct_users", "stream_ingest_config",
+    "stream_ingest_dedup",
     "stream_ingest_dedup_sa", "stream_ingest_dedup_sa_bpe",
-    "stream_media_dhash_dedup", "stream_parts_entity_resolution",
+    "stream_media_dhash_dedup", "stream_mix_config",
+    "stream_parts_entity_resolution",
     "stream_sessionize_events", "stream_view_to_purchase",
     "supplier_reliability", "table_stats_report", "temperature_mix_weights",
     "text_stats", "tfidf_keywords", "token_counts", "tokenize_documents",

@@ -740,16 +740,18 @@ def dedup_incremental_ingest_sa_bpe(
     # pieces give ~10^6 possible buckets (5.1 s).  Declared sub-bucket
     # grain: shares shorter than 4 pieces score 0 — irrelevant to the
     # >= 9 decision, mirrored exactly by the oracle.
-    # int_alphabet="auto": the trained-piece vocabulary is merges +
-    # distinct base characters, so a Unicode-heavy corpus can exceed
-    # max_alphabet; auto probes and falls back to the bit-identical
-    # string path instead of raising (operators/suffix.py::
+    # int_alphabet="bounded": the trained-piece vocabulary is merges +
+    # distinct base characters — bounded BY CONSTRUCTION, so the
+    # "auto" sample pre-screen (an extra corpus-scale job inside the
+    # timed construct window) can never fire and is skipped; the full
+    # probe still falls back to the bit-identical string path if a
+    # Unicode-heavy corpus exceeds max_alphabet (operators/suffix.py::
     # _int_alphabet_encode)
     gate = sa_incremental_contamination_tokens(
         new, seen, "doc_id", "pieces",
         max_tokens=64, min_tokens=_BPE_SA_MIN_PIECES,
         bucket_tokens=4, max_bucket=10_000,
-        int_alphabet="auto",
+        int_alphabet="bounded",
     )
     return gate.select(
         "doc_id",
@@ -838,10 +840,11 @@ def contamination_grain_agreement(
         "doc_id", "pieces",
         max_tokens=64, min_tokens=_BPE_SA_MIN_PIECES,
         bucket_tokens=4, max_bucket=10_000,
-        # auto: int-array scorer when the piece vocabulary fits
-        # max_alphabet, bit-identical string fallback otherwise
-        # (Unicode-heavy corpora push base chars past the cap)
-        int_alphabet="auto",
+        # bounded: piece vocabulary <= base chars + merges by
+        # construction — skip the sample pre-screen, keep the full
+        # probe's bit-identical string fallback (Unicode-heavy
+        # corpora push base chars past the cap)
+        int_alphabet="bounded",
     ).select("doc_id", F.col("max_shared_tokens").alias("m_piece"))
     spine = new.select("doc_id")
     out = (

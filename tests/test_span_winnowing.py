@@ -1355,6 +1355,18 @@ def test_int_alphabet_guard_raises_on_unbounded_vocab(spark):
         new, seen, "doc_id", "text",
         int_alphabet="auto", max_alphabet=4096, **kw).collect())
     assert got2 == ref
+    # "bounded" (r16: "auto" minus the sample pre-screen, for callers
+    # whose vocabulary is bounded by construction) must behave
+    # identically on BOTH paths: decline softly past the cap ...
+    got3 = sorted(tuple(r) for r in sa_contamination_scores_tokens(
+        new, seen, "doc_id", "text",
+        int_alphabet="bounded", max_alphabet=10, **kw).collect())
+    assert got3 == ref
+    # ... and accept (bit-identical rows) when the vocabulary fits
+    got4 = sorted(tuple(r) for r in sa_contamination_scores_tokens(
+        new, seen, "doc_id", "text",
+        int_alphabet="bounded", max_alphabet=4096, **kw).collect())
+    assert got4 == ref
 
 
 def test_int_dictionary_unmapped_token_fails_loudly(spark):
