@@ -115,8 +115,10 @@ def _char_ranks(docs: DataFrame, max_chars: int) -> DataFrame:
     # Exact for any h0: the non-dense rank by the first h0 units is
     # the same fixpoint the doubling reaches at h0, so the final ranks
     # are bit-identical.  Shorter windows (max_chars < 32) just rank
-    # whole suffixes at round 0 and skip the loop.
-    h0 = 32
+    # whole suffixes at round 0 and skip the loop.  (_H0_CHAR is a
+    # module constant so the r16 h0 x K sweep could monkeypatch it;
+    # results are bit-identical for any value.)
+    h0 = _H0_CHAR
     pos = (
         docs.select(
             "doc_id",
@@ -208,6 +210,13 @@ def _two_level_base_ranks(
         "doc_id", "off", F.col("_base").alias("rank")
     )
 
+
+#: Round-0 base-rank width for the CHAR grain (chars of context the
+#: three-level order-preserving prefix sum ranks before the k-ary
+#: loop).  32 wins the r16 sweep (scripts/ab_h0.py): 16 halves the
+#: base-exchange key bytes but leaves a ~4x larger active tail for
+#: the loop, which costs more than the narrower keys save.
+_H0_CHAR = 32
 
 #: Max rank lookups per refinement round (coverage multiplies by
 #: ``_KARY_MAX + 1`` per round).  Each extra lookup adds one seeker
@@ -1037,6 +1046,25 @@ def _neighbour_scores(
     shorter-prefix-first, the exact suffix convention)."""
     from chewdata_spark.operators.dedup import _OBS_SEQ
 
+    # r15 (guide §1 measured: the lazy seen pipeline evaluated ~3x —
+    # cap sizes, occupied-bucket set, window input — 4.3 s/eval at
+    # sf0.1): materialize the seen relation once.  r16 (verdict item
+    # 3; guide §2.4): checkpoint the UNCAPPED relation — the r15 shape
+    # checkpointed the CAPPED one, whose materialization evaluated the
+    # expensive explode+distinct subtree TWICE (once for the cap
+    # sizes, once as the semi-join's left side; profile_scorer.py:
+    # cap stage 1.94 -> 4.71 s on top of the distinct).  Now the
+    # explode+distinct runs exactly once and every bucket-grain
+    # aggregate reads cheap checkpointed blocks.  Sound at scale: the
+    # seen side is the eval/benchmark slice, contractually the small
+    # side of full-document decontamination (the cap drops only
+    # hot-BUCKET rows, so uncapped vs capped differs by a bounded
+    # slice of that same small side).  The arrival side is
+    # corpus-sized and is deliberately NEVER checkpointed —
+    # recomputing its explode from the scan is cheaper than
+    # materializing ~max_chars x corpus bytes.
+    seen_suf = seen_suf.localCheckpoint(eager=False)
+    occupied = None
     if max_bucket is not None:
         sizes = seen_suf.groupBy("_bk").agg(
             F.count(F.lit(1)).alias("_n")
@@ -1046,20 +1074,13 @@ def _neighbour_scores(
                 F.when(F.col("_n") > max_bucket, F.lit(1)).otherwise(F.lit(0))
             ).alias("dropped_hot_buckets"),
         )
-        seen_suf = seen_suf.join(
-            sizes.filter(F.col("_n") <= max_bucket).select("_bk"),
-            "_bk",
-            "left_semi",
-        )
-    # r15 (guide §1 measured: the lazy seen pipeline evaluated ~3x —
-    # cap sizes, occupied-bucket set, window input — 4.3 s/eval at
-    # sf0.1): materialize the CAPPED seen relation once.  Sound at
-    # scale: the seen side is the eval/benchmark slice, contractually
-    # the small side of full-document decontamination.  The arrival
-    # side is corpus-sized and is deliberately NEVER checkpointed —
-    # recomputing its explode from the scan is cheaper than
-    # materializing ~max_chars x corpus bytes.
-    seen_suf = seen_suf.localCheckpoint(eager=False)
+        # the kept-bucket set IS the occupied-bucket set of the capped
+        # relation (sizes only holds buckets with >= 1 seen suffix), so
+        # the salt table below rides this tiny bucket-grain relation
+        # instead of re-aggregating distinct buckets from the capped
+        # seen rows
+        occupied = sizes.filter(F.col("_n") <= max_bucket).select("_bk")
+        seen_suf = seen_suf.join(occupied, "_bk", "left_semi")
     # the seen-side cap bounds the SEEN rows per bucket, but the window
     # below would still land every ARRIVING row of a bucket on one task
     # — a boilerplate-heavy arriving batch (every new doc opening with
@@ -1094,6 +1115,8 @@ def _neighbour_scores(
     # same contract; materializing it folds the two salts evaluations
     # (seen_in's and new_in's) into one arrival pass.
     chunk = max_bucket if max_bucket is not None else 10_000
+    if occupied is None:  # cap disabled: occupied = every seen bucket
+        occupied = seen_suf.select("_bk").distinct()
     salts_plain = (
         new_suf.groupBy("_bk")
         .agg(
@@ -1102,7 +1125,7 @@ def _neighbour_scores(
                 F.ceil(F.count(F.lit(1)) / F.lit(chunk)),
             ).cast("int").alias("_ns")
         )
-        .join(seen_suf.select("_bk").distinct(), "_bk", "left_semi")
+        .join(occupied, "_bk", "left_semi")
         .localCheckpoint(eager=False)
     )
     salts_obs = salts_plain.observe(
